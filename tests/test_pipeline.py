@@ -1,0 +1,111 @@
+"""End-to-end pipeline + catalog tests (reference parity for the full DAG
+bronze_ingest >> bronze_to_silver >> silver_to_gold + gold_catalog serving)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from asterlake import catalog, pipeline
+from asterlake.sources.bronze import write_bronze_document
+from asterlake.sources.neows import date_windows, fetch_feed, ingest_range
+from tests.fixtures_neows import N_ASTEROID_ROWS, N_DISTINCT_ASTEROIDS, feed_document
+
+BATCH_ID = 1760000000
+PROC_TIME = dt.datetime(2025, 10, 10, 1, 30, 0)
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("lake")
+    bronze = root / "bronze"
+    write_bronze_document(str(bronze), "2025-10-10", feed_document())
+    counts = pipeline.run(
+        spark,
+        str(bronze),
+        str(root / "silver"),
+        str(root / "gold"),
+        batch_id=BATCH_ID,
+        processing_time=PROC_TIME,
+    )
+    return root, counts
+
+
+def test_counts(lake):
+    _, counts = lake
+    assert counts["silver"] == N_ASTEROID_ROWS
+    assert counts["fact_asteroid_approach"] == N_ASTEROID_ROWS
+    assert counts["dim_asteroid"] == N_DISTINCT_ASTEROIDS
+
+
+def test_silver_partitioned_layout(lake):
+    root, _ = lake
+    parts = [p.name for p in (root / "silver").iterdir() if p.is_dir()]
+    assert parts == ["_processing_date=2025-10-10"]
+
+
+def test_catalog_serving_query(lake, spark):
+    # the reference's demo query (src/gold_catalog.py:80-84)
+    df = catalog.sql(
+        spark,
+        "SELECT asteroid_id, velocity_km_s, miss_distance_km "
+        "FROM fact_asteroid_approach LIMIT 5",
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert df.columns == ["asteroid_id", "velocity_km_s", "miss_distance_km"]
+
+
+def test_catalog_introspection(lake, spark):
+    tables = {r.tableName for r in catalog.show_tables(spark).collect()}
+    assert {
+        "dim_asteroid",
+        "dim_date",
+        "dim_celestial_body",
+        "fact_asteroid_approach",
+    } <= tables
+    desc = catalog.describe(spark, "fact_asteroid_approach").collect()
+    cols = {r.col_name for r in desc}
+    assert "approach_event_id" in cols and "velocity_km_s" in cols
+
+
+def test_rerun_same_day_does_not_duplicate_silver(lake, spark):
+    # dynamic partition overwrite: re-running a day replaces that day only
+    root, _ = lake
+    pipeline.run(
+        spark,
+        str(root / "bronze"),
+        str(root / "silver"),
+        str(root / "gold2"),
+        batch_id=BATCH_ID,
+        processing_time=PROC_TIME,
+    )
+    silver = spark.read.parquet(str(root / "silver"))
+    assert silver.count() == N_ASTEROID_ROWS
+
+
+def test_neows_date_windows():
+    w = date_windows(dt.date(2025, 1, 1), dt.date(2025, 1, 20))
+    assert w[0] == (dt.date(2025, 1, 1), dt.date(2025, 1, 7))
+    assert w[-1] == (dt.date(2025, 1, 15), dt.date(2025, 1, 20))
+    assert sum((e - s).days + 1 for s, e in w) == 20
+
+
+def test_neows_ingest_with_fake_fetcher(tmp_path):
+    urls = []
+
+    def fake(url):
+        urls.append(url)
+        return feed_document()
+
+    paths = ingest_range(
+        dt.date(2025, 10, 1), dt.date(2025, 10, 10), "KEY", str(tmp_path), fetcher=fake
+    )
+    assert len(paths) == 2  # two 7-day windows
+    assert "api_key=KEY" in urls[0] and "start_date=2025-10-01" in urls[0]
+
+
+def test_neows_window_limit():
+    with pytest.raises(ValueError):
+        fetch_feed(dt.date(2025, 1, 1), dt.date(2025, 1, 9), "K", fetcher=lambda u: {})
