@@ -1,0 +1,58 @@
+"""Benchmark harness (driver contract).
+
+Runs every declared query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end through the `noop` sink — full plan execution
+(scan -> shuffle -> agg) without driver-side result materialization, so the
+timing measures the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from asterlake.queries import QUERIES
+    from asterlake.session import build_session
+
+    spark = build_session(app_name="asterlake-bench")
+    try:
+        # warm the JVM / file-listing caches outside the timed region
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+        timings: dict[str, float] = {}
+        for name, qd in QUERIES.items():
+            t0 = time.perf_counter()
+            qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+
+        total = round(sum(timings.values()), 4)
+        print(
+            json.dumps(
+                {
+                    "metric": "total_query_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
