@@ -673,3 +673,130 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("DEFAULT")
         ).alias("seg_or_default"),
     )
+
+
+# ===========================================================================
+# Beyond-parity: deduplication family (operators/dedup.py) on `documents`
+# ===========================================================================
+
+# DuckDB-dialect twins of the Spark higher-order expressions. Both engines
+# hash with md5 (identical hex), shingle identically, and min over the same
+# lexicographic order, so signatures match byte-for-byte.
+_DUCK_SHINGLES = """
+  CASE WHEN len(string_split(text, ' ')) >= 3
+       THEN list_distinct([array_to_string(toks[i : i+2], ' ')
+                           for i in range(1, len(toks) - 1)])
+       ELSE [] END
+"""  # over alias toks = string_split(text, ' ')
+
+
+@query(
+    "q_dedup_exact",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+    FROM all_docs GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents unioned with a shifted copy of itself
+    (the base table has no exact dups; the union plants one per doc).
+    Spark groups by md5(text) — 32-byte shuffle keys, never the body."""
+    from asterlake.operators.dedup import exact_duplicate_groups
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_duplicate_groups(doubled)
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 12), j ->
+               list_aggregate(
+                 list_transform(shingles, s -> md5(concat(CAST(j AS VARCHAR), '|', s))),
+                 'min')) AS sig
+      FROM sh
+    ), bandt AS (
+      SELECT doc_id,
+             unnest([concat(CAST(b AS VARCHAR), ':',
+                            array_to_string(sig[b*3+1 : b*3+3], ''))
+                     for b in range(0, 4)]) AS band_key
+      FROM sig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+    FROM bandt a JOIN bandt b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + LSH(4 bands x 3 rows) candidate pairs — near-dup
+    discovery without the O(n^2) cross join."""
+    from asterlake.operators.dedup import minhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d, n=3, k=12, bands=4)
+
+
+@query(
+    "q_simhash_fingerprint",
+    """
+    SELECT doc_id,
+           array_to_string(list_transform(range(1, 33), j ->
+             CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+                    CASE WHEN substr(md5(t), j, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+                  THEN '1' ELSE '0' END), '') AS simhash
+    FROM documents
+    """,
+)
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (frequency-weighted bit vote);
+    near-dups cluster within small Hamming distance of each other."""
+    from asterlake.operators.dedup import simhash_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_fingerprint("text").alias("simhash"))
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM (
+        SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+      )
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.5 via inverted-index self-join — the
+    ground-truth verifier for the MinHash candidates."""
+    from asterlake.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5)

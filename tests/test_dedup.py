@@ -1,0 +1,79 @@
+"""Semantic tests for the dedup operator family: the oracle-parity test
+proves Spark==DuckDB; these prove the operators find what they should."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from asterlake.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_shingles_basic(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    rows = df.select(word_shingles("text", 3).alias("sh")).collect()
+    assert rows[0].sh == ["a b c", "b c d"]
+    assert rows[1].sh == []  # shorter than n -> empty, not a crash
+
+
+def test_exact_dedup_finds_planted_copies(spark, docs):
+    doubled = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    groups = exact_duplicate_groups(doubled)
+    assert groups.count() == docs.count()  # one group per distinct text
+    assert groups.filter("n_copies != 2").count() == 0
+    # survivor is deterministic: always the ORIGINAL id, never the clone
+    assert groups.filter("canonical_doc_id >= 10000").count() == 0
+
+
+def test_lsh_candidates_contain_true_near_dups(docs):
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert truth, "testdata should contain planted near-duplicates"
+    candidates = {
+        (r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs).collect()
+    }
+    # LSH at k=12/b=4 catches jaccard>=0.8 pairs with prob ~1-(1-0.512)^4=0.94^;
+    # on the planted ~0.99 pairs recall should be total
+    assert truth <= candidates
+    # and it must not devolve into the cross join
+    n = docs.count()
+    assert len(candidates) < n * (n - 1) / 20
+
+
+def test_simhash_near_dups_have_small_hamming_distance(docs):
+    fp = docs.select("doc_id", simhash_fingerprint("text").alias("h"))
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    joined = (
+        pairs.join(fp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("h", "ha"), "doc_a")
+        .join(fp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("h", "hb"), "doc_b")
+    )
+    # hamming distance via char-wise compare of the bit strings
+    ham = joined.select(
+        F.expr(
+            "size(filter(zip_with(split(ha, ''), split(hb, ''), (x, y) -> x != y), v -> v))"
+        ).alias("d")
+    )
+    assert ham.count() > 0
+    assert ham.agg(F.max("d")).collect()[0][0] <= 8  # 32-bit fingerprints
+
+
+def test_ngram_jaccard_is_symmetric_bounded(docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0.5 <= r.jaccard <= 1.0
