@@ -1,0 +1,182 @@
+"""Embedding similarity search (beyond-parity: ANN over array<float>).
+
+Three tiers, all built-in-expression compositions (no Python UDFs):
+
+- **Brute-force top-k** — exact cosine against a query vector; the baseline
+  and the within-bucket scorer for the approximate tiers.
+- **SRP-LSH buckets** — signed-random-projection signatures (sign of dot
+  with fixed ±1 hyperplanes) bucket similar vectors together; candidate
+  generation becomes an equi-join on the bucket key (same shape as the
+  MinHash LSH join in dedup.py).
+- **IVF assignment** — nearest-centroid inverted-file partitioning; the
+  centroids arrive as a plain Python list (from spark.ml KMeans, a sample,
+  or a fixed codebook), are embedded as a literal/broadcast, and probing a
+  query touches only its cell.
+
+Precision discipline: every dot product is an explicit left-to-right fold
+in DOUBLE over float-casted elements (``zip_with`` + ``aggregate``). This is
+bit-identical to the DuckDB oracle's ``list_sum(list_transform(...))`` fold —
+unlike DuckDB's builtin ``list_dot_product``, which accumulates in FLOAT and
+diverges in the 8th digit.
+
+Scale (100 TB of embeddings):
+- brute-force top-k against one query is a map + TakeOrderedAndProject —
+  no shuffle at all; against a query *batch* it's a broadcast nested-loop
+  over the batch, still shuffle-free.
+- SRP/IVF turn all-pairs search into per-bucket joins; bucket keys are
+  tiny strings/ints, and skewed buckets split under AQE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Exact-order double fold of the element products (see module doc)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_double(a, b) / (
+        F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b))
+    )
+
+
+def topk_cosine(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query DataFrame.
+
+    The query side is broadcast (it is one row); the big side is scanned
+    once, scored map-side, and reduced with TakeOrderedAndProject — the
+    plan you want at any scale.
+    """
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    scored = vectors.crossJoin(q).select(
+        id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), id_col).limit(k)
+
+
+def srp_hyperplanes(n_planes: int = 12, dim: int = 64, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes (seeded) — shared with the SQL oracle."""
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 2, size=(n_planes, dim)) * 2 - 1).tolist()
+
+
+def srp_signature(vec_col: Column, hyperplanes: list[list[int]]) -> Column:
+    """Bit-string SRP bucket key: bit_i = sign(dot(h_i, v))."""
+    h_lit = F.array(
+        *[F.array(*[F.lit(int(x)) for x in row]) for row in hyperplanes]
+    )
+    return F.array_join(
+        F.transform(
+            h_lit,
+            lambda h: F.when(
+                F.aggregate(
+                    F.zip_with(h, vec_col, lambda x, y: x * y.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                "1",
+            ).otherwise("0"),
+        ),
+        "",
+    )
+
+
+def srp_bucket(
+    vectors: DataFrame,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = srp_hyperplanes(n_planes, dim, seed)
+    return vectors.select(
+        id_col, srp_signature(F.col(vec_col), planes).alias("bucket")
+    )
+
+
+def ivf_centroids(k: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Fixed unit-norm codebook (seeded) for deterministic IVF demos/tests.
+    Production path: fit with spark.ml KMeans and pass the centers here."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(k, dim)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (IVF cell).
+
+    The codebook is a literal array-of-arrays — broadcast by value inside
+    the plan; assignment is a pure projection (argmax over k fold-dots),
+    no shuffle, no UDF. Ties break to the lower centroid id.
+    """
+    c_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
+    )
+    scores = F.transform(
+        c_lit,
+        lambda c: F.aggregate(
+            F.zip_with(c, F.col(vec_col), lambda x, y: x * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    # argmax via array_position(max); first match => lowest id on ties
+    return vectors.select(
+        id_col,
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int")
+        .alias("centroid_id"),
+    )
+
+
+def blocked_neighbor_pairs(
+    vectors: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold *within a blocking key* (label,
+    SRP bucket, IVF cell, ...). The join explodes only within blocks —
+    the standard way to keep near-dup search sub-quadratic."""
+    a = vectors.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

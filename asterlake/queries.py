@@ -800,3 +800,138 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+# ===========================================================================
+# Beyond-parity: embedding similarity search (operators/similarity.py)
+# ===========================================================================
+
+# DuckDB twin of dot_double: explicit left-to-right DOUBLE fold. DuckDB's
+# builtin list_dot_product accumulates in FLOAT and diverges — never use it
+# in an oracle.
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"({_duck_dot(a, b)} / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})))"
+    )
+
+
+@query(
+    "q_ann_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_duck_cosine('embedding', 'qv')} AS cosine
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id 0: map-side scoring against
+    a broadcast query row + TakeOrderedAndProject — shuffle-free."""
+    from asterlake.operators.similarity import topk_cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return topk_cosine(e.filter("vec_id != 0"), e.filter("vec_id = 0"), k=10)
+
+
+def _srp_planes():
+    from asterlake.operators.similarity import srp_hyperplanes
+
+    return srp_hyperplanes(n_planes=12, dim=64, seed=42)
+
+
+def _ivf_codebook():
+    from asterlake.operators.similarity import ivf_centroids
+
+    return ivf_centroids(k=8, dim=64, seed=7)
+
+
+@query(
+    "q_ann_srp_buckets",
+    None,  # oracle injected below (needs the hyperplane literal)
+)
+def q_ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucket signature per vector (12 fixed seeded hyperplanes):
+    the scale path for ANN — candidate pairs come from an equi-join on
+    `bucket` instead of the O(n^2) cross join."""
+    from asterlake.operators.similarity import srp_signature
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", srp_signature(F.col("embedding"), _srp_planes()).alias("bucket")
+    )
+
+
+QUERIES["q_ann_srp_buckets"] = QueryDef(
+    q_ann_srp_buckets,
+    f"""
+    WITH h AS (SELECT {_srp_planes()} AS planes)
+    SELECT vec_id,
+           array_to_string(list_transform(planes, hp ->
+             CASE WHEN list_sum(list_transform(range(1, len(embedding)+1),
+                    i -> hp[i] * CAST(embedding[i] AS DOUBLE))) >= 0
+                  THEN '1' ELSE '0' END), '') AS bucket
+    FROM embeddings, h
+    """,
+)
+
+
+@query(
+    "q_ann_ivf_assign",
+    None,  # oracle injected below (needs the codebook literal)
+)
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment against a fixed unit-norm codebook (k=8):
+    argmax-cosine per vector as a pure projection; a query then probes
+    only its own cell."""
+    from asterlake.operators.similarity import ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_assign(e, _ivf_codebook())
+
+
+QUERIES["q_ann_ivf_assign"] = QueryDef(
+    q_ann_ivf_assign,
+    f"""
+    WITH cb AS (SELECT {_ivf_codebook()} AS cents),
+    scored AS (
+      SELECT vec_id,
+             list_transform(cents, c ->
+               list_sum(list_transform(range(1, len(embedding)+1),
+                 i -> c[i] * CAST(embedding[i] AS DOUBLE)))) AS scores
+      FROM embeddings, cb
+    )
+    SELECT vec_id,
+           CAST(list_position(scores, list_aggregate(scores, 'max')) - 1 AS INT)
+             AS centroid_id
+    FROM scored
+    """,
+)
+
+
+@query(
+    "q_embedding_block_neighbors",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def q_embedding_block_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label near-neighbor pairs (cosine >= 0.4) — the blocked
+    (sub-quadratic) form of embedding near-dup detection."""
+    from asterlake.operators.similarity import blocked_neighbor_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return blocked_neighbor_pairs(e, "label", 0.4)
