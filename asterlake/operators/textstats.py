@@ -1,0 +1,198 @@
+"""Text analysis operator family (beyond-parity: LLM training-data pipeline).
+
+Per-document text statistics over the ``documents`` table, all pure JVM-side
+expression compositions (zero Python UDFs), all DuckDB-oracle-expressible:
+
+- **token counting** — whitespace tokens plus a BPE-ish regex token count
+  (``regexp_extract_all`` over a word/non-word alternation).
+- **quality scoring** — length, distinct-token ratio, stopword ratio, mean
+  token length, punctuation ratio: the standard cheap heuristics a corpus
+  filter runs before anything model-based.
+- **language ID** — corpus-trained n-gram (word unigram) profiles: top-N
+  most frequent tokens per labeled language, then classify each document to
+  the profile with the largest token overlap. Fully relational (groupBy +
+  window top-N + join + argmax), so it trains AND predicts inside the
+  engine with no side model artifact.
+- **document fingerprinting** — polynomial rolling hash (per-token char
+  fold, then a token fold), a locality-insensitive 64-bit-ish content id
+  computed with integer arithmetic only — portable bit-for-bit across
+  engines, unlike builtin ``hash()``/``xxhash64`` which differ per engine.
+
+Reference parity note: the reference has no text operators at all (its
+documents are asteroids); this module is the SURVEY.md §7.7 "beyond-parity"
+extension exercised by /root/testdata/sf*/documents.parquet.
+
+Scale design (100 TB):
+- token/quality/fingerprint ops are per-row projections — no shuffle, no
+  driver involvement, linear in executors.
+- language-ID shuffles only (lang, token) count pairs (map-side partial
+  agg) to build profiles; profiles are tiny (n_langs x top_n rows) and
+  broadcast into the scoring join, so the big side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne-ish primes small enough that every intermediate fits in int64:
+# acc < MOD (~2^30), so acc*131 + tok_hash < 2^38 and acc*31 + 127 < 2^35.
+_MOD = 1_000_000_007
+_TOKEN_BASE = 31
+_DOC_BASE = 131
+
+_STOPWORDS = ("a", "the")
+_BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def whitespace_tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str) -> Column:
+    """BPE-ish token estimate: letter runs, single digits, single symbols —
+    the shape (not the merges) of a GPT-style pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_RE), 0))
+
+
+def rolling_hash(text_col: str) -> Column:
+    """Polynomial rolling hash of the token sequence, mod 1e9+7.
+
+    tok_hash(t) = fold over chars: acc*31 + ascii(c)  (mod M)
+    doc_hash    = fold over tokens: acc*131 + tok_hash (mod M)
+
+    Both folds are explicit left-to-right ``aggregate`` calls so the result
+    is identical in any engine that evaluates the same arithmetic — the
+    whole point of a *portable* fingerprint. Order-sensitive by design
+    (unlike SimHash/MinHash): any edit anywhere changes it.
+    """
+    tok_hash = (
+        "aggregate(transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))), "
+        f"0L, (acc, c) -> (acc * {_TOKEN_BASE} + c) % {_MOD})"
+    )
+    return F.expr(
+        f"aggregate(split({text_col}, ' '), 0L, "
+        f"(acc, t) -> (acc * {_DOC_BASE} + {tok_hash}) % {_MOD})"
+    )
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cheap corpus-filter heuristics, one row per document.
+
+    All ratios are a single double division over engine-identical integer
+    operands (hash-stable). ``quality_score`` is the product of the two
+    "good text" signals a word-soup corpus can express: lexical diversity
+    and non-stopword density.
+    """
+    toks = whitespace_tokens(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    stop_arr = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split({text_col}, ' '), t -> t IN ({stop_arr})))"
+    ).cast("bigint")
+    total_tok_chars = F.expr(
+        f"aggregate(split({text_col}, ' '), 0L, (acc, t) -> acc + length(t))"
+    )
+    n_punct = F.length(
+        F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")
+    ).cast("bigint")
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    stopword_ratio = n_stop.cast("double") / n_tokens
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        bpe_ish_token_count(text_col).cast("bigint").alias("n_bpe_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        (total_tok_chars.cast("double") / n_tokens).alias("mean_token_len"),
+        (n_punct.cast("double") / F.length(text_col)).alias("punct_ratio"),
+        (distinct_ratio * (F.lit(1.0) - stopword_ratio)).alias("quality_score"),
+    )
+
+
+def language_profiles(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-N most frequent tokens per labeled language: (lang, token).
+
+    Tie-break is (count DESC, token ASC) so the profile set is deterministic
+    across engines and partitionings.
+    """
+    tok = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(whitespace_tokens(text_col)).alias("token"),
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select("lang", "token")
+    )
+
+
+def classify_language(
+    docs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Predict each document's language as the profile with the largest
+    token-occurrence overlap; ties break to the lexicographically smallest
+    language, no-overlap docs get 'und'.
+
+    The profile table is tiny (n_langs x top_n) — broadcast — so the
+    scoring join never shuffles the corpus; the per-doc argmax groups by
+    doc_id over n_langs short rows.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("token")
+    )
+    scores = (
+        tok.join(F.broadcast(profiles), "token")
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("overlap").desc(), F.col("lang").asc()
+    )
+    best = (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(F.col(id_col), F.col("lang").alias("pred_lang"), "overlap")
+    )
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("bigint").alias("overlap"),
+        )
+    )
+
+
+def fingerprint_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fingerprint): rolling-hash content id + exact digest, the pair a
+    dedup pipeline keys on (rolling for ordered content, md5 for bytes)."""
+    return docs.select(
+        F.col(id_col),
+        rolling_hash(text_col).alias("fingerprint"),
+        F.md5(F.col(text_col)).alias("digest"),
+    )

@@ -935,3 +935,145 @@ def q_embedding_block_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return blocked_neighbor_pairs(e, "label", 0.4)
+
+
+# ===========================================================================
+# Beyond-parity: text analysis (operators/textstats.py)
+# ===========================================================================
+
+_DUCK_BPE = "len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))"
+
+
+@query(
+    "q_text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST({_DUCK_BPE} AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             AS distinct_ratio,
+           CAST(len(list_filter(toks, s -> s = 'a' OR s = 'the')) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+             / len(toks) AS mean_token_len,
+           CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             * (1.0 - CAST(len(list_filter(toks, s -> s = 'a' OR s = 'the'))
+                           AS DOUBLE) / len(toks)) AS quality_score
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-filter heuristics per document: token counts (whitespace +
+    BPE-ish regex), lexical diversity, stopword/punctuation ratios, and a
+    composite quality score — all single-pass JVM projections."""
+    from asterlake.operators.textstats import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_features(d)
+
+
+@query(
+    "q_text_fingerprint",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, s ->
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(s) + 1),
+                       i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007))),
+             (acc, h) -> (acc * 131 + h) % 1000000007) AS fingerprint,
+           md5(text) AS digest
+    FROM t
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash (mod 1e9+7) + exact md5
+    digest per document — the portable content ids a dedup pipeline keys
+    on. Pure integer folds, bit-identical across engines."""
+    from asterlake.operators.textstats import fingerprint_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint_table(d)
+
+
+@query(
+    "q_text_langid",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+    ), prof AS (
+      SELECT lang, token FROM (
+        SELECT lang, token,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, token ASC) AS rnk
+        FROM counts)
+      WHERE rnk <= 20
+    ), scores AS (
+      SELECT t.doc_id, p.lang, COUNT(*) AS overlap
+      FROM tok t JOIN prof p ON t.token = p.token
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, lang AS pred_lang, overlap FROM (
+        SELECT doc_id, lang, overlap,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY overlap DESC, lang ASC) AS rnk
+        FROM scores)
+      WHERE rnk = 1
+    )
+    SELECT d.doc_id,
+           COALESCE(b.pred_lang, 'und') AS pred_lang,
+           CAST(COALESCE(b.overlap, 0) AS BIGINT) AS overlap
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained language ID: top-20 token profile per labeled lang,
+    classify every doc to the max-overlap profile (tie -> smallest lang,
+    none -> 'und'). Trains and predicts fully inside the engine; the
+    profile side is broadcast so the corpus never shuffles for scoring."""
+    from asterlake.operators.textstats import (
+        classify_language,
+        language_profiles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return classify_language(d, language_profiles(d, top_n=20))
+
+
+@query(
+    "q_text_vocab_topk",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 25
+    """,
+)
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-25 tokens by frequency (tie -> token
+    asc). explode + count + TakeOrderedAndProject; partial aggregation
+    means the shuffle carries one row per (partition, token)."""
+    from asterlake.operators.textstats import whitespace_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(whitespace_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(25)
+    )
