@@ -1077,3 +1077,133 @@ def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "token")
         .limit(25)
     )
+
+
+# ===========================================================================
+# Beyond-parity: multimodal columns (operators/multimodal.py)
+#
+# The media table is generated in-engine (deterministic md5-chain payloads,
+# asterlake.operators.multimodal.synthetic_media), so the oracle re-derives
+# the identical bytes in DuckDB hex-string space and checks the full binary
+# round-trip JVM unhex -> Arrow -> pandas bytes -> stats, bit-for-bit.
+# ===========================================================================
+
+_MEDIA_N = 256
+
+# hex-space twin of synthetic_media(n=256, payload_repeats=4): c_k+1 =
+# concat(c_k, md5(id || c_k)); 128 hex chars = 64 payload bytes per item.
+_DUCK_MEDIA_GEN = f"""
+    g0 AS (SELECT range AS id, CAST(range AS VARCHAR) AS s FROM range({_MEDIA_N})),
+    g1 AS (SELECT id, s, md5(s) AS c FROM g0),
+    g2 AS (SELECT id, s, concat(c, md5(concat(s, c))) AS c FROM g1),
+    g3 AS (SELECT id, s, concat(c, md5(concat(s, c))) AS c FROM g2),
+    media_gen AS (
+      SELECT id, s, concat(c, md5(concat(s, c))) AS ph,
+             CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+      FROM g3)
+"""
+
+_DUCK_HEXV = "strpos('0123456789abcdef', substr(ph, 2*i-1, 1)) - 1"
+_DUCK_BYTE = (
+    f"({_DUCK_HEXV}) * 16 + strpos('0123456789abcdef', substr(ph, 2*i, 1)) - 1"
+)
+
+
+def _media(spark: SparkSession):
+    from asterlake.operators.multimodal import synthetic_media
+
+    return synthetic_media(spark, n=_MEDIA_N)
+
+
+@query(
+    "q_media_decode",
+    f"""
+    WITH {_DUCK_MEDIA_GEN}
+    SELECT id AS media_id, kind,
+           CAST(64 AS BIGINT) AS n_bytes,
+           CAST(CAST(list_sum(list_transform(range(1, 65),
+                  i -> {_DUCK_BYTE})) AS DOUBLE) / 64 AS REAL) AS mean_byte,
+           md5(ph) AS payload_digest
+    FROM media_gen
+    """,
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode of binary payloads -> per-item byte
+    stats + portable digest. sf_dir unused: the media table is generated
+    in-engine (same rows at every SF)."""
+    from asterlake.operators.multimodal import decode_media
+
+    return decode_media(_media(spark))
+
+
+@query(
+    "q_media_frames",
+    f"""
+    WITH {_DUCK_MEDIA_GEN}
+    SELECT id AS media_id, CAST(fi AS INT) AS frame_idx,
+           substr(ph, CAST((fi * 16) % 64 AS INT) * 2 + 1, 32) AS frame_hex
+    FROM (SELECT id, ph,
+                 unnest(range(0, 4 + CAST(id % 8 AS INT), 2)) AS fi
+          FROM media_gen WHERE id % 3 = 2)
+    """,
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 2nd frame, 16-byte frames): the in-batch
+    explode inside mapInPandas — one output row per sampled frame."""
+    from asterlake.operators.multimodal import sample_frames
+
+    return sample_frames(_media(spark), every=2, frame_bytes=16).select(
+        "media_id",
+        "frame_idx",
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+    )
+
+
+@query(
+    "q_media_features",
+    f"""
+    WITH {_DUCK_MEDIA_GEN}
+    SELECT id AS media_id, CAST(b AS INT) AS bucket,
+           CAST(CAST(len(list_filter(range(1, 65),
+                  i -> {_DUCK_HEXV} = b)) AS DOUBLE) / 64 AS REAL) AS weight
+    FROM (SELECT id, ph, unnest(range(0, 16)) AS b FROM media_gen)
+    """,
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload -> 16-dim byte-histogram feature vector (the deterministic
+    fake of an embedding model; a real model slots into the same Arrow
+    batch loop), exploded to (media_id, bucket, weight) rows."""
+    from asterlake.operators.multimodal import extract_features
+
+    return extract_features(_media(spark)).select(
+        "media_id", F.posexplode("feature").alias("bucket", "weight")
+    )
+
+
+@query(
+    "q_media_resize",
+    f"""
+    WITH {_DUCK_MEDIA_GEN}
+    SELECT id AS media_id, kind,
+           CASE WHEN id % 3 = 0 THEN 8 END AS width,
+           CASE WHEN id % 3 = 0
+                THEN md5(concat(md5(ph), md5(md5(ph)), md5(md5(md5(ph))),
+                                md5(md5(md5(md5(ph))))))
+                ELSE md5(ph) END AS payload_digest
+    FROM media_gen
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail pass: images re-derived at 8x8 (md5-chain resample), meta
+    updated; non-images pass through bit-identical — verified via the
+    portable hex digest."""
+    from asterlake.operators.multimodal import resize_image
+
+    resized = resize_image(_media(spark), 8, 8)
+    return resized.select(
+        "media_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.md5(F.lower(F.hex("payload"))).alias("payload_digest"),
+    )

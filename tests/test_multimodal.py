@@ -1,0 +1,109 @@
+"""Spark-side plumbing tests for the multimodal operator family: schemas,
+Arrow batch iteration, determinism, the in-batch frame explode, and the
+clearly-marked real-codec stub."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from asterlake.operators.multimodal import (
+    DECODED_SCHEMA,
+    FEATURE_DIM,
+    FEATURE_SCHEMA,
+    FRAME_SCHEMA,
+    MEDIA_SCHEMA,
+    decode_media,
+    extract_features,
+    resize_image,
+    sample_frames,
+    synthetic_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthetic_media(spark, n=30).cache()
+
+
+def test_media_schema_and_payload_determinism(spark, media):
+    assert media.schema.simpleString() == MEDIA_SCHEMA.simpleString()
+    rows = {r.media_id: r for r in media.collect()}
+    assert len(rows) == 30
+    # payload is the unhexed 4-round md5 chain of the id — model it in Python
+    def chain(i: int) -> bytes:
+        s = str(i)
+        c = hashlib.md5(s.encode()).hexdigest()
+        for _ in range(3):
+            c = c + hashlib.md5((s + c).encode()).hexdigest()
+        return bytes.fromhex(c)
+
+    assert bytes(rows[7].payload) == chain(7)
+    assert rows[0].kind == "image" and rows[0].meta.width == 8
+    assert rows[1].kind == "audio" and rows[1].meta.sample_rate == 16000
+    assert rows[2].kind == "video" and rows[2].meta.n_frames == 6
+
+
+def test_decode_media_stats(spark, media):
+    out = decode_media(media)
+    assert out.schema.simpleString() == DECODED_SCHEMA.simpleString()
+    got = {r.media_id: r for r in out.collect()}
+    assert len(got) == 30
+    payload = bytes([r.payload for r in media.collect() if r.media_id == 3][0])
+    r = got[3]
+    assert r.n_bytes == 64
+    assert r.mean_byte == pytest.approx(sum(payload) / 64, rel=1e-6)
+    assert r.payload_digest == hashlib.md5(payload.hex().encode()).hexdigest()
+
+
+def test_decode_media_real_is_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, real=True)
+
+
+def test_resize_image_only_touches_images(spark, media):
+    out = resize_image(media, 4, 4).collect()
+    by_id = {r.media_id: r for r in out}
+    orig = {r.media_id: r for r in media.collect()}
+    # image: payload re-derived at 16 bytes, meta updated
+    img = by_id[0]
+    assert len(bytes(img.payload)) == 16
+    assert (img.meta.width, img.meta.height) == (4, 4)
+    seed = hashlib.md5(bytes(orig[0].payload).hex().encode()).hexdigest()
+    assert bytes(img.payload) == bytes.fromhex(seed)[:16]
+    # non-image: bit-identical passthrough
+    assert bytes(by_id[1].payload) == bytes(orig[1].payload)
+    assert by_id[1].meta == orig[1].meta
+
+
+def test_sample_frames_explode_shape(spark, media):
+    out = sample_frames(media, every=2, frame_bytes=16)
+    assert out.schema.simpleString() == FRAME_SCHEMA.simpleString()
+    rows = out.collect()
+    metas = {r.media_id: r.meta.n_frames for r in media.collect() if r.kind == "video"}
+    expected = sum((n + 1) // 2 for n in metas.values())
+    assert len(rows) == expected
+    # frame i slices payload at (i*16) % 64
+    orig = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for r in rows:
+        start = (r.frame_idx * 16) % 64
+        assert bytes(r.frame_bytes) == orig[r.media_id][start : start + 16]
+
+
+def test_extract_features_histogram(spark, media):
+    out = extract_features(media)
+    assert out.schema.simpleString() == FEATURE_SCHEMA.simpleString()
+    row = [r for r in out.collect() if r.media_id == 5][0]
+    payload = bytes([bytes(r.payload) for r in media.collect() if r.media_id == 5][0])
+    hist = [0] * FEATURE_DIM
+    for b in payload:
+        hist[b * FEATURE_DIM // 256] += 1
+    want = [h / len(payload) for h in hist]
+    assert row.feature == pytest.approx(want, rel=1e-6)
+    assert sum(row.feature) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_custom_kernel_slot(spark, media):
+    out = extract_features(media, dim=4, kernel=lambda p: [float(len(p)), 0.0, 0.0, 0.0])
+    assert all(r.feature[0] == 64.0 for r in out.collect())
