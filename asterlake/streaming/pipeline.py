@@ -1,0 +1,280 @@
+"""Structured Streaming surface: incremental medallion ingest + stateful ops.
+
+The reference is daily batch (Airflow cron ``"30 1 * * *"``,
+``airflow/dags/nasa_asteroids_pipeline_venv.py:28``); its incremental unit is
+"a new bronze JSON file appeared". The Spark-native upgrade (SURVEY.md §2.7)
+keeps exactly that contract: a **file-source stream over the bronze
+directory**, the same ``flatten_feed`` plan (batch and streaming share the
+one transform — DataFrame in, DataFrame out), and
+``trigger(availableNow=True)`` so each run drains whatever arrived and
+stops. Checkpointing gives exactly-once file processing: a re-run skips
+already-ingested documents — fixing the reference's clobber-and-rewrite
+(``mode("overwrite")``, ``src/etl/bronze_to_silver.py:96``) without any
+bookkeeping code.
+
+Beyond ingest, the streaming forms of the engine's stateful operators:
+
+- ``watermarked_dedup``    — streaming twin of the gold dedup (A1-A3):
+  ``withWatermark + dropDuplicates`` bounds the dedup state that a batch
+  ``dropDuplicates`` gets for free.
+- ``windowed_event_counts``— tumbling/sliding watermarked aggregation, the
+  late-data-correct version of the batch time-bucket rollups.
+- ``running_user_counts`` / ``sessionize_stream`` — custom stateful
+  operators via ``applyInPandasWithState`` (Arrow-batched, grouped state):
+  the extension point Spark gives for semantics its built-ins lack.
+
+Scale notes:
+- State stores shard by the grouping key across executors; watermarks bound
+  their size (dedup keys expire, windows close, sessions time out). An
+  unbounded ``dropDuplicates`` on a stream would OOM eventually — always
+  pair with a watermark.
+- File-source streams list the input directory each trigger; at 100 TB use
+  date-partitioned bronze paths so listing stays O(new files).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from datetime import datetime, timezone
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from asterlake.operators.flatten import flatten_feed
+from asterlake.schemas import BRONZE_FEED_SCHEMA
+
+
+def read_bronze_stream(
+    spark: SparkSession, bronze_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the bronze JSON directory (explicit schema —
+    streaming reads cannot infer, which is the Spark-native argument for the
+    map-typed BRONZE_FEED_SCHEMA over the reference's inference)."""
+    reader = (
+        spark.readStream.schema(BRONZE_FEED_SCHEMA)
+        .option("multiline", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(bronze_dir)
+
+
+def stream_bronze_to_silver(
+    spark: SparkSession,
+    bronze_dir: str,
+    silver_dir: str,
+    checkpoint_dir: str,
+    *,
+    all_approaches: bool = False,
+    batch_id: int | None = None,
+    processing_time: datetime | None = None,
+) -> None:
+    """Drain new bronze documents into silver parquet and stop.
+
+    Same flatten plan as the batch path; availableNow + checkpoint make the
+    ingest incremental and exactly-once per file. Partitioned like the
+    batch silver writer (hive layout on _processing_date).
+    """
+    silver = flatten_feed(
+        read_bronze_stream(spark, bronze_dir),
+        all_approaches=all_approaches,
+        batch_id=batch_id,
+        processing_time=processing_time,
+    )
+    (
+        silver.writeStream.format("parquet")
+        .option("path", silver_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("_processing_date")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def watermarked_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    event_col: str = "approach_datetime",
+    delay: str = "1 day",
+) -> DataFrame:
+    """Streaming dedup with bounded state: keys older than the watermark
+    are forgotten (and late duplicates beyond `delay` would pass — the
+    standard correctness/state tradeoff)."""
+    return stream.withWatermark(event_col, delay).dropDuplicates(
+        [*keys, event_col]
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    event_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) event-count aggregation."""
+    win = (
+        F.window(event_col, window)
+        if slide is None
+        else F.window(event_col, window, slide)
+    )
+    keys = [win] + [F.col(c) for c in (group_cols or [])]
+    return (
+        stream.withWatermark(event_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(group_cols or []),
+            "n_events",
+        )
+    )
+
+
+# --- custom stateful operators (applyInPandasWithState) --------------------
+
+_COUNT_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events_total", LongType()),
+    ]
+)
+_COUNT_STATE = StructType([StructField("n", LongType())])
+
+
+def running_user_counts(events: DataFrame, id_col: str = "user_id") -> DataFrame:
+    """Cumulative per-user event count across micro-batches — the minimal
+    custom stateful operator: state survives batches, one updated row per
+    user per batch it appears in."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        prev = state.get[0] if state.exists else 0
+        total = prev + sum(len(p) for p in pdfs)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events_total": [total]})
+
+    return events.groupBy(id_col).applyInPandasWithState(
+        update,
+        outputStructType=_COUNT_OUTPUT,
+        stateStructType=_COUNT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+# state: open session [start_us, last_us, n]
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", IntegerType()),
+    ]
+)
+
+_US = 1_000_000
+
+
+def _ts(us: int) -> datetime:
+    return datetime.fromtimestamp(us / _US, tz=timezone.utc).replace(tzinfo=None)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization with event-time timeout — the canonical
+    "Spark lacks this operator" case (batch twin: q_sessionization's
+    lag-window cumulative-sum). Sessions close when a gap > `gap_seconds`
+    appears in a user's events, or when the watermark passes the last event
+    by `gap` (EventTimeTimeout flushes idle sessions even if the user never
+    returns)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {
+            "user_id": [],
+            "session_start": [],
+            "session_end": [],
+            "n_events": [],
+            "closed_by": [],
+        }
+
+        def emit(start_us: int, last_us: int, n: int, why: str) -> None:
+            out["user_id"].append(key[0])
+            out["session_start"].append(_ts(start_us))
+            out["session_end"].append(_ts(last_us))
+            out["n_events"].append(n)
+            out["closed_by"].append(why)
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            emit(start_us, last_us, n, "timeout")
+            state.remove()
+            yield pd.DataFrame(out)
+            return
+
+        ts_us = sorted(
+            int(t.value // 1000)
+            for p in pdfs
+            for t in pd.to_datetime(p[ts_col])
+        )
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_us[0], ts_us[0], 0
+        for t in ts_us:
+            if t - last_us > gap_seconds * _US:
+                emit(start_us, last_us, n, "gap")
+                start_us, n = t, 0
+            last_us = max(last_us, t)
+            n += 1
+        state.update((start_us, last_us, n))
+        # flush via event-time timeout once the watermark passes last + gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(out)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(id_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUTPUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,181 @@
+"""Structured Streaming tests: incremental bronze->silver ingest (file
+source, availableNow, checkpointed exactly-once), watermarked dedup and
+windowed aggregation, and the applyInPandasWithState custom stateful ops."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+
+from asterlake.operators.flatten import flatten_feed
+from asterlake.sources.bronze import read_bronze, write_bronze_document
+from asterlake.streaming.pipeline import (
+    read_bronze_stream,
+    running_user_counts,
+    sessionize_stream,
+    stream_bronze_to_silver,
+    watermarked_dedup,
+    windowed_event_counts,
+)
+from tests.fixtures_neows import N_ASTEROID_ROWS, feed_document
+
+BATCH_TIME = datetime(2025, 10, 12, 1, 30, 0)
+
+
+def _drain(df, checkpoint, queryName, mode="append"):
+    """Run a streaming DataFrame to a memory sink until drained."""
+    (
+        df.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _write_events_jsonl(path: str, rows: list[tuple[int, str]]) -> None:
+    with open(path, "w") as f:
+        for uid, ts in rows:
+            f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+
+
+def _events_stream(spark, events_dir, max_files=None):
+    reader = spark.readStream.schema("user_id long, ts timestamp")
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    return reader.json(events_dir)
+
+
+def test_stream_ingest_matches_batch_and_is_exactly_once(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    write_bronze_document(bronze, "2025-10-10", feed_document())
+
+    stream_bronze_to_silver(
+        spark, bronze, silver, ckpt, batch_id=42, processing_time=BATCH_TIME
+    )
+    got = spark.read.parquet(silver)
+    assert got.count() == N_ASTEROID_ROWS
+
+    want = flatten_feed(
+        read_bronze(spark, bronze), batch_id=42, processing_time=BATCH_TIME
+    )
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    assert sorted(map(tuple, got.select(cols).collect()), key=repr) == sorted(
+        map(tuple, want.select(cols).collect()), key=repr
+    )
+
+    # second drain with same checkpoint: no new files -> no new rows
+    stream_bronze_to_silver(
+        spark, bronze, silver, ckpt, batch_id=43, processing_time=BATCH_TIME
+    )
+    assert spark.read.parquet(silver).count() == N_ASTEROID_ROWS
+
+    # a NEW bronze document is picked up incrementally
+    write_bronze_document(bronze, "2025-10-11", feed_document())
+    stream_bronze_to_silver(
+        spark, bronze, silver, ckpt, batch_id=44, processing_time=BATCH_TIME
+    )
+    assert spark.read.parquet(silver).count() == 2 * N_ASTEROID_ROWS
+
+
+def test_watermarked_dedup(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    _write_events_jsonl(
+        os.path.join(events_dir, "a.json"),
+        [
+            (1, "2025-01-01 10:00:00"),
+            (1, "2025-01-01 10:00:00"),  # exact dup -> dropped
+            (1, "2025-01-01 10:05:00"),
+            (2, "2025-01-01 10:00:00"),
+        ],
+    )
+    stream = _events_stream(spark, events_dir)
+    deduped = watermarked_dedup(stream, ["user_id"], event_col="ts", delay="1 hour")
+    _drain(deduped, str(tmp_path / "ck1"), "dedup_sink")
+    rows = spark.sql("SELECT user_id, ts FROM dedup_sink").collect()
+    assert len(rows) == 3
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    _write_events_jsonl(
+        os.path.join(events_dir, "a.json"),
+        [
+            (1, "2025-01-01 10:01:00"),
+            (2, "2025-01-01 10:04:00"),
+            (1, "2025-01-01 10:11:00"),
+        ],
+    )
+    stream = _events_stream(spark, events_dir)
+    counts = windowed_event_counts(stream, window="10 minutes", watermark="5 minutes")
+    _drain(counts, str(tmp_path / "ck2"), "win_sink", mode="complete")
+    got = {
+        (r.window_start.minute, r.n_events)
+        for r in spark.sql("SELECT * FROM win_sink").collect()
+    }
+    assert got == {(0, 2), (10, 1)}
+
+
+def test_running_user_counts_state_survives_batches(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    # two files + maxFilesPerTrigger=1 => two micro-batches
+    _write_events_jsonl(
+        os.path.join(events_dir, "b1.json"),
+        [(1, "2025-01-01 10:00:00"), (1, "2025-01-01 10:01:00"), (2, "2025-01-01 10:00:00")],
+    )
+    _write_events_jsonl(
+        os.path.join(events_dir, "b2.json"),
+        [(1, "2025-01-01 11:00:00")],
+    )
+    stream = _events_stream(spark, events_dir, max_files=1)
+    counts = running_user_counts(stream)
+    _drain(counts, str(tmp_path / "ck3"), "cnt_sink", mode="update")
+    rows = spark.sql("SELECT * FROM cnt_sink").collect()
+    # final cumulative count per user reflects state carried across batches
+    final = {}
+    for r in rows:
+        final[r.user_id] = max(final.get(r.user_id, 0), r.n_events_total)
+    assert final == {1: 3, 2: 1}
+
+
+def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    # batch 1: user 1 has two sessions separated by a >30min gap; the second
+    # session stays open. batch 2: a much later event advances the watermark
+    # past (last + gap) so the open session flushes via EventTimeTimeout.
+    _write_events_jsonl(
+        os.path.join(events_dir, "b1.json"),
+        [
+            (1, "2025-01-01 10:00:00"),
+            (1, "2025-01-01 10:10:00"),
+            (1, "2025-01-01 12:00:00"),
+        ],
+    )
+    _write_events_jsonl(
+        os.path.join(events_dir, "b2.json"),
+        [(2, "2025-01-01 20:00:00")],
+    )
+    stream = _events_stream(spark, events_dir, max_files=1)
+    sessions = sessionize_stream(stream, gap_seconds=1800, watermark="0 seconds")
+    _drain(sessions, str(tmp_path / "ck4"), "sess_sink", mode="append")
+    rows = spark.sql(
+        "SELECT * FROM sess_sink ORDER BY user_id, session_start"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = by_user[1]
+    assert [(s.n_events, s.closed_by) for s in u1] == [(2, "gap"), (1, "timeout")]
+    assert u1[0].session_start.minute == 0 and u1[0].session_end.minute == 10
