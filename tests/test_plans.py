@@ -1,0 +1,116 @@
+"""Physical-plan regression tests: pin the plan shapes that make the engine
+viable at 100 TB (broadcast dims, pushdown, pruning, top-k, digest-keyed
+shuffles). Oracles pin WHAT is computed; these pin HOW."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from asterlake.plans.inspect import (
+    has_node,
+    node_count,
+    plan_string,
+    scan_for,
+    shuffle_keys,
+)
+from asterlake.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return plan_string(QUERIES[name].spark(spark, SF))
+
+
+def test_flagship_star_join_all_broadcast(spark):
+    plan = _plan(spark, "flagship_revenue_by_nation")
+    # every join in the 5-table star is a broadcast hash join of the small
+    # side — the fact table never shuffles for a join
+    assert node_count(plan, "BroadcastHashJoin") == 4
+    assert not has_node(plan, "SortMergeJoin")
+    # the only shuffles are the two-phase aggregation + final sort
+    # (\bExchange\b does not match inside BroadcastExchange)
+    assert node_count(plan, "Exchange") <= 2
+
+
+def test_flagship_scans_are_pruned(spark):
+    plan = _plan(spark, "flagship_revenue_by_nation")
+    li = scan_for(plan, "lineitem")
+    # 16-column table, 3-column read
+    assert set(li.read_columns) == {"l_orderkey", "l_extendedprice", "l_discount"}
+    assert set(scan_for(plan, "orders").read_columns) == {"o_orderkey", "o_custkey"}
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "q_filter_predicates")
+    li = scan_for(plan, "lineitem")
+    got = " ".join(li.pushed_filters)
+    for frag in ["l_shipdate", "l_discount", "l_quantity", "In(l_returnflag"]:
+        assert frag in got, f"{frag} not pushed: {li.pushed_filters}"
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "q_topk_orders")
+    assert has_node(plan, "TakeOrderedAndProject")
+    # no global sort materialization, no shuffle at all
+    assert not has_node(plan, "Exchange")
+
+
+def test_exact_dedup_shuffles_digest_not_body(spark):
+    plan = _plan(spark, "q_dedup_exact")
+    keys = shuffle_keys(plan)
+    # Catalyst names the map-side md5 projection _groupingexpression; the
+    # shuffle hashes that 32-char digest
+    assert any("_groupingexpression" in k or "_digest" in k for k in keys), keys
+    # the document body never appears in a shuffle key
+    assert not any("text#" in k for k in keys), keys
+    # and aggregation is partial (map-side combine) before the exchange
+    assert "partial_min" in plan
+
+
+def test_ann_topk_is_shuffle_free(spark):
+    plan = _plan(spark, "q_ann_topk_bruteforce")
+    assert has_node(plan, "TakeOrderedAndProject")
+    # \bExchange\b does not match inside BroadcastExchange: zero shuffles
+    assert node_count(plan, "Exchange") == 0
+    assert has_node(plan, "BroadcastExchange") or has_node(
+        plan, "BroadcastNestedLoopJoin"
+    )
+
+
+def test_partition_pruning_on_silver(spark, tmp_path):
+    from datetime import date, datetime
+
+    from asterlake.operators.flatten import flatten_feed
+    from asterlake.sources.bronze import read_bronze, write_bronze_document
+    from asterlake.sources.writers import read_silver, write_silver
+    from tests.fixtures_neows import feed_document
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    write_bronze_document(bronze, "2025-10-10", feed_document())
+    write_silver(
+        flatten_feed(
+            read_bronze(spark, bronze),
+            batch_id=1,
+            processing_time=datetime(2025, 10, 10, 1, 30),
+        ),
+        silver,
+    )
+    df = read_silver(spark, silver, processing_date=date(2025, 10, 10))
+    plan = plan_string(df)
+    scan = scan_for(plan, "silver")
+    assert any("_processing_date" in f for f in scan.partition_filters), (
+        scan.partition_filters
+    )
+    # and the non-matching partition reads zero files on a different date
+    none = read_silver(spark, silver, processing_date=date(1999, 1, 1))
+    assert none.count() == 0
+
+
+def test_broadcast_profiles_in_langid(spark):
+    plan = _plan(spark, "q_text_langid")
+    # the tiny profile table broadcasts into the scoring join; the corpus
+    # side never sort-merge-joins
+    assert has_node(plan, "BroadcastHashJoin")
