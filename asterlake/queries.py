@@ -1207,3 +1207,97 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").alias("width"),
         F.md5(F.lower(F.hex("payload"))).alias("payload_digest"),
     )
+
+
+# ===========================================================================
+# Temporal joins: as-of + bucketed range join (operators/temporal.py)
+# ===========================================================================
+
+_DUCK_EV = (
+    "SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value "
+    "FROM events"
+)
+
+
+@query(
+    "q_asof_click_error",
+    f"""
+    WITH ev AS ({_DUCK_EV}),
+    clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+    errors AS (SELECT user_id, ts, MAX(value) AS err_value
+               FROM ev WHERE event_type = 'error' GROUP BY 1, 2)
+    SELECT c.event_id, c.user_id, c.ts,
+           e.err_value AS asof_err_value, e.ts AS asof_ts
+    FROM clicks c ASOF LEFT JOIN errors e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def q_asof_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event annotated with the latest
+    at-or-before error (value + its timestamp) of the same user. Spark has
+    no ASOF node — implemented as the union-sort running-last composition
+    (one shuffle on user_id, same exchange shape as a sort-merge join);
+    the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from asterlake.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    return asof_join(
+        clicks, errors, by="user_id", ts="ts", value_cols=["err_value"]
+    )
+
+
+@query(
+    "q_range_join_clicks_before_error",
+    f"""
+    WITH ev AS ({_DUCK_EV}),
+    err AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+    clk AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, e.ts,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+             AS click_value_sum
+    FROM err e LEFT JOIN clk c
+      ON e.user_id = c.user_id
+     AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_range_join_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via interval binning: for every error event, the count
+    and (decimal-exact) value sum of the same user's clicks in the
+    preceding 5 minutes. Right rows post to two window-width buckets and
+    the join is a pure equi-join on (user, bucket) + residual range filter
+    — candidates bounded per bucket, never per key."""
+    from asterlake.operators.temporal import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pairs = bucketed_range_join(
+        err, clk, by="user_id", window_seconds=300, how="left"
+    )
+    return pairs.groupBy(
+        F.col("l_event_id").alias("event_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_ts").alias("ts"),
+    ).agg(
+        F.count("r_event_id").alias("n_clicks"),
+        F.coalesce(
+            F.sum(F.col("r_value").cast("decimal(18,2)")),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("click_value_sum"),
+    )
