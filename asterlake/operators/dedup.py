@@ -10,11 +10,11 @@ every hash/shingle/signature is a codegen'd higher-order function):
 - **SimHash**      — frequency-weighted bit-vote fingerprint (Hamming-space)
 - **n-gram Jaccard** — exact set-overlap on shingles via explode + self-join
 
-Portability note: signatures use ``md5`` (identical hex output in Spark and
-DuckDB) rather than ``xxhash64`` (Spark-only), so every operator here is
-oracle-checkable end-to-end. md5-as-minhash is the classic
-min-over-permutations construction with H_j(s) = md5(j || s); lexicographic
-min over hex strings is order-isomorphic to min over the 128-bit integers.
+Portability note: every hash bottoms out in ``md5`` (identical hex output
+in Spark and DuckDB) rather than ``xxhash64`` (Spark-only), so every
+operator here is oracle-checkable end-to-end. MinHash derives its k
+permutations from ONE md5 per shingle via the universal family
+h_j(x) = (a_j*x + b_j) mod p — exact int64 arithmetic on both engines.
 
 Scale design (100 TB):
 - Shingling/minhash/simhash are per-row projections — no shuffle, no UDF,
@@ -51,31 +51,15 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles_col: Column, k: int = 12) -> Column:
-    """k-element MinHash signature: sig[j] = min over shingles of
-    md5(j || '|' || shingle). Pure higher-order functions — map-side only."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                shingles_col,
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
-            )
-        ),
-    )
+_MH_MOD = 1_000_000_007
 
 
-def lsh_band_keys(sig_col: Column, bands: int, rows: int) -> Column:
-    """Band keys 'b:concat(sig[b*r+1..b*r+r])' — the band index is embedded
-    in the key so a flat equi-join on ONE string column buckets correctly."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.concat(
-            b.cast("string"),
-            F.lit(":"),
-            F.array_join(F.slice(sig_col, b * F.lit(rows) + 1, rows), ""),
-        ),
-    )
+def _mh_a(j: int) -> int:
+    return (j + 1) * 1_000_003 + 17
+
+
+def _mh_b(j: int) -> int:
+    return (j + 1) * 999_983 + 7
 
 
 def minhash_signatures(
@@ -85,29 +69,41 @@ def minhash_signatures(
     n: int = 3,
     k: int = 12,
 ) -> DataFrame:
-    """(id, _sig0.._sigK-1) via explode + k min-aggregates.
+    """(id, _sig0.._sigK-1): k min-aggregates over universally-hashed
+    shingles — the classic one-base-hash construction.
 
-    Semantically identical to ``minhash_signature`` (the column form), but
-    the column form inlines the whole shingle pipeline under every
-    consumer — Catalyst's projection collapse duplicates the subtree, and a
-    4-band key derivation re-evaluates 4x the signature, 12x the md5 fold,
-    and 3x the split per hash (measured 11s for 500 docs at sf0.01; this
-    form: <1s). Here each md5 is computed exactly once per (shingle, j),
-    map-side partial agg shrinks the shuffle to one k-string row per doc.
+    Each shingle is hashed ONCE (md5 -> first 15 hex digits -> bigint,
+    exact in int64) and the k permutations are the universal family
+    h_j(x) = (a_j*x + b_j) mod 1e9+7 — integer arithmetic both Spark and
+    DuckDB evaluate identically, ~k times cheaper than k independent md5
+    calls (2x wall-clock at sf0.1). All intermediates fit int64:
+    base < 2^30 after the mod, a_j < 2^25, so a_j*base + b_j < 2^55.
 
-    NULL discipline: ``explode_outer`` keeps shingle-less docs (< n tokens);
-    ``concat`` (not concat_ws) propagates their NULL shingle through md5 so
-    ``min`` yields a NULL signature slot — same as array_min over an empty
-    transform in the column form, and as DuckDB's list_aggregate([],'min').
+    Two plan properties matter at scale: the explode keeps a doc's
+    shingles in one partition so map-side partial agg emits ONE k-int row
+    per doc before the shuffle; and signatures are tiny fixed-width ints,
+    not 32-char digests.
+
+    NULL discipline: ``explode_outer`` keeps shingle-less docs (< n
+    tokens); their NULL shingle propagates through md5/conv/arithmetic so
+    every signature slot is NULL — same as DuckDB's
+    ``list_aggregate([], 'min')`` on an empty shingle list.
     """
     sh = docs.select(
         F.col(id_col),
         F.explode_outer(word_shingles(text_col, n)).alias("_shingle"),
     )
-    return sh.groupBy(id_col).agg(
+    base = (
+        F.conv(F.substring(F.md5(F.col("_shingle")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % _MH_MOD
+    )
+    hashed = sh.select(F.col(id_col), base.alias("_base"))
+    return hashed.groupBy(id_col).agg(
         *[
             F.min(
-                F.md5(F.concat(F.lit(f"{j}|"), F.col("_shingle")))
+                (F.lit(_mh_a(j)) * F.col("_base") + F.lit(_mh_b(j))) % _MH_MOD
             ).alias(f"_sig{j}")
             for j in range(k)
         ]
@@ -129,14 +125,15 @@ def minhash_candidate_pairs(
     """
     rows = k // bands
     sig_tbl = minhash_signatures(docs, id_col, text_col, n, k)
-    # concat_ws('') skips NULL slots -> empty band body, key 'b:' — matching
-    # both the column form's array_join and the oracle's array_to_string.
+    # ','-joined int signatures (unambiguous); concat_ws skips NULL slots
+    # -> empty band body, key 'b:' — matching the oracle's array_to_string
+    # over an all-NULL slice.
     band_keys = F.array(
         *[
             F.concat(
                 F.lit(f"{b}:"),
                 F.concat_ws(
-                    "", *[F.col(f"_sig{b * rows + r}") for r in range(rows)]
+                    ",", *[F.col(f"_sig{b * rows + r}") for r in range(rows)]
                 ),
             )
             for b in range(bands)
@@ -178,6 +175,42 @@ def simhash_fingerprint(text_col: str, nbits: int = 32) -> Column:
     )
 
 
+def simhash_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 32,
+) -> DataFrame:
+    """(id, simhash) via explode + nbits conditional-sum aggregates.
+
+    Same fingerprint as ``simhash_fingerprint`` (the column form), but each
+    token's md5 is computed ONCE — the column form's per-bit fold re-hashes
+    every token nbits times (32x the md5 work; measured 5.1s -> <1s for
+    5000 docs at sf0.1). Map-side partial aggregation shrinks the shuffle
+    to one 32-int row per doc per partition.
+    """
+    assert nbits <= 32
+    hashed = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    ).select(F.col(id_col), F.md5("_tok").alias("_h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.substring("_h", j, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"_b{j}")
+            for j in range(1, nbits + 1)
+        ]
+    )
+    bits = F.concat(
+        *[
+            F.when(F.col(f"_b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(1, nbits + 1)
+        ]
+    )
+    return votes.select(F.col(id_col), bits.alias("simhash"))
+
+
 def exact_duplicate_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -214,7 +247,12 @@ def ngram_jaccard_pairs(
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
-            b,
+            # SHUFFLE_HASH: without it Spark broadcasts the exploded shingle
+            # table (docs x shingles rows — unboundedly large at scale, and
+            # 2.7x slower than a shuffled hash join even at sf0.1). Both
+            # sides shuffle on the 'shingle' key; AQE splits skewed
+            # posting lists.
+            b.hint("SHUFFLE_HASH"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )

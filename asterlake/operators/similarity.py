@@ -162,21 +162,37 @@ def blocked_neighbor_pairs(
     """All pairs with cosine >= threshold *within a blocking key* (label,
     SRP bucket, IVF cell, ...). The join explodes only within blocks —
     the standard way to keep near-dup search sub-quadratic."""
-    a = vectors.select(
-        F.col(id_col).alias("vec_a"),
+    # self-norms are per-VECTOR, not per-pair: compute sqrt(dot(v,v)) once
+    # before the join (n folds) instead of inside it (n^2 folds) — same
+    # arithmetic, same values, 3x fewer fold-dots per pair
+    with_norm = vectors.select(
+        F.col(id_col),
         F.col(block_col).alias("_blk"),
-        F.col(vec_col).alias("_va"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(dot_double(F.col(vec_col), F.col(vec_col))).alias("_norm"),
     )
-    b = vectors.select(
+    a = with_norm.select(
+        F.col(id_col).alias("vec_a"),
+        "_blk",
+        F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = with_norm.select(
         F.col(id_col).alias("vec_b"),
-        F.col(block_col).alias("_blk"),
-        F.col(vec_col).alias("_vb"),
+        "_blk",
+        F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
     )
     return (
         a.join(b, "_blk")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine")
+            "vec_a",
+            "vec_b",
+            (
+                dot_double(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -721,17 +721,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
       SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles
       FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    ), based AS (
+      -- one md5 per shingle: first 15 hex digits -> exact int64, mod 1e9+7
+      SELECT doc_id,
+             list_transform(shingles, s ->
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, 16), i ->
+                     CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1
+                          AS BIGINT))),
+                 (acc, c) -> acc * 16 + c) % 1000000007) AS bases
+      FROM sh
     ), sig AS (
+      -- universal family h_j(x) = ((j+1)*1000003+17)*x + (j+1)*999983+7 mod p
       SELECT doc_id,
              list_transform(range(0, 12), j ->
                list_aggregate(
-                 list_transform(shingles, s -> md5(concat(CAST(j AS VARCHAR), '|', s))),
+                 list_transform(bases, x ->
+                   (((j + 1) * 1000003 + 17) * x + ((j + 1) * 999983 + 7))
+                     % 1000000007),
                  'min')) AS sig
-      FROM sh
+      FROM based
     ), bandt AS (
       SELECT doc_id,
              unnest([concat(CAST(b AS VARCHAR), ':',
-                            array_to_string(sig[b*3+1 : b*3+3], ''))
+                            array_to_string(sig[b*3+1 : b*3+3], ','))
                      for b in range(0, 4)]) AS band_key
       FROM sig
     )
@@ -763,11 +777,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (frequency-weighted bit vote);
-    near-dups cluster within small Hamming distance of each other."""
-    from asterlake.operators.dedup import simhash_fingerprint
+    near-dups cluster within small Hamming distance of each other. Uses the
+    explode+agg form (one md5 per token) — see dedup.simhash_table."""
+    from asterlake.operators.dedup import simhash_table
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash_fingerprint("text").alias("simhash"))
+    return simhash_table(d)
 
 
 @query(
