@@ -1316,3 +1316,169 @@ def q_range_join_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("double")
         .alias("click_value_sum"),
     )
+
+
+# ===========================================================================
+# Relational coverage widening: cube, full outer, array agg, string/date
+# scalar surfaces, sketches (SURVEY §2.4-§2.6 "absent but built-in")
+# ===========================================================================
+
+
+@query(
+    "q_cube_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS grp_id,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 4 grouping sets) with grouping_id to
+    disambiguate natural NULLs from subtotal rows; decimal-exact revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("grp_id"),
+        F.sum(_REV_SPARK()).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q_full_outer_join",
+    """
+    SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+    FROM (SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_mktsegment = 'BUILDING') c
+    FULL OUTER JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                     WHERE o_orderpriority = '1-URGENT') o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer equi-join of two filtered sides — null-extended rows in
+    both directions (customers with no urgent orders, urgent orders of
+    non-BUILDING customers)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_array_agg_sorted",
+    """
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list_distinct(list(c_nationkey))), ',')
+             AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation made deterministic: distinct nation keys per
+    segment, numerically sorted, joined to one string (collect order is
+    engine/partitioning-dependent; sorting before joining is the
+    hash-stable discipline for list-valued results)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("c_nationkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query(
+    "q_string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+           substr(p_type, 1, 8) AS type_prefix,
+           concat(p_brand, '/', p_type) AS brand_type
+    FROM part
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: case, length, regexp extraction, replace,
+    padding, substring, concat — all JVM built-ins (SURVEY §2.6 lists the
+    category as absent-but-built-in)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias(
+            "brand_short"
+        ),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_padded"),
+        F.substring("p_type", 1, 8).alias("type_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "q_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                AS BIGINT) AS days_since_epoch92,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           strftime(o_orderdate, '%a') AS order_dow,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS order_quarter
+    FROM orders
+    """,
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: truncation, day diffs, offsets, month
+    boundaries, weekday names (locale pinned by the session), quarters."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch92"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_format("o_orderdate", "E").alias("order_dow"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+    )
+
+
+@query("q_sketch_distinct", None)  # approximate — no exact oracle by design
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch surface (rows-only driver check): HyperLogLog++ distinct
+    counts and t-digest-style quantiles per return flag — the sublinear
+    forms of q_count_distinct / percentiles for 100 TB interactive use."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95], 10000
+        ).alias("price_quantiles"),
+    )
