@@ -1,0 +1,106 @@
+"""Skew-mitigation toolkit: salted joins and two-phase salted aggregation.
+
+AQE's skew-join splitting (on in `session.py`) handles most runtime skew,
+but two situations still need *explicit* salting at 100 TB:
+
+- an aggregation whose hot key floods one reducer (AQE splits join
+  partitions, not aggregation groups);
+- a shuffle join against a side too large to broadcast where one key holds
+  a double-digit percent of the rows (AQE subdivides by partition, which
+  caps out when a single KEY exceeds a partition).
+
+Both helpers are *exact*: salting only changes the partitioning, never the
+result. Salt is derived deterministically (`pmod(xxhash64(...), n)`) so
+runs are reproducible and no RNG appears in the plan.
+
+Usage pattern at scale: profile key frequencies first (a cheap
+``groupBy(key).count().orderBy(desc)`` sample), then salt only when the top
+key's share breaks the partition budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(cols: list[str], buckets: int) -> Column:
+    """Deterministic salt in [0, buckets): hash of the given columns (use
+    high-cardinality payload columns, NOT the join/group key — salting by
+    the key would put every copy of the hot key in one bucket again)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets)).cast(
+        "int"
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    buckets: int = 8,
+    salt_by: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot-key explosion spread across ``buckets``.
+
+    The (large, skewed) left side gets a deterministic salt; the right side
+    is replicated ``buckets`` times via ``explode(sequence(...))`` — so
+    each (key, salt) shard joins against one replica and a hot key's rows
+    land on ``buckets`` reducers instead of one. Right-side replication
+    costs buckets x |right|: use for moderate right sides (dimension-ish),
+    broadcast for tiny ones, AQE for mild skew.
+
+    Exact: every left row still meets every matching right row exactly once.
+    """
+    salt_cols = salt_by or [c for c in left.columns if c != on]
+    l_salted = left.withColumn("_salt", _salt(salt_cols, buckets))
+    r_rep = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    out = l_salted.join(r_rep, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    buckets: int = 8,
+    salt_by: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for hot grouping keys.
+
+    ``aggs`` maps output column -> (input column, fn) where fn is one of
+    sum/count/min/max (the decomposable aggregates: partials re-combine
+    exactly — count re-aggregates as a sum of partial counts).
+
+    Phase 1 groups by (keys + salt): the hot key's rows split across
+    ``buckets`` reducers. Phase 2 re-combines the per-salt partials —
+    ``buckets x |distinct keys|`` rows, trivially small. This is what
+    Spark's partial aggregation already does per-PARTITION; salting adds
+    the same effect per-REDUCER for the final exchange.
+    """
+    fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for out_col, (_, fn) in aggs.items():
+        if fn not in fns:
+            raise ValueError(f"{out_col}: fn must be one of {sorted(fns)}")
+
+    salt_cols = salt_by or [c for c in df.columns if c not in keys]
+    phase1 = df.withColumn("_salt", _salt(salt_cols, buckets)).groupBy(
+        *keys, "_salt"
+    )
+    partial = phase1.agg(
+        *[
+            fns[fn](F.col(in_col)).alias(f"_p_{out_col}")
+            for out_col, (in_col, fn) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            recombine[fn](F.col(f"_p_{out_col}")).alias(out_col)
+            for out_col, (_, fn) in aggs.items()
+        ]
+    )
