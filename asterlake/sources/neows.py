@@ -111,13 +111,23 @@ try:  # pragma: no cover - import surface depends on pyspark version
 
         def read(self, partition):
             # Runs on executors: each task fetches its own 7-day window.
-            doc = _default_fetcher(
-                feed_url(
-                    date.fromisoformat(partition.start),
-                    date.fromisoformat(partition.end),
-                    self.options.get("api_key", "DEMO_KEY"),
+            # fixture_dir (tests/offline): read the window's bronze document
+            # from a local directory instead of the NeoWs API — exercises
+            # the identical partition/read/serialize path without network.
+            fixture_dir = self.options.get("fixture_dir")
+            if fixture_dir:
+                from asterlake.sources.bronze import bronze_path
+
+                with open(bronze_path(fixture_dir, partition.start)) as f:
+                    doc = json.load(f)
+            else:
+                doc = _default_fetcher(
+                    feed_url(
+                        date.fromisoformat(partition.start),
+                        date.fromisoformat(partition.end),
+                        self.options.get("api_key", "DEMO_KEY"),
+                    )
                 )
-            )
             yield (json.dumps(doc),)
 
     class NeoWsDataSource(DataSource):

@@ -109,3 +109,37 @@ def test_neows_ingest_with_fake_fetcher(tmp_path):
 def test_neows_window_limit():
     with pytest.raises(ValueError):
         fetch_feed(dt.date(2025, 1, 1), dt.date(2025, 1, 9), "K", fetcher=lambda u: {})
+
+
+def test_neows_python_datasource_offline(spark, tmp_path):
+    """Drive the PySpark 4 Python Data Source end-to-end offline: window
+    partitioning -> executor-side read (fixture_dir hook) -> from_json with
+    the bronze schema -> flatten; row grain matches the batch path."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.flatten import flatten_feed
+    from asterlake.schemas import BRONZE_FEED_SCHEMA
+    from asterlake.sources.bronze import write_bronze_document
+    from asterlake.sources.neows import register_neows_source
+
+    assert register_neows_source(spark)  # pyspark 4 in this image
+
+    fixtures = str(tmp_path / "bronze")
+    # 10-day range -> two 7-day-window partitions starting 10-10 and 10-17
+    write_bronze_document(fixtures, "2025-10-10", feed_document())
+    write_bronze_document(fixtures, "2025-10-17", feed_document())
+
+    raw = (
+        spark.read.format("neows")
+        .option("start_date", "2025-10-10")
+        .option("end_date", "2025-10-19")
+        .option("fixture_dir", fixtures)
+        .load()
+    )
+    assert raw.count() == 2  # one row per window partition
+
+    bronze = raw.select(
+        F.from_json("document", BRONZE_FEED_SCHEMA).alias("doc")
+    ).select("doc.*")
+    silver = flatten_feed(bronze, batch_id=1)
+    assert silver.count() == 2 * N_ASTEROID_ROWS
