@@ -1482,3 +1482,75 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", [0.5, 0.95], 10000
         ).alias("price_quantiles"),
     )
+
+
+@query(
+    "q_window_frames",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value,
+           CAST(COUNT(*) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_last4,
+           first_value(event_id) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS first_event,
+           CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS INT) AS quartile
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events)
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame surface: running decimal-exact sums, bounded ROWS
+    frames, first_value, ntile — per-user event-time windows with a fully
+    deterministic (ts, event_id) order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last4 = w.rowsBetween(-3, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(run)
+        .cast("double")
+        .alias("running_value"),
+        F.count("*").over(last4).alias("n_last4"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS grp_id,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from cube/rollup alone) via
+    the Spark SQL surface — per-flag totals, per-status totals, and the
+    grand total in one pass."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "gs_lineitem"
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                 AS grp_id,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
