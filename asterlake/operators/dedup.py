@@ -211,6 +211,69 @@ def simhash_table(
     return votes.select(F.col(id_col), bits.alias("simhash"))
 
 
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nbits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the nbits fingerprint, equi-join on
+    an integer (band index, band bits) key, Hamming-filter, then dedup the
+    pairs that matched in several bands.
+
+    With max_hamming <= bands-1 the banding is LOSSLESS (pigeonhole: <
+    bands bit-flips cannot dirty every band), so this returns exactly the
+    brute-force hamming<=max_hamming pairs without the O(n^2) cross join.
+
+    Scale shape: the fingerprint travels as ONE long (never the bit
+    string); band keys are ints, so the shuffle is (long, long, int) rows;
+    Hamming = bit_count(xor) — one JVM instruction per pair — runs BEFORE
+    the pair-dedup shuffle, so only true near-dups reach dropDuplicates.
+    Skewed bands (clustered fingerprints) split under AQE.
+    """
+    assert nbits % bands == 0
+    assert nbits <= 63  # fingerprint must fit a signed long
+    blen = nbits // bands
+    t = simhash_table(docs, id_col, text_col, nbits)
+    fp = F.conv("simhash", 2, 10).cast("long")
+    banded = t.select(F.col(id_col), fp.alias("_fp")).select(
+        F.col(id_col),
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.col("_fp"), b * blen)
+                        .bitwiseAND(F.lit((1 << blen) - 1))
+                        + F.lit(b << blen)
+                    ).cast("int")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a._fp").bitwiseXOR(F.col("b._fp"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a._band_key") == F.col("b._band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def exact_duplicate_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -152,6 +152,94 @@ def ivf_assign(
     )
 
 
+def ivf_probe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Full two-stage IVF search: probe the `nprobe` best cells per query,
+    score only the vectors assigned to those cells, keep the top-k.
+
+    Scale shape: the vector side is assigned to cells as a pure projection
+    (``ivf_assign``, no shuffle); the query side — always the small side —
+    is broadcast after exploding its probe list, so candidate generation is
+    a broadcast hash join on `centroid_id` touching ~nprobe/k_cells of the
+    corpus. The final per-query top-k is one shuffle on the query id.
+    Ties break deterministically (higher cosine, then lower vector id; probe
+    order by score desc then lower cell id).
+    """
+    c_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
+    )
+
+    def cell_scores(vec: Column) -> Column:
+        return F.transform(
+            c_lit,
+            lambda c: F.aggregate(
+                F.zip_with(c, vec, lambda x, y: x * y.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    assigned = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        (
+            F.array_position(
+                cell_scores(F.col(vec_col)),
+                F.array_max(cell_scores(F.col(vec_col))),
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("centroid_id"),
+    )
+    # top-nprobe cells per query: sort (−score, cell) structs — the double
+    # negation is exact, so ordering matches a desc-by-score rank
+    probe_structs = F.slice(
+        F.array_sort(
+            F.transform(
+                cell_scores(F.col(vec_col)),
+                lambda s, i: F.struct(
+                    (-s).alias("neg"), i.cast("int").alias("cid")
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_q"),
+        F.explode(probe_structs).alias("_p"),
+    ).select(query_id_col, "_q", F.col("_p.cid").alias("centroid_id"))
+
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cand.select(
+        query_id_col,
+        F.col(id_col),
+        cosine(F.col("_v"), F.col("_q")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(query_id_col).orderBy(
+            F.col("cosine").desc(), F.col(id_col)
+        )
+    )
+    return (
+        scored.withColumn("_rk", rk).filter(F.col("_rk") <= k).drop("_rk")
+    )
+
+
 def blocked_neighbor_pairs(
     vectors: DataFrame,
     block_col: str,

@@ -1554,3 +1554,235 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query(
+    "q_ann_ivf_search",
+    None,  # oracle injected below (needs the codebook literal)
+)
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-stage IVF ANN search: 5 query vectors probe their 2 best
+    cells (of 8) and take exact-cosine top-10 within the probed cells —
+    the complete assign->probe->score->top-k scale path, not just the
+    cell assignment."""
+    from asterlake.operators.similarity import ivf_probe_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_probe_topk(
+        e, e.filter("vec_id < 5"), _ivf_codebook(), nprobe=2, k=10
+    )
+
+
+QUERIES["q_ann_ivf_search"] = QueryDef(
+    q_ann_ivf_search,
+    f"""
+    WITH cb AS (SELECT {_ivf_codebook()} AS cents),
+    scored AS (
+      SELECT vec_id, embedding,
+             list_transform(cents, c ->
+               list_sum(list_transform(range(1, len(embedding)+1),
+                 i -> c[i] * CAST(embedding[i] AS DOUBLE)))) AS scores
+      FROM embeddings, cb
+    ),
+    assigned AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(scores, list_aggregate(scores, 'max')) - 1
+                  AS INT) AS centroid_id
+      FROM scored
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM (
+        SELECT vec_id, embedding, CAST(t.cid AS INT) AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY scores[t.cid + 1] DESC, t.cid)
+                 AS pr
+        FROM scored, range(0, 8) t(cid)
+        WHERE vec_id < 5
+      ) WHERE pr <= 2
+    ),
+    cand AS (
+      SELECT query_id, a.vec_id,
+             {_duck_cosine('a.embedding', 'qv')} AS cosine
+      FROM assigned a JOIN qprobe q USING (centroid_id)
+      WHERE a.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rk
+      FROM cand
+    ) WHERE rk <= 10
+    """,
+)
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(1, 33), j ->
+               CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+                      CASE WHEN substr(md5(t), j, 1) >= '8'
+                           THEN 1 ELSE -1 END)) > 0
+                    THEN '1' ELSE '0' END), '') AS simhash
+      FROM documents
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(list_sum(list_transform(range(1, 33), i ->
+                    CASE WHEN substr(a.simhash, i, 1) != substr(b.simhash, i, 1)
+                         THEN 1 ELSE 0 END)) AS INT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 3 of 32 bits: banded LSH join on
+    integer 8-bit-band keys + bit_count(xor) Hamming filter. max_hamming
+    (3) < bands (4) makes the banding lossless, so the DuckDB oracle is
+    the *brute-force all-pairs* Hamming scan — an implementation-independent
+    ground truth, not a banding twin."""
+    from asterlake.operators.dedup import simhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(d, bands=4, max_hamming=3)
+
+
+@query(
+    "q_percentiles_exact",
+    """
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS qty_p25,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS qty_p50,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS qty_p75,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS qty_p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (the non-approx
+    counterpart of q_sketch_distinct's KLL quantiles). Spark's exact
+    `percentile` and DuckDB's quantile_cont share the same
+    lower + frac*(upper-lower) interpolation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)").alias("qty_p25"),
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.50)").alias("qty_p50"),
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)").alias("qty_p75"),
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.95)").alias("qty_p95"),
+    )
+
+
+@query(
+    "q_correlated_subqueries",
+    """
+    SELECT c_custkey, c_name,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice < 50000)
+    """,
+)
+def q_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS / scalar-COUNT subqueries through the
+    SQL surface — Catalyst decorrelates them into semi/anti/aggregate
+    joins (no per-row re-execution, unlike a naive subquery loop)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT COUNT(*) FROM sq_orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM sq_customer c
+        WHERE EXISTS (SELECT 1 FROM sq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM sq_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 50000)
+        """
+    )
+
+
+@query(
+    "q_stream_windowed_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+             AS window_start,
+           time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+             + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, batch-equivalent: the events table replayed
+    through readStream (availableNow) -> watermarked 1h tumbling windows
+    per event_type -> complete-mode memory sink. The streaming result is
+    provably identical to the batch GROUP BY — same oracle as a batch
+    window query, which is the strongest correctness check a stream can
+    get."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from asterlake.streaming.pipeline import windowed_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # TIMESTAMP(NANOS) as long
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as workdir:
+        # the file stream source requires a *directory*; expose the single
+        # parquet file through a symlink without copying data
+        src_dir = os.path.join(workdir, "events")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        counts = windowed_event_counts(
+            stream, window="1 hour", watermark="30 minutes",
+            group_cols=["event_type"],
+        )
+        (
+            counts.writeStream.format("memory")
+            .queryName("stream_windowed_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.table("stream_windowed_counts")

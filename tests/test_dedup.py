@@ -77,3 +77,26 @@ def test_ngram_jaccard_is_symmetric_bounded(docs):
     for r in pairs:
         assert r.doc_a < r.doc_b
         assert 0.5 <= r.jaccard <= 1.0
+
+
+def test_simhash_pairs_subset_of_bruteforce(spark, docs):
+    """Banded candidate pairs == the brute-force hamming<=8 pairs that
+    share at least one clean band; with max_hamming < bands the banding
+    is LOSSLESS (pigeonhole), so compare against full brute force."""
+    from asterlake.operators.dedup import simhash_candidate_pairs, simhash_table
+
+    small = docs.select("doc_id", "text").limit(200).cache()
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_candidate_pairs(small, bands=4, max_hamming=3).collect()
+    }
+    # brute force over fingerprints
+    fp = {r.doc_id: r.simhash for r in simhash_table(small).collect()}
+    ids = sorted(fp)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(fp[a], fp[b]))
+            if h <= 3:  # hamming<=3 < 4 bands => some band must match
+                want.add((a, b, h))
+    assert got == want
