@@ -1786,3 +1786,86 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .awaitTermination()
         )
         return spark.table("stream_windowed_counts")
+
+
+@query(
+    "q_set_ops_all",
+    """
+    SELECT 'both' AS op, q FROM (
+      SELECT l_quantity AS q FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT ALL
+      SELECT l_quantity AS q FROM lineitem WHERE l_returnflag = 'R'
+    )
+    UNION ALL
+    SELECT 'a_extra' AS op, q FROM (
+      SELECT l_quantity AS q FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT ALL
+      SELECT l_quantity AS q FROM lineitem WHERE l_returnflag = 'R'
+    )
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL) — bag
+    semantics with per-duplicate accounting, the counterpart of
+    q_set_ops' distinct variants."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter("l_returnflag = 'A'").select(F.col("l_quantity").alias("q"))
+    r = li.filter("l_returnflag = 'R'").select(F.col("l_quantity").alias("q"))
+    return a.intersectAll(r).select(F.lit("both").alias("op"), "q").unionByName(
+        a.exceptAll(r).select(F.lit("a_extra").alias("op"), "q")
+    )
+
+
+@query(
+    "q_posexplode_tokens",
+    """
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.token
+    FROM (SELECT doc_id,
+                 unnest([{'pos': i - 1, 'token': toks[i]}
+                         for i in range(1, len(toks) + 1)]) AS u
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents WHERE doc_id % 20 = 0))
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral view with ordinality: posexplode emits (position, token)
+    per document — the generic analog of the reference's pandas
+    column-wise concat (SURVEY J3 -> posexplode)."""
+    d = load_table(spark, sf_dir, "documents").filter("doc_id % 20 = 0")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    )
+
+
+@query(
+    "q_unpivot_measures",
+    """
+    WITH sums AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS measure, qty AS total FROM sums
+    UNION ALL
+    SELECT l_returnflag, 'price' AS measure, price AS total FROM sums
+    UNION ALL
+    SELECT l_returnflag, 'disc' AS measure, disc AS total FROM sums
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (the inverse of q_pivot_status): per-flag
+    decimal-exact sums melted to (flag, measure, total) rows via the
+    native UNPIVOT/melt operator, not a manual union."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("price"),
+        F.sum(_dec("l_discount")).cast("double").alias("disc"),
+    )
+    return sums.unpivot(
+        ["l_returnflag"], ["qty", "price", "disc"], "measure", "total"
+    )
