@@ -37,6 +37,11 @@ def main() -> None:
         QUERIES["flagship_revenue_by_nation"].spark(spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
+        # fork the Python/Arrow worker daemon once (first mapInPandas of a
+        # session otherwise pays ~2s of process + Arrow-channel startup)
+        spark.range(8).mapInPandas(lambda it: it, "id long").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
         timings: dict[str, float] = {}
         for name, qd in QUERIES.items():
