@@ -114,3 +114,49 @@ def test_broadcast_profiles_in_langid(spark):
     # the tiny profile table broadcasts into the scoring join; the corpus
     # side never sort-merge-joins
     assert has_node(plan, "BroadcastHashJoin")
+
+
+def test_ivf_search_broadcasts_probes_single_shuffle(spark):
+    plan = _plan(spark, "q_ann_ivf_search")
+    # candidate generation = broadcast hash join on centroid_id (the query
+    # side is always the small side); never a cartesian product
+    assert has_node(plan, "BroadcastHashJoin")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BroadcastNestedLoopJoin")
+    # the only shuffle is the per-query top-k window
+    keys = shuffle_keys(plan)
+    assert all("query_id" in k for k in keys), keys
+
+
+def test_simhash_pairs_shuffle_ints_never_text(spark):
+    plan = _plan(spark, "q_dedup_simhash_pairs")
+    # no all-pairs join shapes
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BroadcastNestedLoopJoin")
+    # the document body never travels: only doc_id/fingerprint/band ints
+    # appear in shuffle or broadcast keys, and the text column is pruned
+    # right after fingerprinting (each self-join side scans doc_id + text)
+    from asterlake.plans.inspect import scans
+
+    doc_scans = [s for s in scans(plan) if "documents" in s.location]
+    assert doc_scans
+    for sc in doc_scans:
+        assert set(sc.read_columns) == {"doc_id", "text"}
+    for k in shuffle_keys(plan):
+        assert "text" not in k, k
+
+
+def test_stream_windowed_counts_matches_batch_shape(spark):
+    # the streaming variant is gated by the batch oracle; here just pin
+    # that the BATCH twin of the same window agg keeps partial aggregation
+    # (map-side combine) before its single shuffle
+    from asterlake.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    plan = plan_string(agg)
+    assert node_count(plan, "HashAggregate") >= 2  # partial + final
+    assert node_count(plan, "Exchange") == 1
