@@ -1869,3 +1869,76 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.unpivot(
         ["l_returnflag"], ["qty", "price", "disc"], "measure", "total"
     )
+
+
+# ===========================================================================
+# Python extension surface (functions/udfs.py): pandas_udf / applyInPandas /
+# UDTF — the three Arrow-batched API shapes, each hash-gated like any other
+# operator
+# ===========================================================================
+
+
+@query(
+    "q_udf_vector_norm",
+    f"""
+    SELECT vec_id,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+    FROM embeddings
+    """,
+)
+def q_udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-vectorized L2 norm) — the extension shape
+    for per-value Python (model scoring); sequential float64 fold keeps
+    it bit-identical to the JVM/DuckDB expression forms."""
+    from asterlake.functions.udfs import vector_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", vector_norm("embedding").alias("norm"))
+
+
+@query(
+    "q_grouped_map_deltas",
+    """
+    SELECT user_id, event_id,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                - MIN(epoch_us(CAST(ts AS TIMESTAMP)))
+                    OVER (PARTITION BY user_id) AS BIGINT) AS us_since_first
+    FROM events
+    """,
+)
+def q_grouped_map_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user time-since-first-event in
+    exact integer microseconds — the API shape for per-entity Python
+    (per-user models); the window-function twin is the production path."""
+    from asterlake.functions.udfs import user_time_deltas
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_time_deltas(ev)
+
+
+@query(
+    "q_udtf_sentences",
+    """
+    SELECT doc_id, CAST(u.sent_idx AS INT) AS sent_idx, u.sentence
+    FROM (
+      SELECT doc_id,
+             unnest([{'sent_idx': i - 1, 'sentence': sents[i]}
+                     for i in range(1, len(sents) + 1)]) AS u
+      FROM (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, '.'),
+                           s -> trim(s)), s -> s != '') AS sents
+        FROM documents WHERE doc_id % 10 = 0
+      )
+    )
+    """,
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (PySpark 4 table function) lateral-joined per document:
+    one row per non-empty '.'-sentence with ordinality — executor-side
+    row expansion, the API shape for custom tokenizers/parsers."""
+    from asterlake.functions.udfs import split_sentences
+
+    d = load_table(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
+    return split_sentences(d)

@@ -17,7 +17,9 @@ from asterlake.operators.dedup import (
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    yield df
+    df.unpersist()  # a lingering cache rewrites later tests' plans
 
 
 def test_shingles_basic(spark):

@@ -19,6 +19,15 @@ from asterlake.queries import QUERIES
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _no_cached_relations(spark):
+    # plan-shape assertions must see the real scans: a table cached by an
+    # earlier test module would substitute an InMemoryRelation (full-width
+    # columns, no pushdown) into exactly the plans under inspection
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(spark, name: str) -> str:
     return plan_string(QUERIES[name].spark(spark, SF))
 

@@ -17,7 +17,9 @@ from asterlake.operators.similarity import (
 
 @pytest.fixture(scope="module")
 def vectors(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()  # a lingering cache rewrites later tests' plans
 
 
 def test_ivf_full_probe_equals_bruteforce(spark, vectors):
