@@ -38,15 +38,21 @@ def word_tokens(text_col: str) -> Column:
 
 def word_shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles, empty array when the doc is shorter
-    than n tokens (guards Spark's descending sequence() on stop < start)."""
+    than n tokens (guards Spark's descending sequence() on stop < start).
+
+    The token array is bound ONCE as a lambda variable (transform over a
+    1-element wrapper array): referencing split() directly three times
+    re-tokenizes the document three times per row after project
+    collapsing — measured ~40% of the whole shingle pass at sf0.1."""
     return F.expr(
         f"""
-        CASE WHEN size(split({text_col}, ' ')) >= {n}
-             THEN array_distinct(transform(
-                    sequence(1, size(split({text_col}, ' ')) - {n} + 1),
-                    i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')))
-             ELSE CAST(array() AS array<string>)
-        END
+        flatten(transform(array(split({text_col}, ' ')), toks ->
+          CASE WHEN size(toks) >= {n}
+               THEN array_distinct(transform(
+                      sequence(1, size(toks) - {n} + 1),
+                      i -> array_join(slice(toks, i, {n}), ' ')))
+               ELSE CAST(array() AS array<string>)
+          END))
         """
     )
 
@@ -142,20 +148,39 @@ def minhash_candidate_pairs(
     band_tbl = sig_tbl.select(
         F.col(id_col), F.explode(band_keys).alias("band_key")
     )
-    a = band_tbl.alias("a")
-    b = band_tbl.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_shared_bands"))
+    # Intra-bucket pair expansion instead of a self-join: a self-join
+    # re-executes the whole signature subtree (1M-shingle explode + md5)
+    # once PER SIDE; grouping by band key runs it once and generates each
+    # bucket's pairs with array expressions. LSH bands keep buckets tiny
+    # (only near-dups collide on all r rows), so the per-bucket arrays are
+    # bounded; a pathological corpus where one bucket holds the whole
+    # dataset degenerates for the self-join form just the same (the pair
+    # count itself is quadratic there).
+    buckets = (
+        band_tbl.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("_ids"), i + F.lit(2), F.size("_ids")
+                        ),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    return pairs.groupBy(
+        F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b")
+    ).agg(F.count("*").alias("n_shared_bands"))
 
 
 def simhash_fingerprint(text_col: str, nbits: int = 32) -> Column:
