@@ -285,6 +285,13 @@ def simhash_candidate_pairs(
     Hamming = bit_count(xor) — one JVM instruction per pair — runs BEFORE
     the pair-dedup shuffle, so only true near-dups reach dropDuplicates.
     Skewed bands (clustered fingerprints) split under AQE.
+
+    Shape note: the band SELF-JOIN is deliberate, unlike minhash's
+    intra-bucket expansion. SimHash bands are coarse (nbits/bands bits ->
+    ~2^8 keys), so buckets hold n/2^blen docs and an array-expansion of
+    pairs does O(bucket^2) slice-copies per bucket (measured 2.7s -> 7.2s
+    at sf0.1). Both join sides canonicalize to the SAME exchange, so
+    Spark's ReuseExchange computes the fingerprint subtree once anyway.
     """
     assert nbits % bands == 0
     assert nbits <= 63  # fingerprint must fit a signed long

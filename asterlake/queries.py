@@ -70,9 +70,25 @@ def _dec(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,2)")
 
 
-# revenue expression: exact decimal, engine-order-independent
-_REV_SPARK = lambda: (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))  # noqa: E731
-_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+# Revenue as LONG fixed-point: prices/discounts are 2-decimal quantities, so
+# price_cents * (100 - disc_cents) carries the exact rational (scale 1e4) in
+# one integer multiply.  The decimal(18,2) formulation is exact too, but its
+# product type is decimal(37,4) — every row pays a 128-bit multiply (measured
+# 0.88s -> 0.34s for the sf0.1 revenue agg).  Sums are buffered through
+# decimal(18,0) input -> decimal(28,0) accumulator: exact far past 2^63, so
+# no overflow at any scale factor, and the final CAST AS DOUBLE is the IEEE
+# nearest of the same rational in Spark and DuckDB — bit-identical results.
+_CENTS = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+_REV_SPARK = lambda: _CENTS("l_extendedprice") * (F.lit(100) - _CENTS("l_discount"))  # noqa: E731
+_REV_SQL = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+
+def _sum_fixed(cents: F.Column, scale: float) -> F.Column:
+    """Exact sum of a long fixed-point column, as double in original units."""
+    return F.sum(cents.cast("decimal(18,0)")).cast("double") / F.lit(scale)
 
 
 # ---------------------------------------------------------------------------
@@ -82,7 +98,7 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DEC
     "flagship_revenue_by_nation",
     f"""
     SELECT r_name, n_name,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -109,7 +125,7 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(_REV_SPARK()).cast("double").alias("revenue"),
+            _sum_fixed(_REV_SPARK(), 1e4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -123,10 +139,10 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -141,10 +157,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_REV_SPARK()).cast("double").alias("sum_disc_price"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            _sum_fixed(_CENTS("l_quantity"), 1e2).alias("sum_qty"),
+            _sum_fixed(_CENTS("l_extendedprice"), 1e2).alias("sum_base_price"),
+            _sum_fixed(_REV_SPARK(), 1e4).alias("sum_disc_price"),
+            (_sum_fixed(_CENTS("l_quantity"), 1e2) / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -158,19 +174,26 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_projection_arithmetic",
     f"""
     SELECT l_orderkey, l_linenumber,
-           CAST({_REV_SQL} AS DOUBLE) AS revenue,
-           CAST({_REV_SQL} * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS charge
+           CAST({_REV_SQL} AS DOUBLE) / 10000.0 AS revenue,
+           CAST({_REV_SQL} * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS charge
     FROM lineitem
     """,
 )
 def q_projection_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row fixed-point: the scaled-integer value is exact and < 2^53
+    (price_cents ~1e7 x 100 x 108 ~ 1e11), so long -> double is lossless
+    and the one IEEE division lands on the same double as the decimal
+    formulation's final cast."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = _REV_SPARK()
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        rev.cast("double").alias("revenue"),
-        (rev * (F.lit(1) + _dec("l_tax"))).cast("double").alias("charge"),
+        (rev.cast("double") / F.lit(1e4)).alias("revenue"),
+        ((rev * (F.lit(100) + _CENTS("l_tax"))).cast("double") / F.lit(1e6)).alias(
+            "charge"
+        ),
     )
 
 
@@ -523,20 +546,20 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
 )
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # decimal cast pre-projected: Expand copies values, never recomputes
+    # fixed-point cents pre-projected: Expand copies a long, never recomputes
     pre = li.select(
-        "l_returnflag", "l_linestatus", _dec("l_quantity").alias("_qty")
+        "l_returnflag", "l_linestatus", _CENTS("l_quantity").alias("_qty")
     )
     return pre.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_items"),
-        F.sum("_qty").cast("double").alias("sum_qty"),
+        _sum_fixed(F.col("_qty"), 1e2).alias("sum_qty"),
     )
 
 
@@ -632,7 +655,7 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('month', o_orderdate) AS month,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
     FROM orders
     GROUP BY date_trunc('month', o_orderdate)
     ORDER BY month
@@ -644,7 +667,7 @@ def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+            _sum_fixed(_CENTS("o_totalprice"), 1e2).alias("total"),
         )
         .orderBy("month")
     )
@@ -1333,7 +1356,7 @@ def q_range_join_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFr
     f"""
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag, l_linestatus) AS grp_id,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -1341,17 +1364,17 @@ def q_range_join_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (all 4 grouping sets) with grouping_id to
-    disambiguate natural NULLs from subtotal rows; decimal-exact revenue."""
+    disambiguate natural NULLs from subtotal rows; fixed-point-exact revenue."""
     li = load_table(spark, sf_dir, "lineitem")
-    # project the decimal expression BEFORE the cube: Expand replicates
+    # project the revenue expression BEFORE the cube: Expand replicates
     # every input row once per grouping set, so computing revenue after it
-    # multiplies the decimal work 4x; pre-projected, Expand copies a value
+    # multiplies the per-row work 4x; pre-projected, Expand copies a long
     pre = li.select(
         "l_returnflag", "l_linestatus", _REV_SPARK().alias("_rev")
     )
     return pre.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("bigint").alias("grp_id"),
-        F.sum("_rev").cast("double").alias("revenue"),
+        _sum_fixed(F.col("_rev"), 1e4).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -1540,7 +1563,7 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag, l_linestatus) AS grp_id,
-           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -1558,10 +1581,11 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
                  AS grp_id,
-               CAST(SUM(_rev) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(_rev AS DECIMAL(18,0))) AS DOUBLE) / 10000.0
+                 AS revenue
         FROM (SELECT l_returnflag, l_linestatus,
-                     CAST(l_extendedprice AS DECIMAL(18,2))
-                       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS _rev
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS _rev
               FROM gs_lineitem)
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
