@@ -1812,15 +1812,26 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, window="1 hour", watermark="30 minutes",
             group_cols=["event_type"],
         )
-        (
-            counts.writeStream.format("memory")
-            .queryName("stream_windowed_counts")
-            .outputMode("complete")
-            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+        # A stateful stream materializes one state-store instance (+ its
+        # checkpoint delta files per micro-batch) PER shuffle partition,
+        # fixed at first run. Size it to the aggregate's key cardinality
+        # (windows x event types — thousands of rows), not the scan-sized
+        # session default: 32 stores for a tiny agg is pure fixed overhead
+        # (measured 3.0s -> 1.0s at sf0.1).
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            (
+                counts.writeStream.format("memory")
+                .queryName("stream_windowed_counts")
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         return spark.table("stream_windowed_counts")
 
 
