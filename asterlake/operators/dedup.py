@@ -366,7 +366,15 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # |A| is row-local (the shingle array is already distinct): a
+    # groupBy-count over the exploded table would re-run the shingle
+    # subtree AND shuffle docs x shingles rows for a number each doc
+    # already knows. Zero-shingle docs get n_sh=0 here where the agg form
+    # had no row; harmless — they can't appear in `inter`, and sizes only
+    # enters through inner joins against it.
+    sizes = docs.select(
+        F.col(id_col), F.size(word_shingles(text_col, n)).alias("n_sh")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
