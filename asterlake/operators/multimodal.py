@@ -167,24 +167,47 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
     the exact shape of a real thumbnailing pass. Non-images pass through
     untouched, same schema (MEDIA_SCHEMA)."""
 
+    target_hex = 2 * width * height
+
+    def _resized(payload) -> bytes:
+        # hex-space md5 chain (engine-portable, see _fake_decode_stats)
+        seed = bytes(payload).hex()
+        chunks: list[str] = []
+        total = 0
+        while total < target_hex:
+            seed = hashlib.md5(seed.encode()).hexdigest()
+            chunks.append(seed)
+            total += len(seed)
+        return bytes.fromhex("".join(chunks)[:target_hex])
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target_hex = 2 * width * height
+        # column-list construction: one pass over zipped columns, fresh
+        # frame per batch — no iterrows()/at[] cell mutation (the slowest
+        # pandas idiom; VERDICT r1 #3)
         for pdf in it:
-            out = pdf.copy()
-            for i, row in out.iterrows():
-                if row["kind"] != "image":
-                    continue
-                # hex-space md5 chain (engine-portable, see _fake_decode_stats)
-                seed = bytes(row["payload"]).hex()
-                chunks = []
-                while sum(len(c) for c in chunks) < target_hex:
-                    seed = hashlib.md5(seed.encode()).hexdigest()
-                    chunks.append(seed)
-                out.at[i, "payload"] = bytes.fromhex("".join(chunks)[:target_hex])
-                meta = dict(row["meta"]) if row["meta"] is not None else {}
-                meta.update({"width": width, "height": height})
-                out.at[i, "meta"] = meta
-            yield out
+            kinds = pdf["kind"].tolist()
+            payloads = [
+                _resized(p) if k == "image" else p
+                for k, p in zip(kinds, pdf["payload"])
+            ]
+            metas = [
+                {
+                    **(dict(m) if m is not None else {}),
+                    "width": width,
+                    "height": height,
+                }
+                if k == "image"
+                else m
+                for k, m in zip(kinds, pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].tolist(),
+                    "kind": kinds,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
 
     return media.mapInPandas(batches, MEDIA_SCHEMA)
 
@@ -198,17 +221,19 @@ def sample_frames(media: DataFrame, every: int = 2, frame_bytes: int = 16) -> Da
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, blobs = [], [], []
-            for _, row in pdf.iterrows():
-                if row["kind"] != "video" or row["meta"] is None:
+            for mid, kind, meta, pl in zip(
+                pdf["media_id"], pdf["kind"], pdf["meta"], pdf["payload"]
+            ):
+                if kind != "video" or meta is None:
                     continue
                 # nullable int struct fields surface as float64 in pandas
-                raw = row["meta"]["n_frames"]
+                raw = meta["n_frames"]
                 n_frames = 0 if raw is None or pd.isna(raw) else int(raw)
-                payload = bytes(row["payload"])
+                payload = bytes(pl)
                 for fi in range(0, n_frames, every):
                     start = (fi * frame_bytes) % max(len(payload), 1)
                     chunk = payload[start : start + frame_bytes]
-                    ids.append(row["media_id"])
+                    ids.append(mid)
                     idxs.append(fi)
                     blobs.append(chunk)
             yield pd.DataFrame(

@@ -99,12 +99,18 @@ def srp_signature(vec_col: Column, hyperplanes: list[list[int]]) -> Column:
 
 def srp_bucket(
     vectors: DataFrame,
+    dim: int,
     n_planes: int = 12,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    dim = len(vectors.select(vec_col).first()[0])
+    """Bucket each vector by its SRP signature.
+
+    ``dim`` is an explicit parameter: array columns carry no length in the
+    schema and inferring it would mean a driver-side collect inside a
+    library operator (a job launched from plan-construction code — the
+    anti-pattern this module otherwise bans)."""
     planes = srp_hyperplanes(n_planes, dim, seed)
     return vectors.select(
         id_col, srp_signature(F.col(vec_col), planes).alias("bucket")
@@ -242,23 +248,51 @@ def ivf_probe_topk(
 
 def blocked_neighbor_pairs(
     vectors: DataFrame,
-    block_col: str,
+    block_col: str | Column,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold *within a blocking key* (label,
     SRP bucket, IVF cell, ...). The join explodes only within blocks —
-    the standard way to keep near-dup search sub-quadratic."""
+    the standard way to keep near-dup search sub-quadratic.
+
+    ``block_col`` may be a computed Column, so the engine's own bucketing
+    operators compose directly as the blocking key — e.g.
+    ``srp_signature(F.col('embedding'), planes)`` gives 2^n_planes
+    content-derived blocks instead of trusting a data column's cardinality.
+
+    Work is O(block_size^2) *within* a block, so a degenerate hot block
+    (one dominant label) is the scale hazard. ``max_block_rows`` bounds it:
+    each block keeps at most that many rows (deterministic survivor set,
+    ranked by xxhash64 of the id — content-independent, stable across runs
+    and partitionings), capping per-block work at O(cap^2). The cap is a
+    recall trade (pairs involving dropped rows are lost), exactly the
+    bounded-candidate policy every production LSH dedup ships; leave it
+    None for exact within-block semantics. The rank adds no extra
+    exchange beyond the join's own shuffle on the block key."""
     # self-norms are per-VECTOR, not per-pair: compute sqrt(dot(v,v)) once
     # before the join (n folds) instead of inside it (n^2 folds) — same
     # arithmetic, same values, 3x fewer fold-dots per pair
+    blk = F.col(block_col) if isinstance(block_col, str) else block_col
     with_norm = vectors.select(
         F.col(id_col),
-        F.col(block_col).alias("_blk"),
+        blk.alias("_blk"),
         F.col(vec_col).alias("_v"),
         F.sqrt(dot_double(F.col(vec_col), F.col(vec_col))).alias("_norm"),
     )
+    if max_block_rows is not None:
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(
+            Window.partitionBy("_blk").orderBy(F.xxhash64(F.col(id_col)))
+        )
+        with_norm = (
+            with_norm.withColumn("_rk", rk)
+            .filter(F.col("_rk") <= max_block_rows)
+            .drop("_rk")
+        )
     a = with_norm.select(
         F.col(id_col).alias("vec_a"),
         "_blk",

@@ -51,8 +51,18 @@ def salted_join(
     costs buckets x |right|: use for moderate right sides (dimension-ish),
     broadcast for tiny ones, AQE for mild skew.
 
-    Exact: every left row still meets every matching right row exactly once.
+    Exact: every left row still meets every matching right row exactly once
+    — for join types where unmatched RIGHT rows are never emitted. With
+    how='right'/'full'/'outer' an unmatched right row would surface once per
+    replica (``buckets`` copies), so those are rejected outright.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join is exact only for {sorted(allowed)} (right side is "
+            f"replicated {buckets}x; outer-right variants would duplicate "
+            f"unmatched right rows), got how={how!r}"
+        )
     salt_cols = salt_by or [c for c in left.columns if c != on]
     l_salted = left.withColumn("_salt", _salt(salt_cols, buckets))
     r_rep = right.withColumn(

@@ -55,21 +55,31 @@ def asof_join(
     left_cols = left.columns
     out_vals = [(c, f"{matched_prefix}{c}") for c in value_cols]
 
-    l_tag = left.select(
-        F.col(by).alias("_by"),
-        F.col(ts).alias("_ts"),
-        F.lit(1).alias("_side"),
-        F.struct(*left_cols).alias("_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(o) for c, o in out_vals],
-        F.lit(None).cast("timestamp").alias("_r_ts"),
+    # ALL right-side outputs (value columns + the matched timestamp) travel
+    # as ONE struct filled by ONE last(ignorenulls) window. Independent
+    # per-column windows would mix rows when the matched right row carries a
+    # NULL value column (its NULL would be skipped in favor of an OLDER
+    # row's value while _matched_ts still came from the newest row) —
+    # DuckDB's ASOF returns the matched row's NULL, and so does this. A
+    # struct whose fields are all NULL is itself non-NULL, so ignorenulls
+    # only skips the left-tagged rows, never a matched right row.
+    r_pack = F.struct(
+        *[F.col(c).alias(o) for c, o in out_vals],
+        F.col(ts).cast("timestamp").alias("_r_ts"),
     )
     r_tag = right.select(
         F.col(by).alias("_by"),
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(l_tag.schema["_left"].dataType).alias("_left"),
-        *[F.col(c).alias(o) for c, o in out_vals],
-        F.col(ts).cast("timestamp").alias("_r_ts"),
+        F.lit(None).cast(left.select(F.struct(*left_cols)).schema[0].dataType).alias("_left"),
+        r_pack.alias("_rpack"),
+    )
+    l_tag = left.select(
+        F.col(by).alias("_by"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left_cols).alias("_left"),
+        F.lit(None).cast(r_tag.schema["_rpack"].dataType).alias("_rpack"),
     )
 
     # right rows sort before left rows at equal ts (_side 0 < 1), so an
@@ -82,24 +92,23 @@ def asof_join(
     filled = l_tag.unionByName(r_tag).select(
         "_side",
         "_left",
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for _, o in out_vals],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_matched_ts"),
+        F.last("_rpack", ignorenulls=True).over(w).alias("_m"),
     )
 
     out = filled.filter(F.col("_side") == 1)
     within: Column = F.lit(True)
     if tolerance_seconds is not None:
-        within = F.col("_matched_ts") >= (
+        within = F.col("_m._r_ts") >= (
             F.col("_left")[ts].cast("timestamp")
             - F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
         )
     return out.select(
         *[F.col(f"_left.{c}").alias(c) for c in left_cols],
         *[
-            F.when(within, F.col(o)).otherwise(F.lit(None)).alias(o)
+            F.when(within, F.col(f"_m.{o}")).otherwise(F.lit(None)).alias(o)
             for _, o in out_vals
         ],
-        F.when(within, F.col("_matched_ts"))
+        F.when(within, F.col("_m._r_ts"))
         .otherwise(F.lit(None))
         .alias(f"{matched_prefix}ts"),
     )

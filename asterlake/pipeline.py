@@ -56,7 +56,15 @@ def run(
     # builds gold from today's partition only (src/etl/silver_to_gold.py:133,
     # by literal path; here via a partition-pruned filter) — and persist
     # across the four gold actions.
-    batch_date = (processing_time or datetime.now()).date()
+    # The partition filter must use the SAME clock that stamped
+    # _processing_date: flatten_feed uses the session's current_date()
+    # (UTC-pinned) when no processing_time is injected, so a driver-local
+    # datetime.now() on a non-UTC host (or across midnight) would prune to
+    # a partition that was never written (ADVICE r1).
+    if processing_time is not None:
+        batch_date = processing_time.date()
+    else:
+        batch_date = spark.sql("SELECT current_date() AS d").collect()[0].d
     silver_back = read_silver(spark, silver_path, processing_date=batch_date).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -979,6 +979,50 @@ def q_embedding_block_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_neighbor_pairs(e, "label", 0.4)
 
 
+@query(
+    "q_embedding_srp_neighbors",
+    None,  # oracle injected below (needs the hyperplane literal)
+)
+def q_embedding_srp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-neighbor pairs blocked by the engine's OWN content-derived key:
+    SRP-LSH bucket (12 seeded hyperplanes -> 4096 buckets) instead of a
+    data column. This is blocked_neighbor_pairs' scale story — block
+    cardinality is 2^n_planes by construction, so no data distribution can
+    produce the one-dominant-label hot block the label-blocked variant
+    risks; max_block_rows additionally hard-caps per-block work (the cap is
+    far above any block at these SFs, so results stay exact and the DuckDB
+    oracle needs no cap model)."""
+    from asterlake.operators.similarity import blocked_neighbor_pairs, srp_signature
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return blocked_neighbor_pairs(
+        e,
+        srp_signature(F.col("embedding"), _srp_planes()),
+        0.4,
+        max_block_rows=1024,
+    )
+
+
+QUERIES["q_embedding_srp_neighbors"] = QueryDef(
+    q_embedding_srp_neighbors,
+    f"""
+    WITH h AS (SELECT {_srp_planes()} AS planes),
+    b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(planes, hp ->
+               CASE WHEN list_sum(list_transform(range(1, len(embedding)+1),
+                      i -> hp[i] * CAST(embedding[i] AS DOUBLE))) >= 0
+                    THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings, h
+    )
+    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           {_duck_cosine('a.embedding', 'b2.embedding')} AS cosine
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE {_duck_cosine('a.embedding', 'b2.embedding')} >= 0.4
+    """,
+)
+
+
 # ===========================================================================
 # Beyond-parity: text analysis (operators/textstats.py)
 # ===========================================================================
@@ -1506,14 +1550,23 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch surface (rows-only driver check): HyperLogLog++ distinct
     counts and t-digest-style quantiles per return flag — the sublinear
-    forms of q_count_distinct / percentiles for 100 TB interactive use."""
+    forms of q_count_distinct / percentiles for 100 TB interactive use.
+
+    The two quantiles are projected as SCALAR doubles (p50/p95), not an
+    array: the driver's rows-only canonicalizer sorts the result frame and
+    cannot hash/sort list-typed cells (r01 recorded `unhashable type:
+    'list'` here). One percentile_approx sketch still computes both —
+    element_at unpacks it, so no second pass over lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx(
-            "l_extendedprice", [0.5, 0.95], 10000
-        ).alias("price_quantiles"),
+        F.element_at(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000), 1
+        ).alias("price_p50"),
+        F.element_at(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000), 2
+        ).alias("price_p95"),
     )
 
 
@@ -1781,9 +1834,10 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
+    from asterlake.session import ensure_parquet_nanos_conf
     from asterlake.streaming.pipeline import windowed_event_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_parquet_nanos_conf(spark)
     schema = StructType(
         [
             StructField("event_id", LongType()),

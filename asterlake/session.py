@@ -77,6 +77,9 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # TIMESTAMP(NANOS) parquet columns (the testdata events table) read
+        # as long; set HERE, once, not per-read in loaders (see tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
     )
@@ -106,3 +109,17 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_parquet_nanos_conf(spark: SparkSession) -> None:
+    """Idempotently enable the TIMESTAMP(NANOS)-as-long parquet read conf.
+
+    Sessions built by :func:`build_session` already carry it; this shim
+    exists for *externally-owned* sessions (the correctness driver passes
+    its own SparkSession into every query) where the builder config never
+    ran. It checks before setting so an already-configured session is
+    never mutated — the one place this runtime conf write lives.
+    """
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")

@@ -207,7 +207,6 @@ def _ts(us: int) -> datetime:
 
 def sessionize_stream(
     events: DataFrame,
-    gap: str = "30 minutes",
     id_col: str = "user_id",
     ts_col: str = "ts",
     watermark: str = "1 hour",
@@ -217,8 +216,10 @@ def sessionize_stream(
     "Spark lacks this operator" case (batch twin: q_sessionization's
     lag-window cumulative-sum). Sessions close when a gap > `gap_seconds`
     appears in a user's events, or when the watermark passes the last event
-    by `gap` (EventTimeTimeout flushes idle sessions even if the user never
-    returns)."""
+    by `gap_seconds` (EventTimeTimeout flushes idle sessions even if the
+    user never returns). `gap_seconds` is the single source of truth for
+    both the gap split and the timeout — a string `gap` twin used to exist
+    and silently disagree (ADVICE r1)."""
 
     def update(
         key: tuple[Any, ...],

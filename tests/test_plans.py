@@ -169,3 +169,37 @@ def test_stream_windowed_counts_matches_batch_shape(spark):
     plan = plan_string(agg)
     assert node_count(plan, "HashAggregate") >= 2  # partial + final
     assert node_count(plan, "Exchange") == 1
+
+
+def test_no_driver_side_actions_in_operator_code():
+    """Operators must never launch jobs from plan-construction code: no
+    .collect()/.first()/.toPandas()/... under asterlake/operators/
+    (VERDICT r1 flagged srp_bucket's dim-inferring .first()). The
+    negative lookbehind keeps plan-side aggregate expressions like
+    F.first(...) legal — those build columns, not jobs."""
+    import pathlib
+    import re
+
+    ops = pathlib.Path(__file__).resolve().parents[1] / "asterlake" / "operators"
+    pattern = re.compile(r"(?<!F)\.(collect|first|toPandas|head|take|show)\(")
+    offenders = []
+    for py in sorted(ops.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if pattern.search(line):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
+
+
+def test_srp_blocked_neighbors_no_quadratic_shape(spark):
+    """q_embedding_srp_neighbors: candidate generation must be an equi-join
+    on the SRP bucket key (hash/sort-merge exchange on _blk), never a
+    cartesian/nested-loop product, and the block-size cap's rank runs on
+    the same key — no extra exchange beyond the join's own."""
+    plan = _plan(spark, "q_embedding_srp_neighbors")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BroadcastNestedLoopJoin")
+    # the join keys are the bucket signature, not raw vectors
+    keys = shuffle_keys(plan)
+    assert keys, "expected a shuffle on the block key"
+    for k in keys:
+        assert "_blk" in k, k

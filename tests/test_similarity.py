@@ -65,3 +65,69 @@ def test_ivf_probe_results_lie_in_probed_cells(spark, vectors):
         scores = c @ qv
         probe = list(np.argsort(-scores, kind="stable")[:2])
         assert cells[row.vec_id] in probe
+
+
+def test_blocked_pairs_srp_composition_agrees_with_label_blocking(spark):
+    """The SRP-bucket-blocked path must produce the same cosine for every
+    pair BOTH blockings admit (common subset): blocking changes candidate
+    generation, never pair scoring. Synthetic clusters of near-identical
+    vectors guarantee collisions under both blockings."""
+    import numpy as np
+
+    from asterlake.operators.similarity import (
+        blocked_neighbor_pairs,
+        srp_hyperplanes,
+        srp_signature,
+    )
+
+    dim = 16
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, dim)
+    rows = []
+    for i in range(40):
+        c = i % 4
+        v = centers[c] + 0.01 * rng.randn(dim)  # tight cluster => same bucket
+        rows.append((i, f"lbl{c}", [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+
+    planes = srp_hyperplanes(n_planes=8, dim=dim, seed=42)
+    by_label = {
+        (r.vec_a, r.vec_b): round(r.cosine, 9)
+        for r in blocked_neighbor_pairs(df, "label", 0.4).collect()
+    }
+    by_srp = {
+        (r.vec_a, r.vec_b): round(r.cosine, 9)
+        for r in blocked_neighbor_pairs(
+            df, srp_signature(F.col("embedding"), planes), 0.4
+        ).collect()
+    }
+    common = set(by_label) & set(by_srp)
+    assert common, "expected some pairs to collide under both blockings"
+    for pair in common:
+        assert by_label[pair] == by_srp[pair]
+
+
+def test_blocked_pairs_max_block_rows_caps_hot_block(spark):
+    """A degenerate hot block (every row shares one key) must obey the cap:
+    the surviving candidate set is min(n, cap) rows -> at most cap*(cap-1)/2
+    pairs, with a deterministic (run-stable) survivor set."""
+    from asterlake.operators.similarity import blocked_neighbor_pairs
+
+    n, cap = 40, 10
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.lit("hot").alias("label"),
+        F.array(F.lit(1.0), F.lit(0.5)).alias("embedding"),  # all identical
+    )
+    capped = blocked_neighbor_pairs(
+        df, "label", 0.9, max_block_rows=cap
+    ).collect()
+    assert len(capped) == cap * (cap - 1) // 2
+    # deterministic survivor set: same result on a re-run
+    again = blocked_neighbor_pairs(df, "label", 0.9, max_block_rows=cap).collect()
+    assert sorted((r.vec_a, r.vec_b) for r in capped) == sorted(
+        (r.vec_a, r.vec_b) for r in again
+    )
+    # uncapped would be the full quadratic set
+    full = blocked_neighbor_pairs(df, "label", 0.9).count()
+    assert full == n * (n - 1) // 2

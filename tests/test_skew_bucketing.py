@@ -109,3 +109,12 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_salted_join_rejects_outer_right_variants(spark, skewed):
+    left, right = skewed
+    import pytest as _pytest
+
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join is exact only"):
+            salted_join(left, right, "k", buckets=4, how=how)

@@ -68,6 +68,28 @@ def test_asof_tolerance_voids_stale_matches(spark, sides):
     assert out[4] is None
 
 
+def test_asof_null_value_in_matched_row_stays_null(spark, sides):
+    """DuckDB ASOF semantics: if the latest matching right row has a NULL
+    value column, the output carries THAT row's NULL (and its timestamp) —
+    not an older row's non-NULL value. Pins the struct-packed last()."""
+    left, _ = sides
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:30:00"), 7.0),   # older, non-null
+            (10, _ts("2024-01-01 10:30:00"), None),  # newest for id=2, NULL v
+        ],
+        "k int, ts timestamp, v double",
+    )
+    out = {
+        r.id: (r.asof_v, r.asof_ts)
+        for r in asof_join(left, right, by="k", ts="ts", value_cols=["v"]).collect()
+    }
+    # id=2 (11:00) matches the 10:30 row: NULL value, 10:30 timestamp
+    assert out[2] == (None, _ts("2024-01-01 10:30:00"))
+    # id=1 (10:00) matches the 09:30 row normally
+    assert out[1] == (7.0, _ts("2024-01-01 09:30:00"))
+
+
 def test_asof_preserves_left_row_count(spark, sides):
     left, right = sides
     assert asof_join(left, right, by="k", ts="ts", value_cols=["v"]).count() == 4
