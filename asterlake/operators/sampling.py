@@ -1,0 +1,71 @@
+"""Deterministic sampling operators (training-data pipeline staple).
+
+``df.sample()`` is seed-dependent *per partitioning*: the same seed gives a
+different row set when the file splits change, which breaks reproducible
+dataset cards and cross-engine audits. These samplers key selection on a
+cryptographic hash of the ROW's own key instead — membership is a pure
+function of the data, so any engine (and any partitioning, any cluster
+size) selects the identical sample. That also makes the sample an
+equi-joinable subset: downstream stages can re-derive membership instead
+of shipping row lists.
+
+Hash contract (shared with the DuckDB oracles): first 8 hex chars of
+``md5(cast(key as string))`` read as a base-16 integer, i.e. a uniform
+32-bit value; ``pmod(value, 100)`` buckets rows into percent slots. The
+oracle reproduces this exactly (md5 is bit-stable everywhere; the hex fold
+is the same trick the MinHash oracle uses).
+
+Scale: selection is a pure projection + filter (no shuffle, no RNG state);
+stratified sampling adds nothing on top — the strata are just whatever
+the filter keeps, with per-stratum rates coming from a broadcastable map
+expression. Filter pushdown survives (the hash predicate evaluates after
+the scan, but partition/column pruning is unaffected).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from a row key."""
+    h8 = F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+    return F.pmod(h8.cast("long"), F.lit(buckets)).cast("int")
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, percent: int, buckets: int = 100
+) -> DataFrame:
+    """Keep ~percent% of rows, chosen by the row key's hash bucket."""
+    return df.filter(hash_bucket(F.col(key), buckets) < percent)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    rates: dict[str, int],
+    default_percent: int = 0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum sampling rates (percent per stratum value).
+
+    ``rates`` maps stratum value -> percent kept; strata not listed keep
+    ``default_percent``. The rate lookup compiles to a CASE expression —
+    no join, no shuffle."""
+    rate: Column = F.lit(default_percent)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_bucket(F.col(key), buckets) < rate)
+
+
+def duck_hash_bucket_sql(key_expr: str, buckets: int = 100) -> str:
+    """DuckDB twin of :func:`hash_bucket` for oracle construction."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, 9), i -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5(CAST({key_expr} AS VARCHAR)), i, 1)) - 1 "
+        "AS BIGINT))), "
+        f"(acc, c) -> acc * 16 + c) % {buckets}"
+    )

@@ -246,6 +246,42 @@ def ivf_probe_topk(
     )
 
 
+def normalize_quantize(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 127.0,
+) -> DataFrame:
+    """Embedding preprocessing: L2 norm, unit vector, int8-style quantized
+    vector — the storage/compute prep step every large ANN index runs.
+
+    The norm fold is O(dim); referencing it inside a per-element lambda
+    would re-execute it per element after CollapseProject (O(dim^2)/row).
+    ``array_repeat(norm, dim)`` evaluates the fold ONCE per referencing
+    column and ``zip_with`` pairs each element with its copy — 3 fold
+    evaluations per row total (norm/unit/q8) instead of 2*dim+1.
+
+    Quantization truncates toward zero (int cast), not rounds — engines
+    disagree on double half-rounding but agree on trunc. Zero vectors
+    yield NULL elements (nullif guards the division) rather than NaN,
+    which no two engines hash alike.
+    """
+    norm = F.sqrt(dot_double(F.col(vec_col), F.col(vec_col)))
+    norm_arr = F.array_repeat(F.nullif(norm, F.lit(0.0)), F.size(F.col(vec_col)))
+    unit = F.zip_with(F.col(vec_col), norm_arr, lambda x, n: x.cast("double") / n)
+    q8 = F.zip_with(
+        F.col(vec_col),
+        norm_arr,
+        lambda x, n: (x.cast("double") * F.lit(scale) / n).cast("int"),
+    )
+    return vectors.select(
+        F.col(id_col),
+        norm.alias("l2_norm"),
+        unit.alias("unit"),
+        q8.alias("q8"),
+    )
+
+
 def blocked_neighbor_pairs(
     vectors: DataFrame,
     block_col: str | Column,

@@ -186,6 +186,86 @@ def classify_language(
     )
 
 
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters: per-doc top-unigram share and
+    duplicate-bigram fraction, plus the keep/drop verdict.
+
+    Degenerate documents (one token looped, boilerplate runs) score high on
+    either signal; real corpus filters drop them before dedup so the LSH
+    stages never see pathological shingle sets.
+
+    Shape: the bigram fraction is row-local array arithmetic (no shuffle);
+    the top-unigram count needs a (doc, token) frequency — explode +
+    partial-agg + per-doc max, both exchanges keyed on doc_id-led keys so
+    skew follows document size, which the explode already bounded.
+    """
+    toks = whitespace_tokens(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    # bind the token array ONCE via the transform(array(...)) wrapper —
+    # naively referencing split() inside the per-element lambda re-executes
+    # the split per element after CollapseProject (measured 20x on the
+    # simhash fold, see dedup.py)
+    bigrams = F.expr(
+        f"element_at(transform(array(split({text_col}, ' ')), ts -> "
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))), 1)"
+    )
+    n_bi = F.size(bigrams).cast("bigint")
+    dup_bi = (n_bi - F.size(F.array_distinct(bigrams)).cast("bigint")).cast("double") / n_bi
+
+    tok = docs.select(F.col(id_col), F.explode(toks).alias("_t"))
+    top = (
+        tok.groupBy(id_col, "_t")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top_cnt"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        dup_bi.alias("dup_bigram_frac"),
+    )
+    return base.join(top, id_col).select(
+        id_col,
+        "n_tokens",
+        (F.col("_top_cnt").cast("double") / F.col("n_tokens")).alias(
+            "top_token_share"
+        ),
+        "dup_bigram_frac",
+        (
+            (F.col("_top_cnt").cast("double") / F.col("n_tokens") <= 0.2)
+            & (F.col("dup_bigram_frac") <= 0.2)
+        ).alias("keep"),
+    )
+
+
+def redact_terms(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    replacement: str = "<REDACTED>",
+) -> DataFrame:
+    """Denylist scrubbing: replace whole-word denylist terms, count hits.
+
+    The standard pre-training scrub pass (PII/brand/boilerplate denylists)
+    as a pure projection: one regexp_replace + one regexp_count per row,
+    word-boundary anchored so substrings survive. Terms are baked into the
+    plan as a literal alternation — fine for denylists up to thousands of
+    entries; beyond that switch to a broadcast-join token rewrite.
+    """
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    return docs.select(
+        F.col(id_col),
+        F.regexp_replace(F.col(text_col), pat, replacement).alias("redacted"),
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(
+            "n_redactions"
+        ),
+    )
+
+
 def fingerprint_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

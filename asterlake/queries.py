@@ -2045,3 +2045,338 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
     return split_sentences(d)
+
+
+# ===========================================================================
+# Beyond-parity round 2: duplicate clustering, sampling, time-series
+# regularization, embedding prep, corpus filters (operators/graph.py,
+# sampling.py, timeseries.py, textstats.py, similarity.py)
+# ===========================================================================
+
+
+@query(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM (
+        SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+      )
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    )
+    SELECT node AS doc_id, MIN(comp) AS cluster
+    FROM walk GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup relation: 3-gram Jaccard >= 0.5
+    pairs -> connected components -> one cluster id (min member doc_id)
+    per document, singletons included. The iterative min-label propagation
+    runs as per-round shuffle joins (operators/graph.py); the oracle walks
+    the same edges with a recursive CTE — an implementation-independent
+    ground truth for the fixpoint."""
+    from asterlake.operators.dedup import ngram_jaccard_pairs
+    from asterlake.operators.graph import duplicate_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    return duplicate_clusters(pairs, d)
+
+
+@query(
+    "q_sample_stratified",
+    None,  # oracle injected below (shares the hash-bucket SQL helper)
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-status keep rates (F 10%,
+    O 5%, P 50%) keyed on md5(o_orderkey) — membership is a pure function
+    of the row, so any engine/partitioning draws the identical sample
+    (seeded df.sample() is partitioning-dependent and unauditable).
+    Aggregated per stratum with a decimal-exact price sum."""
+    from asterlake.operators.sampling import stratified_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    s = stratified_sample(
+        o, "o_orderkey", "o_orderstatus", {"F": 10, "O": 5, "P": 50}
+    )
+    return s.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+def _sample_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    bucket = duck_hash_bucket_sql("o_orderkey")
+    return f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE {bucket} < CASE o_orderstatus
+                       WHEN 'F' THEN 10 WHEN 'O' THEN 5 WHEN 'P' THEN 50
+                       ELSE 0 END
+    GROUP BY o_orderstatus
+    """
+
+
+QUERIES["q_sample_stratified"] = QueryDef(q_sample_stratified, _sample_oracle())
+
+
+@query(
+    "q_gapfill_locf",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), slotted AS (
+      SELECT user_id, date_trunc('hour', ts) AS slot_start, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM ev
+    ), per_slot AS (
+      SELECT user_id, slot_start, value FROM slotted WHERE rk = 1
+    ), spans AS (
+      SELECT user_id, MIN(slot_start) AS lo, MAX(slot_start) AS hi
+      FROM per_slot GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS slot_start
+      FROM spans
+    )
+    SELECT g.user_id, g.slot_start,
+           last_value(p.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.slot_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           p.value IS NOT NULL AS observed
+    FROM grid g LEFT JOIN per_slot p USING (user_id, slot_start)
+    """,
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: each user's events snapped to an hourly
+    grid (latest event per slot wins, deterministic tie-break) and empty
+    slots forward-filled (LOCF) — pandas resample().ffill() re-expressed
+    as sequence()+explode grids and a last(ignorenulls) window, all
+    key-partitioned (operators/timeseries.py)."""
+    from asterlake.operators.timeseries import gap_fill_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_fill_locf(ev)
+
+
+@query(
+    "q_embedding_normalize",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS l2_norm
+      FROM embeddings
+    )
+    SELECT vec_id, l2_norm,
+           CAST(t.i AS INT) AS dim_idx,
+           CAST(embedding[t.i + 1] AS DOUBLE) / nullif(l2_norm, 0) AS unit_val,
+           CAST(trunc(CAST(embedding[t.i + 1] AS DOUBLE) * 127.0
+                / nullif(l2_norm, 0)) AS INT) AS q8_val
+    FROM b, range(0, 64) AS t(i)
+    """,
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding prep: L2 norm, unit vector, int8-style quantization —
+    per-row projections with the norm fold bound once per output column
+    (array_repeat + zip_with; naive lambda nesting re-runs the fold per
+    element after CollapseProject). Emitted exploded to scalars (one row
+    per dimension) because the correctness canonicalizer cannot sort
+    array cells — same convention as q_media_features."""
+    from asterlake.operators.similarity import normalize_quantize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nq = normalize_quantize(e)
+    return nq.select(
+        "vec_id",
+        "l2_norm",
+        F.posexplode(F.arrays_zip("unit", "q8")).alias("dim_idx", "_z"),
+    ).select(
+        "vec_id",
+        "l2_norm",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.col("_z.unit").alias("unit_val"),
+        F.col("_z.q8").alias("q8_val"),
+    )
+
+
+@query(
+    "q_text_repetition",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_cnt FROM (
+        SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(bis) - len(list_distinct(bis)) AS DOUBLE) / len(bis)
+               AS dup_bigram_frac
+      FROM (
+        SELECT doc_id, toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS bis
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_share,
+           dup_bigram_frac,
+           (CAST(top_cnt AS DOUBLE) / n_tokens <= 0.2
+            AND dup_bigram_frac <= 0.2) AS keep
+    FROM base b JOIN top USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-unigram share + duplicate-
+    bigram fraction per document, with the keep/drop verdict — the corpus
+    pre-filter that drops degenerate documents before dedup sees them."""
+    from asterlake.operators.textstats import repetition_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_features(d)
+
+
+@query(
+    "q_text_redact",
+    r"""
+    SELECT doc_id,
+           regexp_replace(text, '\b(customer|spark)\b', '<REDACTED>', 'g')
+             AS redacted,
+           CAST(len(regexp_extract_all(text, '\b(customer|spark)\b'))
+                AS BIGINT) AS n_redactions
+    FROM documents
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing: whole-word denylist terms replaced with a
+    redaction marker + per-doc hit counts, as one regexp projection —
+    the PII/boilerplate scrub pass of a training-data pipeline."""
+    from asterlake.operators.textstats import redact_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return redact_terms(d, ("customer", "spark"))
+
+
+@query(
+    "q_histogram_prices",
+    """
+    SELECT CAST(LEAST(FLOOR(l_extendedprice / 5250.0), 19) AS INT) AS bucket,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 buckets over the price range) — the
+    profile-before-you-salt distribution scan from the skew playbook, as
+    one partial-aggregated groupBy on a computed bucket key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 5250.0), F.lit(19)).cast(
+        "int"
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_items"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events
+    ), w AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM ev
+    ), ch AS (
+      SELECT user_id, ts, event_type, event_id FROM w
+      WHERE prev IS NULL OR prev != event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+    FROM ch
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals: each user's event_type stream
+    collapsed to contiguous [valid_from, valid_to) runs (open interval =
+    NULL valid_to) — two windows over one key-partitioned sort
+    (operators/timeseries.py)."""
+    from asterlake.operators.timeseries import change_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    return change_intervals(ev)
+
+
+@query(
+    "q_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered unshipped-revenue top-10. The
+    selective customer side broadcasts (pre-filtered on segment), lineitem
+    keeps its pushed shipdate filter at the scan, and the final top-k is
+    TakeOrderedAndProject after the aggregation — no global sort."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_sum_fixed(_REV_SPARK(), 1e4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

@@ -1,0 +1,152 @@
+"""Unit tests for the round-2 operator families: connected components
+(graph.py), deterministic sampling (sampling.py), and time-series
+regularization (timeseries.py). Oracle parity pins the real-data
+agreement; these pin boundary semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from asterlake.operators.graph import connected_components, duplicate_clusters
+from asterlake.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    stratified_sample,
+)
+from asterlake.operators.timeseries import change_intervals, gap_fill_locf
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- graph --
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 round), pair 10-11, isolated 99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame(
+        [(v,) for v in (1, 2, 3, 4, 10, 11, 99)], "id long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(edges, vertices).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_edge_direction_irrelevant(spark):
+    fwd = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rev = spark.createDataFrame([(2, 1), (3, 2)], "src long, dst long")
+    a = sorted(map(tuple, connected_components(fwd).collect()))
+    b = sorted(map(tuple, connected_components(rev).collect()))
+    assert a == b == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_duplicate_clusters_transitive(spark):
+    # A~B and B~C but never A~C directly: one cluster anyway
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    got = {r.doc_id: r.cluster for r in duplicate_clusters(pairs, docs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4}
+
+
+# ------------------------------------------------------------- sampling --
+
+
+def test_hash_sample_is_partitioning_invariant(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    a = sorted(r.k for r in deterministic_sample(df, "k", 10).collect())
+    b = sorted(
+        r.k for r in deterministic_sample(df.repartition(7), "k", 10).collect()
+    )
+    assert a == b and 100 < len(a) < 300  # ~10% of 2000, exact same rows
+
+
+def test_hash_sample_is_nested(spark):
+    # a p% sample is a SUBSET of any larger q% sample (same key, same hash)
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    small = {r.k for r in deterministic_sample(df, "k", 5).collect()}
+    big = {r.k for r in deterministic_sample(df, "k", 20).collect()}
+    assert small < big
+
+
+def test_stratified_rates_respected(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("s"),
+    )
+    got = stratified_sample(df, "k", "s", {"even": 50, "odd": 0})
+    rows = got.groupBy("s").count().collect()
+    counts = {r.s: r["count"] for r in rows}
+    assert "odd" not in counts
+    assert 600 < counts["even"] < 900  # ~50% of 1500
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(0, 500).select(hash_bucket(F.col("id"), 7).alias("b"))
+    vals = {r.b for r in df.collect()}
+    assert vals <= set(range(7)) and len(vals) == 7
+
+
+# ----------------------------------------------------------- timeseries --
+
+
+def test_gap_fill_locf_fills_and_flags(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 10:15:00"), 1.0),
+            (2, 1, _ts("2024-01-01 10:45:00"), 2.0),  # same slot, later wins
+            (3, 1, _ts("2024-01-01 13:05:00"), 9.0),  # 2-slot gap before
+            (4, 2, _ts("2024-01-01 00:00:00"), 5.0),  # single-slot user
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        (r.user_id, r.slot_start): (r.value, r.observed)
+        for r in gap_fill_locf(ev).collect()
+    }
+    assert out[(1, _ts("2024-01-01 10:00:00"))] == (2.0, True)
+    assert out[(1, _ts("2024-01-01 11:00:00"))] == (2.0, False)  # filled
+    assert out[(1, _ts("2024-01-01 12:00:00"))] == (2.0, False)  # filled
+    assert out[(1, _ts("2024-01-01 13:00:00"))] == (9.0, True)
+    assert out[(2, _ts("2024-01-01 00:00:00"))] == (5.0, True)
+    assert len(out) == 5  # no rows outside each user's span
+
+
+def test_gap_fill_slot_winner_tiebreak(spark):
+    # identical timestamps: higher event_id wins the slot
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 10:00:00"), 1.0),
+            (2, 1, _ts("2024-01-01 10:00:00"), 2.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    rows = gap_fill_locf(ev).collect()
+    assert len(rows) == 1 and rows[0].value == 2.0
+
+
+def test_change_intervals_collapse_and_open_end(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 10:00:00"), "a"),
+            (2, 1, _ts("2024-01-01 11:00:00"), "a"),  # same run, collapsed
+            (3, 1, _ts("2024-01-01 12:00:00"), "b"),
+            (4, 1, _ts("2024-01-01 13:00:00"), "a"),  # 'a' again: NEW run
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    rows = sorted(
+        change_intervals(ev).collect(), key=lambda r: r.valid_from
+    )
+    assert [(r.event_type, r.valid_from, r.valid_to) for r in rows] == [
+        ("a", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00")),
+        ("b", _ts("2024-01-01 12:00:00"), _ts("2024-01-01 13:00:00")),
+        ("a", _ts("2024-01-01 13:00:00"), None),
+    ]
