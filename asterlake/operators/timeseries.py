@@ -6,11 +6,14 @@ Spark has windowed *aggregation* but no resample/fill operator (pandas'
 as compositions that keep all work key-partitioned:
 
 - **gap_fill_locf** — snap events to a fixed grid (one value per key per
-  grid slot: the latest event in the slot), then generate each key's full
-  grid with ``sequence()`` + ``explode`` and forward-fill empty slots with
-  ``last(ignorenulls)`` over the key's time order. Grid generation is a
-  per-key projection (no shuffle); the fill is one window over the same
-  key partitioning the slot-aggregation already established.
+  grid slot: the latest event in the slot, via one ``max_by`` aggregation
+  with map-side partial combine), then let EACH observed slot emit itself
+  plus the empty slots up to the key's next observation
+  (``lead`` + ``sequence`` + ``posexplode``). The forward-fill is thereby
+  *implicit in the generation* — no grid/observation self-join, no second
+  scan of the input (the naive grid-then-join form scans the events twice
+  and shuffles three times; this is one scan, two key-partitioned
+  exchanges).
 - **change_intervals** — collapse a per-key event stream into contiguous
   [valid_from, valid_to) intervals of a tracked column's value: keep rows
   where the value differs from its predecessor (lag), then close each
@@ -46,48 +49,41 @@ def gap_fill_locf(
     ``observed`` marks slots that had at least one event. Slot winner =
     max (ts, tiebreak) — deterministic under timestamp ties.
     """
-    slotted = events.select(
-        F.col(key),
-        F.date_trunc("hour", F.col(ts)).alias("_slot"),
-        F.col(ts).alias("_ts"),
-        F.col(tiebreak).alias("_tb"),
-        F.col(value).alias("_v"),
-    )
     if slot != "1 hour":  # pragma: no cover - hour grid is the shipped unit
         raise ValueError("only '1 hour' slots are supported")
 
-    w_slot = Window.partitionBy(key, "_slot").orderBy(
-        F.col("_ts").desc(), F.col("_tb").desc()
+    slotted = events.select(
+        F.col(key),
+        F.date_trunc("hour", F.col(ts)).alias("_slot"),
+        F.struct(F.col(ts), F.col(tiebreak)).alias("_ord"),
+        F.col(value).alias("_v"),
     )
-    per_slot = (
-        slotted.withColumn("_rk", F.row_number().over(w_slot))
-        .filter(F.col("_rk") == 1)
-        .select(key, "_slot", F.col("_v"))
-    )
-
-    spans = per_slot.groupBy(key).agg(
-        F.min("_slot").alias("_lo"), F.max("_slot").alias("_hi")
-    )
-    grid = spans.select(
-        key,
-        F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("slot_start"),
+    # slot winner = max (ts, tiebreak): an aggregate, not a window — the
+    # map side pre-combines, so the (key, slot) shuffle carries one row
+    # per slot per map partition instead of every event
+    per_slot = slotted.groupBy(key, "_slot").agg(
+        F.max_by("_v", "_ord").alias("_v")
     )
 
-    filled = grid.join(
-        per_slot.withColumnRenamed("_slot", "slot_start"), [key, "slot_start"], "left"
+    # each observed slot emits itself + the empty slots before the key's
+    # next observation; the LOCF value rides along, so filling needs no
+    # join back against a generated grid
+    w = Window.partitionBy(key).orderBy("_slot")
+    # the window output must be an attribute before it feeds the generator
+    # (window expressions are illegal inside posexplode's argument)
+    with_next = per_slot.withColumn("_nxt", F.lead("_slot").over(w))
+    run = F.sequence(
+        F.col("_slot"),
+        F.coalesce(F.col("_nxt") - F.expr("INTERVAL 1 HOUR"), F.col("_slot")),
+        F.expr("INTERVAL 1 HOUR"),
     )
-    w_fill = (
-        Window.partitionBy(key)
-        .orderBy("slot_start")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return filled.select(
+    return with_next.select(
+        F.col(key), F.col("_v"), F.posexplode(run).alias("_pos", "slot_start")
+    ).select(
         F.col(key),
         "slot_start",
-        F.last("_v", ignorenulls=True).over(w_fill).alias(value),
-        F.col("_v").isNotNull().alias("observed"),
+        F.col("_v").alias(value),
+        (F.col("_pos") == 0).alias("observed"),
     )
 
 

@@ -2380,3 +2380,97 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "q_stream_interval_join",
+    f"""
+    WITH ev AS ({_DUCK_EV}),
+    err AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+    clk AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click')
+    SELECT e.event_id AS err_event_id, e.user_id AS user_id, e.ts AS err_ts,
+           c.event_id AS clk_event_id, c.ts AS clk_ts, c.value AS clk_value
+    FROM err e JOIN clk c
+      ON e.user_id = c.user_id
+     AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join, batch-equivalent: the
+    events table replayed as TWO file streams (errors, clicks), inner-
+    joined on user within a 5-minute lookback, drained append-mode to a
+    memory sink. Same oracle as a batch BETWEEN join — the strongest
+    correctness form a stream-stream join can get (pair-exact, not just
+    count-exact). State is bounded by the watermark + interval condition;
+    shuffle partitions sized to key cardinality around start() (state
+    stores are per-partition, fixed at first run)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from asterlake.session import ensure_parquet_nanos_conf
+    from asterlake.streaming.pipeline import stream_stream_interval_join
+
+    ensure_parquet_nanos_conf(spark)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # TIMESTAMP(NANOS) as long
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "events")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+
+        def side(event_type: str, cols: list[str]) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .parquet(src_dir)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                .filter(F.col("event_type") == event_type)
+                .select(*cols)
+            )
+
+        joined = stream_stream_interval_join(
+            side("error", ["event_id", "user_id", "ts"]),
+            side("click", ["event_id", "user_id", "ts", "value"]),
+            key="user_id",
+            window_seconds=300,
+        ).select(
+            F.col("l_event_id").alias("err_event_id"),
+            F.col("l_user_id").alias("user_id"),
+            F.col("l_ts").alias("err_ts"),
+            F.col("r_event_id").alias("clk_event_id"),
+            F.col("r_ts").alias("clk_ts"),
+            F.col("r_value").alias("clk_value"),
+        )
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            (
+                joined.writeStream.format("memory")
+                .queryName("stream_interval_join")
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return spark.table("stream_interval_join")

@@ -145,6 +145,59 @@ def windowed_event_counts(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    window_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pairs with equal ``key`` and
+    ``l.ts - window <= r.ts <= l.ts`` — the streaming twin of
+    ``operators/temporal.py:bucketed_range_join`` (inner mode), sharing its
+    l_/r_ output prefixes so the two are drop-in interchangeable.
+
+    Both sides carry watermarks and the join condition carries the time
+    bound, so Spark derives a state-retention horizon for EACH side: a
+    buffered left row can be evicted once the right watermark passes
+    ``l.ts``; a right row once the left watermark passes ``r.ts + window``.
+    Without the interval bound the state grows forever — the reason this
+    helper refuses to build an unconstrained equi-join.
+
+    Scale: state shards by the join key across executors like any
+    stateful op; the watermark delay (not the stream length) bounds state
+    per key, and AQE does not apply (streaming) so set
+    ``spark.sql.shuffle.partitions`` to the expected key cardinality
+    before ``start()`` (same rule as windowed_event_counts — measured 3x
+    on the state-store fixed overhead).
+    """
+    l_pref = left.select(
+        F.col(key).alias("_lk"),
+        F.col(left_ts).alias("_lts"),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+        ],
+    ).withWatermark("_lts", watermark)
+    r_pref = right.select(
+        F.col(key).alias("_rk"),
+        F.col(right_ts).alias("_rts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+        ],
+    ).withWatermark("_rts", watermark)
+    cond = (
+        (F.col("_lk") == F.col("_rk"))
+        & (F.col("_rts") >= F.col("_lts") - F.expr(f"INTERVAL {int(window_seconds)} SECONDS"))
+        & (F.col("_rts") <= F.col("_lts"))
+    )
+    return l_pref.join(r_pref, cond, "inner").drop("_lk", "_lts", "_rk", "_rts")
+
+
 # --- custom stateful operators (applyInPandasWithState) --------------------
 
 _COUNT_OUTPUT = StructType(

@@ -203,3 +203,51 @@ def test_srp_blocked_neighbors_no_quadratic_shape(spark):
     assert keys, "expected a shuffle on the block key"
     for k in keys:
         assert "_blk" in k, k
+
+
+def test_shipping_priority_q3_shape(spark):
+    """TPC-H Q3 shape: both dims broadcast (never a fact shuffle for a
+    join), every filter pushed to its scan, top-k via TakeOrderedAndProject
+    with the only exchange being the aggregation's."""
+    plan = _plan(spark, "q_shipping_priority")
+    assert node_count(plan, "BroadcastHashJoin") == 2
+    assert not has_node(plan, "SortMergeJoin")
+    assert has_node(plan, "TakeOrderedAndProject")
+    assert node_count(plan, "Exchange") == 1
+    li = scan_for(plan, "lineitem")
+    assert any("l_shipdate" in f for f in li.pushed_filters), li.pushed_filters
+    assert any(
+        "c_mktsegment" in f for f in scan_for(plan, "customer").pushed_filters
+    )
+
+
+def test_gapfill_single_scan_two_exchanges(spark):
+    """gap_fill_locf must be one pass: ONE events scan (the grid-then-join
+    formulation scanned twice), exchanges only on (key, slot) for the slot
+    winner and on key for the lead window, and a partial (map-side)
+    max_by before the first shuffle."""
+    from asterlake.plans.inspect import scans
+
+    plan = _plan(spark, "q_gapfill_locf")
+    ev_scans = [s for s in scans(plan) if "events" in s.location]
+    assert len(ev_scans) == 1, [s.location for s in scans(plan)]
+    assert node_count(plan, "Exchange") == 2
+    assert not has_node(plan, "SortMergeJoin")
+    assert not has_node(plan, "BroadcastHashJoin")
+    assert "partial_max_by" in plan  # map-side combine of the slot winner
+
+
+def test_histogram_and_sample_scans_minimal(spark):
+    """Profiling scans stay thin: the histogram reads ONE column of
+    lineitem with one partial-agg exchange; the stratified sample reads
+    only the key/stratum/measure columns and aggregates in one exchange
+    (sampling itself is a pure filter, no shuffle)."""
+    plan = _plan(spark, "q_histogram_prices")
+    assert set(scan_for(plan, "lineitem").read_columns) == {"l_extendedprice"}
+    assert node_count(plan, "Exchange") == 1
+
+    plan = _plan(spark, "q_sample_stratified")
+    assert set(scan_for(plan, "orders").read_columns) == {
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    }
+    assert node_count(plan, "Exchange") == 1

@@ -179,3 +179,72 @@ def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
     u1 = by_user[1]
     assert [(s.n_events, s.closed_by) for s in u1] == [(2, "gap"), (1, "timeout")]
     assert u1[0].session_start.minute == 0 and u1[0].session_end.minute == 10
+
+
+def _write_typed_events(path: str, rows: list[tuple[int, int, str, float]]) -> None:
+    with open(path, "w") as f:
+        for eid, uid, ts, val in rows:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "user_id": uid, "ts": ts, "value": val}
+                )
+                + "\n"
+            )
+
+
+def test_stream_stream_interval_join_matches_batch_range_join(spark, tmp_path):
+    """The watermarked stream-stream interval join must reproduce the batch
+    bucketed_range_join(inner) pair set exactly when the stream drains —
+    the same strongest-form check the windowed-counts stream gets."""
+    from asterlake.operators.temporal import bucketed_range_join
+    from asterlake.streaming.pipeline import stream_stream_interval_join
+
+    err_dir, clk_dir = str(tmp_path / "err"), str(tmp_path / "clk")
+    os.makedirs(err_dir)
+    os.makedirs(clk_dir)
+    errs = [
+        (100, 1, "2025-01-01 10:05:00", 0.0),
+        (101, 1, "2025-01-01 10:20:00", 0.0),
+        (102, 2, "2025-01-01 10:05:00", 0.0),
+    ]
+    clks = [
+        (200, 1, "2025-01-01 10:00:00", 1.0),  # exactly l.ts - W for err 100
+        (201, 1, "2025-01-01 10:05:00", 2.0),  # simultaneous with err 100
+        (202, 1, "2025-01-01 10:06:00", 3.0),  # after 100, within 101's window... no (>5min)
+        (203, 2, "2025-01-01 09:59:59", 4.0),  # just outside err 102's window
+        (204, 3, "2025-01-01 10:05:00", 5.0),  # wrong user
+    ]
+    _write_typed_events(os.path.join(err_dir, "e.json"), errs)
+    _write_typed_events(os.path.join(clk_dir, "c.json"), clks)
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    err_s = spark.readStream.schema(schema).json(err_dir)
+    clk_s = spark.readStream.schema(schema).json(clk_dir)
+    joined = stream_stream_interval_join(
+        err_s.drop("value"), clk_s, key="user_id", window_seconds=300
+    ).select("l_event_id", "r_event_id")
+    _drain(joined, str(tmp_path / "ck_ssj"), "ssj_sink", mode="append")
+    got = sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ssj_sink").collect()
+    )
+
+    err_b = spark.createDataFrame(
+        [(e, u, datetime.fromisoformat(t)) for e, u, t, _ in errs],
+        "event_id long, user_id long, ts timestamp",
+    )
+    clk_b = spark.createDataFrame(
+        [(e, u, datetime.fromisoformat(t), v) for e, u, t, v in clks],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    want = sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in bucketed_range_join(
+            err_b, clk_b, by="user_id", window_seconds=300, how="inner"
+        ).select("l_event_id", "r_event_id").collect()
+    )
+    assert got == want and len(got) > 0
+    # spot semantics: window-edge inclusive both ends, wrong-user excluded
+    assert (100, 200) in got and (100, 201) in got
+    assert (102, 203) not in got
+    assert all(r != 204 for _, r in got)
