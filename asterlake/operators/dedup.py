@@ -183,6 +183,94 @@ def minhash_candidate_pairs(
     ).agg(F.count("*").alias("n_shared_bands"))
 
 
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs WITH their MinHash Jaccard estimate:
+    (doc_a, doc_b, n_shared_bands, est_jaccard).
+
+    est_jaccard = (equal signature slots) / k — the unbiased MinHash
+    estimator, so downstream thresholds can rank candidates without
+    touching the documents again (the point of carrying signatures at
+    100 TB: the estimate is k int comparisons, the true Jaccard is a
+    shingle-set intersection).
+
+    Plan shape: ONE signature subtree feeds the band-bucket pair
+    generation AND both sides of the estimate join — the three uses hash-
+    partition on the same doc-id key, so ReuseExchange materializes the
+    expensive explode+md5+partial-agg exchange once. The tiny pair set
+    broadcasts into both signature joins; NULL slots (shingle-less docs)
+    count as unequal, matching the oracle's NULL-dropping list_filter.
+    """
+    rows = k // bands
+    sig_tbl = minhash_signatures(docs, id_col, text_col, n, k)
+    sig_arr = sig_tbl.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_sig{j}") for j in range(k)]).alias("_sig"),
+    )
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("_sig"), b * rows + r + 1)
+                        for r in range(rows)
+                    ],
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_tbl = sig_arr.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    buckets = (
+        band_tbl.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("_ids"), i + F.lit(2), F.size("_ids")),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        .groupBy(F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    a = sig_arr.select(F.col(id_col).alias("doc_a"), F.col("_sig").alias("_sa"))
+    b = sig_arr.select(F.col(id_col).alias("doc_b"), F.col("_sig").alias("_sb"))
+    n_equal = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    # pairs (small) broadcast into the stream of a; the pairs-sized result
+    # broadcast again into the stream of b — the corpus-wide signature
+    # table is never the build side and never re-shuffles
+    with_a = F.broadcast(pairs).join(a, "doc_a")
+    return F.broadcast(with_a).join(b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        (n_equal.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+    )
+
+
 def simhash_fingerprint(text_col: str, nbits: int = 32) -> Column:
     """nbits-char '0'/'1' fingerprint; bit j votes over all tokens with
     weight +-1 by the j-th hex digit of md5(token). Frequency-weighted

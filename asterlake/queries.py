@@ -2474,3 +2474,171 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         return spark.table("stream_interval_join")
+
+
+@query(
+    "q_minhash_jaccard_estimate",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    ), based AS (
+      SELECT doc_id,
+             list_transform(shingles, s ->
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, 16), i ->
+                     CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1
+                          AS BIGINT))),
+                 (acc, c) -> acc * 16 + c) % 1000000007) AS bases
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 12), j ->
+               list_aggregate(
+                 list_transform(bases, x ->
+                   (((j + 1) * 1000003 + 17) * x + ((j + 1) * 999983 + 7))
+                     % 1000000007),
+                 'min')) AS sig
+      FROM based
+    ), bandt AS (
+      SELECT doc_id,
+             unnest([concat(CAST(b AS VARCHAR), ':',
+                            array_to_string(sig[b*3+1 : b*3+3], ','))
+                     for b in range(0, 4)]) AS band_key
+      FROM sig
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+      FROM bandt a JOIN bandt b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+           CAST(len(list_filter(
+                  list_transform(range(1, 13), i -> sa.sig[i] = sb.sig[i]),
+                  v -> v)) AS DOUBLE) / 12.0 AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON p.doc_a = sa.doc_id
+    JOIN sig sb ON p.doc_b = sb.doc_id
+    """,
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs carrying the MinHash Jaccard ESTIMATE (equal
+    signature slots / k): rank-and-threshold near-dups from k int
+    comparisons without re-touching document bodies. One signature
+    subtree serves pair generation and both estimate join sides
+    (ReuseExchange); the pair set broadcasts."""
+    from asterlake.operators.dedup import minhash_estimate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_estimate_pairs(d, n=3, k=12, bands=4)
+
+
+@query(
+    "q_window_navigation",
+    """
+    SELECT user_id, event_id,
+           lag(value, 1, -1.0) OVER w AS prev_value,
+           lead(value, 2) OVER w AS next2_value,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cume,
+           nth_value(event_id, 3) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_event
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation surface: lag with default, multi-step lead,
+    percent_rank, cume_dist, nth_value over a running frame — the
+    remaining §2.5 window functions q_window_frames doesn't cover, on a
+    fully deterministic (ts, event_id) order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value", 1, -1.0).over(w).alias("prev_value"),
+        F.lead("value", 2).over(w).alias("next2_value"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("event_id", 3).over(run).alias("third_event"),
+    )
+
+
+@query(
+    "q_array_functions",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> len(t) > 4)) AS BIGINT)
+             AS n_long_tokens,
+           array_to_string(list_sort(toks)[1:3], ' ') AS first3_sorted,
+           list_contains(toks, 'spark') AS has_spark,
+           CAST(list_max(list_transform(toks, t -> len(t))) AS INT)
+             AS max_token_len,
+           CAST(len(flatten([toks, list_reverse(toks)])) AS INT)
+             AS doubled_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array surface: filter, sort+slice, contains, transform
+    +max, flatten+reverse — the §2.6 'absent-but-built-in' array family,
+    each a row-local projection (no shuffle, whole-stage codegen)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4))
+        .cast("bigint")
+        .alias("n_long_tokens"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), " ").alias(
+            "first3_sorted"
+        ),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_max(F.transform(toks, F.length)).cast("int").alias(
+            "max_token_len"
+        ),
+        F.size(F.flatten(F.array(toks, F.reverse(toks))))
+        .cast("int")
+        .alias("doubled_len"),
+    )
+
+
+@query(
+    "q_conditional_agg",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+             AS n_discounted,
+           CAST(SUM(CASE WHEN l_tax > 0.0
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS taxed_price_sum,
+           CAST(COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS frac_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/filtered aggregation: count_if, predicated decimal-exact
+    sums, and a within-group fraction — one partial-aggregated pass, no
+    second scan per predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.sum(
+            F.when(F.col("l_tax") > 0.0, _dec("l_extendedprice")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("taxed_price_sum"),
+        (
+            F.count_if(F.col("l_quantity") >= 25).cast("double") / F.count("*")
+        ).alias("frac_bulk"),
+    )
