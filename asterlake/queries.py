@@ -2642,3 +2642,95 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("l_quantity") >= 25).cast("double") / F.count("*")
         ).alias("frac_bulk"),
     )
+
+
+@query(
+    "q_corpus_survivors",
+    f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_cnt FROM (
+        SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    ), rep AS (
+      SELECT b.doc_id,
+             (CAST(top_cnt AS DOUBLE) / n_tokens <= 0.2
+              AND dup_bigram_frac <= 0.2) AS keep
+      FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(bis) - len(list_distinct(bis)) AS DOUBLE) / len(bis)
+                 AS dup_bigram_frac
+        FROM (
+          SELECT doc_id, toks,
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i+1]) AS bis
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        )
+      ) b JOIN top USING (doc_id)
+    ), kept AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN rep USING (doc_id) WHERE rep.keep
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM (
+        SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM kept)
+      )
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM kept
+      UNION
+      SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    ), comp AS (
+      SELECT node AS doc_id, MIN(comp) AS cluster FROM walk GROUP BY node
+    ), csize AS (
+      SELECT cluster, COUNT(*) AS n_members FROM comp GROUP BY cluster
+    )
+    SELECT c.doc_id, d.lang, d.n_chars, cs.n_members
+    FROM comp c
+    JOIN csize cs USING (cluster)
+    JOIN documents d ON c.doc_id = d.doc_id
+    WHERE c.doc_id = c.cluster
+    """,
+)
+def q_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation pipeline as ONE composed plan:
+    repetition-filter the documents (Gopher-style keep verdict), cluster
+    the survivors' 3-gram-Jaccard near-dups transitively (connected
+    components), keep one canonical document per cluster (the min-id
+    member), and report it with its cluster size. This is the composition
+    the individual operators exist for — filters before dedup (fewer
+    shingle sets), pair generation bucketed, clustering iterative, and
+    the final survivor pick a trivial doc_id == cluster filter."""
+    from asterlake.operators.dedup import ngram_jaccard_pairs
+    from asterlake.operators.graph import duplicate_clusters
+    from asterlake.operators.textstats import repetition_features
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.join(
+        repetition_features(d).filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    pairs = ngram_jaccard_pairs(kept, n=3, threshold=0.5).select("doc_a", "doc_b")
+    clusters = duplicate_clusters(pairs, kept)
+    sizes = clusters.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return (
+        clusters.filter(F.col("doc_id") == F.col("cluster"))
+        .join(sizes, "cluster")
+        .join(d.select("doc_id", "lang", "n_chars"), "doc_id")
+        .select("doc_id", "lang", "n_chars", "n_members")
+    )

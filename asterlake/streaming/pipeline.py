@@ -332,3 +332,42 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_merge_dimension(
+    stream: DataFrame,
+    path: str,
+    natural_key: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming upsert sink: drain a (deduplicated) stream into a
+    dimension table with merge-on-natural-key semantics via foreachBatch.
+
+    ``foreachBatch`` is the Structured Streaming escape hatch for sinks
+    Spark has no native writer for (MERGE, JDBC upsert, multi-table
+    transactions): each micro-batch arrives as a plain batch DataFrame
+    and the batch ``merge_dimension`` writer (sources/writers.py) runs
+    unchanged — the same first-write-wins survivor rule as the batch gold
+    path, so streamed and batch-built dims are byte-identical.
+
+    Exactly-once: the checkpoint records the batch id; after a crash the
+    SAME batch replays into ``merge_dimension``, whose anti-join makes the
+    replay a no-op — idempotence at the sink converts at-least-once
+    delivery into effective exactly-once (the standard foreachBatch
+    contract).
+    """
+    from asterlake.sources.writers import merge_dimension
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        # batch-local dedup on the natural key: one micro-batch can carry
+        # several versions of a key; keep one deterministically
+        survivors = batch.dropDuplicates([natural_key])
+        merge_dimension(batch.sparkSession, survivors, path, natural_key)
+
+    (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -248,3 +248,40 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark, tmp_path):
     assert (100, 200) in got and (100, 201) in got
     assert (102, 203) not in got
     assert all(r != 204 for _, r in got)
+
+
+def test_stream_merge_dimension_upserts_and_is_idempotent(spark, tmp_path):
+    """foreachBatch merge sink: keys merge across micro-batches with
+    first-write-wins survivors, and a re-drain (same checkpoint, no new
+    files) changes nothing."""
+    from asterlake.streaming.pipeline import stream_merge_dimension
+
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ck_merge")
+    os.makedirs(src)
+    _write_typed_events(
+        os.path.join(src, "b1.json"),
+        [(1, 10, "2025-01-01 10:00:00", 1.0), (2, 20, "2025-01-01 10:01:00", 2.0)],
+    )
+    _write_typed_events(
+        os.path.join(src, "b2.json"),
+        [(3, 10, "2025-01-01 11:00:00", 9.0), (4, 30, "2025-01-01 11:01:00", 3.0)],
+    )
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    stream_merge_dimension(stream, dim, "user_id", ckpt)
+
+    rows = {r.user_id: r.value for r in spark.read.parquet(dim).collect()}
+    # user 10 existed from batch 1 -> first write wins; 30 inserted
+    assert rows == {10: 1.0, 20: 2.0, 30: 3.0}
+
+    # re-drain with same checkpoint: no new input -> table unchanged
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    stream_merge_dimension(stream2, dim, "user_id", ckpt)
+    rows2 = {r.user_id: r.value for r in spark.read.parquet(dim).collect()}
+    assert rows2 == rows
