@@ -2722,9 +2722,17 @@ def q_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asterlake.operators.textstats import repetition_features
 
     d = load_table(spark, sf_dir, "documents")
-    kept = d.join(
-        repetition_features(d).filter(F.col("keep")).select("doc_id"), "doc_id"
+    # Materialize the kept ID SET once: the keep verdict feeds three
+    # consumers (shingle explode, size branch, cluster vertex set) and
+    # would otherwise re-run the tokenize+agg feature subtree per consumer
+    # (measured 5.3s -> 3.2s at sf0.1). Only ids are checkpointed — never
+    # text bodies, so the materialization stays O(corpus rows), and the
+    # docs⋈ids re-join is left un-hinted for AQE to broadcast only while
+    # the id set is actually small.
+    kept_ids = (
+        repetition_features(d).filter(F.col("keep")).select("doc_id").localCheckpoint()
     )
+    kept = d.join(kept_ids, "doc_id")
     pairs = ngram_jaccard_pairs(kept, n=3, threshold=0.5).select("doc_a", "doc_b")
     clusters = duplicate_clusters(pairs, kept)
     sizes = clusters.groupBy("cluster").agg(F.count("*").alias("n_members"))
@@ -2733,4 +2741,95 @@ def q_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "cluster")
         .join(d.select("doc_id", "lang", "n_chars"), "doc_id")
         .select("doc_id", "lang", "n_chars", "n_members")
+    )
+
+
+# ===========================================================================
+# Beyond-parity: decontamination + sequence packing
+# (operators/decontam.py, operators/packing.py)
+# ===========================================================================
+
+
+def _decontam_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    bucket = duck_hash_bucket_sql("doc_id", 100)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), bench_ids AS (
+      SELECT doc_id FROM documents WHERE {bucket} < 5
+    ), bench_sh AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM (
+        SELECT {_DUCK_SHINGLES.strip()} AS shingles FROM t
+        WHERE doc_id IN (SELECT doc_id FROM bench_ids)
+      )
+    ), corpus_sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM (
+        SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles FROM t
+        WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)
+      )
+    )
+    SELECT doc_id, COUNT(*) AS n_hit_ngrams
+    FROM corpus_sh
+    WHERE shingle IN (SELECT shingle FROM bench_sh)
+    GROUP BY doc_id
+    """
+
+
+@query("q_decontaminate", _decontam_oracle())
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic 5% hash slice of the
+    corpus plays the evaluation set; every remaining document that shares a
+    word 3-gram with it is reported with its overlap count. The benchmark's
+    distinct n-gram set is broadcast — the corpus never shuffles for the
+    membership probe, and only contaminated (doc, shingle) hits reach the
+    counting shuffle."""
+    from asterlake.operators.decontam import contamination_report
+    from asterlake.operators.sampling import deterministic_sample, hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = deterministic_sample(d, "doc_id", 5)
+    corpus = d.filter(hash_bucket(F.col("doc_id"), 100) >= 5)
+    return contamination_report(corpus, bench, n=3)
+
+
+def _pack_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    bucket = duck_hash_bucket_sql("doc_id", 16)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {bucket} AS bucket
+      FROM documents
+    ), w AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY bucket, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_tokens AS "offset"
+      FROM t
+    )
+    SELECT doc_id, n_tokens, "offset",
+           "offset" // 512 AS pack_id,
+           "offset" % 512 AS pack_offset,
+           ("offset" + GREATEST(n_tokens - 1, 0)) // 512 AS end_pack_id
+    FROM w
+    """
+
+
+@query("q_pack_sequences", _pack_oracle())
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing of the corpus into 512-token
+    sequences: every document gets its global token offset (two-phase
+    distributed prefix sum over 16 hash buckets — no single-partition
+    global window), its pack id/offset, and the pack its last token lands
+    in. The oracle's one global window IS the single-partition shape the
+    operator exists to avoid; results are identical int64s."""
+    from asterlake.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, F.size(F.split(F.col("text"), " ")), budget=512, n_buckets=16
     )
