@@ -24,7 +24,7 @@ the scan, but partition/column pruning is unaffected).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,4 +68,53 @@ def duck_hash_bucket_sql(key_expr: str, buckets: int = 100) -> str:
         f"CAST(strpos('0123456789abcdef', substr(md5(CAST({key_expr} AS VARCHAR)), i, 1)) - 1 "
         "AS BIGINT))), "
         f"(acc, c) -> acc * 16 + c) % {buckets}"
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    val_percent: int = 10,
+    test_percent: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Label every row 'train' / 'val' / 'test' by its key's hash bucket.
+
+    The split is a pure projection (no shuffle, no RNG state) and a pure
+    function of the key — re-running on any engine, partitioning, or
+    subset reproduces the identical assignment, and a row can never
+    migrate between splits when the corpus grows (the property that
+    prevents silent test-set leakage across dataset versions).
+    """
+    b = hash_bucket(F.col(key), buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < test_percent, F.lit("test"))
+        .when(b < test_percent + val_percent, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    quota: int,
+    order_buckets: int = 1_000_000_007,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, chosen in deterministic
+    hash order (domain/language caps in corpus curation).
+
+    Row priority inside a group is ``(hash_bucket(key, large_prime),
+    key)`` — hash order approximates a uniform random draw yet is a pure
+    function of the data, and the key tiebreak makes row_number total.
+    One shuffle keyed on the group column; a pathologically hot group is
+    exactly the case the quota exists to cut, and AQE splits its sort."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key), order_buckets), F.col(key)
+    )
+    return (
+        df.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= quota)
+        .drop("_qrank")
     )

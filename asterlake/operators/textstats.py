@@ -276,3 +276,118 @@ def fingerprint_table(
         rolling_hash(text_col).alias("fingerprint"),
         F.md5(F.col(text_col)).alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relevance scoring: TF-IDF top terms, BM25 retrieval
+# ---------------------------------------------------------------------------
+#
+# Both use a RATIONAL idf — tf-idf: (N + 1) / (df + 1); BM25:
+# (N + 1) / (df + 0.5) — instead of the textbook ln(...) of the same
+# ratio. ln is a transcendental whose last-ulp rounding differs between
+# libm implementations (JVM StrictMath vs DuckDB's C runtime), which would
+# break the driver's exact value-hash gate; the rational form is a fixed
+# tree of IEEE-exact int->double casts, one division and one multiply, so
+# Spark and DuckDB produce bit-identical doubles. Because x -> ln(x) is
+# monotone, per-term rankings are unchanged; only multi-term BM25 sums can
+# order differently from the ln variant (documented, deterministic).
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf.
+
+    Shape: one explode + (doc, term) count (shuffle keyed on the pair, so
+    skew follows document length), one (term -> df) aggregate whose output
+    is vocabulary-sized and joins back by term (AQE broadcasts it while
+    small), corpus size N as a broadcast one-row cross join, then a
+    per-doc top-k window. Ties break on term text: deterministic output.
+    """
+    tok = docs.select(F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (
+                (F.col("n_docs").cast("double") + F.lit(1.0))
+                / (F.col("df").cast("double") + F.lit(1.0))
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every matching document for a bag of query terms.
+
+    Scale shape — the corpus NEVER shuffles: per-term tf is row-local
+    (``size(filter(toks, x -> x = term))``), corpus stats (N, total dl)
+    and per-term document frequencies are two one-row aggregates broadcast
+    back via cross join, and the score is a pure projection. The only
+    exchanges are the two scalar aggregations. Docs matching no term are
+    dropped (their score is identically 0).
+
+    Determinism: the score is a FIXED left-to-right sum over ``terms`` of
+    per-term rational expressions (query terms are plan literals), so both
+    engines evaluate the identical IEEE expression tree — no
+    groupBy-over-doubles whose partial-sum order could differ.
+    """
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    toks = whitespace_tokens(text_col)
+
+    def tf_of(term: str) -> Column:
+        # one-arg lambda only: a 2-arg lambda would be read by PySpark as
+        # the (element, index) form and shadow the bound term
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        *[tf_of(t).alias(f"_tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.select(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count_if(F.col(f"_tf_{i}") > 0).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    hit = base.filter(
+        F.greatest(*[F.col(f"_tf_{i}") for i in range(len(terms))]) > 0
+        if len(terms) > 1
+        else F.col("_tf_0") > 0
+    )
+    j = hit.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = (F.col("n_docs").cast("double") + F.lit(1.0)) / (
+            F.col(f"_df_{i}").cast("double") + F.lit(0.5)
+        )
+        tf = F.col(f"_tf_{i}").cast("double")
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+    return j.select(F.col(id_col), score.alias("bm25"))

@@ -2833,3 +2833,209 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         d, F.size(F.split(F.col("text"), " ")), budget=512, n_buckets=16
     )
+
+
+# ===========================================================================
+# Beyond-parity: relevance scoring (operators/textstats.py TF-IDF / BM25)
+# ===========================================================================
+
+
+@query(
+    "q_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf AS DOUBLE)
+               * ((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf with a RATIONAL
+    idf ((N+1)/(df+1) — monotone twin of the ln form, chosen because ln's
+    last-ulp rounding differs across libms and would break the exact
+    value-hash gate; see operators/textstats.py)."""
+    from asterlake.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+_BM25_TERMS = ["spark", "data", "join"]
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"COUNT(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # mirror the engine's exact expression tree: left-to-right sum of
+    # idf * (tf * (1.2 + 1.0)) / (tf + norm); constants are COMPUTED
+    # (1.2 + 1.0), not folded literals, so both engines round identically
+    terms_sum = "0.0"
+    for i in range(len(_BM25_TERMS)):
+        idf = f"((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        terms_sum = (
+            f"{terms_sum} + {idf} * (CAST(tf{i} AS DOUBLE) * (1.2 + 1.0))"
+            f" / (CAST(tf{i} AS DOUBLE) + norm)"
+        )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_cols}
+      FROM base
+    ), normed AS (
+      SELECT base.*, stats.*,
+             1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS norm
+      FROM base CROSS JOIN stats
+      WHERE GREATEST({", ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))}) > 0
+    )
+    SELECT doc_id, {terms_sum} AS bm25 FROM normed
+    """
+
+
+@query("q_bm25_search", _bm25_oracle())
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document matching the 3-term query
+    ['spark','data','join'] — corpus-shuffle-free: row-local tf, broadcast
+    one-row corpus stats, fixed-order rational score sum (bit-identical to
+    the oracle's expression tree)."""
+    from asterlake.operators.textstats import bm25_scores
+
+    return bm25_scores(load_table(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+# ===========================================================================
+# Beyond-parity: dataset assembly (operators/sampling.py split / quota)
+# ===========================================================================
+
+
+def _split_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    b = duck_hash_bucket_sql("doc_id", 100)
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN {b} < 10 THEN 'test'
+                WHEN {b} < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """
+
+
+@query("q_split_assign", _split_oracle())
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by key hash):
+    a pure projection — identical membership on any engine, partitioning,
+    or corpus version (rows never migrate between splits)."""
+    from asterlake.operators.sampling import train_val_test_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return train_val_test_split(d, "doc_id", val_percent=10, test_percent=10)
+
+
+def _quota_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    b = duck_hash_bucket_sql("doc_id", 1_000_000_007)
+    return f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {b}, doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 40
+    """
+
+
+@query("q_quota_sample", _quota_oracle())
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document cap (40 docs/lang) in deterministic hash
+    order — the domain/language balancing step of corpus assembly."""
+    from asterlake.operators.sampling import quota_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return quota_sample(d, "lang", "doc_id", 40)
+
+
+# ===========================================================================
+# Beyond-parity: embedding-cosine duplicate clustering
+# (operators/similarity.py pairs -> operators/graph.py closure)
+# ===========================================================================
+
+
+def _embedding_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE h AS (SELECT {_srp_planes()} AS planes),
+    b AS (
+      SELECT vec_id, embedding,
+             array_to_string(list_transform(planes, hp ->
+               CASE WHEN list_sum(list_transform(range(1, len(embedding)+1),
+                      i -> hp[i] * CAST(embedding[i] AS DOUBLE))) >= 0
+                    THEN '1' ELSE '0' END), '') AS bucket
+      FROM embeddings, h
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE {_duck_cosine('a.embedding', 'b2.embedding')} >= 0.4
+    ), edges AS (
+      SELECT vec_a AS s, vec_b AS d FROM pairs
+      UNION ALL
+      SELECT vec_b AS s, vec_a AS d FROM pairs
+    ), walk(node, comp) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    ), comp AS (
+      SELECT node AS vec_id, MIN(comp) AS cluster FROM walk GROUP BY node
+    )
+    SELECT c.vec_id, c.cluster, cs.n_members
+    FROM comp c
+    JOIN (SELECT cluster, COUNT(*) AS n_members FROM comp GROUP BY cluster) cs
+      USING (cluster)
+    """
+
+
+@query("q_embedding_dup_clusters", _embedding_clusters_oracle())
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) duplicate clustering: SRP-LSH-blocked
+    cosine >= 0.4 pairs -> connected components -> cluster id + size per
+    vector. The same compose-the-operators story as q_corpus_survivors but
+    on the embedding modality: pair generation is bucketed by the
+    content-derived SRP key (never all-pairs), the closure is the
+    iterative min-label fixpoint, and the oracle re-walks the identical
+    edges with a recursive CTE."""
+    from asterlake.operators.graph import duplicate_clusters
+    from asterlake.operators.similarity import blocked_neighbor_pairs, srp_signature
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked_neighbor_pairs(
+        e, srp_signature(F.col("embedding"), _srp_planes()), 0.4,
+        max_block_rows=1024,
+    ).select("vec_a", "vec_b")
+    clusters = duplicate_clusters(
+        pairs, e, pair_a="vec_a", pair_b="vec_b", doc_id="vec_id"
+    ).withColumnRenamed("cluster", "cluster")
+    sizes = clusters.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return clusters.join(sizes, "cluster").select("vec_id", "cluster", "n_members")
