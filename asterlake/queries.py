@@ -3039,3 +3039,143 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("cluster", "cluster")
     sizes = clusters.groupBy("cluster").agg(F.count("*").alias("n_members"))
     return clusters.join(sizes, "cluster").select("vec_id", "cluster", "n_members")
+
+
+# ===========================================================================
+# Beyond-parity: RAG chunking (operators/chunking.py)
+# ===========================================================================
+
+
+@query(
+    "q_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, (GREATEST(len(toks) - 64, 0) + 47) // 48 + 1),
+               i -> {'chunk_id': i,
+                     'chunk_text': array_to_string(
+                        toks[i * 48 + 1 : i * 48 + 64], ' ')})) AS u
+      FROM t
+    )
+    SELECT doc_id, u.chunk_id AS chunk_id, u.chunk_text AS chunk_text,
+           len(string_split(u.chunk_text, ' ')) AS n_chunk_tokens
+    FROM c
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 64-token windows, stride 48 (16-token overlap), last
+    window clipped at the document tail. One tokenization per document,
+    all chunks built row-locally, posexplode — no shuffle anywhere."""
+    from asterlake.operators.chunking import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, stride=48)
+
+
+# ===========================================================================
+# Relational surface: TPC-H-shaped plan exercises (Q21 / Q2 shapes)
+# ===========================================================================
+
+
+@query(
+    "q_waiting_supplier_orders",
+    """
+    SELECT l1.l_suppkey, COUNT(*) AS n_waiting
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    WHERE l1.l_shipdate > DATE '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > DATE '1996-01-01')
+    GROUP BY l1.l_suppkey
+    """,
+)
+def q_waiting_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper
+    (l_shipdate past the cutoff — the testdata carries no receipt/commit
+    dates) in a multi-supplier 'F' order — a semi-join AND an anti-join
+    against the same fact self-reference. Catalyst rewrites both
+    EXISTS into LeftSemi/LeftAnti hash joins on l_orderkey; no correlated
+    per-row subquery execution survives in the physical plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li.createOrReplaceTempView("v_lineitem")
+    o.createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT l1.l_suppkey, COUNT(*) AS n_waiting
+        FROM v_lineitem l1
+        JOIN v_orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        WHERE l1.l_shipdate > DATE '1996-01-01'
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM v_lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > DATE '1996-01-01')
+        GROUP BY l1.l_suppkey
+        """
+    )
+
+
+@query(
+    "q_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + i * 13) % (SELECT COUNT(*) FROM supplier) + 1
+               AS ps_suppkey,
+             (p_partkey * 31 + i * 17) % 1000 + 1 AS ps_supplycost
+      FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) u
+    )
+    SELECT p_partkey, s_suppkey, ps_supplycost
+    FROM part
+    JOIN ps ON p_partkey = ps.ps_partkey
+    JOIN supplier ON s_suppkey = ps.ps_suppkey
+    WHERE ps_supplycost = (
+      SELECT MIN(ps2.ps_supplycost) FROM ps ps2
+      WHERE ps2.ps_partkey = p_partkey)
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part via a correlated scalar
+    MIN subquery. The driver testdata has no partsupp table, so one is
+    DERIVED with identical integer arithmetic in both engines (4 candidate
+    suppliers per part, cost from a modular hash; supplier count enters as
+    a scalar subquery — no driver-side action). Catalyst decorrelates the
+    scalar MIN into an aggregate + join; ties (shared min cost) surface
+    identically on both sides."""
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    p.createOrReplaceTempView("v_part")
+    s.createOrReplaceTempView("v_supplier")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT p_partkey AS ps_partkey,
+                 (p_partkey * 7 + i * 13)
+                   % (SELECT COUNT(*) FROM v_supplier) + 1 AS ps_suppkey,
+                 (p_partkey * 31 + i * 17) % 1000 + 1 AS ps_supplycost
+          FROM v_part LATERAL VIEW explode(sequence(0, 3)) t AS i
+        )
+        SELECT p_partkey, s_suppkey, ps_supplycost
+        FROM v_part
+        JOIN ps ON p_partkey = ps.ps_partkey
+        JOIN v_supplier ON s_suppkey = ps.ps_suppkey
+        WHERE ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost) FROM ps ps2
+          WHERE ps2.ps_partkey = p_partkey)
+        """
+    )

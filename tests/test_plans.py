@@ -251,3 +251,28 @@ def test_histogram_and_sample_scans_minimal(spark):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     }
     assert node_count(plan, "Exchange") == 1
+
+
+def test_waiting_supplier_exists_becomes_semi_anti_joins(spark):
+    plan = _plan(spark, "q_waiting_supplier_orders")
+    tree = plan.split("\n\n", 1)[0]
+    # both EXISTS are decorrelated into hash joins — no per-row subquery
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "Subquery" not in tree  # no surviving scalar-subquery node
+
+
+def test_chunking_is_shuffle_free_generator(spark):
+    plan = _plan(spark, "q_chunk_documents")
+    assert not has_node(plan, "Exchange")
+    assert has_node(plan, "Generate")  # posexplode
+    # only the two used columns are read
+    scan = scan_for(plan, "documents")
+    assert set(scan.read_columns) == {"doc_id", "text"}
+
+
+def test_min_cost_supplier_decorrelates_scalar_min(spark):
+    plan = _plan(spark, "q_min_cost_supplier")
+    # the correlated MIN becomes an aggregate joined back, not a per-row
+    # subquery: physical plan has hash aggregates + joins only
+    assert has_node(plan, "HashAggregate")
+    assert not has_node(plan, "CartesianProduct")
