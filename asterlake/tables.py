@@ -1,14 +1,19 @@
 """Loaders for the driver's TPC-H-ish testdata (TESTDATA.md / FIXTURES.md B).
 
-One quirk: ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS),
-which Spark 4 refuses to read (PARQUET_TYPE_ILLEGAL). Sessions from
-``build_session`` carry the legacy ``nanosAsLong`` read conf from the
-builder; for externally-owned sessions (the correctness driver's) the
-loader calls the idempotent ``ensure_parquet_nanos_conf`` shim — it never
-mutates an already-configured session. The long nanos rebuild to a
-microsecond timestamp uses integer ``div 1000`` — floor semantics, matching
-DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) truncation exactly (verified:
-/1000.0 + cast ROUNDS and diverges from the oracle by 1µs).
+One quirk: ``events.parquet`` has shipped ``ts`` under different physical
+encodings across driver versions — parquet TIMESTAMP(NANOS) (which Spark 4
+only reads as a long under the legacy ``nanosAsLong`` conf) and plain
+TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ). The loader
+never assumes one: it branches on the type Spark actually observed.
+
+* ``LongType`` — nanos-as-long: rebuild a microsecond timestamp with
+  integer ``div 1000`` — floor semantics, matching DuckDB's
+  CAST(TIMESTAMP_NS AS TIMESTAMP) truncation exactly (verified:
+  /1000.0 + cast ROUNDS and diverges from the oracle by 1µs).
+* ``TimestampNTZType`` — cast to session-local TIMESTAMP so downstream
+  window/session/as-of logic sees one type regardless of encoding (the
+  session runs UTC, so the cast is a relabel, not a shift).
+* ``TimestampType`` — already what we want; passthrough.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from asterlake.session import ensure_parquet_nanos_conf
 
@@ -34,12 +40,33 @@ TABLE_NAMES = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zoned TIMESTAMP whatever the
+    physical parquet encoding was (see module docstring). Branches on the
+    type Spark *observed*, never on an assumed encoding — works for batch
+    and streaming DataFrames alike."""
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def events_read_schema(spark: SparkSession, sf_dir: str):
+    """The schema Spark observes for a batch read of ``events.parquet`` —
+    pass this to ``readStream.schema(...)`` (file streams require an
+    explicit schema) so streaming reads see the same physical encoding the
+    batch path does, then normalize with :func:`normalize_events_ts`."""
+    ensure_parquet_nanos_conf(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         ensure_parquet_nanos_conf(spark)
-        df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 
