@@ -24,11 +24,14 @@ Scale (100 TB corpus, billions of candidate edges):
   the plan doubles per iteration and round k replays rounds 1..k-1.
 - Diameter bound: duplicate-cluster graphs are near-cliques (every member
   pairs with most others), so propagation converges in 2-3 rounds
-  regardless of corpus size. For adversarial long-path graphs the
-  large-star/small-star variant (Kiveris et al., "Connected Components in
-  MapReduce and Beyond") converges in O(log^2 n) rounds; this simple
-  propagation is the right trade for dedup workloads and is exact for any
-  graph, just slower on pathological chains (``max_iter`` guards those).
+  regardless of corpus size. For adversarial long-path graphs pass
+  ``method="star"``: the alternating large-star/small-star algorithm
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SOCC'14) converges in O(log^2 n) rounds independent of diameter. Both
+  methods are exact; propagation stays the default because a dedup
+  round is one join + one partial-agg min (star rounds are two
+  grouped emissions + a distinct), and near-clique inputs finish in
+  fewer total shuffles.
 """
 
 from __future__ import annotations
@@ -44,6 +47,7 @@ def connected_components(
     dst: str = "dst",
     id_col: str = "id",
     max_iter: int = 25,
+    method: str = "propagation",
 ) -> DataFrame:
     """Label every vertex with the min vertex id reachable from it.
 
@@ -52,14 +56,23 @@ def connected_components(
     isolated vertices (no edges) appear as their own singleton components;
     otherwise the vertex set is inferred from the edges alone.
 
+    ``method``: ``"propagation"`` (default, rounds = diameter — right for
+    near-clique dedup graphs) or ``"star"`` (large-star/small-star,
+    O(log^2 n) rounds — right for adversarial long chains).
+
     Returns ``(id_col, component)`` with component = min id in the
-    component. Deterministic for any input partitioning.
+    component. Deterministic for any input partitioning; both methods
+    produce identical output.
     """
     und = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).unionByName(
         edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
     )
     if vertices is None:
         vertices = und.select(F.col("_s").alias(id_col)).distinct()
+    if method == "star":
+        return _cc_star(und, vertices, id_col, max_iter)
+    if method != "propagation":
+        raise ValueError(f"unknown method {method!r}")
     labels = vertices.select(
         F.col(id_col), F.col(id_col).alias("component")
     ).localCheckpoint()
@@ -91,6 +104,75 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _cc_star(und: DataFrame, vertices: DataFrame, id_col: str, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al. SOCC'14).
+
+    Works on a canonical directed edge set ``(_c, _p)`` with ``_c > _p``
+    (child points at the smaller endpoint). Each round:
+
+    - large-star: per node u over its full neighborhood, attach every
+      neighbor LARGER than u to min(neighborhood + u) — long chains halve.
+    - small-star: per node u over its smaller-or-equal neighbors, attach
+      all of them (and u) to the minimum — flattens local stars.
+
+    Both are one groupBy(min) + one re-emission join, key-partitioned on
+    the node id; the edge set never grows beyond the input size (emissions
+    are distinct-ed per round). Converged when a round changes nothing —
+    the edge set is then exactly (vertex -> its component min). O(log^2 n)
+    rounds for any graph, independent of diameter.
+    """
+    # canonical child>parent pairs; self-loops dropped
+    star = (
+        und.filter(F.col("_s") != F.col("_d"))
+        .select(
+            F.greatest("_s", "_d").alias("_c"), F.least("_s", "_d").alias("_p")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.select("_c", "_p").unionByName(
+            e.select(F.col("_p").alias("_c"), F.col("_c").alias("_p"))
+        )
+        m = nbrs.groupBy("_c").agg(
+            F.least(F.min("_p"), F.first("_c")).alias("_m")
+        )
+        return (
+            nbrs.join(m, "_c")
+            .filter(F.col("_p") > F.col("_c"))
+            .select(F.col("_p").alias("_c"), F.col("_m").alias("_p"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is already child>parent oriented; per child, link all its
+        # parents AND itself to the overall min parent
+        m = e.groupBy("_c").agg(F.min("_p").alias("_m"))
+        linked = (
+            e.join(m, "_c")
+            .filter(F.col("_p") != F.col("_m"))
+            .select(F.col("_p").alias("_c"), F.col("_m").alias("_p"))
+        )
+        self_links = m.select(F.col("_c"), F.col("_m").alias("_p"))
+        return linked.unionByName(self_links).distinct()
+
+    for _ in range(max_iter):
+        nxt = small_star(large_star(star)).localCheckpoint()
+        # converged when the canonical edge set is a fixpoint; subtract is
+        # one extra shuffle per round — the price of a sound stopping rule
+        if nxt.subtract(star).count() == 0 and star.subtract(nxt).count() == 0:
+            star = nxt
+            break
+        star = nxt
+
+    labels = star.select(F.col("_c").alias(id_col), F.col("_p").alias("component"))
+    roots = vertices.select(id_col).join(
+        star.select(F.col("_c").alias(id_col)), id_col, "left_anti"
+    ).select(F.col(id_col), F.col(id_col).alias("component"))
+    return labels.unionByName(roots)
 
 
 def duplicate_clusters(

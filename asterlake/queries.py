@@ -1561,27 +1561,63 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sketch_distinct", None)  # approximate — no exact oracle by design
+@query(
+    "q_sketch_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_within_tol,
+           TRUE AS orders_within_tol,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch surface (rows-only driver check): HyperLogLog++ distinct
-    counts and t-digest-style quantiles per return flag — the sublinear
-    forms of q_count_distinct / percentiles for 100 TB interactive use.
+    """Sketch surface with a CHECKABLE contract (round-2 verdict #8 — this
+    was the one permanently rows-only query): HyperLogLog++ distinct counts
+    and quantile sketches per return flag, the sublinear forms of
+    q_count_distinct / percentiles for 100 TB interactive use.
 
-    The two quantiles are projected as SCALAR doubles (p50/p95), not an
-    array: the driver's rows-only canonicalizer sorts the result frame and
-    cannot hash/sort list-typed cells (r01 recorded `unhashable type:
-    'list'` here). One percentile_approx sketch still computes both —
-    element_at unpacks it, so no second pass over lineitem."""
+    Approximate values can never hash-match an exact oracle, so the query
+    verifies its own sketches IN-PLAN: it emits the exact distinct counts
+    (hash-compared against DuckDB) plus booleans asserting each sketch
+    landed within deterministic error bounds — HLL++ at rsd=0.02 within
+    10% of the exact count, percentile_approx(accuracy=10000) within 2% of
+    the exact percentile value. Sketches are deterministic for fixed data,
+    so the booleans are stable; the oracle states them as TRUE literals.
+    A sketch regression now breaks the hash gate instead of hiding behind
+    a rows-only row. Exact aggregates ride the same single scan."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_ao"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_x50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("_x95"),
         F.element_at(
             F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000), 1
-        ).alias("price_p50"),
+        ).alias("_p50"),
         F.element_at(
             F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000), 2
-        ).alias("price_p95"),
+        ).alias("_p95"),
+    )
+
+    def _within(est: str, exact: str, tol: float) -> F.Column:
+        return (
+            F.abs(F.col(est) - F.col(exact)) <= F.lit(tol) * F.abs(F.col(exact))
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        _within("_ap", "exact_parts", 0.10).alias("parts_within_tol"),
+        _within("_ao", "exact_orders", 0.10).alias("orders_within_tol"),
+        _within("_p50", "_x50", 0.02).alias("p50_within_tol"),
+        _within("_p95", "_x95", 0.02).alias("p95_within_tol"),
     )
 
 
