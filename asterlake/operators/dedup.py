@@ -496,3 +496,46 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_key: Column,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy-string matching: pairs whose ``text_col`` values are
+    within ``max_distance`` Levenshtein edits, candidate-generated by an
+    equi-join on ``block_key`` (e.g. a token, phonetic code, or length
+    bucket) so the edit-distance kernel never runs on the full cross
+    product.
+
+    Scale: candidates = sum over blocks of |block|^2, controlled entirely
+    by the caller's blocking key; the Levenshtein evaluation is Spark's
+    built-in JVM kernel (no Python). One shuffle on the block key. Blocks
+    must be sized so a single block's pairs fit an executor — the same
+    contract as similarity.blocked_neighbor_pairs.
+    """
+    sides = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        block_key.alias("_block"),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .withColumn("distance", F.levenshtein(F.col("a._text"), F.col("b._text")))
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._text").alias("text_a"),
+            F.col("b._text").alias("text_b"),
+            "distance",
+        )
+    )

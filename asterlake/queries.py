@@ -1588,11 +1588,20 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact percentile value. Sketches are deterministic for fixed data,
     so the booleans are stable; the oracle states them as TRUE literals.
     A sketch regression now breaks the hash gate instead of hiding behind
-    a rows-only row. Exact aggregates ride the same single scan."""
+    a rows-only row.
+
+    Two aggregation plans joined on the 6-row group key, NOT one: mixing
+    multi-column DISTINCT aggregates with object aggregates (percentile
+    hashmaps, HLL buffers) in a single agg puts an Expand (x #distinct
+    columns) under every object buffer — measured 33s vs 5s at sf0.1 for
+    identical results. Exact counts take the Expand path alone; sketches
+    and percentiles share one scan with no row multiplication."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    exact_counts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_ao"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("_x50"),
@@ -1604,6 +1613,7 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000), 2
         ).alias("_p95"),
     )
+    agg = exact_counts.join(F.broadcast(sketches), "l_returnflag")
 
     def _within(est: str, exact: str, tol: float) -> F.Column:
         return (
@@ -3208,6 +3218,380 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Beyond-parity: sequence/funnel analysis + fuzzy matching
+# ===========================================================================
+
+
+@query(
+    "q_funnel_conversion",
+    """
+    WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                       event_type
+                FROM events),
+    w1 AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_view
+      FROM ev
+    ), w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= run_view
+                          AND ts <= run_view + INTERVAL '12 hours'
+                         THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_click
+      FROM w1
+    )
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' AND ts >= run_view
+                     AND ts <= run_view + INTERVAL '12 hours'
+                    THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' AND ts >= run_click
+                     AND ts <= run_click + INTERVAL '12 hours'
+                    THEN ts END) AS t_purchase,
+           MIN(CASE WHEN event_type = 'purchase' AND ts >= run_click
+                     AND ts <= run_click + INTERVAL '12 hours'
+                    THEN ts END) IS NOT NULL AS converted
+    FROM w2 GROUP BY user_id
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase per user, each step within
+    12 hours of the one it anchors to: earliest IN-ORDER completion time
+    of each step (first-touch — a click only counts at-or-after the user's
+    first view, a purchase only after that click). The time bound makes
+    conversion non-trivial on the testdata (7 of 150 users at sf0.01 — an
+    all-TRUE or all-FALSE column would prove little). All steps ride one
+    (user, ts, event_id) sort — k funnel steps cost one scan and one
+    shuffle, not k self-joins (operators/sequence.py)."""
+    from asterlake.operators.sequence import funnel_timestamps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_timestamps(
+        ev,
+        ["view", "click", "purchase"],
+        tiebreak_col="event_id",
+        within="12 hours",
+    )
+
+
+@query(
+    "q_fuzzy_name_pairs",
+    """
+    SELECT regexp_extract(a.p_name, '[^ ]+$') AS block,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(levenshtein(a.p_name, b.p_name)) AS BIGINT)
+             AS sum_distance
+    FROM part a JOIN part b
+      ON regexp_extract(a.p_name, '[^ ]+$')
+           = regexp_extract(b.p_name, '[^ ]+$')
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY 1
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-string matching: part-name pairs within 2 Levenshtein
+    edits, blocked on the trailing word (operators/dedup.py fuzzy_pairs).
+
+    Weighted-distinct formulation: the row-level self-join runs the edit
+    kernel on |block|^2 ROW pairs — 25M levenshtein calls at sf0.1
+    (measured 51s) even though only 64 DISTINCT names exist. Deduplicate
+    to (name, multiplicity) FIRST, run the quadratic kernel on the tiny
+    distinct set, then recover exact row-pair statistics arithmetically:
+    cross-name pairs contribute cnt_a*cnt_b pairs of that distance,
+    same-name pairs contribute C(cnt,2) pairs of distance 0. Identical
+    results to the row-level oracle at any scale, and the quadratic work
+    is bounded by distinct-value count, not corpus size — the same
+    collapse-before-the-kernel move every dedup family here uses. Gate
+    output aggregates per block: the pair count and distance SUM pin
+    every individual distance without hashing the raw pairs."""
+    from asterlake.operators.dedup import fuzzy_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").alias("cnt"))
+    last_word = F.regexp_extract(F.col("p_name"), "[^ ]+$", 0)
+    block_of = lambda c: F.regexp_extract(F.col(c), "[^ ]+$", 0)  # noqa: E731
+
+    pairs = fuzzy_pairs(names, "p_name", "p_name", last_word, max_distance=2)
+    cnts_a = names.select(F.col("p_name").alias("id_a"), F.col("cnt").alias("cnt_a"))
+    cnts_b = names.select(F.col("p_name").alias("id_b"), F.col("cnt").alias("cnt_b"))
+    cross = (
+        pairs.join(cnts_a, "id_a")
+        .join(cnts_b, "id_b")
+        .groupBy(block_of("text_a").alias("block"))
+        .agg(
+            F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("n_cross"),
+            F.sum(F.col("distance") * F.col("cnt_a") * F.col("cnt_b")).alias(
+                "sum_d"
+            ),
+        )
+    )
+    same = names.groupBy(block_of("p_name").alias("block")).agg(
+        F.sum(F.expr("cnt * (cnt - 1) div 2")).alias("n_same")
+    )
+    return (
+        cross.join(same, "block", "full_outer")
+        .select(
+            "block",
+            (
+                F.coalesce("n_cross", F.lit(0)) + F.coalesce("n_same", F.lit(0))
+            ).alias("n_pairs"),
+            F.coalesce("sum_d", F.lit(0)).cast("bigint").alias("sum_distance"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
+@query(
+    "q_cdc_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             0 AS _rank, CAST(NULL AS BIGINT) AS _seq, 'I' AS _op
+      FROM orders
+    ), ch AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+             1 AS _rank, CAST(1 AS BIGINT) AS _seq, 'U' AS _op
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice + 2000,
+             1, CAST(2 AS BIGINT), 'U'
+      FROM orders WHERE o_orderkey % 20 = 3
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             1, CAST(1 AS BIGINT), 'D'
+      FROM orders WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_totalprice / 2,
+             1, CAST(1 AS BIGINT), 'I'
+      FROM orders WHERE o_orderkey % 10 = 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey
+        ORDER BY _rank DESC, _seq DESC NULLS LAST,
+                 CASE _op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC
+      ) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM ch)
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM ranked WHERE rn = 1 AND _op != 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC application (operators/cdc.py): a deterministic changelog
+    derived from orders — updates at seq 1, a second update at seq 2 for
+    half of them (latest-wins), deletes, and inserts of new keys — folded
+    into the base snapshot with one keyed window, no join, one shuffle.
+    The oracle replays the same log with SQL row_number semantics."""
+    from asterlake.operators.cdc import apply_changes
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    u1 = (
+        o.filter(k % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1).cast("bigint"))
+    )
+    u2 = (
+        o.filter(k % 20 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 2000)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2).cast("bigint"))
+    )
+    d = (
+        o.filter(k % 10 == 7)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(1).cast("bigint"))
+    )
+    ins = (
+        o.filter(k % 10 == 1)
+        .withColumn("o_orderkey", k + 10000000)
+        .withColumn("o_totalprice", F.col("o_totalprice") / 2)
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(1).cast("bigint"))
+    )
+    changes = u1.unionByName(u2).unionByName(d).unionByName(ins)
+    return apply_changes(o, changes, ["o_orderkey"], "seq")
+
+
+@query(
+    "q_dedup_survivors",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM (
+        SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+      )
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ), walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    ), comp AS (
+      SELECT node AS doc_id, MIN(comp) AS cluster FROM walk GROUP BY node
+    ), q AS (
+      SELECT doc_id,
+             (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               * (1.0 - CAST(len(list_filter(toks, s -> s = 'a' OR s = 'the'))
+                             AS DOUBLE) / len(toks)) AS quality_score
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), ranked AS (
+      SELECT c.doc_id, c.cluster, q.quality_score,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY quality_score DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster) AS n_members
+      FROM comp c JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster, quality_score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivor selection: near-dup clusters (3-gram
+    Jaccard >= 0.5 -> connected components) keep their HIGHEST-QUALITY
+    member, not the min-id one — the policy real corpus curation wants
+    (min-id keeps whatever happened to be crawled first). One window
+    argmax per cluster on top of the clustering; quality is the
+    deterministic diversity x non-stopword score from textstats."""
+    from asterlake.operators.dedup import ngram_jaccard_pairs
+    from asterlake.operators.graph import duplicate_clusters
+    from asterlake.operators.textstats import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    clusters = duplicate_clusters(pairs, d)
+    q = quality_features(d).select("doc_id", "quality_score")
+    j = clusters.join(q, "doc_id")
+    wc = Window.partitionBy("cluster")
+    w = wc.orderBy(F.desc("quality_score"), F.col("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "cluster",
+            "quality_score",
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
+
+
+@query(
+    "q_trimmed_stats",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, b.p05, b.p95,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice < p05) AS BIGINT)
+             AS n_below,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice > p95) AS BIGINT)
+             AS n_above,
+           CAST(SUM(CASE WHEN l_extendedprice BETWEEN p05 AND p95
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS trimmed_sum
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag, b.p05, b.p95
+    """,
+)
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-trimmed statistics: exact 5th/95th percentile bands per
+    return flag, broadcast back over the fact for tail counts and a
+    decimal-exact trimmed sum. The aggregate -> broadcast-back ->
+    reaggregate shape is how per-group normalization runs at 100 TB (the
+    band table is groups-sized, the fact is scanned twice but never
+    shuffled by value)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bands = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    price = F.col("l_extendedprice")
+    return (
+        li.join(F.broadcast(bands), "l_returnflag")
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(
+            F.count_if(price < F.col("p05")).alias("n_below"),
+            F.count_if(price > F.col("p95")).alias("n_above"),
+            F.sum(
+                F.when(price.between(F.col("p05"), F.col("p95")), _dec("l_extendedprice"))
+                .otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("trimmed_sum"),
+        )
+        .select(
+            "l_returnflag", "p05", "p95", "n_below", "n_above", "trimmed_sum"
+        )
+    )
+
+
+@query(
+    "q_salted_join_top_customers",
+    f"""
+    SELECT o_custkey,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def q_salted_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-toolkit exactness gate: the lineitem-orders join runs through
+    salted_join (hot l_orderkey rows spread over 8 salt shards, orders
+    replicated 8x) and must produce BIT-IDENTICAL revenue to the oracle's
+    plain join. Salting is a physical rewrite only — this query pins that
+    contract on real data, not a fixture (operators/skew.py)."""
+    from asterlake.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_custkey"
+    )
+    joined = salted_join(li, o, "k", buckets=8)
+    return (
+        joined.groupBy("o_custkey")
+        .agg(
+            _sum_fixed(_REV_SPARK(), 1e4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -3257,6 +3641,12 @@ _NEVER_SCORED = [
     "q_chunk_documents",
     "q_corpus_survivors",
     "q_embedding_dup_clusters",
+    "q_funnel_conversion",
+    "q_fuzzy_name_pairs",
+    "q_cdc_apply",
+    "q_dedup_survivors",
+    "q_trimmed_stats",
+    "q_salted_join_top_customers",
     "q_grouped_map_deltas",
     "q_stream_windowed_counts",
     "q_stream_interval_join",

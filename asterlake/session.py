@@ -84,9 +84,12 @@ def build_session(
         .config("spark.driver.maxResultSize", "4g")
     )
 
-    driver_mem = os.environ.get("ASTERLAKE_DRIVER_MEMORY")
-    if driver_mem:
-        builder = builder.config("spark.driver.memory", driver_mem)
+    # In local[N] mode the ONE JVM holds driver + all N executor threads'
+    # shuffle/aggregation buffers; Spark's 1g default heap is sized for a
+    # thin cluster driver and intermittently OOMs a 32-thread bench run.
+    # Default to a heap sized for the local workload, env-overridable.
+    driver_mem = os.environ.get("ASTERLAKE_DRIVER_MEMORY", "16g")
+    builder = builder.config("spark.driver.memory", driver_mem)
 
     if object_store is not None:
         builder = (

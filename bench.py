@@ -27,7 +27,15 @@ def main() -> None:
     from asterlake.queries import QUERIES
     from asterlake.session import build_session
 
-    spark = build_session(app_name="asterlake-bench")
+    # the JVM inherits fd1 and its unified logging (e.g. [warning][gc,alloc]
+    # GCLocker retries) can interleave with — or land after — the one JSON
+    # line this harness must emit; route JVM logs to stderr instead
+    spark = build_session(
+        app_name="asterlake-bench",
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
+        },
+    )
     try:
         # warm the JVM outside the timed region: file-listing caches plus
         # one full broadcast-join/codegen pass (the first query otherwise

@@ -266,6 +266,26 @@ def test_waiting_supplier_single_fact_scan(spark):
     }
 
 
+def test_funnel_single_scan_single_sort_shuffle(spark):
+    """k funnel steps must NOT become k self-joins: one events scan, one
+    shuffle (the user-keyed window sort; the groupBy rides the same
+    partitioning), window nodes for the running step anchors."""
+    plan = _plan(spark, "q_funnel_conversion")
+    assert plan.count("events.parquet") == 1
+    assert has_node(plan, "Window")
+    assert not has_node(plan, "SortMergeJoin")
+    assert node_count(plan, "Exchange") == 1
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    """The edit-distance kernel only runs inside block-equi-join buckets —
+    never a cross product of the full table."""
+    plan = _plan(spark, "q_fuzzy_name_pairs")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BroadcastNestedLoopJoin")
+    assert "levenshtein" in plan
+
+
 def test_chunking_is_shuffle_free_generator(spark):
     plan = _plan(spark, "q_chunk_documents")
     assert not has_node(plan, "Exchange")
