@@ -3609,45 +3609,48 @@ def q_salted_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. queries with a green round-2 row (evidence already on file), the
 #      heaviest LSH/media ones last.
 # Rebinding QUERIES keeps every QueryDef intact; only dict order changes.
+# runtime-sorted ascending by measured sf0.01 noop-sink timing (bench.py,
+# this round) so a time-budgeted driver scores the most queries; the
+# multi-second iterative/streaming queries land last by cost anyway
 _NEVER_SCORED = [
-    "q_percentiles_exact",
-    "q_correlated_subqueries",
-    "q_set_ops_all",
-    "q_posexplode_tokens",
-    "q_unpivot_measures",
-    "q_udf_vector_norm",
-    "q_udtf_sentences",
-    "q_window_navigation",
-    "q_array_functions",
-    "q_conditional_agg",
-    "q_histogram_prices",
-    "q_shipping_priority",
-    "q_waiting_supplier_orders",
-    "q_min_cost_supplier",
-    "q_sample_stratified",
     "q_split_assign",
+    "q_chunk_documents",
+    "q_posexplode_tokens",
+    "q_text_redact",
     "q_quota_sample",
-    "q_gapfill_locf",
+    "q_array_functions",
+    "q_udf_vector_norm",
     "q_scd2_intervals",
     "q_embedding_normalize",
+    "q_conditional_agg",
+    "q_sample_stratified",
+    "q_udtf_sentences",
+    "q_unpivot_measures",
+    "q_percentiles_exact",
+    "q_pack_sequences",
+    "q_histogram_prices",
+    "q_bm25_search",
+    "q_funnel_conversion",
+    "q_window_navigation",
+    "q_gapfill_locf",
+    "q_decontaminate",
+    "q_tfidf_top_terms",
+    "q_grouped_map_deltas",
     "q_text_repetition",
-    "q_text_redact",
+    "q_min_cost_supplier",
+    "q_cdc_apply",
+    "q_waiting_supplier_orders",
+    "q_shipping_priority",
+    "q_set_ops_all",
+    "q_fuzzy_name_pairs",
+    "q_salted_join_top_customers",
+    "q_correlated_subqueries",
+    "q_trimmed_stats",
     "q_minhash_jaccard_estimate",
     "q_dedup_clusters",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_tfidf_top_terms",
-    "q_bm25_search",
-    "q_chunk_documents",
     "q_corpus_survivors",
-    "q_embedding_dup_clusters",
-    "q_funnel_conversion",
-    "q_fuzzy_name_pairs",
-    "q_cdc_apply",
     "q_dedup_survivors",
-    "q_trimmed_stats",
-    "q_salted_join_top_customers",
-    "q_grouped_map_deltas",
+    "q_embedding_dup_clusters",
     "q_stream_windowed_counts",
     "q_stream_interval_join",
 ]

@@ -266,6 +266,33 @@ def test_waiting_supplier_single_fact_scan(spark):
     }
 
 
+def test_cdc_apply_one_shuffle_no_join(spark):
+    """CDC application must not join base with changes: both union into
+    one keyed stream, so the only wide op is the per-key window shuffle —
+    a 100 TB base is shuffled once, no matter the changelog size."""
+    plan = _plan(spark, "q_cdc_apply")
+    assert has_node(plan, "Window")
+    assert not has_node(plan, "SortMergeJoin")
+    assert not has_node(plan, "BroadcastHashJoin")
+    assert node_count(plan, "Exchange") == 1
+
+
+def test_trimmed_stats_band_broadcast(spark):
+    """Percentile bands join back over the fact via BROADCAST: the fact is
+    scanned for bands and for the trimmed aggregation but never shuffled
+    by value; the only exchanges are the two aggregations' own."""
+    from asterlake.plans.inspect import scans
+
+    plan = _plan(spark, "q_trimmed_stats")
+    assert has_node(plan, "BroadcastHashJoin")
+    assert not has_node(plan, "SortMergeJoin")
+    # both lineitem scans (bands + trimmed agg) are 2-column pruned
+    li_scans = [s for s in scans(plan) if "lineitem" in s.location]
+    assert len(li_scans) == 2
+    for s in li_scans:
+        assert set(s.read_columns) == {"l_returnflag", "l_extendedprice"}
+
+
 def test_funnel_single_scan_single_sort_shuffle(spark):
     """k funnel steps must NOT become k self-joins: one events scan, one
     shuffle (the user-keyed window sort; the groupBy rides the same
