@@ -3592,6 +3592,161 @@ def q_salted_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_stateful_counts",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events_total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState),
+    batch-equivalent: the events table replayed through readStream into
+    the cumulative per-user counter, drained update-mode to a memory
+    sink. The cumulative count is monotone, so MAX per user over the
+    sink's per-batch update rows equals the batch GROUP BY COUNT whatever
+    the micro-batch split was — the strongest correctness form a custom
+    stateful op can get (exact totals, not just run-to-completion).
+    Cross-batch state survival itself is pinned by test_streaming.py."""
+    import os
+    import tempfile
+
+    from asterlake.streaming.pipeline import running_user_counts
+    from asterlake.tables import events_read_schema, normalize_events_ts
+
+    schema = events_read_schema(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "events")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema).parquet(src_dir)
+        )
+        counts = running_user_counts(stream)
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            (
+                counts.writeStream.format("memory")
+                .queryName("stream_stateful_counts")
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return (
+            spark.table("stream_stateful_counts")
+            .groupBy("user_id")
+            .agg(F.max("n_events_total").cast("bigint").alias("n_events_total"))
+        )
+
+
+@query(
+    "q_window_range_frames",
+    """
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           MAX(value) OVER w AS max_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_last_hour
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frames (the value-based sibling of
+    q_window_frames' ROWS frames): per event, stats over the same user's
+    trailing 1 hour. Spark expresses the interval frame as rangeBetween
+    on microsecond epoch ordering — exactly the frame DuckDB's RANGE
+    INTERVAL clause defines, including the tie semantics RANGE implies
+    (same-ts rows share one frame, so no tiebreak column is needed for
+    determinism). Same single user-keyed sort as every window query —
+    one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-hour_us, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        F.max("value").over(w).alias("max_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
+def _hybrid_oracle() -> str:
+    bm25_body = _bm25_oracle().strip()
+    return f"""
+    WITH bm AS ({bm25_body}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id AS doc_id, {_duck_cosine('embedding', 'qv')} AS cosine
+      FROM embeddings, q
+    )
+    SELECT bm.doc_id,
+           bm.bm25,
+           cos.cosine,
+           0.5 * (bm.bm25 / (1.0 + bm.bm25)) + 0.5 * cos.cosine
+             AS hybrid_score
+    FROM bm JOIN cos USING (doc_id)
+    ORDER BY hybrid_score DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("q_hybrid_search", _hybrid_oracle())
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the RAG ranking staple: lexical BM25 (terms
+    ['spark','data','join']) fused with embedding cosine against a query
+    vector, score = 0.5*saturated-bm25 + 0.5*cosine, top 20. Both legs
+    reuse their gated operators (textstats.bm25_scores,
+    similarity.cosine); the fusion is a pure projection joined on doc_id
+    (the BM25 side is match-filtered and small — AQE broadcasts it), and
+    the top-k is TakeOrderedAndProject, never a global sort. The
+    saturation bm25/(1+bm25) and the 0.5 weights are the identical IEEE
+    expression tree on both engines, so the fused doubles hash-match."""
+    from asterlake.operators.similarity import cosine
+    from asterlake.operators.textstats import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_scores(d, _BM25_TERMS)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = e.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine(F.col("embedding"), F.col("qv")).alias("cosine"),
+    )
+    sat = F.col("bm25") / (F.lit(1.0) + F.col("bm25"))
+    return (
+        bm.join(cos, "doc_id")
+        .select(
+            "doc_id",
+            "bm25",
+            "cosine",
+            (F.lit(0.5) * sat + F.lit(0.5) * F.col("cosine")).alias(
+                "hybrid_score"
+            ),
+        )
+        .orderBy(F.col("hybrid_score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -3630,7 +3785,9 @@ _NEVER_SCORED = [
     "q_pack_sequences",
     "q_histogram_prices",
     "q_bm25_search",
+    "q_hybrid_search",
     "q_funnel_conversion",
+    "q_window_range_frames",
     "q_window_navigation",
     "q_gapfill_locf",
     "q_decontaminate",
@@ -3652,6 +3809,7 @@ _NEVER_SCORED = [
     "q_dedup_survivors",
     "q_embedding_dup_clusters",
     "q_stream_windowed_counts",
+    "q_stream_stateful_counts",
     "q_stream_interval_join",
 ]
 _ERR_IN_R2 = [
