@@ -73,36 +73,60 @@ def connected_components(
         return _cc_star(und, vertices, id_col, max_iter)
     if method != "propagation":
         raise ValueError(f"unknown method {method!r}")
-    labels = vertices.select(
-        F.col(id_col), F.col(id_col).alias("component")
-    ).localCheckpoint()
-    und = und.localCheckpoint()
 
-    for _ in range(max_iter):
-        # each vertex's best neighbor label this round
-        nbr_min = (
-            und.join(labels, und["_d"] == labels[id_col])
-            .groupBy("_s")
-            .agg(F.min("component").alias("_nbr"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels[id_col] == nbr_min["_s"], "left")
-            .select(
-                F.col(id_col),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("_nbr"), F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
+    # Pin BOTH iteration inputs to one explicit hash partitioning sized to
+    # the edge count, independent of the session's shuffle-partition conf:
+    # the dup-candidate graph is tiny relative to the corpus, and without
+    # this each round pays (conf partitions x 3 stages) of task overhead
+    # in sessions tuned for the full-corpus scans. With edges partitioned
+    # on the probe key (_d) and labels on the vertex id at the SAME count,
+    # the per-round join and the write-back join are both exchange-free —
+    # each round's only shuffle is the groupBy(_s) min.
+    und = und.localCheckpoint()
+    n_edges = und.count()
+    parts = max(4, min(256, n_edges // 50_000 + 4))
+    und = und.repartition(parts, "_d").localCheckpoint()
+    labels = (
+        vertices.select(F.col(id_col), F.col(id_col).alias("component"))
+        .repartition(parts, id_col)
+        .localCheckpoint()
+    )
+
+    spark = edges.sparkSession
+    sp_key = "spark.sql.shuffle.partitions"
+    prev_sp = spark.conf.get(sp_key)
+    spark.conf.set(sp_key, str(parts))
+    try:
+        for _ in range(max_iter):
+            # each vertex's best neighbor label this round; the groupBy is
+            # the round's single exchange (at `parts`, matching the pinned
+            # inputs, so both joins are co-partitioned)
+            nbr_min = (
+                und.join(labels, und["_d"] == labels[id_col])
+                .groupBy("_s")
+                .agg(F.min("component").alias("_nbr"))
             )
-            .localCheckpoint()
-        )
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(nbr_min, labels[id_col] == nbr_min["_s"], "left")
+                .select(
+                    F.col(id_col),
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_nbr"), F.col("component")),
+                    ).alias("component"),
+                    (
+                        F.coalesce(F.col("_nbr"), F.col("component"))
+                        < F.col("component")
+                    ).alias("_changed"),
+                )
+                .localCheckpoint()
+            )
+            changed = new_labels.filter(F.col("_changed")).count()
+            labels = new_labels.drop("_changed")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(sp_key, prev_sp)
     return labels
 
 

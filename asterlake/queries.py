@@ -3747,6 +3747,114 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_dedup",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup with REAL duplicates: the events file
+    is exposed to the file source twice (two symlinks), so every row
+    arrives as a duplicate pair; watermarked dropDuplicates on
+    (event_id, ts) must reduce the doubled stream back to exactly the
+    batch table — row-for-row, not just by count. The watermark delay
+    exceeds the dataset's time span so no key is forgotten mid-replay
+    (state bounding is the production story; exactness is the gate
+    here)."""
+    import os
+    import tempfile
+
+    from asterlake.streaming.pipeline import watermarked_dedup
+    from asterlake.tables import events_read_schema, normalize_events_ts
+
+    schema = events_read_schema(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "events")
+        os.makedirs(src_dir)
+        for copy in ("a", "b"):
+            os.symlink(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src_dir, f"events_{copy}.parquet"),
+            )
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema).parquet(src_dir)
+        )
+        deduped = watermarked_dedup(
+            stream, ["event_id"], event_col="ts", delay="60 days"
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            (
+                deduped.writeStream.format("memory")
+                .queryName("stream_dedup")
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return spark.table("stream_dedup")
+
+
+@query(
+    "q_cohort_retention",
+    """
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                FROM events),
+    cohort AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             CAST(date_diff('day', c.cohort_week,
+                            date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS week_offset
+      FROM ev e JOIN cohort c USING (user_id)
+      WHERE e.ts >= c.cohort_week
+    )
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by signup week, counted in
+    each subsequent activity week (distinct user-week pairs). The cohort
+    table is users-sized and joins back over the fact broadcast-style;
+    week arithmetic is pure integer day-diff // 7 — engine-identical. Two
+    aggregations plus one join; the fact shuffles once (the DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = (
+        ev.join(F.broadcast(cohort), "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_active_users")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -3787,6 +3895,7 @@ _NEVER_SCORED = [
     "q_bm25_search",
     "q_hybrid_search",
     "q_funnel_conversion",
+    "q_cohort_retention",
     "q_window_range_frames",
     "q_window_navigation",
     "q_gapfill_locf",
@@ -3810,6 +3919,7 @@ _NEVER_SCORED = [
     "q_embedding_dup_clusters",
     "q_stream_windowed_counts",
     "q_stream_stateful_counts",
+    "q_stream_dedup",
     "q_stream_interval_join",
 ]
 _ERR_IN_R2 = [

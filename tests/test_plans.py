@@ -313,6 +313,15 @@ def test_fuzzy_pairs_no_cartesian(spark):
     assert "levenshtein" in plan
 
 
+def test_hybrid_search_broadcast_topk(spark):
+    """Hybrid retrieval: BM25 leg and cosine leg fuse via hash join with a
+    broadcast somewhere (both sides are small/filtered), and the top-20 is
+    TakeOrderedAndProject — no global sort of the fused scores."""
+    plan = _plan(spark, "q_hybrid_search")
+    assert has_node(plan, "TakeOrderedAndProject")
+    assert not has_node(plan, "CartesianProduct")
+
+
 def test_chunking_is_shuffle_free_generator(spark):
     plan = _plan(spark, "q_chunk_documents")
     assert not has_node(plan, "Exchange")
