@@ -3855,6 +3855,68 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_histogram_equidepth",
+    """
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice,
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM lineitem
+    ), assigned AS (
+      SELECT CAST(
+               CASE WHEN l_extendedprice < qs[1] THEN 0
+                    WHEN l_extendedprice < qs[2] THEN 1
+                    WHEN l_extendedprice < qs[3] THEN 2
+                    WHEN l_extendedprice < qs[4] THEN 3
+                    WHEN l_extendedprice < qs[5] THEN 4
+                    WHEN l_extendedprice < qs[6] THEN 5
+                    WHEN l_extendedprice < qs[7] THEN 6
+                    WHEN l_extendedprice < qs[8] THEN 7
+                    WHEN l_extendedprice < qs[9] THEN 8
+                    ELSE 9 END AS INT) AS bucket,
+             l_extendedprice
+      FROM lineitem, b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM assigned GROUP BY bucket
+    """,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram — the sibling of q_histogram_prices'
+    equi-width buckets: exact interpolated decile boundaries (one scalar
+    aggregate, broadcast back), bucket assignment by comparison chain,
+    per-bucket count and range. Both engines compute the identical
+    interpolated boundary doubles (pinned already by q_percentiles_exact /
+    q_trimmed_stats), so assignments agree bit-for-bit. The profile-level
+    complement to AQE's runtime skew stats at 100 TB: two scans, no
+    value-keyed shuffle of the fact."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    probs = [i / 10 for i in range(1, 10)]
+    bands = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,"
+            "0.6,0.7,0.8,0.9))"
+        ).alias("qs")
+    )
+    price = F.col("l_extendedprice")
+    bucket = F.lit(9)
+    for i in range(len(probs) - 1, -1, -1):
+        bucket = F.when(price < F.element_at("qs", i + 1), i).otherwise(bucket)
+    return (
+        li.crossJoin(F.broadcast(bands))
+        .select(bucket.cast("int").alias("bucket"), price)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min(price).alias("lo"),
+            F.max(price).alias("hi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -3892,6 +3954,7 @@ _NEVER_SCORED = [
     "q_percentiles_exact",
     "q_pack_sequences",
     "q_histogram_prices",
+    "q_histogram_equidepth",
     "q_bm25_search",
     "q_hybrid_search",
     "q_funnel_conversion",
@@ -3932,7 +3995,11 @@ _ERR_IN_R2 = [
     "q_embedding_srp_neighbors",
     "q_sketch_distinct",
 ]
-_FRONT = _NEVER_SCORED + _ERR_IN_R2
+# err block FIRST: the round-2 verdict's done-criteria hinge on these 8
+# getting green rows (loader-regression errs, the srp retune, the sketch
+# contract), and all 8 are sub-second — if the driver caps at ~50 queries
+# the cut then falls on the heaviest never-scored tail instead
+_FRONT = _ERR_IN_R2 + _NEVER_SCORED
 _HEAVY_TAIL = [
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
