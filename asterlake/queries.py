@@ -3917,6 +3917,64 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_incremental_agg_merge",
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (operators/incremental.py): the monthly revenue rollup is built as a
+    STORED aggregate over the historical batch (orderdate < 1997-07-01)
+    merged with a delta aggregate over just the new batch — and must be
+    bit-identical to the oracle's one-pass full recompute. Partial sums
+    are carried as exact decimal cents (double partials would not merge
+    associatively); the merge joins two month-cardinality tables, never
+    the fact. The cutoff is MID-month so the straddling month exists in
+    both partials and genuinely exercises the combine path."""
+    from asterlake.operators.incremental import merge_aggregates
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-07-16").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_CENTS("o_totalprice").cast("decimal(18,0)")).alias("_cents"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = merge_aggregates(
+        base,
+        delta,
+        keys=["month"],
+        sum_cols=["_cents"],
+        count_cols=["n_orders"],
+        min_cols=["min_price"],
+        max_cols=["max_price"],
+    )
+    return merged.select(
+        "month",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        (F.col("_cents").cast("double") / F.lit(1e2)).alias("total"),
+        "min_price",
+        "max_price",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -3955,6 +4013,7 @@ _NEVER_SCORED = [
     "q_pack_sequences",
     "q_histogram_prices",
     "q_histogram_equidepth",
+    "q_incremental_agg_merge",
     "q_bm25_search",
     "q_hybrid_search",
     "q_funnel_conversion",
