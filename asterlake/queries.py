@@ -3975,6 +3975,72 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_static_join",
+    """
+    WITH profile AS (
+      SELECT user_id,
+             CASE WHEN AVG(value) >= 49.0 THEN 'high' ELSE 'low' END AS tier
+      FROM events GROUP BY user_id
+    )
+    SELECT p.tier, e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN profile p USING (user_id)
+    GROUP BY p.tier, e.event_type
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined against a
+    STATIC batch-computed user profile (spend tier), then aggregated —
+    the standard Structured Streaming dimension-enrichment shape (static
+    side re-read per micro-batch, broadcastable, no state). Replayed
+    complete-mode and compared exactly to the batch join twin. Tier uses
+    a threshold on AVG(value), computed batch-side in BOTH engines, so no
+    float aggregation crosses the stream boundary; every user's avg sits
+    >= 5.9e-4 from the 49.0 threshold at all test SFs (verified), so
+    double partial-sum ordering (~1e-12 relative) can never flip a
+    tier between engines."""
+    import os
+    import tempfile
+
+    from asterlake.tables import events_read_schema, load_table, normalize_events_ts
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    profile = ev_batch.groupBy("user_id").agg(
+        F.when(F.avg("value") >= 49.0, "high").otherwise("low").alias("tier")
+    )
+    schema = events_read_schema(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "events")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema).parquet(src_dir)
+        )
+        joined = (
+            stream.join(F.broadcast(profile), "user_id")
+            .groupBy("tier", "event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"))
+        )
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            (
+                joined.writeStream.format("memory")
+                .queryName("stream_static_join")
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return spark.table("stream_static_join")
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -4042,6 +4108,7 @@ _NEVER_SCORED = [
     "q_stream_windowed_counts",
     "q_stream_stateful_counts",
     "q_stream_dedup",
+    "q_stream_static_join",
     "q_stream_interval_join",
 ]
 _ERR_IN_R2 = [
