@@ -4041,6 +4041,53 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table("stream_static_join")
 
 
+@query(
+    "q_session_window",
+    """
+    WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    w AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER uw IS NULL
+                    OR ts - lag(ts) OVER uw > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+      WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM w
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window operator (30-minute gap): per-user
+    sessions as the dedicated SessionWindow physical aggregation —
+    distinct from q_sessionization's hand-rolled lag/cumsum form, and the
+    same operator that powers watermarked session windows in streams. The
+    oracle derives identical sessions with standard gap logic (window end
+    = last event + gap, Spark's definition). Same-timestamp events merge
+    into one session under both formulations, so the oracle needs its
+    tiebreak only for the lag ordering, not the grouping."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -4070,6 +4117,7 @@ _NEVER_SCORED = [
     "q_array_functions",
     "q_udf_vector_norm",
     "q_scd2_intervals",
+    "q_session_window",
     "q_embedding_normalize",
     "q_conditional_agg",
     "q_sample_stratified",
