@@ -1,0 +1,127 @@
+"""Scale-safe exact order statistics.
+
+Spark's built-in exact ``percentile`` aggregate materializes the full value
+multiset of every group inside a single aggregation buffer (an
+OpenHashMap per group on one reducer). At 100 TB a hot ``l_returnflag``
+group holds billions of rows, so that buffer — not the shuffle — is the
+thing that dies. These helpers compute the *same bits* with bounded state:
+
+1. ``groupBy(keys, value).count()`` — shuffles only **distinct**
+   ``(group, value)`` pairs, with map-side partial aggregation; reducer
+   state is one counter per distinct value, never the row multiset.
+2. A per-group cumulative-count window over the distinct values assigns
+   each value its rank interval ``[cum_start, cum_end)``.
+3. Each requested probability ``p`` maps to the fractional rank
+   ``pos = p * (n - 1)``; the two bracketing distinct values are located
+   by rank-interval containment (an equi-join on the group key with a
+   range filter — distinct-values x probs work per group, no extra
+   shuffle of the fact) and combined with linear interpolation in the
+   exact double expression Spark's ``percentile`` evaluates
+   (``(ceil(pos) - pos) * v[k] + (pos - floor(pos)) * v[k+1]``,
+   Percentile.getPercentile), so results are bit-for-bit equal to the
+   built-in — and to DuckDB's ``quantile_cont``, which the driver gate
+   already pinned as hash-identical to the built-in.
+
+Reference parity: the reference engine has no percentile surface at all
+(``/root/reference/src`` is ETL glue); this exists for the beyond-parity
+profile/trim queries and their DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _prob_col_name(p: float) -> str:
+    return f"p{int(round(p * 100)):02d}"
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value: Column | str,
+    probs: Sequence[float],
+    *,
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles per group without per-group value
+    buffers.
+
+    Returns one row per group with one double column per probability
+    (named ``out_names`` or ``p05``/``p50``/... by default). Matches
+    ``F.expr("percentile(value, p)")`` bit-for-bit.
+
+    With ``group_cols=[]`` computes global percentiles (single group).
+    """
+    value_col = F.col(value) if isinstance(value, str) else value
+    names = list(out_names) if out_names else [_prob_col_name(p) for p in probs]
+    if len(names) != len(probs):
+        raise ValueError("out_names must match probs length")
+    gcols = list(group_cols)
+    # Global percentiles: inject a constant group key, drop it at the end.
+    drop_key = not gcols
+    if drop_key:
+        df = df.withColumn("_g", F.lit(0))
+        gcols = ["_g"]
+
+    counts = (
+        df.select(*gcols, value_col.cast("double").alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy(*gcols, "_v")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w = Window.partitionBy(*gcols).orderBy("_v")
+    ranked = (
+        counts.withColumn("_cum_end", F.sum("_cnt").over(w))
+        .withColumn("_cum_start", F.col("_cum_end") - F.col("_cnt"))
+        .withColumn("_next_v", F.lead("_v").over(w))
+    )
+    totals = counts.groupBy(*gcols).agg(F.sum("_cnt").alias("_n"))
+
+    # (group, prob) driver table: groups-cardinality x len(probs) — tiny.
+    probs_df = totals.select(
+        *gcols,
+        "_n",
+        F.explode(
+            F.array(*[F.lit(float(p)).alias("p") for p in probs])
+        ).alias("_p"),
+    ).select(
+        *gcols,
+        "_p",
+        (F.col("_p") * (F.col("_n") - F.lit(1)).cast("double")).alias("_pos"),
+    )
+    probs_df = probs_df.withColumn(
+        "_k", F.floor(F.col("_pos")).cast("bigint")
+    ).withColumn("_frac", F.col("_pos") - F.col("_k").cast("double"))
+
+    # Locate the distinct value whose rank interval contains k; the k+1
+    # value is either the same distinct value (if its interval also covers
+    # k+1) or the next one. Equi-join on the group key, range filter on
+    # rank containment: per group this touches distinct-values x probs
+    # rows — no shuffle of the original fact.
+    j = probs_df.join(ranked, on=gcols, how="inner").where(
+        (F.col("_cum_start") <= F.col("_k")) & (F.col("_k") < F.col("_cum_end"))
+    )
+    upper = F.when(F.col("_k") + 1 < F.col("_cum_end"), F.col("_v")).otherwise(
+        F.col("_next_v")
+    )
+    # Spark Percentile.getPercentile: if floor(pos) == ceil(pos) return the
+    # single bracketing value, else (higher - pos) * lowerValue +
+    # (pos - lower) * higherValue. Reproduce that exact expression tree so
+    # doubles agree to the last ulp with the built-in aggregate.
+    k_d = F.col("_k").cast("double")
+    pct = F.when(F.col("_frac") == 0.0, F.col("_v")).otherwise(
+        (k_d + F.lit(1.0) - F.col("_pos")) * F.col("_v")
+        + (F.col("_pos") - k_d) * upper
+    )
+    long_form = j.select(*gcols, "_p", pct.alias("_pct"))
+
+    agg_cols = [
+        F.max(F.when(F.col("_p") == float(p), F.col("_pct"))).alias(name)
+        for p, name in zip(probs, names)
+    ]
+    out = long_form.groupBy(*gcols).agg(*agg_cols)
+    return out.drop("_g") if drop_key else out

@@ -1813,15 +1813,23 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles per group (the non-approx
-    counterpart of q_sketch_distinct's KLL quantiles). Spark's exact
-    `percentile` and DuckDB's quantile_cont share the same
-    lower + frac*(upper-lower) interpolation."""
+    counterpart of q_sketch_distinct's KLL quantiles) — via the two-pass
+    distinct-value-counts shape (operators/stats.py), NOT the built-in
+    `percentile` aggregate: the built-in buffers every group's full value
+    multiset in one aggregation buffer, which is the scale-killer at 100 TB
+    (billions of rows per returnflag). The two-pass form shuffles only
+    distinct (group, value) pairs and reproduces the built-in's
+    interpolation expression bit-for-bit (pinned by
+    tests/test_stats.py)."""
+    from asterlake.operators.stats import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)").alias("qty_p25"),
-        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.50)").alias("qty_p50"),
-        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)").alias("qty_p75"),
-        F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.95)").alias("qty_p95"),
+    return exact_percentiles(
+        li,
+        ["l_returnflag"],
+        F.col("l_quantity").cast("double"),
+        [0.25, 0.50, 0.75, 0.95],
+        out_names=["qty_p25", "qty_p50", "qty_p75", "qty_p95"],
     )
 
 
@@ -3530,13 +3538,15 @@ def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact trimmed sum. The aggregate -> broadcast-back ->
     reaggregate shape is how per-group normalization runs at 100 TB (the
     band table is groups-sized, the fact is scanned twice but never
-    shuffled by value)."""
+    shuffled by value). Percentile bands come from the scale-safe two-pass
+    shape (operators/stats.py), not the value-buffering built-in."""
+    from asterlake.operators.stats import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    bands = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    bands = exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95]
     )
     price = F.col("l_extendedprice")
     return (
@@ -3896,15 +3906,19 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated boundary doubles (pinned already by q_percentiles_exact /
     q_trimmed_stats), so assignments agree bit-for-bit. The profile-level
     complement to AQE's runtime skew stats at 100 TB: two scans, no
-    value-keyed shuffle of the fact."""
+    value-keyed shuffle of the fact. Decile boundaries come from the
+    scale-safe two-pass shape (operators/stats.py) — the previous
+    `percentile(..., array(...))` built-in buffered the ENTIRE column in a
+    single aggregation buffer on one reducer, the worst possible 100-TB
+    plan."""
+    from asterlake.operators.stats import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     probs = [i / 10 for i in range(1, 10)]
-    bands = li.agg(
-        F.expr(
-            "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,"
-            "0.6,0.7,0.8,0.9))"
-        ).alias("qs")
-    )
+    names = [f"q{i}" for i in range(1, 10)]
+    bands = exact_percentiles(
+        li, [], "l_extendedprice", probs, out_names=names
+    ).select(F.array(*names).alias("qs"))
     price = F.col("l_extendedprice")
     bucket = F.lit(9)
     for i in range(len(probs) - 1, -1, -1):

@@ -1,0 +1,107 @@
+"""operators/stats.py — scale-safe exact percentiles.
+
+Pins (a) bit-for-bit equality with Spark's built-in exact ``percentile``
+aggregate across grouped / global / many-distinct-value shapes, and (b) the
+scale contract: the physical plan contains NO value-buffering Percentile
+aggregate — only hash aggregates over distinct (group, value) pairs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from asterlake.operators.stats import exact_percentiles
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack("d", x)
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+def test_grouped_matches_builtin_bit_for_bit(spark, lineitem):
+    probs = [0.0, 0.25, 0.5, 0.75, 0.95, 1.0]
+    names = [f"c{i}" for i in range(len(probs))]
+    builtin = (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile(CAST(l_quantity AS DOUBLE), {p})"
+                ).alias(n)
+                for p, n in zip(probs, names)
+            ]
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    mine = (
+        exact_percentiles(
+            lineitem,
+            ["l_returnflag"],
+            F.col("l_quantity").cast("double"),
+            probs,
+            out_names=names,
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert len(builtin) == len(mine) > 0
+    for b, m in zip(builtin, mine):
+        for n in names:
+            assert _bits(b[n]) == _bits(m[n]), (b["l_returnflag"], n, b[n], m[n])
+
+
+def test_global_many_distinct_matches_builtin(spark, lineitem):
+    builtin = lineitem.agg(
+        F.expr("percentile(l_extendedprice, array(0.1, 0.5, 0.9))").alias("qs")
+    ).collect()[0]["qs"]
+    mine = exact_percentiles(
+        lineitem, [], "l_extendedprice", [0.1, 0.5, 0.9]
+    ).collect()[0]
+    for b, n in zip(builtin, ["p10", "p50", "p90"]):
+        assert _bits(b) == _bits(mine[n])
+
+
+def test_nulls_single_value_and_tiny_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 7.5), ("c", 2.0), ("c", 4.0)],
+        "g string, v double",
+    )
+    builtin = {
+        r["g"]: (r["lo"], r["hi"])
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("lo"),
+            F.expr("percentile(v, 0.99)").alias("hi"),
+        )
+        .collect()
+    }
+    mine = {
+        r["g"]: (r["lo"], r["hi"])
+        for r in exact_percentiles(
+            df, ["g"], "v", [0.25, 0.99], out_names=["lo", "hi"]
+        ).collect()
+    }
+    assert builtin == mine
+    assert mine["b"] == (7.5, 7.5)  # single-value group, any p
+
+
+def test_plan_has_no_value_buffer_aggregate(spark, lineitem):
+    plan = exact_percentiles(
+        lineitem, ["l_returnflag"], "l_extendedprice", [0.05, 0.95]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()
+
+
+def test_out_names_validation(spark, lineitem):
+    with pytest.raises(ValueError):
+        exact_percentiles(
+            lineitem, [], "l_extendedprice", [0.5], out_names=["a", "b"]
+        )
