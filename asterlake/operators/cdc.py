@@ -38,6 +38,15 @@ def apply_changes(
     ``changes`` must carry every base column plus ``op_col`` (delete rows
     may carry arbitrary payload values — they only need the keys) and
     ``seq_col``.
+
+    Determinism contract: ``(key_cols, seq_col, op_col)`` must be UNIQUE
+    in the changelog. Ties break on (_rank, _seq, op-precedence D>U>I)
+    only — two changelog rows with identical key, seq, AND op but
+    different payloads would get an arbitrary row_number winner. Every
+    real CDC feed (Debezium, DMS, binlog) satisfies this: seq is an
+    LSN/offset, unique per (key, op). Violations are a producer bug;
+    enforce upstream with a dedup on (keys, seq, op) if the feed can
+    replay.
     """
     data_cols = [c for c in base.columns]
     tagged_base = base.select(

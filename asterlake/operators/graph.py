@@ -36,8 +36,24 @@ Scale (100 TB corpus, billions of candidate edges):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _warn_not_converged(method: str, max_iter: int) -> None:
+    """Round-3 advice: exhausting max_iter without reaching the fixpoint
+    means labels can silently span a component not fully merged (e.g. a
+    chain longer than max_iter under propagation). Loud, not silent."""
+    warnings.warn(
+        f"connected_components({method=}) stopped at max_iter={max_iter} "
+        "WITHOUT converging — component labels may be incomplete. Raise "
+        "max_iter (propagation needs >= graph diameter rounds; star needs "
+        "O(log^2 n)) or switch method='star' for long chains.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def connected_components(
@@ -125,6 +141,8 @@ def connected_components(
             labels = new_labels.drop("_changed")
             if changed == 0:
                 break
+        else:
+            _warn_not_converged("propagation", max_iter)
     finally:
         spark.conf.set(sp_key, prev_sp)
     return labels
@@ -191,6 +209,8 @@ def _cc_star(und: DataFrame, vertices: DataFrame, id_col: str, max_iter: int) ->
             star = nxt
             break
         star = nxt
+    else:
+        _warn_not_converged("star", max_iter)
 
     labels = star.select(F.col("_c").alias(id_col), F.col("_p").alias("component"))
     roots = vertices.select(id_col).join(

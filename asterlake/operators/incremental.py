@@ -45,11 +45,18 @@ def merge_aggregates(
     out = [F.coalesce(b[k], d[k]).alias(k) for k in keys]
     for c in [*sum_cols, *count_cols]:
         zero = F.lit(0)
+        # NULL partials: a key absent from one side contributes nothing
+        # (coalesce to 0), but when BOTH partials are NULL (a SUM over
+        # all-NULL input values) the merged value must stay NULL — a
+        # one-pass recompute yields NULL there, and this merge is
+        # contractually bit-identical to it.
         out.append(
-            (
+            F.when(b[c].isNull() & d[c].isNull(), F.lit(None))
+            .otherwise(
                 F.coalesce(b[c], zero.cast(base.schema[c].dataType))
                 + F.coalesce(d[c], zero.cast(base.schema[c].dataType))
-            ).alias(c)
+            )
+            .alias(c)
         )
     for c in min_cols:
         out.append(F.least(b[c], d[c]).alias(c))  # least/greatest skip NULLs

@@ -4092,7 +4092,11 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle derives identical sessions with standard gap logic (window end
     = last event + gap, Spark's definition). Same-timestamp events merge
     into one session under both formulations, so the oracle needs its
-    tiebreak only for the lag ordering, not the grouping."""
+    tiebreak only for the lag ordering, not the grouping. Boundary tie
+    rule: Spark MERGES an event at exactly last_ts + gap into the running
+    session (empirically pinned by tests/test_streaming.py::
+    test_session_window_exact_gap_merges), matching the oracle's strict
+    `> INTERVAL '30 minutes'` new-session predicate."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))

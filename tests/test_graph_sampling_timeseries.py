@@ -187,3 +187,23 @@ def test_change_intervals_collapse_and_open_end(spark):
         ("b", _ts("2024-01-01 12:00:00"), _ts("2024-01-01 13:00:00")),
         ("a", _ts("2024-01-01 13:00:00"), None),
     ]
+
+
+def test_nonconvergence_warns_not_silent(spark):
+    """Round-3 advice: exhausting max_iter without the fixpoint must warn —
+    a 6-node chain needs ~5 propagation rounds; max_iter=2 cannot finish."""
+    import warnings as _w
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        connected_components(edges, max_iter=2).collect()
+    assert any("WITHOUT converging" in str(r.message) for r in rec)
+
+    # converged run stays silent
+    with _w.catch_warnings(record=True) as rec2:
+        _w.simplefilter("always")
+        connected_components(edges, max_iter=10).collect()
+    assert not [r for r in rec2 if "WITHOUT converging" in str(r.message)]

@@ -55,3 +55,19 @@ def test_merge_null_key_groups_combine(spark):
     delta = spark.createDataFrame([(None, 2)], "k string, s long")
     got = merge_aggregates(base, delta, ["k"], sum_cols=["s"]).collect()
     assert len(got) == 1 and got[0].s == 3 and got[0].k is None
+
+
+def test_merge_all_null_partials_stay_null(spark):
+    """Round-3 advice: SUM partials that are NULL on BOTH sides (all-NULL
+    input values for that key in every batch) must merge to NULL — a
+    one-pass recompute yields NULL, and the merge is contractually
+    bit-identical to it. A NULL partial on ONE side still folds as 0
+    against the other side's value, matching the recompute."""
+    base = spark.createDataFrame([("a", None), ("b", None), ("c", 5)],
+                                 "k string, s long")
+    delta = spark.createDataFrame([("a", None), ("b", 3)],
+                                  "k string, s long")
+    got = {r.k: r.s for r in
+           merge_aggregates(base, delta, ["k"], sum_cols=["s"]).collect()}
+    # recompute-equivalent: a=NULL (all inputs NULL), b=3, c=5
+    assert got == {"a": None, "b": 3, "c": 5}

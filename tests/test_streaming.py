@@ -285,3 +285,32 @@ def test_stream_merge_dimension_upserts_and_is_idempotent(spark, tmp_path):
     stream_merge_dimension(stream2, dim, "user_id", ckpt)
     rows2 = {r.user_id: r.value for r in spark.read.parquet(dim).collect()}
     assert rows2 == rows
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pins the built-in session_window boundary tie rule (round-3 advice):
+    an event at EXACTLY last_ts + gap merges into the running session in
+    Spark — so the q_session_window oracle's strict `> gap` new-session
+    predicate is the correct twin (an exact-gap delta is NOT > gap)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 00:00:00"),
+            ("u", "2024-01-01 00:30:00"),  # exactly gap after the first
+            ("u", "2024-01-01 01:00:01"),  # 1s past gap -> new session
+        ],
+        "user_id string, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    rows = sorted(
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("session_window.start").cast("string").alias("start"), "n"
+        )
+        .collect()
+    )
+    assert [(r.start, r.n) for r in rows] == [
+        ("2024-01-01 00:00:00", 2),
+        ("2024-01-01 01:00:01", 1),
+    ]
