@@ -498,6 +498,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-subset detection: max-containment
+    ``|A ∩ B| / min(|A|, |B|)`` for every pair sharing >= 1 shingle,
+    filtered to >= threshold.
+
+    Jaccard misses quote-inclusion — a short document wholly contained in
+    a long one has tiny |A∩B|/|A∪B| but containment 1.0; curation
+    pipelines (Lee et al. "Deduplicating Training Data...", RefinedWeb)
+    treat near-subsets as duplicates too. Same inverted-index
+    SHUFFLE_HASH self-join scale shape as :func:`ngram_jaccard_pairs`:
+    shuffles (doc, shingle) postings, never bodies; AQE splits hot
+    shingle posting lists."""
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
+    )
+    sizes = docs.select(
+        F.col(id_col), F.size(word_shingles(text_col, n)).alias("n_sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double") / F.least("na", "nb")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     text_col: str,

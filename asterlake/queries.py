@@ -4129,6 +4129,291 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Beyond-parity round 4: layout (Z-order), embedding centroids, normalized
+# dedup, and the end-to-end training-mix assembly
+# ===========================================================================
+
+
+def _zorder_oracle(bits: int = 8, file_bits: int = 8) -> str:
+    # Morton interleave in pure BIGINT bit ops — the same expression tree
+    # operators/layout.py builds with shiftleft/shiftright/bitwiseAND.
+    terms = " + ".join(
+        f"((((xb >> {b}) & 1) << {2 * b}) + (((yb >> {b}) & 1) << {2 * b + 1}))"
+        for b in range(bits)
+    )
+    width = 2**bits
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(l_partkey) AS xlo, MAX(l_partkey) AS xhi,
+             MIN(l_suppkey) AS ylo, MAX(l_suppkey) AS yhi
+      FROM lineitem
+    ), bucketed AS (
+      SELECT l_partkey, l_suppkey,
+             ((l_partkey - xlo) * {width}) // (xhi - xlo + 1) AS xb,
+             ((l_suppkey - ylo) * {width}) // (yhi - ylo + 1) AS yb
+      FROM lineitem, bounds
+    ), z AS (
+      SELECT l_partkey, l_suppkey, ({terms}) AS zv FROM bucketed
+    )
+    SELECT CAST(zv >> {2 * bits - file_bits} AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_partkey) AS l_partkey_min, MAX(l_partkey) AS l_partkey_max,
+           MIN(l_suppkey) AS l_suppkey_min, MAX(l_suppkey) AS l_suppkey_max
+    FROM z GROUP BY 1
+    """
+
+
+@query("q_zorder_stats", _zorder_oracle())
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering stats — the layout pass behind Delta
+    OPTIMIZE ZORDER BY: bucketize (l_partkey, l_suppkey) to 8 bits each
+    from one broadcast min/max aggregate, interleave the bits into a
+    16-bit Morton value (pure shift/mask expression tree, whole-stage
+    codegen), and report each of the 256 file buckets' row count and
+    min/max rectangle in BOTH dimensions — the manifest a data-skipping
+    scan would prune with. At 100 TB the actual layout is one
+    repartitionByRange(z) + in-partition sort (operators/layout.py:
+    zorder_layout); this query gates the z-value arithmetic both engines
+    must agree on bit-for-bit."""
+    from asterlake.operators.layout import zorder_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_stats(li, "l_partkey", "l_suppkey", bits=8, file_bits=8)
+
+
+@query(
+    "q_embedding_centroids",
+    """
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 10000000.0)
+                              AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 10000000.0 AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the centroid init step of IVF / k-means):
+    posexplode the vectors to (label, dim, val) and average per cell.
+    Float sums are order-dependent, so values are quantized to 1e-7 by
+    FLOOR (tie-free, unlike ROUND/decimal-cast whose half-up vs half-even
+    skew across engines burned the first cut of this oracle) and summed as
+    exact BIGINTs — order-independent, bit-identical on any partitioning;
+    the 1e-7 quantization is far below float32 embedding noise. Scale: the
+    explode is fact x dims rows but the shuffle carries only (label, dim)
+    integer partial sums — groups x dims cells, map-side combined; this is
+    THE distributed dense-vector mean, no driver collect."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim0", "val"))
+    q = F.floor(F.col("val").cast("double") * F.lit(10000000.0)).cast("long")
+    return (
+        ex.groupBy(
+            "label", (F.col("dim0") + F.lit(1)).cast("int").alias("dim")
+        )
+        .agg(
+            (
+                F.sum(q).cast("double")
+                / F.count("*").cast("double")
+                / F.lit(10000000.0)
+            ).alias("centroid"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+        )
+    )
+
+
+_NORM_TEXT_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), "
+    "' +', ' '))"
+)
+# DuckDB regexp_replace replaces only the FIRST match without the 'g' flag;
+# Spark always replaces all — the flag keeps the two normalizations equal.
+_NORM_TEXT_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
+    "' +', ' ', 'g'))"
+)
+
+
+@query(
+    "q_dedup_normalized",
+    f"""
+    SELECT md5(norm) AS fingerprint,
+           MIN(doc_id) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM (SELECT doc_id, {_NORM_TEXT_DUCK} AS norm FROM documents)
+    GROUP BY norm
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, then group documents by the md5 of the normalized
+    form and keep the min doc_id (casing/punctuation near-copies collapse;
+    plain q_dedup_exact would miss them). The shuffle key is the 32-hex
+    fingerprint, never the document body."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.expr(_NORM_TEXT_SPARK)
+    return (
+        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "q_dedup_containment",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM (
+        SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+              FROM documents)
+      )
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.6
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-subset dedup: max-containment |A∩B| / min(|A|,|B|)
+    >= 0.6 over 3-gram shingles — catches quote-inclusion pairs whose
+    Jaccard stays tiny (a short doc wholly inside a long one is
+    containment 1.0, Jaccard ~|A|/|B|). Same inverted-index SHUFFLE_HASH
+    self-join shape as q_dedup_ngram_jaccard; the division is one double
+    op over identical integers on both engines."""
+    from asterlake.operators.dedup import ngram_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, n=3, threshold=0.6)
+
+
+def _training_mix_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    bucket = duck_hash_bucket_sql("doc_id", 100)
+    split_bucket = duck_hash_bucket_sql("'s:' || CAST(doc_id AS VARCHAR)", 100)
+    return f"""
+    WITH q AS (
+      SELECT doc_id, lang, text,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               * (1.0 - CAST(len(list_filter(toks, s -> s = 'a' OR s = 'the'))
+                             AS DOUBLE) / len(toks)) AS quality_score
+      FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+            FROM documents)
+    ), keep AS (
+      SELECT * FROM q WHERE quality_score >= 0.35
+    ), fp AS (
+      SELECT doc_id, md5({_NORM_TEXT_DUCK}) AS f FROM keep
+    ), surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
+    ), dd AS (
+      SELECT k.* FROM keep k JOIN surv USING (doc_id)
+    ), bench_sh AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM (
+        SELECT {_DUCK_SHINGLES.strip()} AS shingles
+        FROM (SELECT text, string_split(text, ' ') AS toks FROM documents
+              WHERE {bucket} < 5)
+      )
+    ), corpus AS (
+      SELECT * FROM dd WHERE {bucket} >= 5
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(shingles) AS shingle FROM (
+          SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                FROM corpus)
+        )
+      ) WHERE shingle IN (SELECT shingle FROM bench_sh)
+    ), clean AS (
+      SELECT * FROM corpus
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), sp AS (
+      SELECT lang, n_tokens,
+             CASE WHEN {split_bucket} < 5 THEN 'test'
+                  WHEN {split_bucket} < 10 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM clean
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM sp GROUP BY split, lang
+    """
+
+
+@query("q_training_mix", _training_mix_oracle())
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data assembly line as ONE composed plan — the
+    second flagship composition next to q_corpus_survivors: quality-filter
+    (Gopher-style score >= 0.35) -> normalized exact dedup (min-doc_id
+    survivor per normalized fingerprint) -> decontaminate against the
+    deterministic 5% benchmark slice (broadcast n-gram set, semi/anti
+    joins) -> deterministic train/val/test split on an independent hash
+    key (the split hash is salted with 's:' so it is uncorrelated with
+    the benchmark-slice hash — otherwise bucket < 5 docs, removed as the
+    bench, would empty the test split) -> per (split, lang) doc and token
+    counts. Every stage is an existing first-class operator; the fact is
+    never shuffled by anything wider than a 32-hex fingerprint."""
+    from asterlake.operators.decontam import decontaminate
+    from asterlake.operators.sampling import (
+        deterministic_sample,
+        hash_bucket,
+        train_val_test_split,
+    )
+    from asterlake.operators.textstats import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features(d).select("doc_id", "n_tokens", "quality_score")
+    keep = d.join(
+        feats.filter(F.col("quality_score") >= 0.35).select(
+            "doc_id", "n_tokens"
+        ),
+        "doc_id",
+    )
+    norm = F.expr(_NORM_TEXT_SPARK)
+    survivors = (
+        keep.select("doc_id", F.md5(norm).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = keep.join(survivors, "doc_id", "left_semi")
+    bench = deterministic_sample(d, "doc_id", 5)
+    corpus = deduped.filter(hash_bucket(F.col("doc_id"), 100) >= 5)
+    clean = decontaminate(corpus, bench, n=3)
+    split = train_val_test_split(
+        clean.withColumn(
+            "_skey", F.concat(F.lit("s:"), F.col("doc_id").cast("string"))
+        ),
+        "_skey",
+        val_percent=5,
+        test_percent=5,
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -4153,6 +4438,11 @@ _MUST_SCORE_R4 = [
 ]
 # Queries added this round (no driver row yet) — keep inside the first 50.
 _NEW_R4 = [
+    "q_zorder_stats",
+    "q_embedding_centroids",
+    "q_dedup_normalized",
+    "q_dedup_containment",
+    "q_training_mix",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.

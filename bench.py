@@ -58,19 +58,18 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
 
         total = round(sum(timings.values()), 4)
-        print(
-            json.dumps(
-                {
-                    "metric": "total_query_sec",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf,
-                }
-            )
-        )
+        payload = {
+            "metric": "total_query_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     finally:
         spark.stop()
+    # print AFTER spark.stop(): nothing (JVM shutdown hooks included) can
+    # land on stdout after this line, so a last-line JSON parse always works
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":

@@ -102,3 +102,27 @@ def test_simhash_pairs_subset_of_bruteforce(spark, docs):
             if h <= 3:  # hamming<=3 < 4 bands => some band must match
                 want.add((a, b, h))
     assert got == want
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment 1.0, Jaccard
+    far below any dedup threshold — the case the asymmetric measure exists
+    for."""
+    from asterlake.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    jac = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert jac == []  # Jaccard ~ 3/43 — blind to the subset pair

@@ -1,0 +1,103 @@
+"""operators/layout.py (Z-order) and sources/maintenance.py (compaction,
+file-skipping stats)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from asterlake.operators.layout import (
+    bucketize,
+    interleave_bits,
+    zorder_layout,
+    zorder_stats,
+)
+from asterlake.sources.maintenance import (
+    compact_parquet_dir,
+    file_skipping_stats,
+    parquet_dir_bytes,
+)
+
+
+def test_interleave_bits_known_values(spark):
+    # x=0b101, y=0b011 -> z bits: x at even positions, y at odd:
+    # bit0=x0=1, bit1=y0=1, bit2=x1=0, bit3=y1=1, bit4=x2=1, bit5=y2=0
+    # z = 0b011011 = 27
+    df = spark.range(1).select(
+        interleave_bits(F.lit(5), F.lit(3), 3).alias("z")
+    )
+    assert df.collect()[0].z == 27
+
+
+def test_bucketize_spans_full_range(spark):
+    df = spark.range(0, 100).select(
+        bucketize(F.col("id"), F.lit(0), F.lit(99), 2).alias("b")
+    )
+    got = {r.b for r in df.collect()}
+    assert got == {0, 1, 2, 3}
+
+
+def test_zorder_stats_rectangles_are_narrow(spark):
+    # a 64x64 grid: every z file-bucket must cover a narrow rectangle in
+    # BOTH dims — the whole point vs a 1-column sort (x buckets narrow,
+    # y buckets full-range)
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    stats = zorder_stats(grid, "x", "y", bits=6, file_bits=4).collect()
+    assert len(stats) == 16
+    for r in stats:
+        assert r.n_rows == 256
+        # 16 buckets over a 64x64 grid -> each is a 16x16 rectangle
+        assert r.x_max - r.x_min == 15
+        assert r.y_max - r.y_min == 15
+
+
+def test_zorder_layout_sorts_and_preserves_rows(spark):
+    grid = spark.range(1000).select(
+        (F.col("id") % 50).alias("x"), (F.col("id") % 37).alias("y")
+    )
+    out = zorder_layout(grid, ["x", "y"], bits=5, n_files=4)
+    assert out.columns == ["x", "y"]
+    assert out.count() == 1000
+    with pytest.raises(ValueError):
+        zorder_layout(grid, ["x"], bits=5)
+
+
+def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    df.repartition(40).write.parquet(path)
+    before = len(list(Path(path).rglob("*.parquet")))
+    assert before == 40
+    total = parquet_dir_bytes(path)
+    n_after = compact_parquet_dir(spark, path, target_file_bytes=total // 2)
+    assert n_after <= 3  # ceil(total/half) = 2 (+rounding slack)
+    assert spark.read.parquet(path).count() == 10_000
+    assert (
+        spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+        == 10_000 * 9_999 // 2
+    )
+
+
+def test_file_skipping_stats_tight_after_sorted_compaction(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    # write value-interleaved files: every file spans the full id range,
+    # so min/max stats prune nothing
+    spark.range(8_000).repartition(8).write.parquet(path)
+    loose = file_skipping_stats(spark, path, ["id"]).collect()
+    assert all(r.id_max - r.id_min > 4_000 for r in loose)
+    # compact with a sort -> each file covers a disjoint narrow range
+    compact_parquet_dir(
+        spark, path, target_file_bytes=parquet_dir_bytes(path) // 4,
+        sort_by=["id"],
+    )
+    tight = file_skipping_stats(spark, path, ["id"]).collect()
+    assert sum(r.n_rows for r in tight) == 8_000
+    spans = sorted((r.id_min, r.id_max) for r in tight)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo  # disjoint ranges -> a point lookup reads ONE file
