@@ -4129,6 +4129,53 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_stream_session_window", QUERIES["q_session_window"].oracle)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows: the events table replayed through
+    readStream (availableNow) -> the dedicated stateful SessionWindow
+    operator (30-min gap per user) -> complete-mode memory sink. Shares
+    the batch q_session_window oracle verbatim — the stream's merged
+    session state must land on exactly the sessions the batch operator
+    (and the oracle's lag/cumsum derivation) produces. Completes the
+    §2.7 set: tumbling windows, dedup, custom-state sessions, and now
+    built-in session windows all gated stream-vs-batch."""
+    import os
+    import tempfile
+
+    from asterlake.streaming.pipeline import session_window_counts
+    from asterlake.tables import events_read_schema, normalize_events_ts
+
+    schema = events_read_schema(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "events")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema).parquet(src_dir)
+        )
+        sessions = session_window_counts(
+            stream, gap="30 minutes", group_cols=["user_id"]
+        ).select("user_id", "session_start", "session_end", "n_events")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            (
+                sessions.writeStream.format("memory")
+                .queryName("stream_session_window")
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return spark.table("stream_session_window")
+
+
 # ===========================================================================
 # Beyond-parity round 4: layout (Z-order), embedding centroids, normalized
 # dedup, and the end-to-end training-mix assembly
@@ -4443,6 +4490,7 @@ _NEW_R4 = [
     "q_dedup_normalized",
     "q_dedup_containment",
     "q_training_mix",
+    "q_stream_session_window",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.

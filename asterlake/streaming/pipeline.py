@@ -145,6 +145,35 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    stream: DataFrame,
+    event_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked session-window aggregation on a stream — the dedicated
+    SessionWindow stateful operator (dynamic-length windows that close
+    when no event arrives within ``gap``), the streaming twin of the
+    batch ``q_session_window`` gate. State per key is one open session
+    (start, end, count), merged across micro-batches and emitted once the
+    watermark passes the session end."""
+    keys = [F.session_window(event_col, gap)] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        stream.withWatermark(event_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *(group_cols or []),
+            "n_events",
+        )
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -341,3 +341,46 @@ def test_min_cost_supplier_decorrelates_scalar_min(spark):
     # subquery: physical plan has hash aggregates + joins only
     assert has_node(plan, "HashAggregate")
     assert not has_node(plan, "CartesianProduct")
+
+
+def test_zorder_stats_broadcast_bounds_no_value_shuffle(spark):
+    """The min/max bounds table broadcasts back over the fact; the only
+    other exchanges belong to the two aggregations (bounds + per-bucket
+    stats) — the fact is never shuffled by value, and the z-value is a
+    pure expression (no UDF, no Python)."""
+    from asterlake.plans.inspect import scans
+
+    plan = _plan(spark, "q_zorder_stats")
+    assert has_node(plan, "BroadcastExchange")
+    assert not has_node(plan, "SortMergeJoin")
+    assert not has_node(plan, "BatchEvalPython")
+    li_scans = [s for s in scans(plan) if "lineitem" in s.location]
+    for s in li_scans:
+        assert set(s.read_columns) == {"l_partkey", "l_suppkey"}
+
+
+def test_containment_shuffle_hash_inverted_index(spark):
+    """Same scale contract as the Jaccard twin: the exploded posting lists
+    meet in a ShuffledHashJoin (never a broadcast of an unboundedly large
+    exploded table, never a cartesian)."""
+    plan = _plan(spark, "q_dedup_containment")
+    assert has_node(plan, "ShuffledHashJoin")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BroadcastNestedLoopJoin")
+
+
+def test_training_mix_broadcast_membership_probes(spark):
+    """The composed pipeline keeps every membership test map-side: the
+    benchmark n-gram set and the contaminated/survivor ID sets ride
+    broadcast semi/anti joins; no sort-merge join of the corpus."""
+    plan = _plan(spark, "q_training_mix")
+    assert has_node(plan, "BroadcastHashJoin")
+    assert not has_node(plan, "CartesianProduct")
+
+
+def test_dedup_normalized_fingerprint_shuffle_only(spark):
+    """The dedup groupBy shuffles the 32-hex fingerprint, never the text
+    body: the exchange's hash partitioning must key on the fingerprint."""
+    plan = _plan(spark, "q_dedup_normalized")
+    assert has_node(plan, "Exchange")
+    assert "hashpartitioning(fingerprint" in plan

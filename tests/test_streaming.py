@@ -314,3 +314,34 @@ def test_session_window_exact_gap_merges(spark):
         ("2024-01-01 00:00:00", 2),
         ("2024-01-01 01:00:01", 1),
     ]
+
+
+def test_session_window_counts_merges_across_microbatches(spark, tmp_path):
+    """Built-in streaming session windows: two micro-batches
+    (maxFilesPerTrigger=1) whose events belong to ONE logical session must
+    merge into a single session row — the SessionWindow state carries and
+    extends the open session across batches."""
+    from asterlake.streaming.pipeline import session_window_counts
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    _write_events_jsonl(
+        os.path.join(events_dir, "b1.json"),
+        [(1, "2025-01-01 10:00:00"), (1, "2025-01-01 10:10:00")],
+    )
+    _write_events_jsonl(
+        os.path.join(events_dir, "b2.json"),
+        [(1, "2025-01-01 10:25:00"), (1, "2025-01-01 12:00:00")],
+    )
+    stream = _events_stream(spark, events_dir, max_files=1)
+    sessions = session_window_counts(
+        stream, gap="30 minutes", group_cols=["user_id"]
+    )
+    _drain(sessions, str(tmp_path / "ck_sw"), "sw_sink", mode="complete")
+    got = {
+        (r.session_start.hour, r.session_start.minute, r.n_events)
+        for r in spark.sql("SELECT * FROM sw_sink").collect()
+    }
+    # batch 1's open session absorbs batch 2's 10:25 event (gap < 30m from
+    # 10:10); the 12:00 event starts a fresh session
+    assert got == {(10, 0, 3), (12, 0, 1)}
