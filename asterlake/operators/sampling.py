@@ -118,3 +118,25 @@ def quota_sample(
         .filter(F.col("_qrank") <= quota)
         .drop("_qrank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bernoulli sampling with per-row keep probability ``weight / scale``
+    (weights above ``scale`` always keep) — the soft-dedup / quality
+    reweighting move (RefinedWeb-style): instead of a hard drop, each
+    document survives with probability proportional to its integer
+    weight.
+
+    Exactness contract: membership is ``hash_bucket(key, scale) <
+    weight`` — pure integer comparison over the md5-derived bucket, so
+    any engine, partitioning, or subset draws the identical sample (no
+    RNG state, no transcendental priority functions whose libm rounding
+    differs across engines). ``weight`` must be an integer column on the
+    same scale as ``scale``. A zero-shuffle projection+filter.
+    """
+    return df.filter(hash_bucket(F.col(key), scale) < weight)

@@ -4352,6 +4352,53 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(d, n=3, threshold=0.6)
 
 
+def _weighted_sample_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    bucket = duck_hash_bucket_sql("doc_id", 1_000_000)
+    return f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               * (1.0 - CAST(len(list_filter(toks, s -> s = 'a' OR s = 'the'))
+                             AS DOUBLE) / len(toks)) AS quality_score
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents)
+    ), kept AS (
+      SELECT * FROM q
+      WHERE {bucket} < CAST(FLOOR(quality_score * 1000000.0) AS BIGINT)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM kept GROUP BY lang
+    """
+
+
+@query("q_weighted_sample", _weighted_sample_oracle())
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional Bernoulli sampling (soft dedup / corpus
+    reweighting): each document survives with probability equal to its
+    quality score — a keep-probability column, not a hard threshold.
+    Membership is exact integer arithmetic (md5 bucket < FLOOR-quantized
+    weight; FLOOR is tie-free where ROUND's half-mode skew is not), so
+    any engine or partitioning draws the identical sample; a zero-shuffle
+    projection+filter ahead of one small per-language aggregate."""
+    from asterlake.operators.sampling import weighted_sample
+    from asterlake.operators.textstats import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = quality_features(d).select("doc_id", "n_tokens", "quality_score")
+    j = d.select("doc_id", "lang").join(feats, "doc_id")
+    weight = F.floor(F.col("quality_score") * F.lit(1000000.0)).cast("long")
+    kept = weighted_sample(j, "doc_id", weight, scale=1_000_000)
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
 def _training_mix_oracle() -> str:
     from asterlake.operators.sampling import duck_hash_bucket_sql
 
@@ -4490,6 +4537,7 @@ _NEW_R4 = [
     "q_dedup_normalized",
     "q_dedup_containment",
     "q_training_mix",
+    "q_weighted_sample",
     "q_stream_session_window",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01

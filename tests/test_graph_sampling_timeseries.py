@@ -207,3 +207,23 @@ def test_nonconvergence_warns_not_silent(spark):
         _w.simplefilter("always")
         connected_components(edges, max_iter=10).collect()
     assert not [r for r in rec2 if "WITHOUT converging" in str(r.message)]
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from asterlake.operators.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(F.col("id").cast("string").alias("k"))
+    # weight 250k of 1M -> ~25% keep; weight >= scale -> always kept
+    quarter = weighted_sample(df, "k", F.lit(250_000))
+    n = quarter.count()
+    assert 0.23 * 20_000 < n < 0.27 * 20_000
+    assert weighted_sample(df, "k", F.lit(1_000_000)).count() == 20_000
+    assert weighted_sample(df, "k", F.lit(0)).count() == 0
+    # deterministic: same draw on re-run and on any subset (membership is
+    # a pure row function — the anti-leak property)
+    again = {r.k for r in weighted_sample(df, "k", F.lit(250_000)).collect()}
+    assert again == {r.k for r in quarter.collect()}
+    sub = df.filter(F.col("k").cast("long") < 10_000)
+    sub_kept = {r.k for r in weighted_sample(sub, "k", F.lit(250_000)).collect()}
+    assert sub_kept == {k for k in again if int(k) < 10_000}
