@@ -4352,6 +4352,79 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(d, n=3, threshold=0.6)
 
 
+@query(
+    "q_collocations_lift",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), ucnt AS (
+      SELECT w, COUNT(*) AS n FROM uni GROUP BY w
+    ), tot AS (
+      SELECT COUNT(*) AS n_tok FROM uni
+    ), bi AS (
+      SELECT unnest(CASE WHEN len(t) >= 2
+                         THEN [{'w1': t[i], 'w2': t[i+1]}
+                               for i in range(1, len(t))]
+                         ELSE [] END) AS p
+      FROM toks
+    ), bcnt AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_xy FROM bi GROUP BY 1, 2
+    )
+    SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_pair,
+           (CAST(n_xy AS DOUBLE) * CAST(n_tok AS DOUBLE))
+             / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS lift
+    FROM bcnt
+    JOIN ucnt a ON w1 = a.w
+    JOIN ucnt b ON w2 = b.w, tot
+    WHERE n_xy >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 50
+    """,
+)
+def q_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the 50 adjacent token pairs with the
+    highest lift n(x,y) * N / (n(x) * n(y)) among pairs seen >= 5 times —
+    the rational core of PMI with the log dropped (log is monotone, and
+    libm log rounding differs across engines; the rational form is one
+    IEEE expression tree both engines evaluate identically). Scale: bigram
+    and unigram counts are two partial-agg shuffles over token-sized keys;
+    the one-row corpus total broadcasts; top-50 is TakeOrderedAndProject
+    with a (lift, w1, w2) tiebreak so the cutoff is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform("
+                "sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)"
+                ") ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("n"))
+    tot = uni.agg(F.count("*").alias("n_tok"))
+    bcnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+    lift = (
+        F.col("n_xy").cast("double") * F.col("n_tok").cast("double")
+    ) / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    return (
+        bcnt.filter(F.col("n_xy") >= 5)
+        .join(ucnt.select(F.col("w").alias("w1"), F.col("n").alias("na")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("n").alias("nb")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_xy").cast("bigint").alias("n_pair"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(50)
+    )
+
+
 def _weighted_sample_oracle() -> str:
     from asterlake.operators.sampling import duck_hash_bucket_sql
 
@@ -4538,6 +4611,7 @@ _NEW_R4 = [
     "q_dedup_containment",
     "q_training_mix",
     "q_weighted_sample",
+    "q_collocations_lift",
     "q_stream_session_window",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
