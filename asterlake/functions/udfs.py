@@ -7,9 +7,10 @@ Python re-implementing the Spark logic wholesale. The Spark-native
 equivalent is *vectorized islands inside the distributed plan*: Arrow
 batches cross the JVM<->Python boundary, everything else stays JVM-side.
 These are the slow path by design — every operator in `operators/` that
-CAN be a built-in expression IS one; this module pins the three API
-shapes for the cases that genuinely need Python (model inference,
-codecs, custom tokenizers).
+CAN be a built-in expression IS one; this module pins the four API
+shapes — scalar pandas_udf, grouped-map applyInPandas, grouped-agg
+pandas_udf (UDAF), and @udtf — for the cases that genuinely need Python
+(model inference, codecs, custom tokenizers).
 
 Determinism discipline (hash-gated against DuckDB): any float reduction
 inside a UDF uses ``np.add.accumulate`` (strict left-to-right, matching
@@ -126,3 +127,29 @@ def split_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
         f"SELECT d.doc_id, s.sent_idx, s.sentence "
         f"FROM _udtf_docs d, LATERAL split_sentences(d.{text_col}) s"
     )
+
+
+@pandas_udf(DoubleType())
+def iqr_agg(values: pd.Series) -> float:
+    """GROUPED-AGG pandas UDF (true vectorized UDAF): interquartile range
+    of a group, one Arrow batch per group — the fourth API shape next to
+    scalar pandas_udf / applyInPandas / @udtf.
+
+    Order-independence: the group's values arrive in arbitrary partition
+    order, so the UDF sorts first; the quantile interpolation is the
+    weighted form ``(ceil(pos)-pos)*lo + (pos-floor(pos))*hi`` — the
+    exact expression Spark's percentile and DuckDB's quantile_cont agree
+    on (pinned by operators/stats.py), so the gate hash-matches."""
+    a = np.sort(values.to_numpy(dtype=np.float64))
+    if len(a) == 0:
+        return float("nan")
+
+    def q(p: float) -> float:
+        pos = p * (len(a) - 1)
+        k = int(np.floor(pos))
+        frac = pos - k
+        if frac == 0.0:
+            return float(a[k])
+        return float((k + 1 - pos) * a[k] + (pos - k) * a[k + 1])
+
+    return q(0.75) - q(0.25)

@@ -4425,6 +4425,75 @@ def q_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_variant_extract",
+    """
+    WITH j AS (
+      SELECT to_json(struct_pack(
+               k := o_orderkey, s := o_orderstatus, p := o_totalprice
+             )) AS doc
+      FROM orders
+    )
+    SELECT CAST(json_extract(doc, '$.k') AS BIGINT) AS o_orderkey,
+           json_extract_string(doc, '$.s') AS status,
+           CAST(json_extract(doc, '$.p') AS DOUBLE) AS price
+    FROM j
+    """,
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: serialize each order to a JSON document,
+    parse_json it into the binary VARIANT type, and pull typed fields
+    back out with variant_get — the semi-structured round trip a bronze
+    layer of arbitrary JSON needs without a fixed schema. JSON number
+    formatting differs between engines (shortest-round-trip printers),
+    so the gate compares the EXTRACTED typed values, which round-trip to
+    identical doubles/longs regardless of the string form. Row-local
+    projection — no shuffle, VariantGet is codegen'd columnar work."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+                F.col("o_totalprice").alias("p"),
+            )
+        )
+    )
+    return o.select(
+        F.variant_get(v, "$.k", "bigint").alias("o_orderkey"),
+        F.variant_get(v, "$.s", "string").alias("status"),
+        F.variant_get(v, "$.p", "double").alias("price"),
+    )
+
+
+@query(
+    "q_udaf_iqr",
+    """
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)
+             - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS iqr
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized UDAF (grouped-agg pandas_udf): per-returnflag price
+    interquartile range computed inside a Python Arrow batch — the fourth
+    Python API shape (after scalar pandas_udf, applyInPandas grouped-map,
+    and @udtf), completing §2.8. The UDF sorts its group so the result is
+    independent of partition arrival order, and interpolates with the
+    weighted quantile expression both engines agree on. NOTE the built-in
+    path for this exact stat is operators/stats.py exact_percentiles —
+    this query exists to gate the UDAF machinery, not to recommend Python
+    for percentiles."""
+    from asterlake.functions.udfs import iqr_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        iqr_agg(F.col("l_extendedprice").cast("double")).alias("iqr")
+    )
+
+
 def _weighted_sample_oracle() -> str:
     from asterlake.operators.sampling import duck_hash_bucket_sql
 
@@ -4612,6 +4681,8 @@ _NEW_R4 = [
     "q_training_mix",
     "q_weighted_sample",
     "q_collocations_lift",
+    "q_variant_extract",
+    "q_udaf_iqr",
     "q_stream_session_window",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01

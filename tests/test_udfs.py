@@ -56,3 +56,36 @@ def test_udtf_sentences_ordinality(spark):
         for r in split_sentences(df).collect()
     }
     assert rows == {(1, 0, "a b"), (1, 1, "c d"), (1, 2, "e")}
+
+
+def test_iqr_agg_matches_builtin_and_ignores_partition_order(spark):
+    """Grouped-agg pandas UDAF: equals the built-in percentile IQR
+    bit-for-bit, under any input partitioning (the UDF sorts its group)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from asterlake.functions.udfs import iqr_agg
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    want = {
+        r.l_returnflag: r.iqr
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.75)")
+                - F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.25)")
+            ).alias("iqr")
+        )
+        .collect()
+    }
+    for reshuffled in (li, li.repartition(13, "l_orderkey")):
+        got = {
+            r.l_returnflag: r.iqr
+            for r in reshuffled.groupBy("l_returnflag")
+            .agg(iqr_agg(F.col("l_extendedprice").cast("double")).alias("iqr"))
+            .collect()
+        }
+        assert got.keys() == want.keys()
+        for k in want:
+            assert struct.pack("d", got[k]) == struct.pack("d", want[k])
