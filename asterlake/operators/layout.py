@@ -98,32 +98,48 @@ def zorder_stats(
     )
 
 
+def interleave_bits_multi(buckets: Sequence[Column], bits: int) -> Column:
+    """Round-robin Morton interleave of N ``bits``-wide bucket ids: bit b
+    of column j lands at position b*N + j (generalizes
+    :func:`interleave_bits`, which is the N=2 case with its historical
+    x-even/y-odd layout). Total width N*bits must stay < 63."""
+    n = len(buckets)
+    if n * bits >= 63:
+        raise ValueError("interleaved width must fit a signed 64-bit long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, col in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(col, b).bitwiseAND(F.lit(1)), b * n + j
+            )
+    return z
+
+
 def zorder_layout(
     df: DataFrame, cols: Sequence[str], bits: int = 8, n_files: int | None = None
 ) -> DataFrame:
-    """Physically cluster ``df`` by the Morton value of two columns: range
-    shuffle on z + in-partition sort, ready for a partitioned write whose
-    files each cover a narrow rectangle in both dimensions."""
-    if len(cols) != 2:
-        raise ValueError("zorder_layout interleaves exactly 2 columns")
-    x, y = cols
-    bounds = df.agg(
-        F.min(x).alias("_xlo"),
-        F.max(x).alias("_xhi"),
-        F.min(y).alias("_ylo"),
-        F.max(y).alias("_yhi"),
-    )
+    """Physically cluster ``df`` by the Morton value of N >= 2 columns:
+    range shuffle on z + in-partition sort, ready for a partitioned write
+    whose files each cover a narrow hyper-rectangle in every clustered
+    dimension."""
+    if len(cols) < 2:
+        raise ValueError("zorder_layout needs at least 2 columns")
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"_{c}_lo"))
+        aggs.append(F.max(c).alias(f"_{c}_hi"))
+    bounds = df.agg(*aggs)
+    bucket_cols = [
+        bucketize(F.col(c), F.col(f"_{c}_lo"), F.col(f"_{c}_hi"), bits)
+        for c in cols
+    ]
     with_z = df.join(F.broadcast(bounds)).withColumn(
-        "_z",
-        interleave_bits(
-            bucketize(F.col(x), F.col("_xlo"), F.col("_xhi"), bits),
-            bucketize(F.col(y), F.col("_ylo"), F.col("_yhi"), bits),
-            bits,
-        ),
+        "_z", interleave_bits_multi(bucket_cols, bits)
     )
     parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+    bound_names = [f"_{c}_{side}" for c in cols for side in ("lo", "hi")]
     return (
         with_z.repartitionByRange(parts, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z", "_xlo", "_xhi", "_ylo", "_yhi")
+        .drop("_z", *bound_names)
     )

@@ -354,3 +354,63 @@ def blocked_neighbor_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_step(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    scale: int = 10_000_000,
+) -> DataFrame:
+    """One Lloyd iteration of k-means over an embedding column: assign
+    each vector to its max-cosine centroid (the same literal-codebook
+    argmax projection as :func:`ivf_assign`, inlined so no join is
+    needed), then recompute each cell's mean vector.
+
+    Returns long form (centroid_id, dim, centroid, n_members) — the
+    refreshed codebook rows ``collect``ed by a driver-side training loop
+    (k x dim values, never data-sized). Mean arithmetic is FLOOR
+    1e-7-quantized exact BIGINT sums (tie-free, order/partitioning
+    independent — the q_embedding_centroids discipline), so an iteration
+    is bit-reproducible on any engine.
+
+    Scale: assignment is a pure projection (no shuffle); the explode
+    emits rows x dims but the single shuffle carries only (cell, dim)
+    integer partial sums — k x dim cells with map-side combine. This is
+    the distributed EM step behind IVF codebook training; iterate by
+    feeding the output back in as the next codebook.
+    """
+    c_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
+    )
+    scores = F.transform(
+        c_lit,
+        lambda c: F.aggregate(
+            F.zip_with(c, F.col(vec_col), lambda x, y: x * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    assigned = vectors.select(
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int")
+        .alias("centroid_id"),
+        F.col(vec_col),
+    )
+    ex = assigned.select(
+        "centroid_id", F.posexplode(vec_col).alias("dim0", "val")
+    )
+    q = F.floor(F.col("val").cast("double") * F.lit(float(scale))).cast("long")
+    return (
+        ex.groupBy(
+            "centroid_id", (F.col("dim0") + F.lit(1)).cast("int").alias("dim")
+        )
+        .agg(
+            (
+                F.sum(q).cast("double")
+                / F.count("*").cast("double")
+                / F.lit(float(scale))
+            ).alias("centroid"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+    )

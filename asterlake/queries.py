@@ -4494,6 +4494,57 @@ def q_udaf_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_kmeans_step",
+    None,  # oracle injected below (needs the codebook literal)
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (one Lloyd/EM iteration) over the embeddings:
+    assign every vector to its max-cosine centroid of the k=8 seeded
+    codebook, recompute the per-cell mean vectors — the codebook-training
+    step IVF indexing needs at scale. Assignment is a join-free literal-
+    codebook projection; the recompute shuffles only (cell, dim) integer
+    partial sums (FLOOR-quantized exact BIGINTs, the
+    q_embedding_centroids discipline). A training loop feeds the output
+    back in as the next codebook; this gate pins one full iteration
+    bit-for-bit."""
+    from asterlake.operators.similarity import kmeans_step
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_step(e, _ivf_codebook())
+
+
+QUERIES["q_kmeans_step"] = QueryDef(
+    q_kmeans_step,
+    f"""
+    WITH cb AS (SELECT {_ivf_codebook()} AS cents),
+    assigned AS (
+      SELECT CAST(list_position(scores, list_aggregate(scores, 'max')) - 1
+                  AS INT) AS centroid_id,
+             embedding
+      FROM (
+        SELECT list_transform(cents, c ->
+                 list_sum(list_transform(range(1, len(embedding)+1),
+                   i -> c[i] * CAST(embedding[i] AS DOUBLE)))) AS scores,
+               embedding
+        FROM embeddings, cb
+      )
+    ), ex AS (
+      SELECT centroid_id,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS val
+      FROM assigned
+    )
+    SELECT centroid_id, CAST(dim AS INTEGER) AS dim,
+           CAST(CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 10000000.0)
+                              AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 10000000.0 AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM ex GROUP BY centroid_id, dim
+    """,
+)
+
+
 def _weighted_sample_oracle() -> str:
     from asterlake.operators.sampling import duck_hash_bucket_sql
 
@@ -4683,6 +4734,7 @@ _NEW_R4 = [
     "q_collocations_lift",
     "q_variant_extract",
     "q_udaf_iqr",
+    "q_kmeans_step",
     "q_stream_session_window",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01

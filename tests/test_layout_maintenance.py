@@ -101,3 +101,33 @@ def test_file_skipping_stats_tight_after_sorted_compaction(spark, tmp_path):
     spans = sorted((r.id_min, r.id_max) for r in tight)
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi < lo  # disjoint ranges -> a point lookup reads ONE file
+
+
+def test_multi_column_interleave_and_layout(spark):
+    from asterlake.operators.layout import interleave_bits_multi
+
+    # 3 cols, 2 bits each: x=0b11, y=0b00, z=0b01 ->
+    # bit0: x0=1@0, y0=0@1, z0=1@2 ; bit1: x1=1@3, y1=0@4, z1=0@5
+    # value = 0b001101 = 13
+    got = (
+        spark.range(1)
+        .select(
+            interleave_bits_multi([F.lit(3), F.lit(0), F.lit(1)], 2).alias("z")
+        )
+        .collect()[0]
+        .z
+    )
+    assert got == 13
+    with pytest.raises(ValueError):
+        interleave_bits_multi([F.lit(1)] * 8, 8)  # 64 bits: too wide
+
+    cube = spark.range(4096).select(
+        (F.col("id") % 16).alias("x"),
+        ((F.col("id") / 16).cast("long") % 16).alias("y"),
+        (F.col("id") / 256).cast("long").alias("z"),
+    )
+    out = zorder_layout(cube, ["x", "y", "z"], bits=4, n_files=8)
+    assert out.columns == ["x", "y", "z"]
+    assert out.count() == 4096
+    with pytest.raises(ValueError):
+        zorder_layout(cube, ["x"], bits=4)
