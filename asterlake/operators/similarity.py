@@ -414,3 +414,33 @@ def kmeans_step(
             F.count("*").cast("bigint").alias("n_members"),
         )
     )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    iters: int = 5,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train an IVF codebook: seeded unit-norm init + ``iters`` SPHERICAL
+    k-means iterations — :func:`kmeans_step` means, then an L2
+    renormalization of each centroid (cosine assignment needs unit-norm
+    centroids; the raw mean shrinks in norm and would degrade the
+    max-dot objective). Per round the driver collects only k x dim
+    centroid values (never data-sized); a cell that loses all its members
+    keeps its previous centroid (standard empty-cluster policy).
+    Deterministic end-to-end: seeded init + bit-reproducible steps +
+    driver-side float64 normalization."""
+    centroids = ivf_centroids(k=k, dim=dim, seed=seed)
+    for _ in range(iters):
+        rows = kmeans_step(vectors, centroids, vec_col=vec_col).collect()
+        nxt = [list(c) for c in centroids]
+        for r in rows:
+            nxt[r.centroid_id][r.dim - 1] = r.centroid
+        arr = np.asarray(nxt, dtype=np.float64)
+        norms = np.linalg.norm(arr, axis=1, keepdims=True)
+        arr = np.where(norms > 0, arr / np.where(norms == 0, 1.0, norms), arr)
+        centroids = [[float(x) for x in row] for row in arr]
+    return centroids

@@ -131,3 +131,43 @@ def test_blocked_pairs_max_block_rows_caps_hot_block(spark):
     # uncapped would be the full quadratic set
     full = blocked_neighbor_pairs(df, "label", 0.9).count()
     assert full == n * (n - 1) // 2
+
+
+def test_kmeans_fit_reduces_assignment_cost_and_is_deterministic(spark):
+    """5 Lloyd iterations must not worsen (and in practice improve) the
+    mean max-cosine assignment score vs the seeded init, and the whole
+    fit is bit-deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.similarity import (
+        ivf_centroids,
+        kmeans_fit,
+        kmeans_step,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def mean_best_cosine(centroids):
+        c_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
+        )
+        scores = F.transform(
+            c_lit,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    c, F.col("embedding"), lambda x, y: x * y.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return e.select(F.array_max(scores).alias("s")).agg(
+            F.avg("s")
+        ).collect()[0][0]
+
+    init = ivf_centroids(k=8, dim=64, seed=7)
+    fitted = kmeans_fit(e, k=8, dim=64, iters=5, seed=7)
+    assert mean_best_cosine(fitted) >= mean_best_cosine(init)
+    assert fitted == kmeans_fit(e, k=8, dim=64, iters=5, seed=7)
+    # the gated step over the fitted codebook still returns k x dim rows
+    assert kmeans_step(e, fitted).count() <= 8 * 64
