@@ -143,3 +143,48 @@ def zorder_layout(
         .sortWithinPartitions("_z")
         .drop("_z", *bound_names)
     )
+
+
+def range_bucket_stats(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Equi-depth range-partition plan for a sorted layout.
+
+    The planning half of ``repartitionByRange(col)`` + sorted write (the
+    terasort/Iceberg-sort-order layout), made deterministic: instead of
+    Spark's sampled RangePartitioner (whose bounds vary run to run), the
+    ``n_buckets - 1`` cut points are EXACT percentiles from
+    :func:`asterlake.operators.stats.exact_percentiles` (bounded-state,
+    no per-group value buffer). Each row's bucket is the count of cut
+    points strictly below its value (ties stay left), and the output is
+    the per-bucket ``(n_rows, lo, hi)`` manifest — exactly the min/max
+    file-skipping stats a sorted write would produce.
+
+    Shape: one distinct-value aggregate for the cut points (broadcast
+    back as a 1-row cross join), one pure-projection bucket assignment,
+    one bucket-keyed count/min/max aggregate. The fact shuffles once, on
+    the bucket id.
+    """
+    from asterlake.operators.stats import exact_percentiles
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    names = [f"_b{i}" for i in range(1, n_buckets)]
+    bounds = exact_percentiles(
+        df.select(col), [], col, probs, out_names=names
+    )
+    with_bounds = df.select(col).crossJoin(F.broadcast(bounds))
+    bucket = sum(
+        (F.when(F.col(col) > F.col(nm), 1).otherwise(0) for nm in names),
+        F.lit(0),
+    ).cast("int")
+    return (
+        with_bounds.select(bucket.alias("bucket"), F.col(col).alias("_v"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+    )

@@ -435,7 +435,9 @@ def kmeans_fit(
     driver-side float64 normalization."""
     centroids = ivf_centroids(k=k, dim=dim, seed=seed)
     for _ in range(iters):
-        rows = kmeans_step(vectors, centroids, vec_col=vec_col).collect()
+        rows = kmeans_step(
+            vectors, centroids, vec_col=vec_col
+        ).collect()  # driver-ok: k x dim model state, never data-sized
         nxt = [list(c) for c in centroids]
         for r in rows:
             nxt[r.centroid_id][r.dim - 1] = r.centroid

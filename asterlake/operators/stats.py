@@ -125,3 +125,48 @@ def exact_percentiles(
     ]
     out = long_form.groupBy(*gcols).agg(*agg_cols)
     return out.drop("_g") if drop_key else out
+
+
+def exact_outlier_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value: Column | str,
+    z: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group count of z-score outliers with NO floating-point state.
+
+    Flags rows where ``|x - mean| > z * stddev_pop`` using the exact
+    integer equivalence ``(n*q - S)^2 > z^2 * (n*SSQ - S^2)`` over
+    ``q = floor(x * scale)`` — every comparison happens in DECIMAL(38,0)
+    integers, so the verdict is bit-identical across engines and
+    partitionings (a double mean/stddev would depend on partial-sum
+    order). Output: one row per group with ``n_events`` and
+    ``n_outliers`` BIGINTs.
+
+    Shape: ONE shuffle. The group moments (n, S, SSQ) attach via an
+    unbounded window over the group key and the outlier tally groups by
+    the same key — Catalyst sees the window's hash partitioning already
+    satisfies the aggregate's requirement, so no second exchange
+    (pinned by tests/test_plans.py). Exactness bound: intermediates stay
+    under 38 digits for ``n`` up to ~1e9 rows per group at the default
+    scale (q ~ 1e12 max); shrink ``scale`` for hotter groups.
+    """
+    value_col = F.col(value) if isinstance(value, str) else value
+    q = F.floor(value_col * F.lit(float(scale))).cast("decimal(38,0)")
+    w = Window.partitionBy(*group_cols)
+    n = F.count("*").over(w).cast("decimal(38,0)")
+    s = F.sum(q).over(w)
+    ssq = F.sum(q * q).over(w)
+    dev = n * q - s
+    zz = F.lit(z * z).cast("decimal(38,0)")
+    is_out = (dev * dev) > (zz * (n * ssq - s * s))
+    annotated = df.filter(value_col.isNotNull()).select(
+        *group_cols, is_out.alias("_is_out")
+    )
+    return annotated.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("_is_out"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+    )

@@ -391,3 +391,44 @@ def bm25_scores(
         tf = F.col(f"_tf_{i}").cast("double")
         score = score + idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
     return j.select(F.col(id_col), score.alias("bm25"))
+
+
+def token_rarity_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM quality proxy in COUNT space (the CCNet idea, log-free).
+
+    A document built from rare corpus tokens scores low; boilerplate
+    built from the head of the distribution scores high. The canonical
+    form averages ``-ln p(tok)``; this keeps the same ordering using the
+    mean corpus FREQUENCY of the document's tokens instead — a monotone
+    twin (like the tf-idf idf form, textstats.tfidf_top_terms) chosen
+    because ``ln`` is not guaranteed bit-identical across engine libms
+    while integer count sums are exact.
+
+    Output: ``(doc_id, n_tokens, sum_cf, mean_cf)`` with ``sum_cf`` the
+    exact BIGINT sum of per-token corpus counts and ``mean_cf`` one
+    double division of exact operands.
+
+    Shape: explode -> (term -> corpus count) aggregate (vocabulary-sized,
+    AQE broadcasts the join back) -> per-doc sum. Shuffles carry tokens
+    and doc ids, never document bodies.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("term")
+    )
+    cf = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("cf"))
+    return (
+        tok.join(cf, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("cf").cast("bigint").alias("sum_cf"),
+        )
+        .withColumn(
+            "mean_cf",
+            F.col("sum_cf").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

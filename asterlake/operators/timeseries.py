@@ -113,3 +113,56 @@ def change_intervals(
         F.col(ts).alias("valid_from"),
         F.lead(ts).over(w_c).alias("valid_to"),
     )
+
+
+def ewma(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    alpha: float = 0.1,
+    tiebreak: str = "event_id",
+    out: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average of ``value`` in
+    (ts, tiebreak) order: ``y_0 = x_0``, ``y_t = (1-alpha)*y_{t-1} +
+    alpha*x_t`` (the adjust=False recursion).
+
+    The recursion is inherently sequential per key — no SQL window frame
+    expresses it without an O(n^2) prefix re-scan or a numerically
+    explosive ``(1-alpha)^-i`` rescaling (overflows past ~700 rows per
+    key). So this is the textbook grouped-map case: one shuffle on the
+    key, then an Arrow batch per key runs the O(n) recursion in numpy.
+    State is one float per key; group size bounds memory (a key's whole
+    history must fit one executor — same contract as any per-key sort).
+
+    Determinism: the recursion is evaluated with the exact operand order
+    ``(1-alpha)*acc + alpha*x`` (two IEEE multiplies + one add per step),
+    matching an oracle that replays the identical sequence — results are
+    bit-for-bit reproducible across partitionings because each key's
+    sequence is totally ordered by (ts, tiebreak).
+    """
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    one_minus = 1.0 - alpha
+
+    def run(pdf):
+        pdf = pdf.sort_values([ts, tiebreak], kind="mergesort")
+        acc = None
+        out_vals = []
+        for x in pdf[value].astype("float64"):
+            acc = x if acc is None else one_minus * acc + alpha * x
+            out_vals.append(acc)
+        pdf[out] = out_vals
+        return pdf[[key, tiebreak, ts, value, out]]
+
+    schema = (
+        events.select(key, tiebreak, ts, value)
+        .withColumn(out, F.lit(0.0))
+        .schema
+    )
+    return (
+        events.select(key, tiebreak, ts, value)
+        .groupBy(key)
+        .applyInPandas(run, schema)
+    )

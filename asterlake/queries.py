@@ -4701,6 +4701,274 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Beyond-parity round 4b: data-quality expectations, exact anomaly counts,
+# decayed engagement, sequential EWMA, count-space rarity scoring, schema
+# drift, deterministic range layout
+# ===========================================================================
+
+
+@query(
+    "q_quarantine_expectations",
+    """
+    SELECT rule,
+           CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN passed THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+    FROM (
+      SELECT 'qty_le_45' AS rule,
+             COALESCE(l_quantity <= 45, FALSE) AS passed FROM lineitem
+      UNION ALL
+      SELECT 'disc_le_0_08', COALESCE(l_discount <= 0.08, FALSE) FROM lineitem
+      UNION ALL
+      SELECT 'tax_le_0_06', COALESCE(l_tax <= 0.06, FALSE) FROM lineitem
+    ) GROUP BY rule
+    """,
+)
+def q_quarantine_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT-style declarative data-quality gate: three named expectations
+    over lineitem, one pass/fail tally per rule — the quality report a
+    quarantining silver write emits. The reference pipeline validates
+    nothing (bronze_to_silver.py:38-90 casts tolerantly and moves on);
+    this is the auditable version. Single scan: each row contributes one
+    inline-exploded (rule, passed) struct and the counts partial-
+    aggregate map-side, so the only shuffle carries n_rules rows per map
+    task. The quarantine SPLIT itself (clean/bad frames sharing the
+    annotated plan) is operators/quality.quarantine_split, pinned by
+    tests/test_stats.py."""
+    from asterlake.operators.quality import expectation_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_le_45": F.col("l_quantity") <= 45,
+        "disc_le_0_08": F.col("l_discount") <= 0.08,
+        "tax_le_0_06": F.col("l_tax") <= 0.06,
+    }
+    return expectation_stats(li, rules)
+
+
+@query(
+    "q_anomaly_outliers",
+    """
+    WITH q AS (
+      SELECT event_type, CAST(FLOOR(value * 1000000.0) AS HUGEINT) AS qv
+      FROM events WHERE value IS NOT NULL
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(qv) AS sv, SUM(qv * qv) AS ssq
+      FROM q GROUP BY event_type
+    )
+    SELECT q.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN (n * qv - sv) * (n * qv - sv)
+                              > 4 * (n * ssq - sv * sv)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM q JOIN s ON q.event_type = s.event_type
+    GROUP BY q.event_type
+    """,
+)
+def q_anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly counts (|x - mean| > 2 stddev_pop)
+    decided ENTIRELY in exact integer arithmetic: the equivalence
+    (n*q - S)^2 > 4*(n*SSQ - S^2) over quantized values makes the
+    verdict independent of partial-sum order — a double mean/stddev
+    would be partitioning-dependent and could flip boundary rows between
+    engines. One shuffle: the group moments attach via an unbounded
+    window and the tally groups by the same key, so Catalyst reuses the
+    window's hash partitioning (plan-pinned). The oracle replays the
+    identical inequality in HUGEINT."""
+    from asterlake.operators.stats import exact_outlier_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_outlier_counts(ev, ["event_type"], "value", z=2)
+
+
+@query(
+    "q_decayed_engagement",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), m AS (
+      SELECT MAX(CAST(ts AS DATE)) AS maxd FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(FLOOR(value
+                  * POWER(0.5, CAST(date_diff('day', CAST(ts AS DATE), maxd)
+                                    AS DOUBLE))
+                  * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS engagement
+    FROM e, m
+    GROUP BY user_id
+    """,
+)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score per user: sum of event values under
+    a one-day-half-life decay anchored at the corpus max date — the
+    recency-weighted feature a ranking/freshness pipeline computes.
+    Determinism without decimal gymnastics: 0.5^k for integer k is a
+    bare exponent decrement (EXACT in IEEE), value * 2^-k * 1e6 rounds
+    identically in both engines, and the FLOOR-quantized BIGINT partials
+    sum exactly in any order. Shape: one scalar max-date aggregate
+    broadcast back (1-row cross join), then one user-keyed partial-
+    aggregated shuffle — the fact never shuffles wider than (user_id,
+    long)."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.select(F.max(F.to_date("ts")).alias("maxd"))
+    decay = F.pow(
+        F.lit(0.5),
+        F.datediff(F.col("maxd"), F.to_date("ts")).cast("double"),
+    )
+    contrib = F.floor(F.col("value") * decay * F.lit(1000000.0)).cast(
+        "bigint"
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            (
+                F.sum(contrib).cast("bigint").cast("double")
+                / F.lit(1000000.0)
+            ).alias("engagement"),
+        )
+    )
+
+
+@query(
+    "q_ewma_value",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events
+    ), h AS (
+      SELECT user_id, event_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS hist
+      FROM e
+    )
+    SELECT user_id, event_id, ts, value,
+           list_reduce(hist, (acc, x) -> (1.0 - 0.1) * acc + 0.1 * x) AS ewma
+    FROM h
+    """,
+)
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha=0.1, adjust=False): the
+    inherently-sequential recursion y_t = 0.9*y_{t-1} + 0.1*x_t that no
+    SQL window frame expresses without an O(n^2) prefix re-scan or a
+    numerically explosive (1-a)^-i rescale. The engine runs it as the
+    textbook grouped-map: one user-keyed shuffle, then an O(n) numpy
+    recursion per Arrow batch (operators/timeseries.ewma). The oracle
+    replays the SAME operand-ordered recursion via a per-row prefix list
+    + list_reduce — O(n^2) and oracle-only; results agree bit-for-bit
+    because each user's sequence is totally ordered by (ts, event_id)."""
+    from asterlake.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma(ev, key="user_id", alpha=0.1).select(
+        "user_id", "event_id", "ts", "value", "ewma"
+    )
+
+
+@query(
+    "q_doc_rarity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), cf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY term
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(cf) AS BIGINT) AS sum_cf,
+           CAST(CAST(SUM(cf) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_cf
+    FROM tok JOIN cf USING (term)
+    GROUP BY doc_id
+    """,
+)
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring in count space (the CCNet filter,
+    log-free): each document's mean corpus token frequency — rare-token
+    documents score low, boilerplate scores high. Uses the exact-integer
+    monotone twin of mean -ln p(tok) (same ordering, no cross-libm ln).
+    Shape: explode -> vocabulary-sized (term, cf) aggregate joined back
+    (AQE broadcasts it) -> per-doc exact BIGINT sums; one double
+    division at the end. Shuffles carry tokens and ids, never document
+    bodies (plan-pinned)."""
+    from asterlake.operators.textstats import token_rarity_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_rarity_scores(d)
+
+
+@query(
+    "q_schema_drift_union",
+    """
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus,
+           NULL AS o_custkey
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, NULL, o_orderstatus, o_custkey
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift reconciliation: two snapshots of the same feed with
+    different column sets union into the superset schema with NULLs for
+    the columns each side lacks (`unionByName(allowMissingColumns=True)`
+    — the move an evolving bronze layer needs when a producer adds or
+    drops fields). Pure union of two pushed-down scans: no shuffle, no
+    Python; the oracle spells out the padded projections the operator
+    derives."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def _range_layout_oracle(n_buckets: int = 8) -> str:
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bound_cols = ", ".join(
+        f"quantile_cont(CAST(l_extendedprice AS DOUBLE), {p}) AS _b{i}"
+        for i, p in enumerate(probs, 1)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN l_extendedprice > _b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, n_buckets)
+    )
+    return f"""
+    WITH b AS (SELECT {bound_cols} FROM lineitem)
+    SELECT CAST({bucket} AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem, b
+    GROUP BY bucket
+    """
+
+
+@query("q_range_layout_stats", _range_layout_oracle())
+def q_range_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic equi-depth range-partition plan for a sorted write
+    (the terasort / Iceberg sort-order layout): 7 exact-percentile cut
+    points (bounded-state two-pass percentiles, NOT Spark's
+    run-to-run-varying sampled RangePartitioner), per-row bucket = count
+    of cut points below the value, then the per-bucket (n_rows, lo, hi)
+    manifest — the min/max file-skipping stats the sorted files would
+    carry. The bucket populations differ by at most the tied-value runs
+    at each boundary: an equi-depth layout proof. Fact shuffles once on
+    the bucket id; the cut points broadcast as one row."""
+    from asterlake.operators.layout import range_bucket_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return range_bucket_stats(li, "l_extendedprice", n_buckets=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -4736,6 +5004,13 @@ _NEW_R4 = [
     "q_udaf_iqr",
     "q_kmeans_step",
     "q_stream_session_window",
+    "q_quarantine_expectations",
+    "q_anomaly_outliers",
+    "q_decayed_engagement",
+    "q_ewma_value",
+    "q_doc_rarity",
+    "q_schema_drift_union",
+    "q_range_layout_stats",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.

@@ -4,6 +4,9 @@ Runs every declared query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "total_query_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
+(the stdout line keeps the slowest queries within a ~1.5 KB budget so the
+driver's bounded tail always contains a parseable document; the complete
+per-query timing dict is written to BENCH_FULL.json alongside)
 
 Each query executes end-to-end through the `noop` sink — full plan execution
 (scan -> shuffle -> agg) without driver-side result materialization, so the
@@ -67,9 +70,33 @@ def main() -> None:
         }
     finally:
         spark.stop()
+    # The driver stores only the last ~2000 chars of stdout; with 100+
+    # queries the full timings dict alone exceeds that, truncating the JSON
+    # line's HEAD and making it unparseable (BENCH_r03 `parsed: null`).
+    # So: full payload goes to BENCH_FULL.json next to this script, and the
+    # one stdout line carries the headline metric plus as many of the
+    # SLOWEST queries as fit a conservative budget — the tail the driver
+    # keeps is always a complete, parseable JSON document.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+    compact = dict(payload)
+    compact["n_queries"] = len(timings)
+    compact["queries_full"] = "BENCH_FULL.json"
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    kept: dict[str, float] = {}
+    for name, sec in slowest:
+        kept[name] = sec
+        compact["queries"] = kept
+        if len(json.dumps(compact, separators=(",", ":"))) > 1500:
+            kept.pop(name)
+            break
+    compact["queries"] = kept
     # print AFTER spark.stop(): nothing (JVM shutdown hooks included) can
     # land on stdout after this line, so a last-line JSON parse always works
-    print(json.dumps(payload), flush=True)
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

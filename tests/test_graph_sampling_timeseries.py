@@ -227,3 +227,44 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     sub = df.filter(F.col("k").cast("long") < 10_000)
     sub_kept = {r.k for r in weighted_sample(sub, "k", F.lit(250_000)).collect()}
     assert sub_kept == {k for k in again if int(k) < 10_000}
+
+
+def test_ewma_matches_hand_recursion_and_partitioning_invariant(spark):
+    from asterlake.operators.timeseries import ewma
+
+    rows = [
+        (1, 1, _ts("2024-01-01 00:00:00"), 10.0),
+        (1, 2, _ts("2024-01-01 01:00:00"), 20.0),
+        (1, 3, _ts("2024-01-01 02:00:00"), 0.0),
+        (2, 4, _ts("2024-01-01 00:00:00"), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: r.ewma
+        for r in ewma(df, key="user_id", alpha=0.1).collect()
+    }
+    y1 = 10.0
+    y2 = 0.9 * y1 + 0.1 * 20.0
+    y3 = 0.9 * y2 + 0.1 * 0.0
+    assert got == {1: y1, 2: y2, 3: y3, 4: 5.0}
+    # same bits under a different input partitioning
+    got2 = {
+        r.event_id: r.ewma
+        for r in ewma(df.repartition(7), key="user_id", alpha=0.1).collect()
+    }
+    assert got2 == got
+
+
+def test_ewma_ties_break_on_tiebreak_column(spark):
+    from asterlake.operators.timeseries import ewma
+
+    t = _ts("2024-01-01 00:00:00")
+    df = spark.createDataFrame(
+        [(1, 2, t, 100.0), (1, 1, t, 0.0)],
+        "user_id int, event_id int, ts timestamp, value double",
+    )
+    got = {r.event_id: r.ewma for r in ewma(df, alpha=0.5).collect()}
+    # event_id 1 first: y1=0, y2=0.5*0+0.5*100
+    assert got == {1: 0.0, 2: 50.0}

@@ -131,3 +131,23 @@ def test_multi_column_interleave_and_layout(spark):
     assert out.count() == 4096
     with pytest.raises(ValueError):
         zorder_layout(cube, ["x"], bits=4)
+
+
+def test_range_bucket_stats_equidepth_and_disjoint(spark):
+    from asterlake.operators.layout import range_bucket_stats
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    total = li.count()
+    rows = sorted(
+        range_bucket_stats(li, "l_extendedprice", n_buckets=8).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(8))
+    assert sum(r.n_rows for r in rows) == total
+    # buckets cover disjoint, ordered value ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+    # equi-depth within the tolerance tied values allow
+    for r in rows:
+        assert r.n_rows >= total // 8 - total // 20
+        assert r.n_rows <= total // 8 + total // 20

@@ -105,3 +105,90 @@ def test_out_names_validation(spark, lineitem):
         exact_percentiles(
             lineitem, [], "l_extendedprice", [0.5], out_names=["a", "b"]
         )
+
+
+# ---------------------------------------------------------------------------
+# exact_outlier_counts + data-quality expectations (round 4b)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_outlier_counts_matches_float_reference(spark):
+    import math
+
+    from asterlake.operators.stats import exact_outlier_counts
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 100]] + [
+        ("b", float(v)) for v in [10, 10, 10, 10]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.g: (r.n_events, r.n_outliers)
+        for r in exact_outlier_counts(df, ["g"], "v", z=2).collect()
+    }
+    # float reference for group a: mean 22, stddev_pop ~ 39.05 -> only 100
+    vals = [1, 2, 3, 4, 100]
+    mu = sum(vals) / len(vals)
+    sd = math.sqrt(sum((x - mu) ** 2 for x in vals) / len(vals))
+    expect_a = sum(1 for x in vals if abs(x - mu) > 2 * sd)
+    assert got["a"] == (5, expect_a)
+    assert got["b"] == (4, 0)  # zero variance -> no outliers
+
+
+def test_exact_outlier_counts_single_exchange(spark):
+    from asterlake.operators.stats import exact_outlier_counts
+    from asterlake.plans.inspect import node_count, plan_string
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = plan_string(exact_outlier_counts(ev, ["event_type"], "value"))
+    # the window's hash partitioning satisfies the downstream aggregate:
+    # exactly one exchange end to end
+    assert node_count(plan, "Exchange") == 1
+
+
+def test_expectation_stats_and_quarantine_split(spark):
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.quality import (
+        expectation_stats,
+        quarantine_split,
+        with_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 99.0)], "id int, amt double"
+    )
+    rules = {
+        "amt_positive": F.col("amt") > 0,
+        "amt_under_50": F.col("amt") < 50,
+    }
+    stats = {
+        r.rule: (r.n_pass, r.n_fail)
+        for r in expectation_stats(df, rules).collect()
+    }
+    # NULL amt fails both rules (unevaluable expectation is unmet)
+    assert stats == {"amt_positive": (2, 2), "amt_under_50": (2, 2)}
+
+    clean, bad = quarantine_split(df, rules)
+    assert {r.id for r in clean.collect()} == {1}
+    viol = {r.id: list(r._violations) for r in bad.collect()}
+    assert viol == {
+        2: ["amt_positive"],
+        3: ["amt_positive", "amt_under_50"],
+        4: ["amt_under_50"],
+    }
+    # annotation preserves rows and sorts rule names deterministically
+    assert with_expectations(df, rules).count() == 4
+
+
+def test_expectation_stats_partial_aggregates(spark):
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.quality import expectation_stats
+    from asterlake.plans.inspect import node_count, plan_string
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = plan_string(
+        expectation_stats(li, {"q": F.col("l_quantity") <= 45})
+    )
+    assert node_count(plan, "HashAggregate") >= 2  # map-side partial
+    assert node_count(plan, "Exchange") == 1
