@@ -116,6 +116,71 @@ def minhash_signatures(
     )
 
 
+def minhash_band_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_key): each doc exploded to its LSH band keys.
+
+    ','-joined int signatures (unambiguous); concat_ws skips NULL slots
+    -> empty band body, key 'b:' — matching the oracle's array_to_string
+    over an all-NULL slice. This is the persisted INDEX layout for
+    incremental dedup: band keys are small strings, the index never
+    stores document bodies, and new-batch lookup is an equi-join on
+    band_key (see :func:`minhash_index_matches`)."""
+    rows = k // bands
+    sig_tbl = minhash_signatures(docs, id_col, text_col, n, k)
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.concat_ws(
+                    ",", *[F.col(f"_sig{b * rows + r}") for r in range(rows)]
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_tbl.select(
+        F.col(id_col), F.explode(band_keys).alias("band_key")
+    )
+
+
+def minhash_index_matches(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup screening: which NEW documents LSH-collide
+    with the existing corpus index, without ever comparing new-vs-new.
+
+    The daily-ingest shape: at scale the index side is a persisted band
+    table (``minhash_band_table`` written once, appended per batch) and
+    the new batch is orders of magnitude smaller, so AQE broadcasts the
+    new side into the band-key equi-join and the index is touched
+    map-side only. Output per matched new doc: ``n_candidates`` (distinct
+    index docs sharing >= 1 band) and ``first_match`` (min index doc id)
+    — the triage row a quarantine/skip decision needs.
+    """
+    nb = minhash_band_table(new_docs, id_col, text_col, n, k, bands)
+    ib = minhash_band_table(index_docs, id_col, text_col, n, k, bands).select(
+        F.col(id_col).alias("_idx_id"), "band_key"
+    )
+    j = nb.join(ib, "band_key")
+    return j.groupBy(id_col).agg(
+        F.countDistinct("_idx_id").cast("bigint").alias("n_candidates"),
+        F.min("_idx_id").alias("first_match"),
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -129,25 +194,7 @@ def minhash_candidate_pairs(
     With k=12, bands=4 (rows=3): P[candidate] = 1-(1-j^3)^4 — ~1.0 at
     jaccard 0.9, ~5e-4 at jaccard 0.05; near-dups surface, noise doesn't.
     """
-    rows = k // bands
-    sig_tbl = minhash_signatures(docs, id_col, text_col, n, k)
-    # ','-joined int signatures (unambiguous); concat_ws skips NULL slots
-    # -> empty band body, key 'b:' — matching the oracle's array_to_string
-    # over an all-NULL slice.
-    band_keys = F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.concat_ws(
-                    ",", *[F.col(f"_sig{b * rows + r}") for r in range(rows)]
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    band_tbl = sig_tbl.select(
-        F.col(id_col), F.explode(band_keys).alias("band_key")
-    )
+    band_tbl = minhash_band_table(docs, id_col, text_col, n, k, bands)
     # Intra-bucket pair expansion instead of a self-join: a self-join
     # re-executes the whole signature subtree (1M-shingle explode + md5)
     # once PER SIDE; grouping by band key runs it once and generates each

@@ -446,3 +446,97 @@ def kmeans_fit(
         arr = np.where(norms > 0, arr / np.where(norms == 0, 1.0, norms), arr)
         centroids = [[float(x) for x in row] for row in arr]
     return centroids
+
+
+def gram_mean_count(
+    vectors: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distributed second-moment statistics: returns (G, s, n) with
+    ``G = X^T X`` (d x d), ``s = column sums`` (d), ``n = rows``.
+
+    The scale-correct shape for distributed linear algebra over tall-thin
+    data: each Arrow batch contributes ONE d x d float64 partial (a local
+    BLAS ``X^T X``), so the driver collects n_partitions * d^2 doubles —
+    model-sized, never data-sized — and the fact never shuffles at all.
+    This is the same tree-aggregation layout spark.ml uses for its
+    covariance/PCA summarizers."""
+    import pandas as pd
+
+    def part(batches):
+        G = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            G += X.T @ X
+            s += X.sum(axis=0)
+            n += len(X)
+        yield pd.DataFrame(
+            {"g": [G.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+        )
+
+    rows = (
+        vectors.select(vec_col)
+        .mapInPandas(part, schema="g array<double>, s array<double>, n long")
+        .collect()  # driver-ok: n_partitions x d^2 model state, never data-sized
+    )
+    G = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0
+    for r in rows:
+        G += np.asarray(r.g, dtype=np.float64).reshape(dim, dim)
+        s += np.asarray(r.s, dtype=np.float64)
+        n += int(r.n)
+    return G, s, n
+
+
+def pca_project(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+
+    Two phases: (1) one distributed pass builds the covariance from the
+    Gram/mean partials (:func:`gram_mean_count`); (2) the d x d
+    eigenproblem solves on the driver (``numpy.linalg.eigh`` — d is the
+    embedding width, tiny) and the components broadcast back as plan
+    literals, so the projection itself is a pure JVM-side fold per row
+    (``dot_double``), shuffle-free. Component signs are fixed
+    deterministically (largest-|coefficient| entry made positive) since
+    eigenvectors are sign-ambiguous.
+
+    Output: ``(id_col, pc1 .. pck)`` doubles. Not SQL-expressible (the
+    eigensolve is iterative) — gated rows-only by the driver; accuracy is
+    pinned by tests/test_similarity.py against a direct numpy PCA."""
+    G, s, n = gram_mean_count(vectors, dim, vec_col)
+    if n == 0:
+        raise ValueError("pca_project needs at least one vector")
+    mu = s / n
+    cov = G / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = []
+    for i in range(1, k + 1):
+        v = vecs[:, -i]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append(v)
+    centered = F.transform(
+        F.col(vec_col),
+        lambda x, i: x.cast("double")
+        - F.element_at(F.lit([float(m) for m in mu]), i + 1),
+    )
+    cols = [
+        dot_double(centered, F.lit([float(x) for x in comp])).alias(
+            f"pc{i}"
+        )
+        for i, comp in enumerate(comps, 1)
+    ]
+    return vectors.select(F.col(id_col), *cols)

@@ -742,9 +742,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicate_groups(doubled)
 
 
-@query(
-    "q_dedup_minhash_lsh",
-    f"""
+# Shared CTE chain: documents -> shingles -> hashed bases -> 12-slot
+# minhash signatures -> exploded LSH band table (4 bands x 3 rows). Used
+# by the all-pairs LSH oracle and the incremental index-join oracle.
+_DUCK_BANDT_CTES = f"""
     WITH sh AS (
       SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles
       FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
@@ -776,6 +777,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                      for b in range(0, 4)]) AS band_key
       FROM sig
     )
+"""
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    _DUCK_BANDT_CTES
+    + """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
     FROM bandt a JOIN bandt b
       ON a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -4969,6 +4977,56 @@ def q_range_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_bucket_stats(li, "l_extendedprice", n_buckets=8)
 
 
+@query(
+    "q_dedup_incremental",
+    _DUCK_BANDT_CTES
+    + """
+    SELECT n.doc_id,
+           CAST(COUNT(DISTINCT i.doc_id) AS BIGINT) AS n_candidates,
+           MIN(i.doc_id) AS first_match
+    FROM (SELECT * FROM bandt WHERE doc_id % 10 = 0) n
+    JOIN (SELECT * FROM bandt WHERE doc_id % 10 <> 0) i
+      ON n.band_key = i.band_key
+    GROUP BY n.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening — the daily-ingest dedup shape: a
+    NEW batch (every 10th doc) checked against the existing corpus's
+    persisted MinHash band INDEX (the other 90%), never new-vs-new and
+    never re-pairing the corpus against itself. The index side is band
+    keys + ids only (no bodies); lookup is one equi-join on band_key
+    where AQE broadcasts whichever side is small — at production scale
+    that is always the day's batch. Output per matched new doc: distinct
+    index candidates and the min matching index id."""
+    from asterlake.operators.dedup import minhash_index_matches
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    idx = d.filter(F.col("doc_id") % 10 != 0)
+    return minhash_index_matches(new, idx, n=3, k=12, bands=4)
+
+
+@query(
+    "q_embedding_pca",
+    None,  # eigensolve is iterative — not SQL-expressible; rows-only gate.
+    # Accuracy is pinned by tests/test_similarity.py against a direct
+    # numpy PCA of the same table (projection agreement to 1e-9).
+)
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: top-2 principal-component scores per embedding.
+    One shuffle-free pass builds the d x d Gram/mean partials (one local
+    BLAS X^T X per Arrow batch, driver collects n_partitions * d^2 — the
+    spark.ml summarizer layout), the tiny eigenproblem solves on the
+    driver, and the projection runs as literal-broadcast JVM folds. The
+    dimensionality-reduction step an embedding-curation pipeline runs
+    before clustering/visualization."""
+    from asterlake.operators.similarity import pca_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pca_project(e, dim=64, k=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -5011,6 +5069,8 @@ _NEW_R4 = [
     "q_doc_rarity",
     "q_schema_drift_union",
     "q_range_layout_stats",
+    "q_embedding_pca",
+    "q_dedup_incremental",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.

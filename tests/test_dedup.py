@@ -126,3 +126,29 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert cont == {(1, 2): 1.0}
     jac = ngram_jaccard_pairs(docs, threshold=0.3).collect()
     assert jac == []  # Jaccard ~ 3/43 — blind to the subset pair
+
+
+def test_minhash_index_matches_never_pairs_new_with_new(spark):
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.dedup import minhash_index_matches
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (10, "the quick brown fox jumps over the lazy dog"),  # new, dup
+            (20, "completely different text with no overlap here at all"),
+            (30, "completely different text with no overlap here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    new = docs.filter(F.col("doc_id") >= 10)
+    idx = docs.filter(F.col("doc_id") < 10)
+    got = {
+        r.doc_id: (r.n_candidates, r.first_match)
+        for r in minhash_index_matches(new, idx).collect()
+    }
+    # doc 10 collides with BOTH index copies; docs 20/30 are identical to
+    # each other (new-vs-new) but match nothing in the index -> absent
+    assert got == {10: (2, 1)}

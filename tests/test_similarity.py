@@ -171,3 +171,47 @@ def test_kmeans_fit_reduces_assignment_cost_and_is_deterministic(spark):
     assert fitted == kmeans_fit(e, k=8, dim=64, iters=5, seed=7)
     # the gated step over the fitted codebook still returns k x dim rows
     assert kmeans_step(e, fitted).count() <= 8 * 64
+
+
+def test_pca_project_matches_numpy_reference(spark):
+    import numpy as np
+
+    from asterlake.operators.similarity import pca_project
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in pca_project(e, dim=64, k=2).collect()
+    }
+
+    pdf = e.toPandas().sort_values("vec_id")
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / len(X)
+    _, vecs = np.linalg.eigh(cov)
+    for i, comp in enumerate([vecs[:, -1], vecs[:, -2]], 0):
+        pivot = int(np.argmax(np.abs(comp)))
+        if comp[pivot] < 0:
+            comp = -comp
+        ref = Xc @ comp
+        for vid, r in zip(pdf.vec_id, ref):
+            assert abs(got[vid][i] - r) < 1e-9, (vid, i, got[vid][i], r)
+
+
+def test_pca_project_partitioning_invariant_and_shuffle_free(spark):
+    from asterlake.operators.similarity import pca_project
+    from asterlake.plans.inspect import node_count, plan_string
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r.vec_id: r.pc1 for r in pca_project(e, dim=64, k=1).collect()}
+    b = {
+        r.vec_id: r.pc1
+        for r in pca_project(e.repartition(13), dim=64, k=1).collect()
+    }
+    for vid in a:
+        # Gram partials sum in collect order -> same values to float
+        # round-off; the projection itself is a fixed-order fold
+        assert abs(a[vid] - b[vid]) < 1e-9
+    # the projection pass is a pure per-row fold: no exchange at all
+    plan = plan_string(pca_project(e, dim=64, k=2))
+    assert node_count(plan, "Exchange") == 0
