@@ -1,0 +1,86 @@
+"""Data-lifecycle operators: tombstone cascade (right-to-be-forgotten).
+
+A deletion request names root entities (customers, users); the lakehouse
+must propagate it through every table that references them — directly by
+foreign key, or transitively through an intermediate table — and produce
+an auditable per-table manifest of what was removed. The reference
+pipeline has no deletion story at all; for a training-data lakehouse this
+is table stakes (consent revocation must reach derived corpora).
+
+Scale shape: every propagation step is a LEFT SEMI / LEFT ANTI join from
+a fact table to a key set. Root tombstones are small by nature (a day's
+deletion requests) and broadcast; transitive key sets (e.g. the orders of
+deleted customers) are projected to the join key only before feeding the
+next hop, so no step ever shuffles more than (key) columns of the
+affected rows. The audit aggregate is one count per table — scalar
+aggregates, no wide state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cascade_plan(
+    tables: dict[str, DataFrame],
+    tombstones: DataFrame,
+    root_key: str,
+    edges: list[tuple[str, str, str, str]],
+) -> dict[str, DataFrame]:
+    """Per-table DELETED-row frames for a tombstone cascade.
+
+    ``edges`` is the FK chain as ``(table, fk_col, parent, parent_col)``
+    in propagation order; a parent of ``"__root__"`` joins against the
+    tombstone set's ``root_key``. Each returned frame is the full rows of
+    ``tables[name]`` that the deletion reaches (left-semi against the
+    propagated key set); callers anti-join to produce the surviving
+    table, or write the manifest for audit/erasure proof.
+    """
+    deleted: dict[str, DataFrame] = {}
+    key_sets: dict[str, tuple[DataFrame, str]] = {
+        "__root__": (tombstones.select(root_key), root_key)
+    }
+    for table, fk, parent, parent_col in edges:
+        pset, pkey = key_sets[parent]
+        keys = F.broadcast(
+            pset.select(F.col(pkey if parent == "__root__" else parent_col))
+        )
+        cond = tables[table][fk] == keys[keys.columns[0]]
+        gone = tables[table].join(keys, cond, "left_semi")
+        deleted[table] = gone
+        key_sets[table] = (gone, fk)
+    return deleted
+
+
+def cascade_delete_counts(
+    tables: dict[str, DataFrame],
+    tombstones: DataFrame,
+    root_key: str,
+    edges: list[tuple[str, str, str, str]],
+) -> DataFrame:
+    """Audit manifest: one row per table with ``n_before / n_deleted /
+    n_after`` BIGINTs. ``n_after`` is derived (before - deleted), so the
+    whole audit costs one count aggregate per table per side."""
+    deleted = cascade_plan(tables, tombstones, root_key, edges)
+    parts = []
+    for name, _, _, _ in edges:
+        before = tables[name].agg(
+            F.count("*").cast("bigint").alias("n_before")
+        )
+        gone = deleted[name].agg(
+            F.count("*").cast("bigint").alias("n_deleted")
+        )
+        parts.append(
+            before.crossJoin(gone).select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                "n_deleted",
+                (F.col("n_before") - F.col("n_deleted"))
+                .cast("bigint")
+                .alias("n_after"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

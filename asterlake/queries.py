@@ -5008,6 +5008,64 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_forget_cascade",
+    """
+    WITH tomb AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0
+    ), del_cust AS (
+      SELECT * FROM customer WHERE c_custkey IN (SELECT c_custkey FROM tomb)
+    ), del_orders AS (
+      SELECT * FROM orders WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+    ), del_line AS (
+      SELECT * FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_before,
+           CAST((SELECT COUNT(*) FROM del_cust) AS BIGINT) AS n_deleted,
+           CAST((SELECT COUNT(*) FROM customer)
+                - (SELECT COUNT(*) FROM del_cust) AS BIGINT) AS n_after
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM del_orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders)
+                - (SELECT COUNT(*) FROM del_orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM del_line) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem)
+                - (SELECT COUNT(*) FROM del_line) AS BIGINT)
+    """,
+)
+def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade: deletion requests for every 37th
+    customer propagate through orders (direct FK) and lineitem (two-hop
+    via the deleted orders' keys), producing the per-table audit manifest
+    (n_before / n_deleted / n_after) an erasure proof requires. Every hop
+    is a broadcast LEFT SEMI join on the key set — tombstones are small
+    by nature, and the transitive key set is projected to the join key
+    before feeding the next hop (operators/lifecycle.py)."""
+    from asterlake.operators.lifecycle import cascade_delete_counts
+
+    tables = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    }
+    tomb = tables["customer"].filter(F.col("c_custkey") % 37 == 0).select(
+        "c_custkey"
+    )
+    edges = [
+        ("customer", "c_custkey", "__root__", ""),
+        ("orders", "o_custkey", "__root__", ""),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ]
+    return cascade_delete_counts(tables, tomb, "c_custkey", edges)
+
+
+@query(
     "q_embedding_pca",
     None,  # eigensolve is iterative — not SQL-expressible; rows-only gate.
     # Accuracy is pinned by tests/test_similarity.py against a direct
@@ -5071,6 +5129,7 @@ _NEW_R4 = [
     "q_range_layout_stats",
     "q_embedding_pca",
     "q_dedup_incremental",
+    "q_forget_cascade",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.

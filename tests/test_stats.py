@@ -192,3 +192,46 @@ def test_expectation_stats_partial_aggregates(spark):
     )
     assert node_count(plan, "HashAggregate") >= 2  # map-side partial
     assert node_count(plan, "Exchange") == 1
+
+
+def test_cascade_plan_reaches_transitive_rows(spark):
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.lifecycle import cascade_plan
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c int")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o int, oc int"
+    )
+    items = spark.createDataFrame(
+        [(100, 10), (101, 11), (102, 12)], "i int, io int"
+    )
+    tomb = cust.filter(F.col("c") == 1).select("c")
+    deleted = cascade_plan(
+        {"cust": cust, "orders": orders, "items": items},
+        tomb,
+        "c",
+        [
+            ("cust", "c", "__root__", ""),
+            ("orders", "oc", "__root__", ""),
+            ("items", "io", "orders", "o"),
+        ],
+    )
+    assert {r.c for r in deleted["cust"].collect()} == {1}
+    assert {r.o for r in deleted["orders"].collect()} == {10, 11}
+    assert {r.i for r in deleted["items"].collect()} == {100, 101}
+    # survivors = anti-join against the manifest
+    survivors = items.join(deleted["items"], "i", "left_anti")
+    assert {r.i for r in survivors.collect()} == {102}
+
+
+def test_forget_cascade_uses_broadcast_semi_joins(spark):
+    from asterlake.plans.inspect import has_node, plan_string
+    from asterlake.queries import QUERIES
+
+    plan = plan_string(
+        QUERIES["q_forget_cascade"].spark(spark, "/root/testdata/sf0.001")
+    )
+    assert "LeftSemi" in plan
+    assert has_node(plan, "BroadcastHashJoin")
+    assert not has_node(plan, "SortMergeJoin")
