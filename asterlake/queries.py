@@ -1598,12 +1598,19 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     A sketch regression now breaks the hash gate instead of hiding behind
     a rows-only row.
 
-    Two aggregation plans joined on the 6-row group key, NOT one: mixing
-    multi-column DISTINCT aggregates with object aggregates (percentile
-    hashmaps, HLL buffers) in a single agg puts an Expand (x #distinct
-    columns) under every object buffer — measured 33s vs 5s at sf0.1 for
-    identical results. Exact counts take the Expand path alone; sketches
-    and percentiles share one scan with no row multiplication."""
+    Three aggregation plans joined on the 6-row group key, NOT one: mixing
+    multi-column DISTINCT aggregates with object aggregates (HLL/KLL
+    buffers) in a single agg puts an Expand (x #distinct columns) under
+    every object buffer — measured 33s vs 5s at sf0.1 for identical
+    results. Exact counts take the Expand path alone; sketches share one
+    scan with no row multiplication; and the exact percentile REFERENCE
+    values come from the bounded-state two-pass form
+    (operators/stats.exact_percentiles, bit-equal to the built-in) so no
+    per-group value-buffer aggregate exists anywhere in the plan — the
+    buffer the sketches exist to avoid must not sneak back in as their
+    verifier."""
+    from asterlake.operators.stats import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
     exact_counts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
@@ -1612,8 +1619,6 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_ao"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("_x50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("_x95"),
         F.element_at(
             F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000), 1
         ).alias("_p50"),
@@ -1621,7 +1626,16 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000), 2
         ).alias("_p95"),
     )
-    agg = exact_counts.join(F.broadcast(sketches), "l_returnflag")
+    exact_pcts = exact_percentiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.5, 0.95],
+        out_names=["_x50", "_x95"],
+    )
+    agg = exact_counts.join(F.broadcast(sketches), "l_returnflag").join(
+        F.broadcast(exact_pcts), "l_returnflag"
+    )
 
     def _within(est: str, exact: str, tol: float) -> F.Column:
         return (

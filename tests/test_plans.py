@@ -418,3 +418,16 @@ def test_schema_drift_union_no_shuffle(spark):
     assert not has_node(plan, "Exchange")
     # both snapshot filters push to the scan
     assert node_count(plan, "Scan parquet") == 2
+
+
+def test_sketch_distinct_has_no_value_buffer_percentile(spark):
+    """The sketches' exact reference values must come from the bounded-
+    state two-pass percentile, not the value-buffering built-in — the
+    buffer the sketches exist to avoid must not verify them."""
+    plan = _plan(spark, "q_sketch_distinct")
+    import re
+
+    mentions = set(re.findall(r"\w*[Pp]ercentile\w*", plan))
+    assert mentions <= {"percentile_approx", "partial_percentile_approx"}, (
+        mentions
+    )
