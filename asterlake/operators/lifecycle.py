@@ -84,3 +84,51 @@ def cascade_delete_counts(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-feed derivation between two table snapshots: one row
+    per key present in either side, labeled ``added`` / ``deleted`` /
+    ``changed`` / ``unchanged`` — the diff a corpus-build regression
+    check or a downstream-sync needs when the source has no changelog.
+
+    Comparison is per-column null-safe equality (``<=>``), not a hash, so
+    the verdict is engine-exact and NULL transitions (value -> NULL)
+    count as changes. Shape: ONE full-outer join on the key — at scale a
+    co-partitioned sort-merge join (bucket both snapshots on the key to
+    make it exchange-free); the label is a pure projection on top.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols + compare_cols]
+    )
+    nw = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols + compare_cols]
+    )
+    cond = [o[f"_o_{k}"] == nw[f"_n_{k}"] for k in key_cols]
+    j = o.join(nw, cond, "full_outer")
+    in_old = F.coalesce(
+        *[j[f"_o_{k}"].isNotNull() for k in key_cols], F.lit(False)
+    )
+    in_new = F.coalesce(
+        *[j[f"_n_{k}"].isNotNull() for k in key_cols], F.lit(False)
+    )
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~j[f"_o_{c}"].eqNullSafe(j[f"_n_{c}"])
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("deleted"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    keys = [
+        F.coalesce(j[f"_n_{k}"], j[f"_o_{k}"]).alias(k) for k in key_cols
+    ]
+    return j.select(*keys, change.alias("change_type"))

@@ -170,3 +170,39 @@ def exact_outlier_counts(
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+def table_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Column-level profile: one row per column with ``n_rows``,
+    ``n_nulls``, ``n_distinct`` — the schema-drift / quality dashboard
+    scan a lakehouse runs on every landed batch.
+
+    Single pass: every per-column statistic is an aggregate expression in
+    ONE agg (count-distincts share the scan via Catalyst's Expand — the
+    standard profiler trade: #cols x row multiplication map-side, still
+    one job, no per-column re-scan), and the 1-row wide result unpivots
+    to long form driver-free with an inline explode. n_distinct excludes
+    NULLs (COUNT DISTINCT semantics in every engine)."""
+    if cols is None:
+        cols = list(df.columns)
+    aggs = [F.count("*").cast("bigint").alias("_nr")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_nn_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("bigint").alias(f"_nd_{c}"))
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_nr").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("_p")).select("_p.*")

@@ -5080,6 +5080,117 @@ def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_diff",
+    """
+    WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (
+      SELECT CASE
+               WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'deleted'
+               WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                 OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                 THEN 'changed'
+               ELSE 'unchanged' END AS change_type
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ) GROUP BY change_type
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (change-data-feed derivation): yesterday's orders vs
+    a simulated today (every 13th deleted, every 7th repriced, every 11th
+    re-added under a new key) labeled added/deleted/changed/unchanged and
+    tallied — the regression diff a corpus rebuild publishes when the
+    source has no changelog. One full-outer join on the key (bucketed
+    snapshots make it exchange-free at scale) + null-safe per-column
+    comparison; counts partial-aggregate on the 4 labels."""
+    from asterlake.operators.lifecycle import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    diff = snapshot_diff(o, new, ["o_orderkey"])
+    return diff.groupBy("change_type").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+
+
+@query(
+    "q_table_profile",
+    """
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT)
+      FROM orders
+    )
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-landing column profile of orders (rows / nulls / distincts
+    per column) — the quality-dashboard scan. ONE aggregation job: the
+    count-distincts share a single scan through Catalyst's Expand and the
+    wide 1-row result unpivots to long form with an inline explode, no
+    driver loop, no per-column re-scan (the oracle spells out the
+    per-column UNION the operator avoids)."""
+    from asterlake.operators.stats import table_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return table_profile(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    )
+
+
+@query(
     "q_embedding_pca",
     None,  # eigensolve is iterative — not SQL-expressible; rows-only gate.
     # Accuracy is pinned by tests/test_similarity.py against a direct
@@ -5144,6 +5255,8 @@ _NEW_R4 = [
     "q_embedding_pca",
     "q_dedup_incremental",
     "q_forget_cascade",
+    "q_snapshot_diff",
+    "q_table_profile",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.

@@ -235,3 +235,48 @@ def test_forget_cascade_uses_broadcast_semi_joins(spark):
     assert "LeftSemi" in plan
     assert has_node(plan, "BroadcastHashJoin")
     assert not has_node(plan, "SortMergeJoin")
+
+
+def test_snapshot_diff_labels_and_null_transitions(spark):
+    from asterlake.operators.lifecycle import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, "e")], "k int, v string"
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",  # NULL -> value is a change (null-safe compare)
+        4: "deleted",
+        5: "added",
+    }
+
+
+def test_table_profile_single_job_and_values(spark):
+    from asterlake.operators.stats import table_profile
+    from asterlake.plans.inspect import node_count, plan_string
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None), (3, None)], "a int, b string"
+    )
+    got = {
+        r.column_name: (r.n_rows, r.n_nulls, r.n_distinct)
+        for r in table_profile(df).collect()
+    }
+    assert got == {"a": (4, 0, 3), "b": (4, 2, 1)}
+    # one scan: a single aggregation subtree (Expand shares it), not one
+    # plan branch per column
+    plan = plan_string(
+        table_profile(
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+            ["o_orderkey", "o_custkey"],
+        )
+    )
+    assert node_count(plan, "Scan parquet") == 1
