@@ -131,38 +131,50 @@ def ewma(
     The recursion is inherently sequential per key — no SQL window frame
     expresses it without an O(n^2) prefix re-scan or a numerically
     explosive ``(1-alpha)^-i`` rescaling (overflows past ~700 rows per
-    key). So this is the textbook grouped-map case: one shuffle on the
-    key, then an Arrow batch per key runs the O(n) recursion in numpy.
-    State is one float per key; group size bounds memory (a key's whole
-    history must fit one executor — same contract as any per-key sort).
+    key). The obvious form is ``groupBy(key).applyInPandas``, but with
+    HIGH-CARDINALITY keys (millions of users, a handful of rows each)
+    that pays one Python call + pandas frame construction PER KEY —
+    measured 3.9s vs 1.3s at sf0.1 (~6k keys) for identical results. So
+    this uses the partition-stream form instead: repartition on the key,
+    sort within partitions by (key, ts, tiebreak), and run ONE
+    ``mapInPandas`` iterator per partition that carries the running
+    accumulator ACROSS Arrow batch boundaries (a key's rows are
+    contiguous after the sort, but Arrow may split them mid-key). State
+    is one (key, float) pair per partition, regardless of key count.
 
     Determinism: the recursion is evaluated with the exact operand order
     ``(1-alpha)*acc + alpha*x`` (two IEEE multiplies + one add per step),
     matching an oracle that replays the identical sequence — results are
     bit-for-bit reproducible across partitionings because each key's
-    sequence is totally ordered by (ts, tiebreak).
+    sequence is totally ordered by (ts, tiebreak) and hash-partitioned
+    on the key.
     """
-    import pandas as pd  # noqa: F401  (applyInPandas contract)
-
     one_minus = 1.0 - alpha
 
-    def run(pdf):
-        pdf = pdf.sort_values([ts, tiebreak], kind="mergesort")
-        acc = None
-        out_vals = []
-        for x in pdf[value].astype("float64"):
-            acc = x if acc is None else one_minus * acc + alpha * x
-            out_vals.append(acc)
-        pdf[out] = out_vals
-        return pdf[[key, tiebreak, ts, value, out]]
+    def run(batches):
+        # carry across Arrow batches within the sorted partition stream
+        last_key = None
+        acc = 0.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key].to_numpy()
+            vals = pdf[value].to_numpy(dtype="float64")
+            out_vals = []
+            for k, x in zip(keys, vals):
+                if k != last_key:
+                    last_key = k
+                    acc = x
+                else:
+                    acc = one_minus * acc + alpha * x
+                out_vals.append(acc)
+            pdf = pdf.copy()
+            pdf[out] = out_vals
+            yield pdf
 
-    schema = (
-        events.select(key, tiebreak, ts, value)
-        .withColumn(out, F.lit(0.0))
-        .schema
+    projected = events.select(key, tiebreak, ts, value)
+    schema = projected.withColumn(out, F.lit(0.0)).schema
+    arranged = projected.repartition(key).sortWithinPartitions(
+        key, ts, tiebreak
     )
-    return (
-        events.select(key, tiebreak, ts, value)
-        .groupBy(key)
-        .applyInPandas(run, schema)
-    )
+    return arranged.mapInPandas(run, schema)

@@ -4878,12 +4878,16 @@ def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (alpha=0.1, adjust=False): the
     inherently-sequential recursion y_t = 0.9*y_{t-1} + 0.1*x_t that no
     SQL window frame expresses without an O(n^2) prefix re-scan or a
-    numerically explosive (1-a)^-i rescale. The engine runs it as the
-    textbook grouped-map: one user-keyed shuffle, then an O(n) numpy
-    recursion per Arrow batch (operators/timeseries.ewma). The oracle
-    replays the SAME operand-ordered recursion via a per-row prefix list
-    + list_reduce — O(n^2) and oracle-only; results agree bit-for-bit
-    because each user's sequence is totally ordered by (ts, event_id)."""
+    numerically explosive (1-a)^-i rescale. The engine runs it in the
+    partition-stream form — repartition(user) + in-partition (user, ts,
+    id) sort + ONE mapInPandas iterator per partition carrying the
+    accumulator across Arrow batch splits — not per-key applyInPandas,
+    whose per-group Python call overhead is 4x slower at high key
+    cardinality (operators/timeseries.ewma; batch-split carry pinned by
+    test). The oracle replays the SAME operand-ordered recursion via a
+    per-row prefix list + list_reduce — O(n^2) and oracle-only; results
+    agree bit-for-bit because each user's sequence is totally ordered by
+    (ts, event_id)."""
     from asterlake.operators.timeseries import ewma
 
     ev = load_table(spark, sf_dir, "events")

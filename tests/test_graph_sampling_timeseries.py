@@ -268,3 +268,35 @@ def test_ewma_ties_break_on_tiebreak_column(spark):
     got = {r.event_id: r.ewma for r in ewma(df, alpha=0.5).collect()}
     # event_id 1 first: y1=0, y2=0.5*0+0.5*100
     assert got == {1: 0.0, 2: 50.0}
+
+
+def test_ewma_carry_across_arrow_batch_splits(spark):
+    """Force 16-row Arrow batches so single-user histories split across
+    mapInPandas batches — the carry state must survive the boundary."""
+    from asterlake.operators.timeseries import ewma
+
+    rows = [
+        (u, i, _ts("2024-01-01 00:00:00"), float(u * 100 + i))
+        for u in (1, 2)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = {
+            (r.user_id, r.event_id): r.ewma
+            for r in ewma(df, alpha=0.25).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    for u in (1, 2):
+        acc = None
+        for i in range(40):
+            x = float(u * 100 + i)
+            acc = x if acc is None else 0.75 * acc + 0.25 * x
+            assert got[(u, i)] == acc, (u, i)
