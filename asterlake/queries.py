@@ -5084,6 +5084,77 @@ def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_ewma",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events
+    ), h AS (
+      SELECT user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS hist,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM e
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           list_reduce(hist, (acc, x) -> (1.0 - 0.1) * acc + 0.1 * x) AS ewma
+    FROM h WHERE rn = 1
+    """,
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NUMERIC custom state: the events replayed through
+    readStream into running_ewma (applyInPandasWithState, one
+    (float, count) state pair per user) — the decayed-feature shape a
+    realtime ranking pipeline maintains. Update-mode memory sink; the
+    final row per user (max_by n_events) must equal the LAST value of
+    the batch EWMA recursion bit-for-bit — the oracle replays the full
+    per-user prefix recursion and keeps its last row."""
+    import os
+    import tempfile
+
+    from asterlake.streaming.pipeline import running_ewma
+    from asterlake.tables import events_read_schema, normalize_events_ts
+
+    schema = events_read_schema(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "events")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema).parquet(src_dir)
+        )
+        ew = running_ewma(stream, alpha=0.1)
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            (
+                ew.writeStream.format("memory")
+                .queryName("stream_ewma")
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return (
+            spark.table("stream_ewma")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").cast("bigint").alias("n_events"),
+                F.expr("max_by(ewma, n_events)").alias("ewma"),
+            )
+        )
+
+
+@query(
     "q_snapshot_diff",
     """
     WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
@@ -5261,6 +5332,7 @@ _NEW_R4 = [
     "q_forget_cascade",
     "q_snapshot_diff",
     "q_table_profile",
+    "q_stream_ewma",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -360,6 +361,74 @@ def sessionize_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+_EWMA_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+# state: (running ewma, event count) — one float + one long per key
+_EWMA_STATE = StructType(
+    [StructField("acc", DoubleType()), StructField("n", LongType())]
+)
+
+
+def running_ewma(
+    events: DataFrame,
+    alpha: float = 0.1,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of :func:`asterlake.operators.timeseries.ewma`: the
+    per-key adjust=False recursion carried across micro-batches as ONE
+    (float, count) state pair per key — the numeric custom-state shape
+    (running model features, decayed counters) applyInPandasWithState
+    exists for. Rows are sorted by (ts, tiebreak) WITHIN each batch and
+    the recursion continues from the stored accumulator, so given the
+    log-replay contract (batches arrive in per-key event-time order, the
+    same assumption every CDC consumer makes) the final value is
+    bit-identical to the batch operator on the full history — same
+    operand order, same IEEE ops. Emits (key, n_events, ewma) per key
+    per batch in update mode."""
+    one_minus = 1.0 - alpha
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, tiebreak], kind="mergesort")
+        if state.exists:
+            acc, n = state.get
+            have = True
+        else:
+            acc, n, have = 0.0, 0, False
+        for x in pdf[value_col].astype("float64"):
+            acc = x if not have else one_minus * acc + alpha * x
+            have = True
+            n += 1
+        state.update((float(acc), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [int(n)],
+                "ewma": [float(acc)],
+            }
+        )
+
+    return events.groupBy(id_col).applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_OUTPUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

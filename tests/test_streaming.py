@@ -345,3 +345,48 @@ def test_session_window_counts_merges_across_microbatches(spark, tmp_path):
     # batch 1's open session absorbs batch 2's 10:25 event (gap < 30m from
     # 10:10); the 12:00 event starts a fresh session
     assert got == {(10, 0, 3), (12, 0, 1)}
+
+
+def test_running_ewma_state_survives_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): the accumulator stored in
+    state must continue the recursion across the batch boundary, matching
+    a single-shot replay of the full history."""
+    from asterlake.streaming.pipeline import running_ewma
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+
+    def _write(path, rows):
+        with open(path, "w") as f:
+            for uid, eid, ts, v in rows:
+                f.write(
+                    json.dumps(
+                        {"user_id": uid, "event_id": eid, "ts": ts, "value": v}
+                    )
+                    + "\n"
+                )
+
+    _write(
+        os.path.join(events_dir, "b1.json"),
+        [
+            (1, 1, "2025-01-01 10:00:00", 10.0),
+            (1, 2, "2025-01-01 10:01:00", 20.0),
+        ],
+    )
+    _write(
+        os.path.join(events_dir, "b2.json"),
+        [(1, 3, "2025-01-01 11:00:00", 0.0)],
+    )
+    reader = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", 1)
+    stream = reader.json(events_dir)
+    ew = running_ewma(stream, alpha=0.5)
+    _drain(ew, str(tmp_path / "ck_ewma"), "ewma_sink", mode="update")
+    rows = spark.sql("SELECT * FROM ewma_sink").collect()
+    final = max(rows, key=lambda r: r.n_events)
+    y1 = 10.0
+    y2 = 0.5 * y1 + 0.5 * 20.0
+    y3 = 0.5 * y2 + 0.5 * 0.0
+    assert final.n_events == 3
+    assert final.ewma == y3
