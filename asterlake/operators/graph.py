@@ -240,3 +240,78 @@ def duplicate_clusters(
         id_col=doc_id,
         max_iter=max_iter,
     ).withColumnRenamed("component", "cluster")
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """PageRank with a FIXED iteration count in pure BIGINT fixed-point —
+    deterministic across engines and partition orders, so the result is
+    hash-gateable (double-accumulated PR depends on partial-sum order).
+
+    All arithmetic is exact: ranks live in units of ``1/scale``, each
+    step is ``pr' = base + (damping_num * SUM(pr_in // deg)) DIV
+    damping_den`` with integer division at exactly the same points in
+    every engine. Precision loss from the floor divisions is identical
+    everywhere, bounded by iters * (deg truncation) — fine for ranking.
+
+    Scale shape: the loop BUILDS one declarative plan (no driver
+    actions): per iteration one join of ranks to edges on the source key
+    and one sum keyed on the destination — 2 exchanges per round over
+    (node, long) pairs only. ``iters`` is fixed (the standard production
+    choice: ~O(log n) rounds approximate the stationary point well
+    before convergence detection pays for itself); for convergence-gated
+    variants reuse the connected_components loop skeleton.
+
+    Nodes are taken from the edge endpoints (dangling-free by
+    construction when the caller symmetrizes an undirected graph, as the
+    co-purchase query does); multi-edges are honored with multiplicity.
+    """
+    deg = edges.groupBy(src).agg(F.count("*").cast("bigint").alias("_deg"))
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("_n"))
+    pr = (
+        deg.crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col(src).alias("node"),
+            F.expr(f"CAST({scale} AS BIGINT) DIV _n").alias("pr"),
+        )
+    )
+    base_expr = (
+        f"(CAST({(damping_den - damping_num) * scale} AS BIGINT) "
+        f"DIV {damping_den}) DIV _n"
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges[src] == pr["node"])
+            .join(deg, src)
+            .select(
+                edges[dst].alias("_to"),
+                F.expr("pr DIV _deg").alias("_c"),
+            )
+        )
+        sums = contrib.groupBy("_to").agg(
+            F.sum("_c").cast("bigint").alias("_s")
+        )
+        pr = (
+            pr.join(sums, pr["node"] == sums["_to"], "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.col("node"),
+                (
+                    F.expr(base_expr)
+                    + F.expr(
+                        f"({damping_num} * coalesce(_s, CAST(0 AS BIGINT)))"
+                        f" DIV {damping_den}"
+                    )
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+        )
+    return pr.select(F.col("node"), F.col("pr").alias("pagerank_fp"))

@@ -5083,6 +5083,88 @@ def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cascade_delete_counts(tables, tomb, "c_custkey", edges)
 
 
+def _pagerank_oracle(iters: int = 5, scale: int = 10**12) -> str:
+    # Unrolled fixed-point iterations — bit-identical integer ops to
+    # operators/graph.pagerank_fixed_point (// at the same points).
+    base = f"(CAST({3 * scale} AS BIGINT) // 20) // n_nodes"
+    sql = f"""
+    WITH ppo AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM ppo a JOIN ppo b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+              UNION ALL SELECT p2, p1 FROM pairs),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+    pr0 AS (SELECT src AS node, CAST({scale} AS BIGINT) // n_nodes AS pr
+            FROM deg, n)"""
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    it{i} AS (
+      SELECT e.dst AS node, SUM(p.pr // d.deg) AS s
+      FROM edges e JOIN {prev} p ON e.src = p.node
+                   JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr{i} AS (
+      SELECT p.node,
+             CAST(({base}) + (17 * COALESCE(i.s, 0)) // 20 AS BIGINT) AS pr
+      FROM pr0 p LEFT JOIN it{i} i ON p.node = i.node, n
+    )"""
+        prev = f"pr{i}"
+    sql += f"\n    SELECT node, pr AS pagerank_fp FROM {prev}"
+    return sql
+
+
+@query("q_pagerank_copurchase", _pagerank_oracle())
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, damping 17/20) over the part
+    co-purchase graph — 'importance in the catalog graph', the iterative
+    graph centrality a recommender/curation pipeline runs. Ranks live in
+    BIGINT fixed-point (1e-12 units) with integer division at identical
+    points in both engines, so the iterative result is hash-gateable —
+    double-accumulated PR would be partial-sum-order dependent. Edge
+    generation avoids the within-order self-join (per-order sorted part
+    array -> pair expansion, order sizes bounded); each iteration is a
+    rank-to-edges join + destination-keyed sum, 2 exchanges of (node,
+    long) pairs per round, plan-only (no driver actions)."""
+    from asterlake.operators.graph import pagerank_fixed_point
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    grouped = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps"))
+        .filter(F.size("_ps") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ps"), i + F.lit(2), F.size("_ps")),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("_e")
+    ).select("_e.p1", "_e.p2")
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    return pagerank_fixed_point(edges, iters=5)
+
+
 @query(
     "q_stream_ewma",
     """
@@ -5333,6 +5415,7 @@ _NEW_R4 = [
     "q_snapshot_diff",
     "q_table_profile",
     "q_stream_ewma",
+    "q_pagerank_copurchase",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.

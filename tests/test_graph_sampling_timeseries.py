@@ -300,3 +300,31 @@ def test_ewma_carry_across_arrow_batch_splits(spark):
             x = float(u * 100 + i)
             acc = x if acc is None else 0.75 * acc + 0.25 * x
             assert got[(u, i)] == acc, (u, i)
+
+
+def test_pagerank_fixed_point_star_and_invariance(spark):
+    from asterlake.operators.graph import pagerank_fixed_point
+
+    # star: hub 0 connected to 1..4 (undirected, symmetrized)
+    und = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    pr = {
+        r.node: r.pagerank_fp
+        for r in pagerank_fixed_point(edges, iters=5).collect()
+    }
+    # hub dominates every leaf; leaves are exactly symmetric
+    assert all(pr[0] > pr[i] for i in range(1, 5))
+    assert len({pr[i] for i in range(1, 5)}) == 1
+    # total mass stays ~1.0 (floor-division leakage only)
+    total = sum(pr.values())
+    assert 0.99 * 10**12 < total <= 10**12
+    # bit-identical under a different input partitioning
+    pr2 = {
+        r.node: r.pagerank_fp
+        for r in pagerank_fixed_point(
+            edges.repartition(7), iters=5
+        ).collect()
+    }
+    assert pr2 == pr
