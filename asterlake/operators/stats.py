@@ -46,6 +46,7 @@ def exact_percentiles(
     probs: Sequence[float],
     *,
     out_names: Sequence[str] | None = None,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Exact interpolated percentiles per group without per-group value
     buffers.
@@ -55,6 +56,16 @@ def exact_percentiles(
     ``F.expr("percentile(value, p)")`` bit-for-bit.
 
     With ``group_cols=[]`` computes global percentiles (single group).
+
+    The cumulative ranks are TWO-LEVEL: distinct values bucketize into
+    ``n_buckets`` equal-width ranges per group, bucket subtotals prefix-
+    sum in a tiny per-group window (<= n_buckets rows), and the within-
+    bucket cumsum runs partitioned by (group, bucket) — so no window
+    ever serializes a group's full distinct-value set on one reducer
+    (a billion distinct doubles in one group parallelizes across ~1024
+    partitions; the only single-reducer state is the bucket-subtotal
+    table). Counts are exact integers, so the two-level ranks are
+    bit-identical to a flat cumsum.
     """
     value_col = F.col(value) if isinstance(value, str) else value
     names = list(out_names) if out_names else [_prob_col_name(p) for p in probs]
@@ -73,11 +84,51 @@ def exact_percentiles(
         .groupBy(*gcols, "_v")
         .agg(F.count("*").alias("_cnt"))
     )
-    w = Window.partitionBy(*gcols).orderBy("_v")
+    # Bucket assignment must be MONOTONE in _v within each group (so
+    # ordering by (_b, _v) == ordering by _v); any deterministic monotone
+    # map works — it only partitions the ranking work. NaN sorts greatest
+    # in Spark's double order, so it pins to the last bucket explicitly
+    # (floor(NaN) would yield NULL and corrupt the ordering).
+    bounds = counts.groupBy(*gcols).agg(
+        F.min("_v").alias("_blo"), F.max("_v").alias("_bhi")
+    )
+    span = (F.col("_bhi") - F.col("_blo")) / F.lit(float(n_buckets))
+    bucket = (
+        F.when(F.isnan("_v"), F.lit(n_buckets - 1))
+        .when(F.col("_bhi") == F.col("_blo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("_v") - F.col("_blo")) / span).cast("int"),
+            )
+        )
+        .cast("int")
+    )
+    bucketed = (
+        counts.join(F.broadcast(bounds), gcols)
+        .withColumn("_b", bucket)
+        .drop("_blo", "_bhi")
+    )
+    bucket_totals = bucketed.groupBy(*gcols, "_b").agg(
+        F.sum("_cnt").alias("_bt")
+    )
+    w_off = (
+        Window.partitionBy(*gcols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_totals.select(
+        *gcols,
+        "_b",
+        F.coalesce(F.sum("_bt").over(w_off), F.lit(0).cast("bigint")).alias(
+            "_off"
+        ),
+    )
+    w_in = Window.partitionBy(*gcols, "_b").orderBy("_v")
     ranked = (
-        counts.withColumn("_cum_end", F.sum("_cnt").over(w))
+        bucketed.join(offsets, [*gcols, "_b"])
+        .withColumn("_cum_end", F.col("_off") + F.sum("_cnt").over(w_in))
         .withColumn("_cum_start", F.col("_cum_end") - F.col("_cnt"))
-        .withColumn("_next_v", F.lead("_v").over(w))
     )
     totals = counts.groupBy(*gcols).agg(F.sum("_cnt").alias("_n"))
 
@@ -99,22 +150,42 @@ def exact_percentiles(
 
     # Locate the distinct value whose rank interval contains k; the k+1
     # value is either the same distinct value (if its interval also covers
-    # k+1) or the next one. Equi-join on the group key, range filter on
-    # rank containment: per group this touches distinct-values x probs
-    # rows — no shuffle of the original fact.
-    j = probs_df.join(ranked, on=gcols, how="inner").where(
+    # k+1) or the FOLLOWING one — fetched with an equi-join on interval
+    # adjacency (_cum_end == next _cum_start) rather than a lead() window,
+    # which would re-serialize the group after the bucketed cumsum. Both
+    # joins touch distinct-values x probs rows — no shuffle of the fact.
+    lower = probs_df.join(ranked, on=gcols, how="inner").where(
         (F.col("_cum_start") <= F.col("_k")) & (F.col("_k") < F.col("_cum_end"))
+    ).select(
+        *gcols,
+        "_p",
+        "_pos",
+        "_k",
+        "_frac",
+        F.col("_v").alias("_v_lo"),
+        F.col("_cum_end").alias("_end_lo"),
     )
-    upper = F.when(F.col("_k") + 1 < F.col("_cum_end"), F.col("_v")).otherwise(
-        F.col("_next_v")
+    nxt = ranked.select(
+        *[F.col(c).alias(f"_h_{c}") for c in gcols],
+        F.col("_cum_start").alias("_nxt_start"),
+        F.col("_v").alias("_next_v"),
     )
+    adj = [F.col(c) == F.col(f"_h_{c}") for c in gcols] + [
+        F.col("_end_lo") == F.col("_nxt_start")
+    ]
+    # left join: when _frac == 0 the k+1 rank may not exist (k = n-1);
+    # the interpolation below never reads _next_v in that branch.
+    j = lower.join(nxt, on=adj, how="left")
+    upper = F.when(
+        F.col("_k") + 1 < F.col("_end_lo"), F.col("_v_lo")
+    ).otherwise(F.col("_next_v"))
     # Spark Percentile.getPercentile: if floor(pos) == ceil(pos) return the
     # single bracketing value, else (higher - pos) * lowerValue +
     # (pos - lower) * higherValue. Reproduce that exact expression tree so
     # doubles agree to the last ulp with the built-in aggregate.
     k_d = F.col("_k").cast("double")
-    pct = F.when(F.col("_frac") == 0.0, F.col("_v")).otherwise(
-        (k_d + F.lit(1.0) - F.col("_pos")) * F.col("_v")
+    pct = F.when(F.col("_frac") == 0.0, F.col("_v_lo")).otherwise(
+        (k_d + F.lit(1.0) - F.col("_pos")) * F.col("_v_lo")
         + (F.col("_pos") - k_d) * upper
     )
     long_form = j.select(*gcols, "_p", pct.alias("_pct"))

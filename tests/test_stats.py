@@ -280,3 +280,39 @@ def test_table_profile_single_job_and_values(spark):
         )
     )
     assert node_count(plan, "Scan parquet") == 1
+
+
+def test_two_level_ranks_invariant_to_bucket_count(spark, lineitem):
+    from asterlake.operators.stats import exact_percentiles
+
+    probs = [0.25, 0.5, 0.9]
+    a = exact_percentiles(
+        lineitem, ["l_returnflag"], "l_extendedprice", probs, n_buckets=4
+    ).collect()
+    b = exact_percentiles(
+        lineitem, ["l_returnflag"], "l_extendedprice", probs, n_buckets=1024
+    ).collect()
+    av = {r.l_returnflag: (r.p25, r.p50, r.p90) for r in a}
+    bv = {r.l_returnflag: (r.p25, r.p50, r.p90) for r in b}
+    for k in av:
+        for x, y in zip(av[k], bv[k]):
+            assert _bits(x) == _bits(y)
+
+
+def test_rank_window_is_bucket_partitioned(spark, lineitem):
+    """The within-bucket cumsum must partition by (group, bucket) — no
+    window over a group's FULL distinct-value set (the single-reducer
+    cliff this two-level design removes)."""
+    from asterlake.operators.stats import exact_percentiles
+    from asterlake.plans.inspect import plan_string
+
+    plan = plan_string(
+        exact_percentiles(lineitem, ["l_returnflag"], "l_extendedprice", [0.5])
+    )
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    value_sorted = [s for s in specs if "_v#" in s]
+    assert value_sorted, specs
+    for s in value_sorted:
+        assert "_b#" in s, s  # partitioned by bucket, not group-only
