@@ -5083,6 +5083,43 @@ def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cascade_delete_counts(tables, tomb, "c_custkey", edges)
 
 
+@query(
+    "q_ann_int8_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             sqrt({_duck_dot('embedding', 'embedding')}) AS l2
+      FROM embeddings
+    ), q8 AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i ->
+               CAST(trunc(CAST(embedding[i] AS DOUBLE) * 127.0
+                          / nullif(l2, 0)) AS BIGINT)) AS q
+      FROM b
+    ), qq AS (SELECT q AS query_q FROM q8 WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, 65),
+                         i -> q[i] * query_q[i])) AS BIGINT) AS score_i8
+    FROM q8, qq
+    WHERE vec_id != 0
+    ORDER BY score_i8 DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized retrieval: top-10 neighbors of vec_id 0 by exact INT8
+    dot product — the production ANN serving path (4x smaller rows,
+    SIMD-friendly integer scoring), sharing the normalize_quantize
+    quantizer with the index build. The score is an exact BIGINT, so the
+    ranking has zero accumulation-order sensitivity; plan shape matches
+    the float brute force: broadcast 1-row quantized query, map-side
+    scoring, TakeOrderedAndProject — shuffle-free."""
+    from asterlake.operators.similarity import topk_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return topk_int8(e.filter("vec_id != 0"), e.filter("vec_id = 0"), k=10)
+
+
 def _pagerank_oracle(iters: int = 5, scale: int = 10**12) -> str:
     # Unrolled fixed-point iterations — bit-identical integer ops to
     # operators/graph.pagerank_fixed_point (// at the same points).
@@ -5416,6 +5453,7 @@ _NEW_R4 = [
     "q_table_profile",
     "q_stream_ewma",
     "q_pagerank_copurchase",
+    "q_ann_int8_topk",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.

@@ -431,3 +431,9 @@ def test_sketch_distinct_has_no_value_buffer_percentile(spark):
     assert mentions <= {"percentile_approx", "partial_percentile_approx"}, (
         mentions
     )
+
+
+def test_int8_topk_is_shuffle_free(spark):
+    plan = _plan(spark, "q_ann_int8_topk")
+    assert has_node(plan, "TakeOrderedAndProject")
+    assert node_count(plan, "Exchange") == 0
