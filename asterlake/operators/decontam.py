@@ -77,3 +77,46 @@ def decontaminate(
         id_col
     )
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GRADED contamination per document — every doc, not just hits:
+    ``(id, n_ngrams, n_contaminated, contamination_ratio)``.
+
+    The boolean drop (:func:`decontaminate`) is right for exact test-set
+    matches; production pipelines also score the gray zone (popular
+    quotes, licenses, boilerplate share n-grams with benchmarks without
+    being leaks) and threshold on the overlap FRACTION. Totals are a
+    row-local projection (``size(word_shingles(...))``), hits reuse the
+    broadcast semi-join (only contaminated shingles reach a shuffle), and
+    the ratio is one double division of exact BIGINTs. Shingle-less docs
+    (< n tokens) get a NULL ratio, not 0 — no evidence either way.
+    """
+    totals = docs.select(
+        F.col(id_col),
+        F.size(word_shingles(text_col, n)).cast("bigint").alias("n_ngrams"),
+    )
+    hits = contamination_report(docs, benchmark, n, id_col, text_col)
+    joined = totals.join(
+        hits.select(
+            F.col(id_col), F.col("n_hit_ngrams").alias("_hits")
+        ),
+        id_col,
+        "left",
+    )
+    n_cont = F.coalesce(F.col("_hits"), F.lit(0)).cast("bigint")
+    return joined.select(
+        F.col(id_col),
+        "n_ngrams",
+        n_cont.alias("n_contaminated"),
+        F.when(
+            F.col("n_ngrams") > 0,
+            n_cont.cast("double") / F.col("n_ngrams").cast("double"),
+        ).alias("contamination_ratio"),
+    )

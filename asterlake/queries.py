@@ -5083,6 +5083,57 @@ def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cascade_delete_counts(tables, tomb, "c_custkey", edges)
 
 
+def _contamination_scores_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    bucket = duck_hash_bucket_sql("doc_id", 100)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), bench_ids AS (
+      SELECT doc_id FROM documents WHERE {bucket} < 5
+    ), bench_sh AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM (
+        SELECT {_DUCK_SHINGLES.strip()} AS shingles FROM t
+        WHERE doc_id IN (SELECT doc_id FROM bench_ids)
+      )
+    ), corpus AS (
+      SELECT doc_id, {_DUCK_SHINGLES.strip()} AS shingles FROM t
+      WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)
+    ), hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM corpus)
+      WHERE shingle IN (SELECT shingle FROM bench_sh)
+      GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(len(c.shingles) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN len(c.shingles) > 0
+                THEN CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+                     / CAST(len(c.shingles) AS DOUBLE)
+                END AS contamination_ratio
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """
+
+
+@query("q_contamination_scores", _contamination_scores_oracle())
+def q_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED decontamination: overlap fraction of every corpus document
+    against the benchmark slice's n-gram set — the gray-zone score
+    (quotes, licenses, boilerplate) production thresholds on, where the
+    boolean q_decontaminate drops exact leaks. Totals are row-local,
+    hits reuse the broadcast semi-join, ratio is one double division of
+    exact BIGINTs; shingle-less docs get NULL, not 0."""
+    from asterlake.operators.decontam import contamination_scores
+    from asterlake.operators.sampling import deterministic_sample, hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = deterministic_sample(d, "doc_id", 5)
+    corpus = d.filter(hash_bucket(F.col("doc_id"), 100) >= 5)
+    return contamination_scores(corpus, bench, n=3)
+
+
 @query(
     "q_ann_int8_topk",
     f"""
@@ -5454,6 +5505,7 @@ _NEW_R4 = [
     "q_stream_ewma",
     "q_pagerank_copurchase",
     "q_ann_int8_topk",
+    "q_contamination_scores",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.
