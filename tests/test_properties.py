@@ -140,3 +140,157 @@ def test_star_invariants(spark, doc):
     )
     assert unresolved == 0
     silver.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operator properties (differential, randomized)
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user
+            st.integers(0, 5),  # ts offset (collisions on purpose)
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ewma_matches_python_recursion(spark, rows):
+    from datetime import datetime, timedelta
+
+    from asterlake.operators.timeseries import ewma
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (u, i, base + timedelta(hours=off), float(v))
+        for i, (u, off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id int, event_id int, ts timestamp, value double"
+    )
+    got = {r.event_id: r.ewma for r in ewma(df, alpha=0.1).collect()}
+    # reference: per user, sort by (ts, event_id), replay recursion
+    by_user: dict = {}
+    for u, eid, ts, v in data:
+        by_user.setdefault(u, []).append((ts, eid, v))
+    for u, evs in by_user.items():
+        acc = None
+        for ts, eid, v in sorted(evs):
+            acc = v if acc is None else 0.9 * acc + 0.1 * v
+            assert got[eid] == acc, (u, eid)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(-1000, 1000, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_exact_outlier_counts_matches_integer_reference(spark, vals):
+    import math
+
+    from asterlake.operators.stats import exact_outlier_counts
+
+    df = spark.createDataFrame(vals, "g string, v double")
+    got = {
+        r.g: (r.n_events, r.n_outliers)
+        for r in exact_outlier_counts(df, ["g"], "v", z=2).collect()
+    }
+    # exact integer reference: same quantization, arbitrary-precision ints
+    groups: dict = {}
+    for g, v in vals:
+        groups.setdefault(g, []).append(math.floor(v * 1000000.0))
+    for g, qs in groups.items():
+        n, s, ssq = len(qs), sum(qs), sum(q * q for q in qs)
+        out = sum(1 for q in qs if (n * q - s) ** 2 > 4 * (n * ssq - s * s))
+        assert got[g] == (n, out), g
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    old=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+    new=st.dictionaries(st.integers(0, 15), st.integers(0, 3), max_size=12),
+)
+def test_snapshot_diff_matches_dict_diff(spark, old, new):
+    from asterlake.operators.lifecycle import snapshot_diff
+
+    if not old and not new:
+        return
+    odf = spark.createDataFrame(
+        list(old.items()) or [(None, None)], "k int, v int"
+    ).where("k IS NOT NULL")
+    ndf = spark.createDataFrame(
+        list(new.items()) or [(None, None)], "k int, v int"
+    ).where("k IS NOT NULL")
+    got = {
+        r.k: r.change_type for r in snapshot_diff(odf, ndf, ["k"]).collect()
+    }
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "deleted"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_exact_percentiles_match_builtin_on_random_data(spark, vals):
+    from asterlake.operators.stats import exact_percentiles
+
+    df = spark.createDataFrame(vals, "g string, v double")
+    probs = [0.0, 0.37, 0.5, 1.0]
+    ours = {
+        r.g: (r.p00, r.p37, r.p50, r.p100)
+        for r in exact_percentiles(
+            df, ["g"], "v", probs, out_names=["p00", "p37", "p50", "p100"]
+        ).collect()
+    }
+    builtin = {
+        r.g: tuple(r.ps)
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.0, 0.37, 0.5, 1.0))").alias("ps"))
+        .collect()
+    }
+    for g, want in builtin.items():
+        for a, b in zip(ours[g], want):
+            assert a == b, (g, ours[g], want)
