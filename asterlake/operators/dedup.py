@@ -28,7 +28,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -637,5 +637,65 @@ def fuzzy_pairs(
             F.col("a._text").alias("text_a"),
             F.col("b._text").alias("text_b"),
             "distance",
+        )
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style SPAN-level corpus dedup: documents segment into
+    consecutive ``span_tokens``-token spans; every span that already
+    occurred earlier in the corpus (first occurrence = min (doc, pos))
+    is dropped, and each document's text is rebuilt from its surviving
+    spans. This is the C4 pipeline's repeated-span removal (three-
+    sentence spans there; fixed token windows here) — boilerplate,
+    navigation chrome, and license blocks vanish corpus-wide while each
+    copy's first occurrence survives.
+
+    Shape: segmentation is row-local (slice over the token array); the
+    first-occurrence decision shuffles on the span's md5 DIGEST (never
+    the span text as a key; the text rides as payload to avoid a second
+    corpus-wide join), and the rebuild is one doc-keyed aggregation with
+    an in-group position sort. Output: ``(id, n_segments, n_kept,
+    text_clean)``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.array_join(
+                F.slice(toks, i * span_tokens + 1, span_tokens), " "
+            ).alias("seg"),
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.explode(segs).alias("_s")
+    ).select(id_col, "_s.pos", "_s.seg", F.md5("_s.seg").alias("_dig"))
+    w = Window.partitionBy("_dig").orderBy(id_col, "pos")
+    ranked = exploded.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("_rn") == 1,
+        F.struct(F.col("pos"), F.col("seg")),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("text_clean"),
         )
     )

@@ -5083,6 +5083,50 @@ def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cascade_delete_counts(tables, tomb, "c_custkey", edges)
 
 
+@query(
+    "q_dedup_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), segs AS (
+      SELECT doc_id, CAST(u.pos AS INT) AS pos, u.seg
+      FROM (
+        SELECT doc_id,
+               unnest([{'pos': i,
+                        'seg': array_to_string(t[i*8+1 : i*8+8], ' ')}
+                       for i in range(0, GREATEST(
+                         CAST(ceil(len(t) / 8.0) AS BIGINT), 1))]) AS u
+        FROM toks
+      )
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+                                   ORDER BY doc_id, pos) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                               ORDER BY pos), '') AS text_clean
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level corpus dedup: every 8-token span that already
+    occurred earlier in the corpus (first occurrence = min (doc, pos))
+    is removed and each document's text is rebuilt from its surviving
+    spans — the repeated-span scrub (boilerplate, chrome, licenses) the
+    C4 pipeline made standard, at sub-document granularity the whole-doc
+    dedup family can't reach. Segmentation is row-local; the first-
+    occurrence ranking shuffles on the span's md5 digest (text rides as
+    payload, never as a key); the rebuild is one doc-keyed aggregation
+    with an in-group position sort."""
+    from asterlake.operators.dedup import span_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_dedup(d, span_tokens=8)
+
+
 def _contamination_scores_oracle() -> str:
     from asterlake.operators.sampling import duck_hash_bucket_sql
 
@@ -5506,6 +5550,7 @@ _NEW_R4 = [
     "q_pagerank_copurchase",
     "q_ann_int8_topk",
     "q_contamination_scores",
+    "q_dedup_spans",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.

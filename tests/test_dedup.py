@@ -152,3 +152,27 @@ def test_minhash_index_matches_never_pairs_new_with_new(spark):
     # doc 10 collides with BOTH index copies; docs 20/30 are identical to
     # each other (new-vs-new) but match nothing in the index -> absent
     assert got == {10: (2, 1)}
+
+
+def test_span_dedup_first_occurrence_survives(spark):
+    from asterlake.operators.dedup import span_dedup
+
+    boiler = "w1 w2 w3 w4"  # 4-token span unit for the test
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one two three"),
+            (2, boiler + " other words here now"),  # repeated boilerplate
+            (3, "all fresh tokens in this doc here yes"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_kept, r.text_clean)
+        for r in span_dedup(docs, span_tokens=4).collect()
+    }
+    # doc 1 keeps everything (it owns the first occurrence)
+    assert got[1] == (2, 2, boiler + " unique one two three")
+    # doc 2 loses the boilerplate span, keeps its tail
+    assert got[2] == (2, 1, "other words here now")
+    # doc 3 untouched
+    assert got[3][1] == got[3][0]
