@@ -5084,6 +5084,69 @@ def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_small_quantity_revenue",
+    """
+    WITH pf AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'
+    ), th AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                         AS DOUBLE) / 100.0
+                    / CAST(COUNT(*) AS DOUBLE)) AS thr
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN pf ON l.l_partkey = pf.p_partkey
+    JOIN th ON l.l_partkey = th.l_partkey
+    WHERE l.l_quantity < th.thr
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders
+    (below 20% of the part's average order quantity) were not taken — a
+    correlated scalar-aggregate filter decorrelated into an explicit
+    per-part threshold join. Scale shape: the brand-filtered part list
+    broadcasts; the per-part thresholds are a part-keyed partial
+    aggregate of (partkey, cents) only; the fact joins both on its own
+    key. The threshold double is derived from exact decimal sums with
+    the identical expression tree in both engines, so the boundary
+    comparison can never flip."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#4"
+    ).select("p_partkey")
+    cents = F.round(F.col("l_quantity") * 100).cast("bigint")
+    th = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(cents).cast("double")
+                / F.lit(100.0)
+                / F.count("*").cast("double")
+            )
+        ).alias("thr")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(th, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thr"))
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_small"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .cast("double")
+            / F.lit(100.0)
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
+
+
+@query(
     "q_dedup_spans",
     """
     WITH toks AS (
@@ -5551,6 +5614,7 @@ _NEW_R4 = [
     "q_ann_int8_topk",
     "q_contamination_scores",
     "q_dedup_spans",
+    "q_small_quantity_revenue",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.
