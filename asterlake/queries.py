@@ -5329,11 +5329,11 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     long) pairs per round, plan-only (no driver actions)."""
     from asterlake.operators.graph import pagerank_fixed_point
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
+    # collect_set dedupes within the order, so no upstream .distinct()
+    # (that would be a second full shuffle of the fact for nothing)
     grouped = (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps"))
