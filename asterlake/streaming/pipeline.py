@@ -469,3 +469,42 @@ def stream_merge_dimension(
         .start()
         .awaitTermination()
     )
+
+
+def stream_quarantine(
+    stream: DataFrame,
+    rules: "dict[str, F.Column]",
+    good_path: str,
+    bad_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming data-quality gate: every micro-batch splits through the
+    batch expectations operator (operators/quality.quarantine_split) via
+    ``foreachBatch`` — clean rows append to ``good_path``, violating rows
+    append to ``bad_path`` WITH their violation list, so the ingest keeps
+    flowing while bad records queue for triage instead of poisoning the
+    table (the streaming half of the DLT expectations story).
+
+    The annotated frame is persisted per batch so the two filtered writes
+    share one evaluation of the rules rather than re-scanning the source
+    twice; exactly-once follows the standard foreachBatch contract
+    (checkpointed batch ids + append-only file sinks).
+    """
+    from asterlake.operators.quality import quarantine_split
+
+    def split(batch: DataFrame, _batch_id: int) -> None:
+        parent = batch.persist()
+        try:
+            clean, bad = quarantine_split(parent, rules)
+            clean.write.mode("append").parquet(good_path)
+            bad.write.mode("append").parquet(bad_path)
+        finally:
+            parent.unpersist()
+
+    (
+        stream.writeStream.foreachBatch(split)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

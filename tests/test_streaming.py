@@ -390,3 +390,44 @@ def test_running_ewma_state_survives_batches(spark, tmp_path):
     y3 = 0.5 * y2 + 0.5 * 0.0
     assert final.n_events == 3
     assert final.ewma == y3
+
+
+def test_stream_quarantine_routes_and_keeps_violations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from asterlake.streaming.pipeline import stream_quarantine
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+
+    def _write(path, rows):
+        with open(path, "w") as f:
+            for uid, v in rows:
+                f.write(json.dumps({"user_id": uid, "value": v}) + "\n")
+
+    _write(os.path.join(events_dir, "b1.json"), [(1, 5.0), (2, -1.0)])
+    _write(os.path.join(events_dir, "b2.json"), [(3, 99.0), (4, None)])
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    good, bad = str(tmp_path / "good"), str(tmp_path / "bad")
+    stream_quarantine(
+        stream,
+        {"value_pos": F.col("value") > 0, "value_under_50": F.col("value") < 50},
+        good,
+        bad,
+        str(tmp_path / "ck_q"),
+    )
+    good_ids = {r.user_id for r in spark.read.parquet(good).collect()}
+    bad_rows = {
+        r.user_id: sorted(r._violations)
+        for r in spark.read.parquet(bad).collect()
+    }
+    assert good_ids == {1}
+    assert bad_rows == {
+        2: ["value_pos"],
+        3: ["value_under_50"],
+        4: ["value_pos", "value_under_50"],
+    }
