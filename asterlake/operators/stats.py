@@ -47,6 +47,7 @@ def exact_percentiles(
     *,
     out_names: Sequence[str] | None = None,
     n_buckets: int = 1024,
+    weight: Column | str | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles per group without per-group value
     buffers.
@@ -56,6 +57,12 @@ def exact_percentiles(
     ``F.expr("percentile(value, p)")`` bit-for-bit.
 
     With ``group_cols=[]`` computes global percentiles (single group).
+
+    With ``weight`` (a non-negative INTEGER column), each row counts as
+    that many copies — Spark's ``percentile(value, p, frequency)``
+    semantics, bit-for-bit (the rank machinery is identical; per-value
+    counts become weight sums). Weighted medians (e.g. the quantity at
+    50% of REVENUE) fall out of the same bounded-state plan.
 
     The cumulative ranks are TWO-LEVEL: distinct values bucketize into
     ``n_buckets`` equal-width ranges per group, bucket subtotals prefix-
@@ -78,11 +85,21 @@ def exact_percentiles(
         df = df.withColumn("_g", F.lit(0))
         gcols = ["_g"]
 
+    if weight is None:
+        cnt_agg = F.count("*").alias("_cnt")
+        base = df.select(*gcols, value_col.cast("double").alias("_v"))
+    else:
+        w_col = F.col(weight) if isinstance(weight, str) else weight
+        cnt_agg = F.sum(F.col("_w").cast("bigint")).alias("_cnt")
+        base = df.select(
+            *gcols,
+            value_col.cast("double").alias("_v"),
+            w_col.alias("_w"),
+        )
     counts = (
-        df.select(*gcols, value_col.cast("double").alias("_v"))
-        .where(F.col("_v").isNotNull())
+        base.where(F.col("_v").isNotNull())
         .groupBy(*gcols, "_v")
-        .agg(F.count("*").alias("_cnt"))
+        .agg(cnt_agg)
     )
     # Bucket assignment must be MONOTONE in _v within each group (so
     # ordering by (_b, _v) == ordering by _v); any deterministic monotone

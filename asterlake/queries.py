@@ -5084,6 +5084,63 @@ def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_weighted_median",
+    """
+    WITH counts AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT g, v, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+               AS cum_end,
+             CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v) - cnt AS BIGINT)
+               AS cum_start,
+             LEAD(v) OVER (PARTITION BY g ORDER BY v) AS next_v
+      FROM counts
+    ), tot AS (
+      SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY g
+    ), pos AS (
+      SELECT g, 0.5 * CAST(n - 1 AS DOUBLE) AS pos,
+             CAST(FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS k
+      FROM tot
+    )
+    SELECT p.g AS l_returnflag,
+           CASE WHEN p.pos = CAST(p.k AS DOUBLE) THEN r.v
+                ELSE (CAST(p.k AS DOUBLE) + 1.0 - p.pos) * r.v
+                     + (p.pos - CAST(p.k AS DOUBLE))
+                       * (CASE WHEN p.k + 1 < r.cum_end THEN r.v
+                               ELSE r.next_v END)
+           END AS wp50
+    FROM pos p JOIN ranked r
+      ON p.g = r.g AND r.cum_start <= p.k AND p.k < r.cum_end
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE-weighted median order quantity per return flag: the
+    quantity value splitting each flag's revenue mass in half — every
+    row counts as its price in cents (exact BIGINT weights), i.e.
+    Spark's percentile(value, p, frequency) semantics reproduced by the
+    bounded-state two-level rank machinery (bit-equality to the built-in
+    frequency form pinned in test_stats). The oracle spells out the
+    weighted rank/interpolation since DuckDB's quantile_cont has no
+    frequency argument. Same plan as the unweighted form: per-value
+    weight sums shuffle, never row multisets."""
+    from asterlake.operators.stats import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return exact_percentiles(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        [0.5],
+        out_names=["wp50"],
+        weight=cents,
+    )
+
+
+@query(
     "q_small_quantity_revenue",
     """
     WITH pf AS (
@@ -5615,6 +5672,7 @@ _NEW_R4 = [
     "q_contamination_scores",
     "q_dedup_spans",
     "q_small_quantity_revenue",
+    "q_weighted_median",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.

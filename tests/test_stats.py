@@ -316,3 +316,36 @@ def test_rank_window_is_bucket_partitioned(spark, lineitem):
     assert value_sorted, specs
     for s in value_sorted:
         assert "_b#" in s, s  # partitioned by bucket, not group-only
+
+
+def test_weighted_percentiles_match_builtin_frequency_form(spark, lineitem):
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.stats import exact_percentiles
+
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    ours = {
+        r.l_returnflag: (r.wp25, r.wp50, r.wp90)
+        for r in exact_percentiles(
+            lineitem,
+            ["l_returnflag"],
+            "l_quantity",
+            [0.25, 0.5, 0.9],
+            out_names=["wp25", "wp50", "wp90"],
+            weight=cents,
+        ).collect()
+    }
+    builtin = {
+        r.l_returnflag: tuple(r.ps)
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_quantity, array(0.25D, 0.5D, 0.9D), "
+                "CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+            ).alias("ps")
+        )
+        .collect()
+    }
+    for g, want in builtin.items():
+        for a, b in zip(ours[g], want):
+            assert _bits(a) == _bits(b), (g, ours[g], want)
