@@ -5084,6 +5084,74 @@ def q_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_quarantine",
+    """
+    SELECT event_id,
+           concat_ws(',',
+             CASE WHEN event_type = 'error' THEN 'not_error' END,
+             CASE WHEN NOT COALESCE(value < 100, FALSE)
+                  THEN 'value_under_100' END
+           ) AS violations
+    FROM events
+    WHERE event_type = 'error' OR NOT COALESCE(value < 100, FALSE)
+    """,
+)
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality gate, END-TO-END through its file sinks:
+    the events replayed through readStream -> foreachBatch quarantine
+    split (streaming/pipeline.stream_quarantine) -> the BAD parquet read
+    back with each row's violation list. The oracle derives the same
+    quarantine set from the batch table — so the gate checks routing,
+    the persisted violation arrays, AND the sink round trip, not just an
+    in-memory frame. Rule names sort deterministically, so the joined
+    violation string is stable."""
+    import os
+    import tempfile
+
+    from asterlake.streaming.pipeline import stream_quarantine
+    from asterlake.tables import events_read_schema, normalize_events_ts
+
+    schema = events_read_schema(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "events")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema).parquet(src_dir)
+        )
+        good = os.path.join(workdir, "good")
+        bad = os.path.join(workdir, "bad")
+        stream_quarantine(
+            stream,
+            {
+                "not_error": F.col("event_type") != "error",
+                "value_under_100": F.col("value") < 100,
+            },
+            good,
+            bad,
+            os.path.join(workdir, "ckpt"),
+        )
+        out_schema = "event_id bigint, violations string"
+        if not os.path.isdir(bad):
+            # zero micro-batches (empty source): nothing was quarantined
+            return spark.createDataFrame([], out_schema)
+        out = (
+            spark.read.parquet(bad)
+            .select(
+                "event_id",
+                F.array_join("_violations", ",").alias("violations"),
+            )
+        )
+        # materialize before the TemporaryDirectory vanishes (gate
+        # plumbing only — the operator itself streams to file sinks)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out_schema)
+
+
+@query(
     "q_weighted_median",
     """
     WITH counts AS (
@@ -5673,6 +5741,7 @@ _NEW_R4 = [
     "q_dedup_spans",
     "q_small_quantity_revenue",
     "q_weighted_median",
+    "q_stream_quarantine",
 ]
 # Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
 # cost so a time-budgeted driver re-confirms as many as possible.
