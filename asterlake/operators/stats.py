@@ -96,10 +96,20 @@ def exact_percentiles(
             value_col.cast("double").alias("_v"),
             w_col.alias("_w"),
         )
+    # Materialize the distinct-(group, value) counts ONCE. Every
+    # downstream branch (bucket bounds, bucket subtotals, totals, the
+    # lower- and upper-bracket containment joins) consumes this table,
+    # and Spark re-derives a lazy subtree per consumer — without the
+    # checkpoint the FACT is re-scanned ~10x per call (caught by
+    # tests/test_plans.py::test_trimmed_stats_band_broadcast). The
+    # counts table is the bounded "sketch" of the data (distinct values,
+    # never the row multiset), so materializing it is exactly the state
+    # this operator is allowed to hold.
     counts = (
         base.where(F.col("_v").isNotNull())
         .groupBy(*gcols, "_v")
         .agg(cnt_agg)
+        .localCheckpoint()
     )
     # Bucket assignment must be MONOTONE in _v within each group (so
     # ordering by (_b, _v) == ordering by _v); any deterministic monotone

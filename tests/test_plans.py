@@ -297,12 +297,15 @@ def test_trimmed_stats_band_broadcast(spark):
     plan = _plan(spark, "q_trimmed_stats")
     assert has_node(plan, "BroadcastHashJoin")
     assert not has_node(plan, "SortMergeJoin")
-    # lineitem scans: the two-pass percentile's distinct-value counts
-    # (one or two copies depending on ReuseExchange) + the trimmed
-    # aggregation — every one 2-column pruned, and none of them feeds a
-    # value-buffering Percentile aggregate (the scale contract)
+    # lineitem scans in the FINAL plan: the percentile machinery's
+    # distinct-value counts are localCheckpoint-materialized (its many
+    # consumers read those blocks, not the parquet — without that the
+    # branch diamonds re-scan the fact ~10x), so only the trimmed
+    # aggregation itself reads the table here — 2-column pruned, and
+    # nothing feeds a value-buffering Percentile aggregate (the scale
+    # contract)
     li_scans = [s for s in scans(plan) if "lineitem" in s.location]
-    assert 2 <= len(li_scans) <= 3
+    assert 1 <= len(li_scans) <= 2
     for s in li_scans:
         assert set(s.read_columns) == {"l_returnflag", "l_extendedprice"}
     assert "percentile" not in plan.lower()
