@@ -96,20 +96,23 @@ def exact_percentiles(
             value_col.cast("double").alias("_v"),
             w_col.alias("_w"),
         )
-    # Materialize the distinct-(group, value) counts ONCE. Every
-    # downstream branch (bucket bounds, bucket subtotals, totals, the
-    # lower- and upper-bracket containment joins) consumes this table,
-    # and Spark re-derives a lazy subtree per consumer — without the
-    # checkpoint the FACT is re-scanned ~10x per call (caught by
-    # tests/test_plans.py::test_trimmed_stats_band_broadcast). The
-    # counts table is the bounded "sketch" of the data (distinct values,
-    # never the row multiset), so materializing it is exactly the state
-    # this operator is allowed to hold.
+    # Cache the distinct-(group, value) counts. Every downstream branch
+    # (bucket bounds, bucket subtotals, totals, the lower- and upper-
+    # bracket containment joins) consumes this table, and Spark
+    # re-derives a lazy subtree per consumer — without the cache the
+    # FACT is re-scanned ~10x per call (caught by tests/test_plans.py::
+    # test_trimmed_stats_band_broadcast). persist() (not an eager
+    # checkpoint) keeps plan construction job-free: the first stage that
+    # touches the counts materializes them and every other branch reads
+    # the InMemoryTableScan. The counts are the bounded "sketch" of the
+    # data (distinct values, never the row multiset) — exactly the state
+    # this operator is allowed to hold; ContextCleaner reclaims the
+    # blocks when the plan is dropped.
     counts = (
         base.where(F.col("_v").isNotNull())
         .groupBy(*gcols, "_v")
         .agg(cnt_agg)
-        .localCheckpoint()
+        .persist()
     )
     # Bucket assignment must be MONOTONE in _v within each group (so
     # ordering by (_b, _v) == ordering by _v); any deterministic monotone

@@ -83,8 +83,17 @@ def main() -> None:
             return round(time.perf_counter() - t0, 4)
 
         timings: dict[str, float] = {}
-        for name in order:
+        for i, name in enumerate(order):
             timings[name] = run_one(name)
+            if (i + 1) % 20 == 0:
+                # release ContextCleaner-eligible cache/checkpoint blocks
+                # left by iterative queries: the cleaner acts on JVM GC,
+                # which a 130-query session otherwise defers until block-
+                # manager pressure lands on whichever query runs next
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
 
         # De-noise: a shared box throws occasional multi-second GC/CPU
         # spikes that land on one arbitrary query (observed: a 0.3s query
