@@ -82,3 +82,24 @@ def quarantine_split(
     clean = annotated.filter(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
     bad = annotated.filter(F.size(VIOLATIONS_COL) > 0)
     return clean, bad
+
+
+def observed(
+    df: DataFrame, metrics: Mapping[str, Column]
+) -> "tuple[DataFrame, object]":
+    """Attach single-pass telemetry to a plan via Spark's Observation API:
+    the returned frame computes ``metrics`` (accumulator-backed aggregate
+    expressions) DURING whatever action the caller runs — no second scan,
+    no separate job — and the returned observation yields them afterward
+    via ``.get``. This is how a production write reports row counts /
+    null rates / domain totals without re-reading what it just wrote;
+    pair with :func:`expectation_stats` when the tallies must be a
+    queryable DataFrame instead.
+    """
+    from pyspark.sql import Observation
+
+    if not metrics:
+        raise ValueError("observed needs at least one metric")
+    obs = Observation()
+    named = [col.alias(name) for name, col in sorted(metrics.items())]
+    return df.observe(obs, *named), obs

@@ -349,3 +349,33 @@ def test_weighted_percentiles_match_builtin_frequency_form(spark, lineitem):
     for g, want in builtin.items():
         for a, b in zip(ours[g], want):
             assert _bits(a) == _bits(b), (g, ours[g], want)
+
+
+def test_observed_metrics_single_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.quality import observed
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    watched, obs = observed(
+        li,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_qty": F.sum(
+                F.when(F.col("l_quantity").isNull(), 1).otherwise(0)
+            ),
+            "sum_qty_cents": F.sum(
+                F.round(F.col("l_quantity") * 100).cast("bigint")
+            ),
+        },
+    )
+    # metrics ride the write action itself — one pass
+    watched.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    expect = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("s"),
+    ).collect()[0]
+    assert got["n_rows"] == expect.n
+    assert got["n_null_qty"] == 0
+    assert got["sum_qty_cents"] == expect.s
