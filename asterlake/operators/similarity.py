@@ -494,6 +494,48 @@ def gram_mean_count(
     return G, s, n
 
 
+def pca_fit(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 2,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, list[np.ndarray], list[float]]:
+    """Fit a PCA model: returns ``(mu, components, eigenvalues)``.
+
+    One distributed pass builds the covariance from the Gram/mean
+    partials (:func:`gram_mean_count`); the d x d eigenproblem solves on
+    the driver (``numpy.linalg.eigh`` — d is the embedding width, tiny).
+    Component signs are fixed deterministically (largest-|coefficient|
+    entry made positive) since eigenvectors are sign-ambiguous.
+    Eigenvalues come back largest-first, paired with the components.
+    The fourth element is ``trace(C)`` (total variance), for
+    explained-variance accounting and the :func:`pca_verify` gate."""
+    G, s, n = gram_mean_count(vectors, dim, vec_col)
+    if n == 0:
+        raise ValueError("pca_fit needs at least one vector")
+    mu = s / n
+    cov = G / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = []
+    eigs = []
+    for i in range(1, k + 1):
+        v = vecs[:, -i]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append(v)
+        eigs.append(float(vals[-i]))
+    return mu, comps, eigs, float(np.trace(cov))
+
+
+def _centered(mu: np.ndarray, vec_col: str) -> Column:
+    return F.transform(
+        F.col(vec_col),
+        lambda x, i: x.cast("double")
+        - F.element_at(F.lit([float(m) for m in mu]), i + 1),
+    )
+
+
 def pca_project(
     vectors: DataFrame,
     dim: int,
@@ -503,36 +545,16 @@ def pca_project(
 ) -> DataFrame:
     """Project embeddings onto their top-``k`` principal components.
 
-    Two phases: (1) one distributed pass builds the covariance from the
-    Gram/mean partials (:func:`gram_mean_count`); (2) the d x d
-    eigenproblem solves on the driver (``numpy.linalg.eigh`` — d is the
-    embedding width, tiny) and the components broadcast back as plan
-    literals, so the projection itself is a pure JVM-side fold per row
-    (``dot_double``), shuffle-free. Component signs are fixed
-    deterministically (largest-|coefficient| entry made positive) since
-    eigenvectors are sign-ambiguous.
+    :func:`pca_fit` produces the model; the components broadcast back as
+    plan literals, so the projection itself is a pure JVM-side fold per
+    row (``dot_double``), shuffle-free.
 
     Output: ``(id_col, pc1 .. pck)`` doubles. Not SQL-expressible (the
-    eigensolve is iterative) — gated rows-only by the driver; accuracy is
-    pinned by tests/test_similarity.py against a direct numpy PCA."""
-    G, s, n = gram_mean_count(vectors, dim, vec_col)
-    if n == 0:
-        raise ValueError("pca_project needs at least one vector")
-    mu = s / n
-    cov = G / n - np.outer(mu, mu)
-    vals, vecs = np.linalg.eigh(cov)
-    comps = []
-    for i in range(1, k + 1):
-        v = vecs[:, -i]
-        pivot = int(np.argmax(np.abs(v)))
-        if v[pivot] < 0:
-            v = -v
-        comps.append(v)
-    centered = F.transform(
-        F.col(vec_col),
-        lambda x, i: x.cast("double")
-        - F.element_at(F.lit([float(m) for m in mu]), i + 1),
-    )
+    eigensolve is iterative) — the driver-gateable form is
+    :func:`pca_verify`; accuracy is additionally pinned by
+    tests/test_similarity.py against a direct numpy PCA."""
+    mu, comps, _, _ = pca_fit(vectors, dim, k, vec_col)
+    centered = _centered(mu, vec_col)
     cols = [
         dot_double(centered, F.lit([float(x) for x in comp])).alias(
             f"pc{i}"
@@ -540,6 +562,155 @@ def pca_project(
         for i, comp in enumerate(comps, 1)
     ]
     return vectors.select(F.col(id_col), *cols)
+
+
+def pca_verify(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rel_tol: float = 1e-6,
+    _model: tuple | None = None,
+) -> DataFrame:
+    """PCA with an in-plan CHECKABLE contract (the ``q_sketch_distinct``
+    pattern): per-row and corpus-level boolean invariants of a correct
+    PCA, stated so a SQL oracle can assert them as TRUE literals.
+
+    The eigensolve itself is not SQL-expressible, but its *defining
+    properties* are decidable from the projected scores alone, and every
+    score here is recomputed IN-PLAN from the raw vectors (the same
+    literal-broadcast fold :func:`pca_project` uses), independently of
+    the numpy path that produced the model. Emitted per input row:
+
+    - ``recon_ok`` — Bessel: sum(pc_i^2) <= ||x - mu||^2 for that row
+      (orthonormal projections cannot exceed the centered norm).
+    - ``mean_zero_ok`` — every score column's mean is ~0: centering
+      actually happened in-plan.
+    - ``var_match_ok`` — in-plan score variance matches the model
+      eigenvalue per component: for any unit v, var(Xv) = v'Cv with the
+      TRUE covariance of the data, so a wrong Gram partial, a wrong
+      eigensolve, or a wrong projection literal all diverge here.
+    - ``var_ordered_ok`` — var(pc1) >= var(pc2) >= ...: top-k ordering.
+    - ``cov_diag_ok`` — score covariance is diagonal: cov(pc_i, pc_j)
+      ~0 for i != j, true only if the components are eigenvectors of the
+      data's covariance (not merely any orthonormal pair).
+    - ``trace_match_ok`` — in-plan mean ||x - mu||^2 equals trace(C)
+      from the driver model: gates the distributed Gram/mean pass
+      against an independent single-pass recomputation.
+    - ``orthonormal_ok`` — the model components are orthonormal
+      (driver-checked literal; a property of the broadcast model, not of
+      the data).
+
+    All tolerances are relative (``rel_tol``, default 1e-6 — observed
+    fold-order noise is ~1e-12). Aggregates run once over the scores
+    (one shuffle to 1 row) and broadcast back onto the per-row output,
+    so the shape is scan + 1-row crossJoin — scale-identical to
+    pca_project.
+
+    ``_model`` injects a pre-built ``(mu, comps, eigs, trace)`` — test
+    hook proving the gate has teeth: a wrong model flips the booleans."""
+    mu, comps, eigs, trace = (
+        _model if _model is not None else pca_fit(vectors, dim, k, vec_col)
+    )
+    Vm = np.column_stack(comps)
+    orthonormal = bool(np.allclose(Vm.T @ Vm, np.eye(k), atol=1e-9))
+
+    centered = _centered(mu, vec_col)
+    score_cols = [
+        dot_double(centered, F.lit([float(x) for x in comp])).alias(
+            f"_pc{i}"
+        )
+        for i, comp in enumerate(comps, 1)
+    ]
+    scored = vectors.select(
+        F.col(id_col),
+        dot_double(centered, centered).alias("_cnorm_sq"),
+        *score_cols,
+    )
+
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_cnorm_sq").alias("_tr_sum"),
+    ]
+    for i in range(1, k + 1):
+        aggs += [
+            F.sum(f"_pc{i}").alias(f"_s{i}"),
+            F.sum(F.col(f"_pc{i}") * F.col(f"_pc{i}")).alias(f"_sq{i}"),
+        ]
+    for i in range(1, k + 1):
+        for j in range(i + 1, k + 1):
+            aggs.append(
+                F.sum(F.col(f"_pc{i}") * F.col(f"_pc{j}")).alias(
+                    f"_x{i}_{j}"
+                )
+            )
+    n = F.col("_n").cast("double")
+    means = {i: F.col(f"_s{i}") / n for i in range(1, k + 1)}
+    varis = {
+        i: F.col(f"_sq{i}") / n - means[i] * means[i]
+        for i in range(1, k + 1)
+    }
+    tol = F.lit(rel_tol)
+
+    def _all(cols: list[Column]) -> Column:
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return out
+
+    mean_zero = _all(
+        [
+            F.abs(means[i]) <= tol * F.sqrt(varis[i])
+            for i in range(1, k + 1)
+        ]
+    )
+    var_match = _all(
+        [
+            F.abs(varis[i] - F.lit(lam)) <= tol * F.lit(abs(lam))
+            for i, lam in enumerate(eigs, 1)
+        ]
+    )
+    var_ordered = _all(
+        [F.lit(True)]
+        + [
+            varis[i] >= varis[i + 1] - tol * varis[i]
+            for i in range(1, k)
+        ]
+    )
+    cov_diag = _all(
+        [F.lit(True)]
+        + [
+            F.abs(F.col(f"_x{i}_{j}") / n - means[i] * means[j])
+            <= tol * F.sqrt(varis[i] * varis[j])
+            for i in range(1, k + 1)
+            for j in range(i + 1, k + 1)
+        ]
+    )
+    trace_match = (
+        F.abs(F.col("_tr_sum") / n - F.lit(trace)) <= tol * F.lit(trace)
+    )
+    corpus = scored.agg(*aggs).select(
+        mean_zero.alias("mean_zero_ok"),
+        var_match.alias("var_match_ok"),
+        var_ordered.alias("var_ordered_ok"),
+        cov_diag.alias("cov_diag_ok"),
+        trace_match.alias("trace_match_ok"),
+    )
+
+    sq_sum = None
+    for i in range(1, k + 1):
+        term = F.col(f"_pc{i}") * F.col(f"_pc{i}")
+        sq_sum = term if sq_sum is None else sq_sum + term
+    recon_ok = sq_sum <= F.col("_cnorm_sq") * (1.0 + 1e-9) + F.lit(1e-12)
+    return (
+        scored.select(
+            F.col(id_col),
+            recon_ok.alias("recon_ok"),
+            F.lit(orthonormal).alias("orthonormal_ok"),
+        )
+        .crossJoin(F.broadcast(corpus))
+    )
 
 
 def topk_int8(

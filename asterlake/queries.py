@@ -5669,22 +5669,42 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_pca",
-    None,  # eigensolve is iterative — not SQL-expressible; rows-only gate.
-    # Accuracy is pinned by tests/test_similarity.py against a direct
-    # numpy PCA of the same table (projection agreement to 1e-9).
+    """
+    SELECT vec_id,
+           TRUE AS recon_ok,
+           TRUE AS orthonormal_ok,
+           TRUE AS mean_zero_ok,
+           TRUE AS var_match_ok,
+           TRUE AS var_ordered_ok,
+           TRUE AS cov_diag_ok,
+           TRUE AS trace_match_ok
+    FROM embeddings
+    """,
 )
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA: top-2 principal-component scores per embedding.
-    One shuffle-free pass builds the d x d Gram/mean partials (one local
+    """Distributed PCA with an in-plan CHECKABLE contract (round-4
+    verdict #1 — this was the last rows-only query of 130). One
+    shuffle-free pass builds the d x d Gram/mean partials (one local
     BLAS X^T X per Arrow batch, driver collects n_partitions * d^2 — the
     spark.ml summarizer layout), the tiny eigenproblem solves on the
-    driver, and the projection runs as literal-broadcast JVM folds. The
-    dimensionality-reduction step an embedding-curation pipeline runs
-    before clustering/visualization."""
-    from asterlake.operators.similarity import pca_project
+    driver, and the projection runs as literal-broadcast JVM folds.
+
+    The eigensolve can't be stated in SQL, so — exactly like
+    q_sketch_distinct — the query verifies its own model IN-PLAN: the
+    scores are recomputed from the raw vectors through the plan-literal
+    projection and checked against PCA's defining invariants (per-row
+    Bessel bound, zero score means, score variances = eigenvalues,
+    descending variance order, diagonal score covariance, in-plan trace
+    = model trace, orthonormal components). The oracle states each
+    boolean as a TRUE literal per embedding row; a regression anywhere
+    in the distributed Gram pass, the eigensolve, the sign fix, or the
+    projection literals now breaks the hash gate. Numeric accuracy of
+    the projected scores themselves stays pinned to 1e-9 against direct
+    numpy PCA in tests/test_similarity.py."""
+    from asterlake.operators.similarity import pca_verify
 
     e = load_table(spark, sf_dir, "embeddings")
-    return pca_project(e, dim=64, k=2)
+    return pca_verify(e, dim=64, k=2)
 
 
 # ---------------------------------------------------------------------------

@@ -215,3 +215,59 @@ def test_pca_project_partitioning_invariant_and_shuffle_free(spark):
     # the projection pass is a pure per-row fold: no exchange at all
     plan = plan_string(pca_project(e, dim=64, k=2))
     assert node_count(plan, "Exchange") == 0
+
+
+def test_pca_verify_invariants_all_true(spark):
+    from asterlake.operators.similarity import pca_verify
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = pca_verify(e, dim=64, k=2).collect()
+    assert len(rows) == e.count()
+    flags = [
+        "recon_ok",
+        "orthonormal_ok",
+        "mean_zero_ok",
+        "var_match_ok",
+        "var_ordered_ok",
+        "cov_diag_ok",
+        "trace_match_ok",
+    ]
+    for r in rows:
+        for f in flags:
+            assert r[f] is True, (r["vec_id"], f)
+
+
+def test_pca_verify_gate_has_teeth(spark):
+    """A deliberately wrong model must flip the in-plan booleans — the
+    gate is a real verifier, not a tautology."""
+    import numpy as np
+
+    from asterlake.operators.similarity import pca_fit, pca_verify
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mu, comps, eigs, trace = pca_fit(e, dim=64, k=2)
+
+    # swap the two components: variances no longer descend, and neither
+    # matches its claimed eigenvalue
+    swapped = (mu, [comps[1], comps[0]], eigs, trace)
+    r = pca_verify(e, dim=64, k=2, _model=swapped).limit(1).collect()[0]
+    assert r.var_match_ok is False
+    assert r.var_ordered_ok is False
+
+    # perturb a component off the eigenbasis: score covariance is no
+    # longer diagonal and the variance!=eigenvalue check trips
+    v1 = np.asarray(comps[0]) * 0.6 + np.asarray(comps[1]) * 0.8
+    v1 /= np.linalg.norm(v1)
+    tilted = (mu, [v1, comps[1]], eigs, trace)
+    r = pca_verify(e, dim=64, k=2, _model=tilted).limit(1).collect()[0]
+    assert r.cov_diag_ok is False
+
+    # wrong mean: score means drift off zero
+    off = (mu + 0.05, comps, eigs, trace)
+    r = pca_verify(e, dim=64, k=2, _model=off).limit(1).collect()[0]
+    assert r.mean_zero_ok is False
+
+    # wrong trace claim (a broken Gram pass): trace_match trips
+    bad_tr = (mu, comps, eigs, trace * 1.01)
+    r = pca_verify(e, dim=64, k=2, _model=bad_tr).limit(1).collect()[0]
+    assert r.trace_match_ok is False
