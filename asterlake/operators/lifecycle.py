@@ -9,11 +9,13 @@ is table stakes (consent revocation must reach derived corpora).
 
 Scale shape: every propagation step is a LEFT SEMI / LEFT ANTI join from
 a fact table to a key set. Root tombstones are small by nature (a day's
-deletion requests) and broadcast; transitive key sets (e.g. the orders of
-deleted customers) are projected to the join key only before feeding the
-next hop, so no step ever shuffles more than (key) columns of the
-affected rows. The audit aggregate is one count per table — scalar
-aggregates, no wide state.
+deletion requests) and carry an explicit broadcast hint; transitive key
+sets (e.g. the orders of deleted customers) are data-sized — a few
+percent of a fact table can dwarf the broadcast threshold — so they are
+projected to the join key only and left UNHINTED, letting AQE pick
+broadcast vs shuffle from the observed size at runtime (the same pattern
+decontaminate uses for its anti-join). The audit aggregate is one count
+per table — scalar aggregates, no wide state.
 """
 
 from __future__ import annotations
@@ -42,9 +44,13 @@ def cascade_plan(
     }
     for table, fk, parent, parent_col in edges:
         pset, pkey = key_sets[parent]
-        keys = F.broadcast(
-            pset.select(F.col(pkey if parent == "__root__" else parent_col))
+        keys = pset.select(
+            F.col(pkey if parent == "__root__" else parent_col)
         )
+        if parent == "__root__":
+            # only the root tombstone set is small by contract; derived
+            # key sets are data-sized, so AQE decides for those
+            keys = F.broadcast(keys)
         cond = tables[table][fk] == keys[keys.columns[0]]
         gone = tables[table].join(keys, cond, "left_semi")
         deleted[table] = gone
@@ -105,20 +111,23 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in key_cols]
+    # explicit presence markers, not key-null-ness: isNotNull on a key
+    # column can't distinguish "row absent from this side" from "row
+    # present with a NULL key" (which never joins), and would mislabel
+    # the latter; a literal marker is NULL after a full-outer join
+    # exactly when the side is absent
     o = old.select(
-        *[F.col(c).alias(f"_o_{c}") for c in key_cols + compare_cols]
+        F.lit(True).alias("_o_present"),
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols + compare_cols],
     )
     nw = new.select(
-        *[F.col(c).alias(f"_n_{c}") for c in key_cols + compare_cols]
+        F.lit(True).alias("_n_present"),
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols + compare_cols],
     )
     cond = [o[f"_o_{k}"] == nw[f"_n_{k}"] for k in key_cols]
     j = o.join(nw, cond, "full_outer")
-    in_old = F.coalesce(
-        *[j[f"_o_{k}"].isNotNull() for k in key_cols], F.lit(False)
-    )
-    in_new = F.coalesce(
-        *[j[f"_n_{k}"].isNotNull() for k in key_cols], F.lit(False)
-    )
+    in_old = F.coalesce(j["_o_present"], F.lit(False))
+    in_new = F.coalesce(j["_n_present"], F.lit(False))
     differs = F.lit(False)
     for c in compare_cols:
         differs = differs | ~j[f"_o_{c}"].eqNullSafe(j[f"_n_{c}"])

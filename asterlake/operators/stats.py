@@ -58,11 +58,21 @@ def exact_percentiles(
 
     With ``group_cols=[]`` computes global percentiles (single group).
 
-    With ``weight`` (a non-negative INTEGER column), each row counts as
+    With ``weight`` (a positive INTEGER column), each row counts as
     that many copies — Spark's ``percentile(value, p, frequency)``
     semantics, bit-for-bit (the rank machinery is identical; per-value
     counts become weight sums). Weighted medians (e.g. the quantity at
     50% of REVENUE) fall out of the same bounded-state plan.
+
+    Weight contract (round-4 advice): weights must be non-NULL and
+    positive to mean anything — a NULL weight would NULL a distinct
+    value's count and corrupt every cumulative rank after it, and a
+    zero weight makes the value's rank interval empty (ambiguous
+    bracket adjacency; Spark's built-in ``percentile(v, p, freq)``
+    rejects non-positive frequencies outright). Rows with NULL or
+    non-positive weights are filtered before aggregation — identical
+    to the built-in's behavior for w=0 rows and strictly safer than
+    rank corruption for the invalid ones.
 
     The cumulative ranks are TWO-LEVEL: distinct values bucketize into
     ``n_buckets`` equal-width ranges per group, bucket subtotals prefix-
@@ -95,7 +105,7 @@ def exact_percentiles(
             *gcols,
             value_col.cast("double").alias("_v"),
             w_col.alias("_w"),
-        )
+        ).where(F.col("_w").isNotNull() & (F.col("_w") > 0))
     # Cache the distinct-(group, value) counts. Every downstream branch
     # (bucket bounds, bucket subtotals, totals, the lower- and upper-
     # bracket containment joins) consumes this table, and Spark

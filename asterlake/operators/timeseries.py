@@ -148,6 +148,13 @@ def ewma(
     bit-for-bit reproducible across partitionings because each key's
     sequence is totally ordered by (ts, tiebreak) and hash-partitioned
     on the key.
+
+    NULL ``value`` rows are dropped before the recursion (round-4
+    advice): ``to_numpy(float64)`` would turn a NULL into NaN, and one
+    NaN poisons the accumulator for every later row of that key — a
+    silent divergence from any NULL-propagating oracle. Skipping them
+    matches pandas ``ewm(ignore_na)`` semantics: a NULL observation
+    neither updates nor resets the average, and produces no output row.
     """
     one_minus = 1.0 - alpha
 
@@ -172,7 +179,9 @@ def ewma(
             pdf[out] = out_vals
             yield pdf
 
-    projected = events.select(key, tiebreak, ts, value)
+    projected = events.select(key, tiebreak, ts, value).filter(
+        F.col(value).isNotNull()
+    )
     schema = projected.withColumn(out, F.lit(0.0)).schema
     arranged = projected.repartition(key).sortWithinPartitions(
         key, ts, tiebreak

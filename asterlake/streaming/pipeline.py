@@ -404,6 +404,10 @@ def running_ewma(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         pdf = pd.concat(list(pdfs), ignore_index=True)
+        # NULL observations neither update nor reset the accumulator
+        # (NaN would otherwise poison every later row of the key) —
+        # same contract as the batch operator
+        pdf = pdf[pdf[value_col].notna()]
         pdf = pdf.sort_values([ts_col, tiebreak], kind="mergesort")
         if state.exists:
             acc, n = state.get

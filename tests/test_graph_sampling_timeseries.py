@@ -328,3 +328,22 @@ def test_pagerank_fixed_point_star_and_invariance(spark):
         ).collect()
     }
     assert pr2 == pr
+
+
+def test_ewma_null_values_skip_without_poisoning(spark):
+    """Round-4 advice: a NULL value must not become NaN and poison the
+    accumulator for every later row of the key — NULL observations are
+    skipped (no output row, no state change)."""
+    from asterlake.operators.timeseries import ewma
+
+    rows = [
+        (1, 1, _ts("2024-01-01 00:00:00"), 10.0),
+        (1, 2, _ts("2024-01-01 01:00:00"), None),
+        (1, 3, _ts("2024-01-01 02:00:00"), 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    got = {r.event_id: r.ewma for r in ewma(df, alpha=0.1).collect()}
+    # event 2 skipped entirely; event 3 continues from event 1's state
+    assert got == {1: 10.0, 3: 0.9 * 10.0 + 0.1 * 20.0}

@@ -298,8 +298,8 @@ def test_trimmed_stats_band_broadcast(spark):
     assert has_node(plan, "BroadcastHashJoin")
     assert not has_node(plan, "SortMergeJoin")
     # lineitem scans in the FINAL plan: the percentile machinery's
-    # distinct-value counts are localCheckpoint-materialized (its many
-    # consumers read those blocks, not the parquet — without that the
+    # distinct-value counts are persist()-cached (its many consumers
+    # read the InMemoryTableScan, not the parquet — without that the
     # branch diamonds re-scan the fact ~10x), so only the trimmed
     # aggregation itself reads the table here — 2-column pruned, and
     # nothing feeds a value-buffering Percentile aggregate (the scale

@@ -234,7 +234,45 @@ def test_forget_cascade_uses_broadcast_semi_joins(spark):
     )
     assert "LeftSemi" in plan
     assert has_node(plan, "BroadcastHashJoin")
-    assert not has_node(plan, "SortMergeJoin")
+
+
+def test_cascade_plan_broadcasts_only_the_root_hop(spark):
+    """Round-4 advice: only the root tombstone set carries an explicit
+    broadcast hint; transitive key sets are data-sized and must stay
+    unhinted so AQE sizes them at runtime."""
+    from asterlake.operators.lifecycle import cascade_plan
+
+    cust = spark.createDataFrame([(i,) for i in range(100)], "c int")
+    orders = spark.createDataFrame(
+        [(i, i % 100) for i in range(1000)], "o int, oc int"
+    )
+    items = spark.createDataFrame(
+        [(i, i % 1000) for i in range(5000)], "li int, lo int"
+    )
+    ts = spark.createDataFrame([(1,), (2,)], "c int")
+    deleted = cascade_plan(
+        {"cust": cust, "orders": orders, "items": items},
+        ts,
+        "c",
+        [
+            ("cust", "c", "__root__", "c"),
+            ("orders", "oc", "cust", "c"),
+            ("items", "lo", "orders", "o"),
+        ],
+    )
+    # root hop: exactly one ResolvedHint in the analyzed plan per
+    # root-joined table; transitive hops add none
+    def n_hints(df):
+        return str(
+            df._jdf.queryExecution().analyzed()
+        ).count("ResolvedHint")
+
+    assert n_hints(deleted["cust"]) == 1
+    assert n_hints(deleted["orders"]) == 1  # only the inherited root hint
+    assert n_hints(deleted["items"]) == 1
+    # semantics unchanged: transitive rows still reached (2 tombstoned
+    # customers -> 20 orders -> 5 items per order = 100)
+    assert deleted["items"].count() == 100
 
 
 def test_snapshot_diff_labels_and_null_transitions(spark):
@@ -257,6 +295,23 @@ def test_snapshot_diff_labels_and_null_transitions(spark):
         4: "deleted",
         5: "added",
     }
+
+
+def test_snapshot_diff_null_key_rows_label_by_presence(spark):
+    """Round-4 advice: a NULL key never joins, so each side's NULL-key
+    row must label from its own presence marker — old-only is 'deleted',
+    new-only is 'added' — not from key-null-ness (which mislabeled
+    old-side NULL keys as 'added')."""
+    from asterlake.operators.lifecycle import snapshot_diff
+
+    old = spark.createDataFrame([(None, "x"), (1, "a")], "k int, v string")
+    new = spark.createDataFrame([(None, "y"), (1, "a")], "k int, v string")
+    rows = snapshot_diff(old, new, ["k"]).collect()
+    got = [(r.k, r.change_type) for r in rows]
+    key = lambda t: (t[0] is None, t[0] or 0, t[1])  # noqa: E731
+    assert sorted(got, key=key) == sorted(
+        [(1, "unchanged"), (None, "added"), (None, "deleted")], key=key
+    )
 
 
 def test_table_profile_single_job_and_values(spark):
@@ -349,6 +404,35 @@ def test_weighted_percentiles_match_builtin_frequency_form(spark, lineitem):
     for g, want in builtin.items():
         for a, b in zip(ours[g], want):
             assert _bits(a) == _bits(b), (g, ours[g], want)
+
+
+def test_weighted_percentiles_filter_invalid_weights(spark):
+    """Round-4 advice: NULL weights must not NULL a distinct value's
+    count (corrupting every later cumulative rank), and zero/negative
+    weights must not create ambiguous rank intervals — such rows are
+    filtered before aggregation, matching the built-in's w=0 behavior."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.stats import exact_percentiles
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 1),
+            (2.0, 3),
+            (3.0, None),  # must not corrupt ranks
+            (4.0, 0),     # zero weight: contributes nothing
+            (5.0, -2),    # invalid: dropped
+        ],
+        "v double, w int",
+    )
+    got = exact_percentiles(
+        df, [], "v", [0.5], out_names=["p50"], weight="w"
+    ).collect()[0]
+    # surviving multiset: [1, 2, 2, 2] -> median = 2.0
+    want = spark.createDataFrame(
+        [(1.0, 1), (2.0, 3)], "v double, w int"
+    ).agg(F.expr("percentile(v, 0.5D, w)").alias("p")).collect()[0].p
+    assert got.p50 == want == 2.0
 
 
 def test_observed_metrics_single_pass(spark, tmp_path):
