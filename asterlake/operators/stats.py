@@ -39,6 +39,44 @@ def _prob_col_name(p: float) -> str:
     return f"p{int(round(p * 100)):02d}"
 
 
+def distinct_value_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value: Column | str,
+    weight: Column | str | None = None,
+) -> DataFrame:
+    """The persisted ``(group_cols..., _v double, _cnt bigint)`` distinct-
+    value count table :func:`exact_percentiles` ranks over — exposed so
+    queries that need percentiles of the SAME (table, group, value) more
+    than once can build the counts once and pass them back in via
+    ``counts=`` (the counts are independent of the requested probs). See
+    exact_percentiles for the weight contract and persist rationale."""
+    value_col = F.col(value) if isinstance(value, str) else value
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError(
+            "distinct_value_counts requires group columns; the global "
+            "form injects its own key inside exact_percentiles"
+        )
+    if weight is None:
+        cnt_agg = F.count("*").alias("_cnt")
+        base = df.select(*gcols, value_col.cast("double").alias("_v"))
+    else:
+        w_col = F.col(weight) if isinstance(weight, str) else weight
+        cnt_agg = F.sum(F.col("_w").cast("bigint")).alias("_cnt")
+        base = df.select(
+            *gcols,
+            value_col.cast("double").alias("_v"),
+            w_col.alias("_w"),
+        ).where(F.col("_w").isNotNull() & (F.col("_w") > 0))
+    return (
+        base.where(F.col("_v").isNotNull())
+        .groupBy(*gcols, "_v")
+        .agg(cnt_agg)
+        .persist()
+    )
+
+
 def exact_percentiles(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -48,6 +86,7 @@ def exact_percentiles(
     out_names: Sequence[str] | None = None,
     n_buckets: int = 1024,
     weight: Column | str | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact interpolated percentiles per group without per-group value
     buffers.
@@ -84,7 +123,6 @@ def exact_percentiles(
     table). Counts are exact integers, so the two-level ranks are
     bit-identical to a flat cumsum.
     """
-    value_col = F.col(value) if isinstance(value, str) else value
     names = list(out_names) if out_names else [_prob_col_name(p) for p in probs]
     if len(names) != len(probs):
         raise ValueError("out_names must match probs length")
@@ -92,38 +130,28 @@ def exact_percentiles(
     # Global percentiles: inject a constant group key, drop it at the end.
     drop_key = not gcols
     if drop_key:
+        if counts is not None:
+            raise ValueError("prebuilt counts require group columns")
         df = df.withColumn("_g", F.lit(0))
         gcols = ["_g"]
 
-    if weight is None:
-        cnt_agg = F.count("*").alias("_cnt")
-        base = df.select(*gcols, value_col.cast("double").alias("_v"))
-    else:
-        w_col = F.col(weight) if isinstance(weight, str) else weight
-        cnt_agg = F.sum(F.col("_w").cast("bigint")).alias("_cnt")
-        base = df.select(
-            *gcols,
-            value_col.cast("double").alias("_v"),
-            w_col.alias("_w"),
-        ).where(F.col("_w").isNotNull() & (F.col("_w") > 0))
-    # Cache the distinct-(group, value) counts. Every downstream branch
-    # (bucket bounds, bucket subtotals, totals, the lower- and upper-
-    # bracket containment joins) consumes this table, and Spark
-    # re-derives a lazy subtree per consumer — without the cache the
-    # FACT is re-scanned ~10x per call (caught by tests/test_plans.py::
-    # test_trimmed_stats_band_broadcast). persist() (not an eager
-    # checkpoint) keeps plan construction job-free: the first stage that
-    # touches the counts materializes them and every other branch reads
-    # the InMemoryTableScan. The counts are the bounded "sketch" of the
-    # data (distinct values, never the row multiset) — exactly the state
-    # this operator is allowed to hold; ContextCleaner reclaims the
-    # blocks when the plan is dropped.
-    counts = (
-        base.where(F.col("_v").isNotNull())
-        .groupBy(*gcols, "_v")
-        .agg(cnt_agg)
-        .persist()
-    )
+    # The distinct-(group, value) counts are persist()-cached. Every
+    # downstream branch (bucket bounds, bucket subtotals, totals, the
+    # lower- and upper-bracket containment joins) consumes this table,
+    # and Spark re-derives a lazy subtree per consumer — without the
+    # cache the FACT is re-scanned ~10x per call (caught by
+    # tests/test_plans.py::test_trimmed_stats_band_broadcast). persist()
+    # (not an eager checkpoint) keeps plan construction job-free: the
+    # first stage that touches the counts materializes them and every
+    # other branch reads the InMemoryTableScan. The counts are the
+    # bounded "sketch" of the data (distinct values, never the row
+    # multiset) — exactly the state this operator is allowed to hold;
+    # ContextCleaner reclaims the blocks when the plan is dropped. A
+    # caller computing percentiles of the same (table, group, value)
+    # repeatedly passes the table back in via ``counts=``
+    # (:func:`distinct_value_counts`) so it materializes once.
+    if counts is None:
+        counts = distinct_value_counts(df, gcols, value, weight)
     # Bucket assignment must be MONOTONE in _v within each group (so
     # ordering by (_b, _v) == ordering by _v); any deterministic monotone
     # map works — it only partitions the ranking work. NaN sorts greatest

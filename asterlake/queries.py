@@ -1598,23 +1598,37 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     A sketch regression now breaks the hash gate instead of hiding behind
     a rows-only row.
 
-    Three aggregation plans joined on the 6-row group key, NOT one: mixing
-    multi-column DISTINCT aggregates with object aggregates (HLL/KLL
-    buffers) in a single agg puts an Expand (x #distinct columns) under
-    every object buffer — measured 33s vs 5s at sf0.1 for identical
-    results. Exact counts take the Expand path alone; sketches share one
-    scan with no row multiplication; and the exact percentile REFERENCE
-    values come from the bounded-state two-pass form
-    (operators/stats.exact_percentiles, bit-equal to the built-in) so no
-    per-group value-buffer aggregate exists anywhere in the plan — the
-    buffer the sketches exist to avoid must not sneak back in as their
-    verifier."""
+    Multiple aggregation plans joined on the 6-row group key, NOT one:
+    mixing multi-column DISTINCT aggregates with object aggregates
+    (HLL/KLL buffers) in a single agg puts an Expand (x #distinct
+    columns) under every object buffer — measured 33s vs 5s at sf0.1 for
+    identical results. The exact counts avoid Expand entirely: each
+    distinct column runs its own two-phase distinct->count (shuffle on
+    (flag, col), then a 6-row count — no x2 row multiplication, measured
+    ~2s cheaper than the combined countDistinct agg at sf0.1, round-4
+    verdict #4); sketches share one scan with no row multiplication; and
+    the exact percentile REFERENCE values come from the bounded-state
+    two-pass form (operators/stats.exact_percentiles, bit-equal to the
+    built-in) so no per-group value-buffer aggregate exists anywhere in
+    the plan — the buffer the sketches exist to avoid must not sneak
+    back in as their verifier."""
     from asterlake.operators.stats import exact_percentiles
 
     li = load_table(spark, sf_dir, "lineitem")
-    exact_counts = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    exact_parts = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_parts"))
+    )
+    exact_orders = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_orders"))
+    )
+    exact_counts = exact_parts.join(
+        F.broadcast(exact_orders), "l_returnflag"
     )
     sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
@@ -1632,6 +1646,7 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         [0.5, 0.95],
         out_names=["_x50", "_x95"],
+        counts=_flag_price_counts(spark, sf_dir),
     )
     agg = exact_counts.join(F.broadcast(sketches), "l_returnflag").join(
         F.broadcast(exact_pcts), "l_returnflag"
@@ -2176,6 +2191,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of re-running 2-3 shuffle rounds (round-3 verdict stretch item). Keyed
 # on applicationId so a restarted SparkContext never serves dead RDDs.
 _CLUSTERS_CACHE: dict = {}
+
+# Same memo pattern for the percentile machinery's distinct-value counts:
+# q_trimmed_stats and q_sketch_distinct both rank the identical
+# (lineitem, l_returnflag, l_extendedprice) counts table (the probs
+# differ, but the counts are probs-independent), so the persist()
+# materializes once per (application, sf_dir) instead of twice
+# (round-4 verdict #4).
+_FLAG_PRICE_COUNTS_CACHE: dict = {}
+
+
+def _flag_price_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asterlake.operators.stats import distinct_value_counts
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _FLAG_PRICE_COUNTS_CACHE.get(key)
+    if cached is None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        )
+        cached = _FLAG_PRICE_COUNTS_CACHE[key] = distinct_value_counts(
+            li, ["l_returnflag"], "l_extendedprice"
+        )
+    return cached
 
 
 def _corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3587,7 +3625,11 @@ def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_extendedprice"
     )
     bands = exact_percentiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95]
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.05, 0.95],
+        counts=_flag_price_counts(spark, sf_dir),
     )
     price = F.col("l_extendedprice")
     return (

@@ -82,9 +82,21 @@ def main() -> None:
             ).save()
             return round(time.perf_counter() - t0, 4)
 
+        # Sub-second queries swing up to 6x run-to-run from JIT/GC timing
+        # alone (round-4: q_string_functions 0.19s->1.27s with an
+        # identical plan), which is larger than any real plan change at
+        # that scale. Queries that finish under this threshold get a
+        # second timed run and record the min — two samples bound the
+        # one-off-spike error, and the ~0.3s x ~50 queries of extra wall
+        # time is noise against the heavy tail. Queries >= 1s keep single
+        # runs (their relative variance is small; re-running the memoized
+        # closure builder would record the memo hit, not the build).
+        rerun_below_sec = 1.0
         timings: dict[str, float] = {}
         for i, name in enumerate(order):
             timings[name] = run_one(name)
+            if timings[name] < rerun_below_sec:
+                timings[name] = min(timings[name], run_one(name))
             if (i + 1) % 20 == 0:
                 # release ContextCleaner-eligible cache/checkpoint blocks
                 # left by iterative queries: the cleaner acts on JVM GC,

@@ -143,3 +143,38 @@ def test_neows_python_datasource_offline(spark, tmp_path):
     ).select("doc.*")
     silver = flatten_feed(bronze, batch_id=1)
     assert silver.count() == 2 * N_ASTEROID_ROWS
+
+
+def test_gold_builds_read_silver_from_cache_not_parquet(lake, spark):
+    """Round-4 verdict #5: the four gold writes must share ONE silver
+    materialization. pipeline.run persists the silver read-back; this
+    pins that every gold table's plan over a persisted silver reads the
+    InMemoryTableScan, never a second parquet scan of the silver files."""
+    from pyspark.storagelevel import StorageLevel
+
+    from asterlake.operators.star import build_star
+    from asterlake.plans.inspect import plan_string
+    from asterlake.sources.writers import read_silver
+
+    root, _ = lake
+    silver_back = read_silver(
+        spark, str(root / "silver"), processing_date=PROC_TIME.date()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        tables = build_star(silver_back)
+        assert len(tables) == 4
+        for name, df in tables.items():
+            # tree section of the formatted plan (before the node details)
+            tree = plan_string(df).split("\n\n")[0].splitlines()
+            im_scans = [i for i, l in enumerate(tree) if "InMemoryTableScan" in l]
+            relations = [i for i, l in enumerate(tree) if "InMemoryRelation" in l]
+            pq_scans = [i for i, l in enumerate(tree) if "Scan parquet" in l]
+            assert im_scans, name
+            # every parquet scan in the tree is the cache-BUILD child of
+            # an InMemoryRelation (rendered directly beneath it), never a
+            # live re-scan of the silver files by a gold branch
+            assert len(pq_scans) == len(relations), (name, tree)
+            for p in pq_scans:
+                assert any(r < p for r in relations), (name, tree)
+    finally:
+        silver_back.unpersist()
