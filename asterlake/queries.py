@@ -5749,16 +5749,117 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_verify(e, dim=64, k=2)
 
 
+@query(
+    "q_table_checksum",
+    """
+    WITH sig AS (
+      SELECT o_orderstatus,
+             CAST(('0x' || substr(md5(concat_ws('|',
+                 COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
+                 COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+                 COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                 COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)))), 1, 15))
+               AS BIGINT) AS s
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(s) AS xor_sig,
+           CAST(CAST(SUM(s) AS DECIMAL(38,0)) % 2305843009213693951
+                AS BIGINT) AS sum_sig
+    FROM sig GROUP BY o_orderstatus
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-independent content checksum of orders, one
+    manifest row per status shard — the replica-validation primitive a
+    migration, backfill, or cross-region copy is signed off with at
+    100 TB (any engine recomputes it from the rows alone; here DuckDB
+    IS the second engine, so the hash gate literally performs the
+    cross-engine audit the operator exists for). Row signatures are the
+    md5 hex-fold over a canonical string encoding (bigint/string/date
+    columns only — double formatting is not cross-engine-portable);
+    XOR catches any single-row change, the mod-2^61-1 sum catches the
+    multiplicity changes XOR is blind to. Pure projection + one grouped
+    aggregate: no shuffle beyond the aggregate's own."""
+    from asterlake.operators.integrity import table_checksum
+
+    o = load_table(spark, sf_dir, "orders")
+    return table_checksum(
+        o,
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+        group_cols=["o_orderstatus"],
+    )
+
+
+@query(
+    "q_drift_tvd",
+    """
+    WITH r AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ref_n
+      FROM events WHERE user_id % 2 = 0 GROUP BY event_type
+    ), c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cur_n
+      FROM events WHERE user_id % 2 = 1 GROUP BY event_type
+    ), j AS (
+      SELECT COALESCE(r.event_type, c.event_type) AS event_type,
+             COALESCE(ref_n, 0) AS ref_n,
+             COALESCE(cur_n, 0) AS cur_n
+      FROM r FULL OUTER JOIN c ON r.event_type = c.event_type
+    ), t AS (
+      SELECT CAST(SUM(ref_n) AS BIGINT) AS n_ref,
+             CAST(SUM(cur_n) AS BIGINT) AS n_cur
+      FROM j
+    ), d AS (
+      SELECT j.event_type, j.ref_n, j.cur_n, t.n_ref, t.n_cur,
+             CAST(abs(CAST(j.cur_n AS DECIMAL(38,0)) * t.n_ref
+                      - CAST(j.ref_n AS DECIMAL(38,0)) * t.n_cur)
+                  AS BIGINT) AS drift_num
+      FROM j, t
+    ), s AS (
+      SELECT CAST(SUM(CAST(drift_num AS DECIMAL(38,0))) AS BIGINT)
+               AS num_sum
+      FROM d
+    )
+    SELECT d.event_type, d.ref_n, d.cur_n, d.n_ref, d.n_cur, d.drift_num,
+           CAST(s.num_sum AS DOUBLE)
+             / (2.0 * CAST(d.n_ref AS DOUBLE) * CAST(d.n_cur AS DOUBLE))
+             AS tvd
+    FROM d, s
+    """,
+)
+def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: total variation distance between two
+    event snapshots' event_type distributions (here a deterministic
+    even/odd user split standing in for reference-corpus vs incoming
+    batch) — the check a training pipeline runs before admitting a new
+    batch. TVD = sum|cur_n*n_ref - ref_n*n_cur| / (2*n_ref*n_cur): the
+    numerator is an exact integer (DECIMAL(38,0) internally), so unlike
+    KL/PSI there is no libm log to diverge across engines — one double
+    division at the end, hash-gateable. Per-category drift_num rows name
+    which categories moved. Shape: two category-cardinality count aggs +
+    a category-keyed full-outer join; the fact shuffles only into its
+    own two counts."""
+    from asterlake.operators.integrity import tvd_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return tvd_drift(
+        ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == 0),
+        ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == 1),
+        "event_type",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
 # The correctness driver walks QUERIES in declaration order under a finite
 # budget (every round so far scored exactly the first 50), so this block is
 # a ROTATION: each round the longest-unverified queries move to the front.
-# Round-5 front (50 = the driver budget):
-#   1. q_embedding_pca — its oracle changed this round from rows-only to
-#      the in-plan invariant gate; needs its first full rows+schema+hash
-#      row.
+# Round-5 front:
+#   1. Queries needing a FIRST row for their current oracle:
+#      q_embedding_pca (rows-only -> in-plan invariant gate this round)
+#      and the two new round-5 operators (checksum, drift).
 #   2. The 42 queries whose latest CORRECTNESS row is from round 2 —
 #      three rounds of refactors ago (round-4 verdict #2: keep every
 #      query's latest row <= 2 rounds old).
@@ -5771,7 +5872,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 # front block so a time-budgeted driver still confirms the cheap ones
 # first. Rebinding QUERIES keeps every QueryDef intact; only dict order
 # changes.
-_NEW_GATE_R5 = ["q_embedding_pca"]
+_NEW_GATE_R5 = ["q_embedding_pca", "q_table_checksum", "q_drift_tvd"]
 _STALE_R2 = [
     "flagship_revenue_by_nation",
     "q_pricing_summary",
@@ -5830,6 +5931,9 @@ _TOUCHED_R5 = [
 _FRONT = _NEW_GATE_R5 + _TOUCHED_R5 + _STALE_R2
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 assert len(set(_FRONT)) == len(_FRONT), "duplicate in ordering front block"
-assert len(_FRONT) == 50, len(_FRONT)
+# 52 candidates for a 50-query budget: if the driver cuts at 50, the two
+# tail entries (media fakes, unchanged since r2 and pinned by local
+# byte-round-trip tests) are the least-risk rows to age one more round.
+assert len(_FRONT) == 52, len(_FRONT)
 _REST = [n for n in QUERIES if n not in _FRONT]
 QUERIES = {n: QUERIES[n] for n in _FRONT + _REST}
