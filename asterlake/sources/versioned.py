@@ -1,0 +1,173 @@
+"""Versioned dataset snapshots: reproducible training-data pinning.
+
+The reference has no versioning story (its gold tables are append-only
+parquet; yesterday's training run is unrecoverable once today's append
+lands). A training-data lakehouse needs the opposite: every corpus build
+must be addressable forever ("model X trained on documents@v12"), and a
+re-read of v12 must be verifiably byte-identical to what the trainer saw.
+
+This is the plain-parquet analog of Delta/Iceberg snapshot isolation,
+deliberately minimal:
+
+- ``write_version(df, root)`` writes the full snapshot under
+  ``root/v=N/data/`` (N = 1 + latest committed) and then commits a
+  ``manifest.json`` carrying the row count and the order-independent
+  content checksum (:mod:`asterlake.operators.integrity`). Both metrics
+  ride the write action itself via the Observation API — the snapshot is
+  NOT re-scanned to build its manifest. The manifest write is the commit
+  point: a crashed job leaves a data directory without a manifest, which
+  every reader ignores (write-ahead-data, commit-by-manifest — the same
+  atomicity discipline as a _SUCCESS marker, but carrying content).
+- ``read_version(spark, root, version=None)`` reads a pinned version (or
+  the latest committed one), skipping uncommitted directories.
+- ``verify_version(spark, root, version)`` re-derives the checksum from
+  the stored files and compares it to the manifest — the audit a trainer
+  runs before a multi-week job, and the cross-site check a replica runs
+  after a copy.
+
+Scale shape: a snapshot write is one pass (the caller's plan + observed
+metrics); verify is one scan + scalar aggregate. Versions share nothing
+(full snapshots, not deltas) — at 100 TB you run this on the CURATED
+corpus (the deduped/filtered training slice), not the raw lake, and the
+cost of a full snapshot is the cost of materializing the corpus you were
+going to write anyway. Manifest I/O is one tiny JSON per version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from asterlake.operators.integrity import _CHECKSUM_MOD, row_signature
+
+_VDIR = re.compile(r"^v=(\d+)$")
+
+
+def _versions(root: str, committed_only: bool = True) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = _VDIR.match(name)
+        if not m:
+            continue
+        if committed_only and not os.path.isfile(
+            os.path.join(root, name, "manifest.json")
+        ):
+            continue
+        out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_version(root: str) -> int | None:
+    """Highest COMMITTED version number, or None if none exist."""
+    vs = _versions(root)
+    return vs[-1] if vs else None
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, f"v={version}", "manifest.json")
+
+
+def _data_path(root: str, version: int) -> str:
+    return os.path.join(root, f"v={version}", "data")
+
+
+def write_version(
+    df: DataFrame,
+    root: str,
+    sig_cols: list[str] | None = None,
+    extra: dict | None = None,
+) -> dict:
+    """Write ``df`` as the next snapshot version; returns the manifest.
+
+    ``sig_cols`` selects the checksum's canonical columns (default: all —
+    callers with double columns should pass the engine-portable subset,
+    see integrity.row_signature). ``extra`` merges caller metadata into
+    the manifest (corpus recipe, upstream versions, ...). The manifest
+    file is the commit: it is written only after the data files land."""
+    version = (latest_version(root) or 0) + 1
+    sig = row_signature(sig_cols if sig_cols is not None else df.columns)
+    obs = Observation(f"v{version}-manifest")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.bit_xor(sig).alias("xor_sig"),
+        F.pmod(
+            F.sum(sig.cast("decimal(38,0)")),
+            F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"),
+        )
+        .cast("bigint")
+        .alias("sum_sig"),
+    )
+    observed.write.mode("error").parquet(_data_path(root, version))
+    got = obs.get  # populated by the write action — no second scan
+    manifest = {
+        "version": version,
+        "n_rows": got["n_rows"],
+        "xor_sig": got["xor_sig"],
+        "sum_sig": got["sum_sig"],
+        "sig_cols": list(sig_cols) if sig_cols is not None else list(df.columns),
+        **(extra or {}),
+    }
+    tmp = _manifest_path(root, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.rename(tmp, _manifest_path(root, version))  # atomic commit point
+    return manifest
+
+
+def read_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f)
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot (default: latest committed). Uncommitted
+    (manifest-less) directories are invisible — a crashed writer can
+    never be read."""
+    if version is None:
+        version = latest_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed versions under {root}")
+    elif version not in _versions(root):
+        raise FileNotFoundError(f"version {version} not committed under {root}")
+    return spark.read.parquet(_data_path(root, version))
+
+
+def verify_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> dict:
+    """Re-derive the content checksum from the stored files and compare
+    to the manifest. Returns ``{"version", "ok", "expected", "actual"}``;
+    ``ok`` is True iff rows + both signatures match — the pre-training /
+    post-replication audit."""
+    if version is None:
+        version = latest_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed versions under {root}")
+    manifest = read_manifest(root, version)
+    from asterlake.operators.integrity import table_checksum
+
+    got = table_checksum(
+        spark.read.parquet(_data_path(root, version)),
+        cols=manifest["sig_cols"],
+    ).collect()[0]  # driver-ok: one manifest row
+    actual = {
+        "n_rows": got["n_rows"],
+        "xor_sig": got["xor_sig"],
+        "sum_sig": got["sum_sig"],
+    }
+    expected = {k: manifest[k] for k in ("n_rows", "xor_sig", "sum_sig")}
+    return {
+        "version": version,
+        "ok": actual == expected,
+        "expected": expected,
+        "actual": actual,
+    }
