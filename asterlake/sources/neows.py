@@ -90,6 +90,7 @@ try:  # pragma: no cover - import surface depends on pyspark version
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     class _WindowPartition(InputPartition):
@@ -130,11 +131,81 @@ try:  # pragma: no cover - import surface depends on pyspark version
                 )
             yield (json.dumps(doc),)
 
+    class NeoWsStreamReader(SimpleDataSourceStreamReader):
+        """Streaming twin of the batch reader: a polling REST source.
+
+        Offsets are calendar dates — ``{"next_date": "YYYY-MM-DD"}`` —
+        the natural exactly-once cursor for a daily feed: restart from a
+        checkpoint re-reads from the committed date, and
+        ``readBetweenOffsets`` replays any uncommitted batch by
+        re-deriving it from its date bounds alone (the fetch is a pure
+        function of the date window). Each micro-batch drains every
+        whole day available up to ``end_date`` (or yesterday, when
+        polling live), one document row per day, so
+        ``trigger(availableNow=True)`` catches up in one batch and
+        stops — the bounded-backfill shape the file-source ingest in
+        ``streaming/pipeline.py`` uses. The per-batch fetch is
+        driver-side and document-sized; the heavy flatten runs
+        distributed downstream, same as bronze.
+        """
+
+        def __init__(self, options):
+            self.options = options
+
+        def initialOffset(self):
+            return {"next_date": self.options["start_date"]}
+
+        def _end(self) -> date:
+            end_opt = self.options.get("end_date")
+            if end_opt:
+                return date.fromisoformat(end_opt)
+            # live polling: complete days only (today is still filling)
+            return date.today() - timedelta(days=1)  # pragma: no cover
+
+        def _fetch_day(self, day: date) -> dict:
+            fixture_dir = self.options.get("fixture_dir")
+            if fixture_dir:
+                from asterlake.sources.bronze import bronze_path
+
+                with open(bronze_path(fixture_dir, day.isoformat())) as f:
+                    return json.load(f)
+            return _default_fetcher(  # pragma: no cover
+                feed_url(day, day, self.options.get("api_key", "DEMO_KEY"))
+            )
+
+        def _read_span(self, start: date, stop: date):
+            rows = []
+            day = start
+            while day < stop:
+                rows.append((json.dumps(self._fetch_day(day)),))
+                day += timedelta(days=1)
+            return rows
+
+        def read(self, start):
+            cursor = date.fromisoformat(start["next_date"])
+            available = self._end() + timedelta(days=1)
+            if cursor >= available:
+                return [], start  # caught up: offset unchanged
+            rows = self._read_span(cursor, available)
+            return rows, {"next_date": available.isoformat()}
+
+        def readBetweenOffsets(self, start, end):
+            return self._read_span(
+                date.fromisoformat(start["next_date"]),
+                date.fromisoformat(end["next_date"]),
+            )
+
+        def commit(self, end):
+            pass  # the source is external REST; nothing to clean up
+
     class NeoWsDataSource(DataSource):
         """spark.read.format("neows").option("start_date", ...).load()
+        — or ``spark.readStream.format("neows")`` for the polling
+        streaming variant (daily-date offsets, checkpoint-replayable).
 
-        Emits one raw JSON document string per 7-day window; downstream,
-        parse with from_json(BRONZE_FEED_SCHEMA) and flatten_feed.
+        Emits one raw JSON document string per 7-day window (batch) /
+        per day (streaming); downstream, parse with
+        from_json(BRONZE_FEED_SCHEMA) and flatten_feed.
         """
 
         @classmethod
@@ -146,6 +217,9 @@ try:  # pragma: no cover - import surface depends on pyspark version
 
         def reader(self, schema):
             return NeoWsDataSourceReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return NeoWsStreamReader(self.options)
 
     HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover
