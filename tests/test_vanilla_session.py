@@ -22,6 +22,13 @@ SENSITIVE = [
     "q_variant_extract",
     "q_pack_sequences",
     "q_anomaly_outliers",
+    # r5: date->string canonicalization (session TZ must not leak into
+    # DATE casts) and decimal pmod/ANSI-sensitive checksum arithmetic
+    "q_table_checksum",
+    "q_drift_tvd",
+    # r5: the PCA invariant gate's Arrow mapInPandas partials + literal
+    # folds under default Arrow confs
+    "q_embedding_pca",
 ]
 
 SCRIPT = textwrap.dedent(
