@@ -106,6 +106,27 @@ def table_checksum(
     return df.agg(*aggs)
 
 
+def combine_checksums(*manifests: dict) -> dict:
+    """Combine per-increment checksums into the whole-table checksum in
+    O(increments) driver work — no data rescan.
+
+    Both signature aggregates are homomorphic under disjoint union: XOR
+    composes by XOR, the modular sum by modular addition, counts by
+    addition. So an append-only ingest can checkpoint a manifest per
+    batch (e.g. from :func:`table_checksum` or the versioned-snapshot
+    writer) and audit the cumulative table at any point by folding the
+    manifests — the only way a 100 TB table gets a continuously-verified
+    checksum without paying a full scan per audit. Inputs are dicts with
+    ``n_rows`` / ``xor_sig`` / ``sum_sig`` keys (a ``table_checksum``
+    row's ``asDict()`` works directly)."""
+    n, x, s = 0, 0, 0
+    for m in manifests:
+        n += int(m["n_rows"])
+        x ^= int(m["xor_sig"])
+        s = (s + int(m["sum_sig"])) % _CHECKSUM_MOD
+    return {"n_rows": n, "xor_sig": x, "sum_sig": s}
+
+
 def tvd_drift(
     ref: DataFrame,
     cur: DataFrame,

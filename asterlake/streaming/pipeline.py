@@ -512,3 +512,45 @@ def stream_quarantine(
         .start()
         .awaitTermination()
     )
+
+
+def stream_drift(
+    stream: DataFrame,
+    ref: DataFrame,
+    category_col: str,
+    report_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming distribution-drift monitor: every micro-batch's
+    ``category_col`` distribution is compared to the static reference
+    snapshot ``ref`` with the batch TVD operator
+    (operators/integrity.tvd_drift), and a per-batch report row
+    ``(batch_id, category, ref_n, cur_n, drift_num, tvd)`` appends to
+    ``report_path`` — the admission check a training-data ingest runs
+    continuously, with full per-category evidence for triage when a
+    batch drifts. The streaming half of the q_drift_tvd story, same
+    composition shape as stream_quarantine (foreachBatch over the batch
+    operator; exactly-once from checkpointed batch ids + append sink).
+
+    The reference distribution is a DataFrame, re-joined per batch: at
+    100 TB the reference is the category-count AGGREGATE (vocabulary-
+    sized), not the corpus — pass ``ref`` pre-aggregated or small, or
+    persist it so per-batch re-derivation is a cache read. Cumulative
+    (all-batches-so-far) drift is a fold over the per-batch report
+    counts — the merge_aggregates pattern — and needs no extra state
+    here."""
+    from asterlake.operators.integrity import tvd_drift
+
+    def report(batch: DataFrame, batch_id: int) -> None:
+        out = tvd_drift(ref, batch, category_col).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
+        out.write.mode("append").parquet(report_path)
+
+    (
+        stream.writeStream.foreachBatch(report)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

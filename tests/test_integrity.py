@@ -90,3 +90,23 @@ def test_tvd_matches_hand_computation(spark):
     # tvd = 16 / (2*4*4) = 0.5 == (|3/4-1/4| + 0 + |0-2/4|) / 2
     assert all(r.tvd == 0.5 for r in rows.values())
     assert rows["c"].ref_n == 0 and rows["c"].cur_n == 2
+
+
+def test_combine_checksums_is_union_homomorphic(spark):
+    """Per-batch manifests fold to the whole-table checksum without a
+    rescan: checksum(A union B union C) == combine(ck(A), ck(B), ck(C))."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.integrity import combine_checksums
+
+    parts = [
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        )
+        for lo, hi in [(0, 300), (300, 700), (700, 1000)]
+    ]
+    whole = table_checksum(parts[0].union(parts[1]).union(parts[2]))
+    folded = combine_checksums(
+        *[table_checksum(p).collect()[0].asDict() for p in parts]
+    )
+    assert whole.collect()[0].asDict() == folded

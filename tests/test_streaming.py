@@ -431,3 +431,40 @@ def test_stream_quarantine_routes_and_keeps_violations(spark, tmp_path):
         3: ["value_under_50"],
         4: ["value_pos", "value_under_50"],
     }
+
+
+def test_stream_drift_reports_per_batch_tvd(spark, tmp_path):
+    from asterlake.streaming.pipeline import stream_drift
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+
+    def _write(path, types):
+        with open(path, "w") as f:
+            for i, t in enumerate(types):
+                f.write(json.dumps({"event_id": i, "event_type": t}) + "\n")
+
+    # batch 1 matches the reference mix exactly; batch 2 is disjoint
+    _write(os.path.join(events_dir, "b1.json"), ["a", "a", "a", "b"])
+    _write(os.path.join(events_dir, "b2.json"), ["c", "c"])
+    ref = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)], "event_type string"
+    )
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+    )
+    report = str(tmp_path / "drift")
+    stream_drift(
+        stream, ref, "event_type", report, str(tmp_path / "ck_d")
+    )
+    rows = spark.read.parquet(report).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, {})[r.event_type] = r
+    assert set(by_batch) == {0, 1}
+    # identical mix -> tvd 0 on every evidence row; disjoint -> tvd 1
+    assert all(r.tvd == 0.0 for r in by_batch[0].values())
+    assert all(r.tvd == 1.0 for r in by_batch[1].values())
+    assert by_batch[1]["c"].cur_n == 2 and by_batch[1]["c"].ref_n == 0
