@@ -106,6 +106,56 @@ def table_checksum(
     return df.agg(*aggs)
 
 
+def numeric_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Numeric-feature twin of :func:`tvd_drift`: bin a numeric column
+    into ``n_bins`` equal-width bins defined by the REFERENCE snapshot's
+    [min, max] (the model saw the reference — its range is the frame
+    drift is judged against), then compute the binned TVD. Current
+    values outside the reference range clamp into the edge bins, so new
+    out-of-range mass shows up as edge-bin drift instead of vanishing.
+    NULLs are excluded on both sides (a missing observation is a
+    completeness question for the quality operators, not a distribution
+    shape). A degenerate reference (min == max) puts everything in bin
+    0, so drift then measures pure out-of-support mass.
+
+    The bin id is ``clamp(floor((v - lo) / (hi - lo) * n_bins))`` — all
+    double IEEE ops on identical operands in every engine, so the bin
+    assignment (and therefore the TVD) is hash-gateable. The reference
+    bounds ride a 1-row broadcast onto both sides; shape is otherwise
+    identical to tvd_drift."""
+    bounds = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        raw = F.floor(
+            (v - F.col("_lo"))
+            / (F.col("_hi") - F.col("_lo"))
+            * F.lit(float(n_bins))
+        )
+        bin_id = (
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+            )
+            .cast("int")
+        )
+        return (
+            df.filter(v.isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .select(bin_id.alias("bin"))
+        )
+
+    return tvd_drift(binned(ref), binned(cur), "bin")
+
+
 def combine_checksums(*manifests: dict) -> dict:
     """Combine per-increment checksums into the whole-table checksum in
     O(increments) driver work — no data rescan.

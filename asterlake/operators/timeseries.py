@@ -187,3 +187,63 @@ def ewma(
         key, ts, tiebreak
     )
     return arranged.mapInPandas(run, schema)
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    out: str = "twap",
+) -> DataFrame:
+    """Per-key time-weighted average over irregular samples (TWAP).
+
+    Each observation holds its value until the key's next observation;
+    the average weights every value by how long it held:
+    ``sum(v_i * dt_i) / sum(dt_i)`` with ``dt_i = ts_{i+1} - ts_i`` in
+    microseconds. The final observation has no holding interval and
+    contributes nothing (a key needs >= 2 samples to appear; zero-span
+    keys — all samples at one instant — are likewise excluded rather
+    than dividing by zero). This is the correct mean for irregularly
+    sampled gauges (ops metrics, prices): the row-mean the plain AVG
+    gives over-weights bursts of rapid samples.
+
+    Hash-gate discipline: values ride DECIMAL(18,2)-derived integer
+    CENTS and durations BIGINT microseconds, so the numerator is an
+    exact cent-microsecond BIGINT (a decimal numerator would be exact
+    too, but DuckDB's wide-DECIMAL -> DOUBLE conversion double-rounds
+    past 2^53 while Spark's rounds once — int64 -> double is correctly
+    rounded in every engine); the closing division is two IEEE ops on
+    identical operands. The BIGINT cast of the numerator fails loudly
+    under ANSI if a key's cent-microseconds ever exceed 2^63 (~centuries
+    of max-value holding) rather than wrapping. Shape: ONE
+    key-partitioned window sort (the lead) + one grouped aggregate — no
+    self-join, no value-keyed shuffle; NULL values are excluded up front
+    (they hold nothing, matching ewma's NULL contract)."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    dt = F.unix_micros(F.lead(ts).over(w)) - F.unix_micros(F.col(ts))
+    weighted = (
+        events.select(key, ts, value, tiebreak)
+        .filter(F.col(value).isNotNull())
+        .withColumn("_dt", dt)
+        .filter(F.col("_dt").isNotNull())
+    )
+    cents = (F.col(value).cast("decimal(18,2)") * F.lit(100)).cast(
+        "decimal(18,0)"
+    )
+    num_cents = F.sum(cents * F.col("_dt").cast("decimal(18,0)")).cast(
+        "bigint"
+    )
+    den = F.sum(F.col("_dt").cast("bigint"))
+    return (
+        weighted.groupBy(key)
+        .agg(
+            (
+                num_cents.cast("double")
+                / (F.lit(100.0) * den.cast("double"))
+            ).alias(out),
+            den.alias("span_us"),
+        )
+        .filter(F.col("span_us") > 0)
+    )

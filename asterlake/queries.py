@@ -5850,6 +5850,117 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_twap_value",
+    """
+    WITH held AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))
+               AS cents,
+             lead(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+                     event_id)
+             - epoch_us(CAST(ts AS TIMESTAMP)) AS dt
+      FROM events
+      WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(CAST(SUM(cents * CAST(dt AS DECIMAL(18,0))) AS BIGINT)
+                  AS DOUBLE)
+             / (100.0 * CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE)) AS twap,
+           CAST(SUM(dt) AS BIGINT) AS span_us
+    FROM held
+    WHERE dt IS NOT NULL
+    GROUP BY user_id
+    HAVING CAST(SUM(dt) AS BIGINT) > 0
+    """,
+)
+def q_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP) over irregular event
+    samples — each observation holds until the next one, so the mean
+    weights by holding time instead of over-weighting bursts (the
+    correct aggregate for gauges, prices, resource meters). Exact
+    DECIMAL value x BIGINT-microsecond sums, one closing double division
+    — hash-gateable like every repo aggregate. ONE key-partitioned
+    window sort + one grouped agg; no self-join, no value shuffle."""
+    from asterlake.operators.timeseries import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev)
+
+
+@query(
+    "q_drift_numeric",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(value AS DOUBLE)) AS lo,
+             MAX(CAST(value AS DOUBLE)) AS hi
+      FROM events WHERE user_id % 2 = 0
+    ), rbin AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE CAST(LEAST(15, GREATEST(0,
+                       FLOOR((CAST(value AS DOUBLE) - lo) / (hi - lo) * 16.0)))
+                       AS INTEGER) END AS bin
+      FROM events, bounds
+      WHERE user_id % 2 = 0 AND value IS NOT NULL
+    ), cbin AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE CAST(LEAST(15, GREATEST(0,
+                       FLOOR((CAST(value AS DOUBLE) - lo) / (hi - lo) * 16.0)))
+                       AS INTEGER) END AS bin
+      FROM events, bounds
+      WHERE user_id % 2 = 1 AND value IS NOT NULL
+    ), r AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS ref_n FROM rbin GROUP BY bin
+    ), c AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS cur_n FROM cbin GROUP BY bin
+    ), j AS (
+      SELECT COALESCE(r.bin, c.bin) AS bin,
+             COALESCE(ref_n, 0) AS ref_n,
+             COALESCE(cur_n, 0) AS cur_n
+      FROM r FULL OUTER JOIN c ON r.bin = c.bin
+    ), t AS (
+      SELECT CAST(SUM(ref_n) AS BIGINT) AS n_ref,
+             CAST(SUM(cur_n) AS BIGINT) AS n_cur
+      FROM j
+    ), d AS (
+      SELECT j.bin, j.ref_n, j.cur_n, t.n_ref, t.n_cur,
+             CAST(abs(CAST(j.cur_n AS DECIMAL(38,0)) * t.n_ref
+                      - CAST(j.ref_n AS DECIMAL(38,0)) * t.n_cur)
+                  AS BIGINT) AS drift_num
+      FROM j, t
+    ), s AS (
+      SELECT CAST(SUM(CAST(drift_num AS DECIMAL(38,0))) AS BIGINT)
+               AS num_sum
+      FROM d
+    )
+    SELECT d.bin, d.ref_n, d.cur_n, d.n_ref, d.n_cur, d.drift_num,
+           CAST(s.num_sum AS DOUBLE)
+             / (2.0 * CAST(d.n_ref AS DOUBLE) * CAST(d.n_cur AS DOUBLE))
+             AS tvd
+    FROM d, s
+    """,
+)
+def q_drift_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-feature drift: events.value binned into 16 equal-width
+    bins defined by the REFERENCE slice's [min, max] (even-user events),
+    then binned TVD against the current slice (odd users) — the
+    continuous-feature admission check (token counts, quality scores,
+    embedding norms) beside q_drift_tvd's categorical one. Out-of-range
+    current values clamp into the edge bins so new mass can't vanish;
+    bin assignment is pure double IEEE arithmetic on identical operands
+    both engines, so even the binning is hash-gateable."""
+    from asterlake.operators.integrity import numeric_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return numeric_drift(
+        ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == 0),
+        ev.filter(F.pmod(F.col("user_id"), F.lit(2)) == 1),
+        "value",
+        n_bins=16,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -5872,7 +5983,13 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # front block so a time-budgeted driver still confirms the cheap ones
 # first. Rebinding QUERIES keeps every QueryDef intact; only dict order
 # changes.
-_NEW_GATE_R5 = ["q_embedding_pca", "q_table_checksum", "q_drift_tvd"]
+_NEW_GATE_R5 = [
+    "q_embedding_pca",
+    "q_table_checksum",
+    "q_drift_tvd",
+    "q_twap_value",
+    "q_drift_numeric",
+]
 _STALE_R2 = [
     "flagship_revenue_by_nation",
     "q_pricing_summary",
@@ -5931,9 +6048,9 @@ _TOUCHED_R5 = [
 _FRONT = _NEW_GATE_R5 + _TOUCHED_R5 + _STALE_R2
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 assert len(set(_FRONT)) == len(_FRONT), "duplicate in ordering front block"
-# 52 candidates for a 50-query budget: if the driver cuts at 50, the two
+# 54 candidates for a 50-query budget: if the driver cuts at 50, the
 # tail entries (media fakes, unchanged since r2 and pinned by local
 # byte-round-trip tests) are the least-risk rows to age one more round.
-assert len(_FRONT) == 52, len(_FRONT)
+assert len(_FRONT) == 54, len(_FRONT)
 _REST = [n for n in QUERIES if n not in _FRONT]
 QUERIES = {n: QUERIES[n] for n in _FRONT + _REST}

@@ -385,3 +385,49 @@ def test_pagerank_converged_early_stop_and_fixed_parity(spark):
         gated, rounds = pagerank_converged(edges, max_iter=5, tol_fp=-1)
     assert rounds == 5
     assert {r.node: r.pagerank_fp for r in gated.collect()} == fixed
+
+
+def test_time_weighted_avg_hand_computation(spark):
+    from asterlake.operators.timeseries import time_weighted_avg
+
+    rows = [
+        # user 1: 10.0 held 1h, 20.0 held 3h -> twap = (10*1 + 20*3)/4
+        (1, 1, _ts("2024-01-01 00:00:00"), 10.0),
+        (1, 2, _ts("2024-01-01 01:00:00"), 20.0),
+        (1, 3, _ts("2024-01-01 04:00:00"), 99.0),  # last: no interval
+        # user 2: single sample -> no span, excluded
+        (2, 4, _ts("2024-01-01 00:00:00"), 5.0),
+        # user 3: NULL mid-stream is skipped, 1.0 holds to the next
+        # non-null sample (2h), 3.0 holds 1h
+        (3, 5, _ts("2024-01-01 00:00:00"), 1.0),
+        (3, 6, _ts("2024-01-01 01:00:00"), None),
+        (3, 7, _ts("2024-01-01 02:00:00"), 3.0),
+        (3, 8, _ts("2024-01-01 03:00:00"), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    got = {r.user_id: (r.twap, r.span_us) for r in time_weighted_avg(df).collect()}
+    h = 3_600_000_000  # one hour in microseconds
+    assert got[1] == ((10.0 * 1 + 20.0 * 3) / 4, 4 * h)
+    assert 2 not in got
+    assert got[3] == ((1.0 * 2 + 3.0 * 1) / 3, 3 * h)
+
+
+def test_time_weighted_avg_vs_plain_avg_burst_bias(spark):
+    """The motivating property: a burst of rapid samples must NOT drag
+    the average the way row-mean AVG lets it."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.timeseries import time_weighted_avg
+
+    rows = [(1, i, _ts(f"2024-01-01 00:00:{i:02d}"), 100.0) for i in range(10)]
+    rows.append((1, 10, _ts("2024-01-01 00:00:10"), 0.0))
+    rows.append((1, 11, _ts("2024-01-01 01:00:10"), 0.0))
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    twap = time_weighted_avg(df).collect()[0].twap
+    avg = df.agg(F.avg("value")).collect()[0][0]
+    # 100.0 held 10s, 0.0 held 1h: twap ~ 0.3; row mean ~ 83
+    assert twap < 1.0 < avg

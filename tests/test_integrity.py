@@ -110,3 +110,27 @@ def test_combine_checksums_is_union_homomorphic(spark):
         *[table_checksum(p).collect()[0].asDict() for p in parts]
     )
     assert whole.collect()[0].asDict() == folded
+
+
+def test_numeric_drift_reference_bins_and_clamping(spark):
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.integrity import numeric_drift
+
+    # reference spans [0, 16): bin i gets value i exactly (16 bins)
+    ref = spark.range(0, 16).select(F.col("id").cast("double").alias("v"))
+    # identical distribution -> zero drift
+    same = numeric_drift(ref, ref, "v", n_bins=16).collect()
+    assert all(r.tvd == 0.0 for r in same)
+
+    # current values far outside the reference range clamp to the edge
+    # bins instead of disappearing
+    cur = spark.createDataFrame([(-100.0,), (1e9,)], "v double")
+    rows = {r.bin: r for r in numeric_drift(ref, cur, "v", n_bins=16).collect()}
+    assert rows[0].cur_n == 1 and rows[15].cur_n == 1
+    assert all(r.n_cur == 2 for r in rows.values())
+
+    # degenerate reference (min == max): everything lands in bin 0
+    flat = spark.createDataFrame([(5.0,)] * 4, "v double")
+    rows = numeric_drift(flat, cur, "v", n_bins=16).collect()
+    assert {r.bin for r in rows} == {0}

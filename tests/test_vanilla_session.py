@@ -29,6 +29,9 @@ SENSITIVE = [
     # r5: the PCA invariant gate's Arrow mapInPandas partials + literal
     # folds under default Arrow confs
     "q_embedding_pca",
+    # r5: epoch/decimal arithmetic (TWAP) and IEEE bin assignment
+    "q_twap_value",
+    "q_drift_numeric",
 ]
 
 SCRIPT = textwrap.dedent(
