@@ -128,10 +128,13 @@ def numeric_drift(
     assignment (and therefore the TVD) is hash-gateable. The reference
     bounds ride a 1-row broadcast onto both sides; shape is otherwise
     identical to tvd_drift."""
+    # 1-row bounds, persisted: both sides' bin projections broadcast it,
+    # and without the cache each consumer branch re-scans the reference
+    # to recompute min/max
     bounds = ref.agg(
         F.min(F.col(value_col).cast("double")).alias("_lo"),
         F.max(F.col(value_col).cast("double")).alias("_hi"),
-    )
+    ).persist()
 
     def binned(df: DataFrame) -> DataFrame:
         v = F.col(value_col).cast("double")
@@ -211,10 +214,20 @@ def tvd_drift(
     c = cur.groupBy(F.col(category_col)).agg(
         F.count(F.lit(1)).cast("bigint").alias("cur_n")
     )
-    joined = r.join(c, [category_col], "full_outer").select(
-        category_col,
-        F.coalesce("ref_n", F.lit(0).cast("bigint")).alias("ref_n"),
-        F.coalesce("cur_n", F.lit(0).cast("bigint")).alias("cur_n"),
+    # persist the category-cardinality count table: four downstream
+    # branches (totals, deviations, the sum, the evidence join) re-derive
+    # it lazily otherwise, which re-scans BOTH fact snapshots per branch
+    # (8 fact scans observed in the un-persisted plan) — the same
+    # branch-diamond fix exact_percentiles applies to its counts. The
+    # cached state is vocabulary-sized, never the corpus.
+    joined = (
+        r.join(c, [category_col], "full_outer")
+        .select(
+            category_col,
+            F.coalesce("ref_n", F.lit(0).cast("bigint")).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0).cast("bigint")).alias("cur_n"),
+        )
+        .persist()
     )
     # exact integer cross-multiplied deviation per category; the totals
     # ride the same tiny category table (no second pass over the facts)

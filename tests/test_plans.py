@@ -440,3 +440,37 @@ def test_int8_topk_is_shuffle_free(spark):
     plan = _plan(spark, "q_ann_int8_topk")
     assert has_node(plan, "TakeOrderedAndProject")
     assert node_count(plan, "Exchange") == 0
+
+
+def test_checksum_and_twap_single_exchange_pruned_scan(spark):
+    """Round-5 operators: the checksum is a projection + ONE grouped
+    aggregate over exactly the signature columns; TWAP is one
+    key-partitioned window+agg — the groupBy reuses the window's hash
+    partitioning, so ONE exchange total, no join, no value shuffle."""
+    from asterlake.plans.inspect import scans
+
+    plan = _plan(spark, "q_table_checksum")
+    assert node_count(plan, "Exchange") == 1
+    assert not has_node(plan, "Join")
+    (scan,) = scans(plan)
+    assert set(scan.read_columns) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    }
+
+    plan = _plan(spark, "q_twap_value")
+    assert node_count(plan, "Exchange") == 1
+    assert not has_node(plan, "Join")
+
+
+def test_drift_queries_scan_facts_only_into_cached_counts(spark):
+    """tvd_drift / numeric_drift persist their category-count (and
+    bounds) tables: every parquet scan in the final plan tree is the
+    cache-BUILD child of an InMemoryRelation — no downstream branch
+    re-scans a fact snapshot (8/16 live re-scans before the fix)."""
+    for name in ("q_drift_tvd", "q_drift_numeric"):
+        tree = _plan(spark, name).split("\n\n")[0].splitlines()
+        relations = [i for i, l in enumerate(tree) if "InMemoryRelation" in l]
+        pq = [i for i, l in enumerate(tree) if "Scan parquet" in l]
+        assert relations, name
+        for p in pq:
+            assert any(r < p for r in relations), (name, tree[p])
