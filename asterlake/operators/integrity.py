@@ -91,15 +91,21 @@ def table_checksum(
         c for c in df.columns if c not in set(group_cols)
     ]
     sig = row_signature(value_cols)
+    # coalesce to the identity element (0) so an EMPTY table checksums as
+    # (0, 0, 0) instead of NULLs — the value combine_checksums folds with,
+    # and what a replica check against a legitimately-empty shard expects
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.bit_xor(sig).alias("xor_sig"),
-        F.pmod(
-            F.sum(sig.cast("decimal(38,0)")),
-            F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"),
-        )
-        .cast("bigint")
-        .alias("sum_sig"),
+        F.coalesce(F.bit_xor(sig), F.lit(0).cast("bigint")).alias(
+            "xor_sig"
+        ),
+        F.coalesce(
+            F.pmod(
+                F.sum(sig.cast("decimal(38,0)")),
+                F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"),
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("sum_sig"),
     ]
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)

@@ -294,3 +294,81 @@ def test_exact_percentiles_match_builtin_on_random_data(spark, vals):
     for g, want in builtin.items():
         for a, b in zip(ours[g], want):
             assert a == b, (g, ours[g], want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.one_of(st.none(), st.text(alphabet="abc|\x00", max_size=4)),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_table_checksum_matches_python_fold(spark, rows):
+    """Differential: the distributed checksum equals a plain-Python md5
+    fold over the same canonical encoding — including NULLs, empty
+    strings, and values containing the separator / NULL-token bytes."""
+    import hashlib
+
+    from asterlake.operators.integrity import _CHECKSUM_MOD, table_checksum
+
+    df = spark.createDataFrame(rows, "k int, s string")
+    got = table_checksum(df).collect()[0]
+
+    n, x, ssum = 0, 0, 0
+    for k, s in rows:
+        canon = "|".join(
+            "\x00" if v is None else str(v) for v in (k, s)
+        )
+        sig = int(hashlib.md5(canon.encode()).hexdigest()[:15], 16)
+        n += 1
+        x ^= sig
+        ssum = (ssum + sig) % _CHECKSUM_MOD
+    # empty input checksums as the identity element (0, 0, 0)
+    assert (got.n_rows, got.xor_sig, got.sum_sig) == (n, x, ssum)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ref=st.lists(st.sampled_from("abcd"), min_size=1, max_size=30),
+    cur=st.lists(st.sampled_from("cdef"), min_size=1, max_size=30),
+)
+def test_tvd_drift_matches_counter_computation(spark, ref, cur):
+    from collections import Counter
+    from fractions import Fraction
+
+    from asterlake.operators.integrity import tvd_drift
+
+    rdf = spark.createDataFrame([(c,) for c in ref], "t string")
+    cdf = spark.createDataFrame([(c,) for c in cur], "t string")
+    rows = tvd_drift(rdf, cdf, "t").collect()
+
+    rc, cc = Counter(ref), Counter(cur)
+    want = sum(
+        abs(
+            Fraction(rc.get(t, 0), len(ref)) - Fraction(cc.get(t, 0), len(cur))
+        )
+        for t in set(rc) | set(cc)
+    ) / 2
+    assert {r.t for r in rows} == set(rc) | set(cc)
+    num_sum = sum(r.drift_num for r in rows)
+    for r in rows:
+        assert r.ref_n == rc.get(r.t, 0) and r.cur_n == cc.get(r.t, 0)
+        assert r.drift_num == abs(
+            cc.get(r.t, 0) * len(ref) - rc.get(r.t, 0) * len(cur)
+        )
+        # the emitted double is the one IEEE division of the exact ratio
+        assert r.tvd == num_sum / (2 * len(ref) * len(cur))
+    # exact rational check through the integer evidence columns
+    assert Fraction(num_sum, 2 * len(ref) * len(cur)) == want
