@@ -372,3 +372,67 @@ def test_tvd_drift_matches_counter_computation(spark, ref, cur):
         assert r.tvd == num_sum / (2 * len(ref) * len(cur))
     # exact rational check through the integer evidence columns
     assert Fraction(num_sum, 2 * len(ref) * len(cur)) == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 500),  # offset seconds (duplicates allowed)
+            st.one_of(
+                st.none(),
+                st.decimals(
+                    min_value=0, max_value=600, places=2, allow_nan=False
+                ),
+            ),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_twap_matches_fraction_computation(spark, rows):
+    """Differential: TWAP equals the exact rational cent-microsecond
+    computation replayed in Python — including NULL skips, duplicate
+    timestamps (tiebreak order), single-sample and zero-span keys."""
+    from datetime import datetime, timedelta
+    from fractions import Fraction
+
+    from asterlake.operators.timeseries import time_weighted_avg
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (u, i, base + timedelta(seconds=off), None if v is None else float(v))
+        for i, (u, off, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id int, event_id int, ts timestamp, value double"
+    )
+    got = {
+        r.user_id: (r.twap, r.span_us)
+        for r in time_weighted_avg(df).collect()
+    }
+
+    by_user: dict = {}
+    for u, eid, ts, v in data:
+        if v is not None:
+            by_user.setdefault(u, []).append((ts, eid, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        num = 0  # cent-microseconds, exact int
+        den = 0
+        for (ts, _, v), (nts, _, _) in zip(evs, evs[1:]):
+            dt = int((nts - ts).total_seconds() * 1_000_000)
+            num += round(v * 100) * dt
+            den += dt
+        if den > 0:
+            assert got[u][1] == den, u
+            assert got[u][0] == num / (100.0 * float(den)), (
+                u, got[u], Fraction(num, 100 * den)
+            )
+        else:
+            assert u not in got
