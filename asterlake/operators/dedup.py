@@ -491,13 +491,38 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    method: str = "count",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing >=1 shingle
-    (inverted-index join), filtered to >= threshold.
+    """Exact n-gram Jaccard similarity >= threshold for every doc pair.
+    Both methods return IDENTICAL results (pinned by test); they differ
+    in how candidates are generated and intersections computed:
+
+    - ``method="count"`` — inverted-index self-join on every shingle,
+      intersection = pair-count groupBy. Candidates are every pair
+      sharing ANY shingle, but each candidate costs only a counted
+      row, never an array. Wins when shingle overlap is dense (small
+      vocabularies, templated text): measured 1.7s vs 7.7s at sf0.1 on
+      the driver corpus, where prefix filtering prunes almost nothing
+      (5000 docs -> 567k surviving candidates).
+    - ``method="prefix"`` — LOSSLESS prefix filtering (All-Pairs/PPJoin
+      family, Bayardo et al. WWW'07): under one global canonical order
+      (array_sort), only each doc's first ``|x| - ceil(t*|x|) + 1``
+      shingles are indexed; a pair with Jaccard >= t must share a
+      prefix shingle (pigeonhole on the required overlap), so every
+      qualifying pair survives while sub-threshold candidates are
+      pruned BEFORE generation. Verification is row-local
+      ``array_intersect`` over the two docs' sorted arrays — no
+      pair-count shuffle. Wins on Zipfian web corpora where most
+      shingles are rare and the full inverted join's candidate set is
+      quadratic in the hot posting lists.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|); the division is one double
     op over identical integers on any engine — hash-stable.
     """
+    if method == "prefix":
+        return _ngram_jaccard_prefix(docs, id_col, text_col, n, threshold)
+    if method != "count":
+        raise ValueError(f"unknown method {method!r}")
     sh = docs.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle")
     )
@@ -533,6 +558,67 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_jaccard_prefix(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """See :func:`ngram_jaccard_pairs` method="prefix"."""
+    base = docs.select(
+        F.col(id_col),
+        F.array_sort(word_shingles(text_col, n)).alias("_sh"),
+    ).withColumn("_n", F.size("_sh"))
+    prefix_len = (
+        F.col("_n")
+        - F.ceil(F.col("_n") * F.lit(threshold)).cast("int")
+        + F.lit(1)
+    )
+    pref = base.select(
+        F.col(id_col),
+        F.explode(F.slice("_sh", F.lit(1), prefix_len)).alias("shingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fa = base.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_sh").alias("_sha"),
+        F.col("_n").alias("na"),
+    )
+    fb = base.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_sh").alias("_shb"),
+        F.col("_n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("inter"), "na", "nb")
         .select(
             "doc_a",
             "doc_b",

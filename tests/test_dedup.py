@@ -176,3 +176,22 @@ def test_span_dedup_first_occurrence_survives(spark):
     assert got[2] == (2, 1, "other words here now")
     # doc 3 untouched
     assert got[3][1] == got[3][0]
+
+
+def test_ngram_jaccard_prefix_method_matches_count_method(spark):
+    """The prefix-filtered (All-Pairs) path must return the identical
+    pair set and jaccard doubles as the inverted-count path — prefix
+    filtering is a lossless candidate-pruning, not an approximation."""
+    from asterlake.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    count_form = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, method="count").collect()
+    }
+    prefix_form = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, method="prefix").collect()
+    }
+    assert count_form == prefix_form
+    assert len(count_form) > 0
