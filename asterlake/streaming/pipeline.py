@@ -554,3 +554,78 @@ def stream_drift(
         .start()
         .awaitTermination()
     )
+
+
+def has_transform_with_state() -> bool:
+    """True iff this runtime can execute transformWithStateInPandas:
+    the API's Python worker speaks a protobuf protocol, absent from
+    containers without ``google.protobuf``."""
+    try:  # pragma: no cover - environment probe
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_counts_tws(
+    events: DataFrame,
+    id_col: str = "user_id",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running event counter on the Spark 4
+    ``transformWithStateInPandas`` API — the successor extension point to
+    ``applyInPandasWithState`` (see :func:`running_user_counts`, kept as
+    the legacy-API twin): named state variables on an explicit handle,
+    per-state **TTL** (``state_ttl_ms`` expires an idle key's state —
+    the bounded-state story applyInPandasWithState cannot express
+    without hand-rolled timeout bookkeeping), timers, and initial-state
+    seeding. Emits ``(user_id, n_events)`` per key per batch, counts
+    continuing across micro-batches from the stored value — same
+    contract as the legacy twin, so the two are drop-in comparable.
+
+    Scale: state is one BIGINT per key in the state store (sharded by
+    key across executors, RocksDB-backed on a real cluster); TTL bounds
+    the store for unbounded key universes (the millions-of-transient-
+    users case).
+
+    Environment gate (same class as the multimodal codecs): the
+    transformWithState Python worker protocol needs ``google.protobuf``
+    and the RocksDB state store provider; this container ships neither
+    protobuf nor a writable rocksdb dir by default, so
+    :func:`has_transform_with_state` reports availability and the test
+    skips where the runtime can't execute it. The operator itself is
+    complete — on a cluster with protobuf + RocksDB it runs as written."""
+    if not has_transform_with_state():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf (and the "
+            "RocksDB state store provider); use running_user_counts "
+            "(applyInPandasWithState) in this environment"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState(
+                "n_events", "n bigint", ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            total = int(prev) + int(n)
+            self._count.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(id_col).transformWithStateInPandas(
+        _Counter(),
+        outputStructType="user_id long, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

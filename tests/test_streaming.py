@@ -468,3 +468,45 @@ def test_stream_drift_reports_per_batch_tvd(spark, tmp_path):
     assert all(r.tvd == 0.0 for r in by_batch[0].values())
     assert all(r.tvd == 1.0 for r in by_batch[1].values())
     assert by_batch[1]["c"].cur_n == 2 and by_batch[1]["c"].ref_n == 0
+
+
+def test_running_counts_tws_state_survives_batches(spark, tmp_path):
+    """The transformWithStateInPandas twin of running_user_counts: the
+    named ValueState continues the count across micro-batches, matching
+    the legacy-API operator's contract. Skips where the runtime lacks
+    the API's protobuf worker protocol (this container); the operator
+    then raises a documented RuntimeError instead of crashing the
+    stream mid-flight."""
+    import pytest as _pytest
+
+    from asterlake.streaming.pipeline import (
+        has_transform_with_state,
+        running_counts_tws,
+    )
+
+    if not has_transform_with_state():
+        with _pytest.raises(RuntimeError, match="google.protobuf"):
+            running_counts_tws(_events_stream(spark, str(tmp_path)))
+        _pytest.skip("runtime lacks google.protobuf for transformWithState")
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    _write_events_jsonl(
+        os.path.join(events_dir, "b1.json"),
+        [
+            (1, "2025-01-01 10:00:00"),
+            (1, "2025-01-01 10:01:00"),
+            (2, "2025-01-01 10:00:00"),
+        ],
+    )
+    _write_events_jsonl(
+        os.path.join(events_dir, "b2.json"),
+        [(1, "2025-01-01 11:00:00")],
+    )
+    stream = _events_stream(spark, events_dir, max_files=1)
+    counts = running_counts_tws(stream, state_ttl_ms=None)
+    _drain(counts, str(tmp_path / "ck_tws"), "tws_sink", mode="update")
+    final: dict = {}
+    for r in spark.sql("SELECT * FROM tws_sink").collect():
+        final[r.user_id] = max(final.get(r.user_id, 0), r.n_events)
+    assert final == {1: 3, 2: 1}
