@@ -57,3 +57,18 @@ def test_lineitem_roundtrip_csv_doubles_and_dates(spark):
             .csv(d + "/li")
         )
         _assert_same(li, back)
+
+
+def test_columnar_formats_roundtrip_orc_and_complex_types(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively (the
+    interchange target for Hive-era consumers); binary payloads, arrays,
+    and timestamps must survive bit-for-bit — columnar formats carry the
+    schema, so the discipline here is simply 'no silent coercion'."""
+    from asterlake.tables import load_table
+
+    for table, sort in [("events", "event_id"), ("documents", "doc_id"),
+                        ("embeddings", "vec_id")]:
+        df = load_table(spark, "/root/testdata/sf0.001", table)
+        path = str(tmp_path / f"{table}_orc")
+        df.write.orc(path)
+        _assert_same(df, spark.read.schema(df.schema).orc(path))
