@@ -74,6 +74,20 @@ def main() -> None:
         order = sorted(
             QUERIES, key=lambda n: (n not in prior, prior.get(n, 0.0))
         )
+        # Queries sharing a session-memoized subtree must keep a FIXED
+        # builder->rider execution order, or the build cost flips between
+        # them run-to-run as recorded priors shift (observed:
+        # q_sketch_distinct 3.9s<->10.5s depending on whether
+        # q_trimmed_stats had already materialized the shared percentile
+        # counts). The declared BUILDER absorbs the materialization; the
+        # rider records the memo-hit — stable attribution across rounds.
+        for builder, rider in [
+            ("q_trimmed_stats", "q_sketch_distinct"),   # _flag_price_counts
+            ("q_dedup_clusters", "q_dedup_survivors"),  # _corpus_clusters
+        ]:
+            bi, ri = order.index(builder), order.index(rider)
+            if bi > ri:
+                order.insert(ri, order.pop(bi))
 
         def run_one(name: str) -> float:
             t0 = time.perf_counter()
