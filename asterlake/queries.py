@@ -852,22 +852,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, n=3, threshold=0.5)
 
 
-QUERIES["q_dedup_ngram_prefix"] = QueryDef(
-    lambda spark, sf_dir: __import__(
-        "asterlake.operators.dedup", fromlist=["ngram_jaccard_pairs"]
-    ).ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"),
-        n=3,
-        threshold=0.5,
-        method="prefix",
-    ),
-    QUERIES["q_dedup_ngram_jaccard"].oracle,
-)
-# ^ the All-Pairs prefix-filtered path (dedup.py method="prefix") gated
-#   against the SAME brute-force oracle as the count path: prefix
-#   filtering is lossless candidate pruning, so the hash gate proves the
-#   two implementations agree pair-for-pair on real data — the scale
-#   variant is first-class verified, not just unit-compared.
+@query("q_dedup_ngram_prefix", QUERIES["q_dedup_ngram_jaccard"].oracle)
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The All-Pairs prefix-filtered Jaccard path (dedup.py
+    method="prefix") gated against the SAME brute-force oracle as the
+    count path: prefix filtering is lossless candidate pruning, so the
+    hash gate proves the two implementations agree pair-for-pair on
+    real data — the Zipfian-corpus scale variant is first-class
+    verified, not just unit-compared."""
+    from asterlake.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5, method="prefix")
 
 
 # ===========================================================================
