@@ -114,3 +114,46 @@ def salted_aggregate(
             for out_col, (_, fn) in aggs.items()
         ]
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """The "profile key frequencies first" step this module's usage
+    pattern prescribes, as a first-class operator: the top-``top_n``
+    hottest values of ``key`` with their exact row counts and share of
+    the table — the evidence that decides whether a join/aggregation
+    needs :func:`salted_join` / :func:`salted_aggregate` (top share
+    over the per-partition budget) or can ride AQE alone.
+
+    Output: ``(key, n_rows, total_rows, share, rank)``, rank dense by
+    (count desc, key asc) — the key tiebreak keeps the report
+    deterministic when counts tie. ``share`` is one double division of
+    exact BIGINTs (hash-gate discipline).
+
+    Scale shape: ONE count aggregation on the key (map-side partial
+    combine, the shuffle carries (key, long) pairs) + a 1-row broadcast
+    total + TakeOrderedAndProject for the top-N — no global sort, no
+    second scan of the fact."""
+    counts = df.groupBy(key).agg(F.count("*").cast("bigint").alias("n_rows"))
+    total = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("total_rows")
+    )
+    topped = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.col("n_rows").desc(), F.col(key))
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_rows").desc(), F.col(key))
+    return topped.select(
+        key,
+        "n_rows",
+        "total_rows",
+        (F.col("n_rows").cast("double") / F.col("total_rows").cast("double"))
+        .alias("share"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

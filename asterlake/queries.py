@@ -5975,6 +5975,40 @@ def q_drift_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_skew_report",
+    """
+    WITH c AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM c
+    ), r AS (
+      SELECT c.o_custkey, c.n_rows, t.total_rows,
+             ROW_NUMBER() OVER (ORDER BY c.n_rows DESC, c.o_custkey)
+               AS rank
+      FROM c, t
+    )
+    SELECT o_custkey, n_rows, total_rows,
+           CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) AS share,
+           CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 20
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis: the 20 hottest order customers with exact
+    counts and table share — the profile the skew toolkit's usage
+    pattern prescribes BEFORE reaching for salted_join/salted_aggregate
+    (salt only when the top key's share breaks the partition budget).
+    One map-combined count shuffle + broadcast total +
+    TakeOrderedAndProject; deterministic under count ties via the key
+    tiebreak."""
+    from asterlake.operators.skew import skew_report
+
+    o = load_table(spark, sf_dir, "orders")
+    return skew_report(o, "o_custkey", top_n=20)
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -6004,6 +6038,7 @@ _NEW_GATE_R5 = [
     "q_twap_value",
     "q_drift_numeric",
     "q_dedup_ngram_prefix",
+    "q_skew_report",
 ]
 _STALE_R2 = [
     "flagship_revenue_by_nation",
@@ -6063,9 +6098,9 @@ _TOUCHED_R5 = [
 _FRONT = _NEW_GATE_R5 + _TOUCHED_R5 + _STALE_R2
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 assert len(set(_FRONT)) == len(_FRONT), "duplicate in ordering front block"
-# 55 candidates for a 50-query budget: if the driver cuts at 50, the
+# 56 candidates for a 50-query budget: if the driver cuts at 50, the
 # tail entries (media fakes, unchanged since r2 and pinned by local
 # byte-round-trip tests) are the least-risk rows to age one more round.
-assert len(_FRONT) == 55, len(_FRONT)
+assert len(_FRONT) == 56, len(_FRONT)
 _REST = [n for n in QUERIES if n not in _FRONT]
 QUERIES = {n: QUERIES[n] for n in _FRONT + _REST}
