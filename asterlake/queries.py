@@ -852,18 +852,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, n=3, threshold=0.5)
 
 
-@query("q_dedup_ngram_prefix", QUERIES["q_dedup_ngram_jaccard"].oracle)
+@query(
+    "q_dedup_ngram_prefix",
+    QUERIES["q_dedup_ngram_jaccard"].oracle.replace(">= 0.5", ">= 0.8"),
+)
 def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The All-Pairs prefix-filtered Jaccard path (dedup.py
-    method="prefix") gated against the SAME brute-force oracle as the
-    count path: prefix filtering is lossless candidate pruning, so the
-    hash gate proves the two implementations agree pair-for-pair on
+    method="prefix") gated against the SAME brute-force oracle shape as
+    the count path: prefix filtering is lossless candidate pruning, so
+    the hash gate proves the implementations agree pair-for-pair on
     real data — the Zipfian-corpus scale variant is first-class
-    verified, not just unit-compared."""
+    verified, not just unit-compared. Threshold 0.8 (the near-exact-dup
+    setting a training dedup actually runs): prefixes shrink to
+    ~|x|/5, exercising the pruning where it bites — and the driver
+    corpus's dense shingle overlap makes t=0.5 prefixes nearly
+    worthless (measured 567k surviving candidates), so the lower
+    threshold's cost would measure the corpus, not the operator."""
     from asterlake.operators.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, n=3, threshold=0.5, method="prefix")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.8, method="prefix")
 
 
 # ===========================================================================
