@@ -42,26 +42,30 @@ from pyspark.sql import functions as F
 # in DECIMAL(38,0) and reduce to a canonical BIGINT residue.
 _CHECKSUM_MOD = 2_305_843_009_213_693_951  # 2^61 - 1
 
-# Canonical encoding separators. The field separator must not collide
-# with value content ambiguously; a NULL marker distinct from the empty
-# string keeps (NULL, "") != ("", NULL) at the row level.
+# Canonical encoding: the per-field token is UNAMBIGUOUSLY parseable —
+# NULL encodes as the bare token 'n'; a non-null value encodes as
+# 'v<charlen>:<value>'. The length prefix makes the '|'-joined row string
+# injective even when values themselves contain '|' or the null token
+# (('a|b','c') and ('a','b|c') encode differently: 'v3:a|b|v1:c' vs
+# 'v1:a|v3:b|c'), and 'n' vs 'v0:' keeps NULL != '' at the row level.
 _SEP = "|"
-_NULL = "\x00"
+
+
+def _canon_field(col: str) -> F.Column:
+    s = F.col(col).cast("string")
+    return F.when(s.isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s)
+    )
 
 
 def row_signature(cols: Sequence[str]) -> F.Column:
     """60-bit integer content hash of a row: first 15 hex chars of
-    ``md5(concat_ws('|', canonical fields))`` read base-16. Fields are
-    stringified casts with an explicit NULL token — the portable
-    encoding every engine reproduces (dates/decimals print identically
-    under the repo's UTC-pinned session)."""
-    canon = F.concat_ws(
-        _SEP,
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
-            for c in cols
-        ],
-    )
+    ``md5(concat_ws('|', canonical fields))`` read base-16. Each field is
+    a length-prefixed stringified cast ('v<len>:<value>', NULL -> 'n') —
+    an injective, engine-portable encoding (dates/decimals print
+    identically under the repo's UTC-pinned session, and char length is
+    codepoint count in both Spark and DuckDB)."""
+    canon = F.concat_ws(_SEP, *[_canon_field(c) for c in cols])
     return F.conv(
         F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10
     ).cast("long")

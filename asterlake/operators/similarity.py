@@ -499,8 +499,9 @@ def pca_fit(
     dim: int,
     k: int = 2,
     vec_col: str = "embedding",
-) -> tuple[np.ndarray, list[np.ndarray], list[float]]:
-    """Fit a PCA model: returns ``(mu, components, eigenvalues)``.
+) -> tuple[np.ndarray, list[np.ndarray], list[float], float]:
+    """Fit a PCA model: returns ``(mu, components, eigenvalues,
+    total_variance)``.
 
     One distributed pass builds the covariance from the Gram/mean
     partials (:func:`gram_mean_count`); the d x d eigenproblem solves on

@@ -236,12 +236,17 @@ def time_weighted_avg(
         "bigint"
     )
     den = F.sum(F.col("_dt").cast("bigint"))
+    # try_divide makes the zero-span exclusion plan-independent: the
+    # span_us > 0 filter drops those keys, but under ANSI mode we must
+    # not rely on the filter being evaluated before the division (codegen
+    # off or expression reordering would otherwise raise DIVIDE_BY_ZERO
+    # where the contract says "excluded")
     return (
         weighted.groupBy(key)
         .agg(
-            (
-                num_cents.cast("double")
-                / (F.lit(100.0) * den.cast("double"))
+            F.try_divide(
+                num_cents.cast("double"),
+                F.lit(100.0) * den.cast("double"),
             ).alias(out),
             den.alias("span_us"),
         )

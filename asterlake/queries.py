@@ -5777,10 +5777,18 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sig AS (
       SELECT o_orderstatus,
              CAST(('0x' || substr(md5(concat_ws('|',
-                 COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
-                 COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
-                 COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0)),
-                 COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)))), 1, 15))
+                 CASE WHEN o_orderkey IS NULL THEN 'n'
+                      ELSE 'v' || length(CAST(o_orderkey AS VARCHAR)) || ':'
+                           || CAST(o_orderkey AS VARCHAR) END,
+                 CASE WHEN o_custkey IS NULL THEN 'n'
+                      ELSE 'v' || length(CAST(o_custkey AS VARCHAR)) || ':'
+                           || CAST(o_custkey AS VARCHAR) END,
+                 CASE WHEN o_orderstatus IS NULL THEN 'n'
+                      ELSE 'v' || length(CAST(o_orderstatus AS VARCHAR)) || ':'
+                           || CAST(o_orderstatus AS VARCHAR) END,
+                 CASE WHEN o_orderdate IS NULL THEN 'n'
+                      ELSE 'v' || length(CAST(o_orderdate AS VARCHAR)) || ':'
+                           || CAST(o_orderdate AS VARCHAR) END)), 1, 15))
                AS BIGINT) AS s
       FROM orders
     )

@@ -93,16 +93,21 @@ def write_version(
     version = (latest_version(root) or 0) + 1
     sig = row_signature(sig_cols if sig_cols is not None else df.columns)
     obs = Observation(f"v{version}-manifest")
+    # coalesce to the (0, 0) identity so an EMPTY snapshot commits the
+    # same manifest table_checksum recomputes for it — without this,
+    # verify_version reports ok=False forever on a legitimately-empty
+    # version and combine_checksums raises on int(None)
     observed = df.observe(
         obs,
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.bit_xor(sig).alias("xor_sig"),
-        F.pmod(
-            F.sum(sig.cast("decimal(38,0)")),
-            F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"),
-        )
-        .cast("bigint")
-        .alias("sum_sig"),
+        F.coalesce(F.bit_xor(sig), F.lit(0).cast("bigint")).alias("xor_sig"),
+        F.coalesce(
+            F.pmod(
+                F.sum(sig.cast("decimal(38,0)")),
+                F.lit(_CHECKSUM_MOD).cast("decimal(38,0)"),
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("sum_sig"),
     )
     observed.write.mode("error").parquet(_data_path(root, version))
     got = obs.get  # populated by the write action — no second scan

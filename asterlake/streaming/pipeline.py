@@ -542,6 +542,11 @@ def stream_drift(
     from asterlake.operators.integrity import tvd_drift
 
     def report(batch: DataFrame, batch_id: int) -> None:
+        # tvd_drift documents n_cur > 0 as a precondition (an empty batch
+        # has no distribution; its division is 0/0 under ANSI mode) — a
+        # trigger with no new files must be a no-op, not a stream crash
+        if batch.isEmpty():
+            return
         out = tvd_drift(ref, batch, category_col).withColumn(
             "batch_id", F.lit(batch_id).cast("bigint")
         )

@@ -134,3 +134,16 @@ def test_numeric_drift_reference_bins_and_clamping(spark):
     flat = spark.createDataFrame([(5.0,)] * 4, "v double")
     rows = numeric_drift(flat, cur, "v", n_bins=16).collect()
     assert {r.bin for r in rows} == {0}
+
+
+def test_row_signature_field_boundaries_unambiguous(spark):
+    """The length-prefixed canonical encoding keeps rows distinct when a
+    separator-ish character sits inside a value: ('a|b','c') must not
+    checksum identically to ('a','b|c'), and a literal NUL string must
+    not collide with NULL (ADVICE r5)."""
+    a = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    assert _sums(table_checksum(a)) != _sums(table_checksum(b))
+    nul = spark.createDataFrame([("\x00",)], "x string")
+    null = spark.createDataFrame([(None,)], "x string")
+    assert _sums(table_checksum(nul)) != _sums(table_checksum(null))

@@ -444,9 +444,12 @@ def test_stream_drift_reports_per_batch_tvd(spark, tmp_path):
             for i, t in enumerate(types):
                 f.write(json.dumps({"event_id": i, "event_type": t}) + "\n")
 
-    # batch 1 matches the reference mix exactly; batch 2 is disjoint
+    # batch 1 matches the reference mix exactly; batch 2 is disjoint;
+    # batch 3 is EMPTY (a trigger with no rows) and must be a silent
+    # no-op, not an ANSI divide-by-zero stream crash (ADVICE r5)
     _write(os.path.join(events_dir, "b1.json"), ["a", "a", "a", "b"])
     _write(os.path.join(events_dir, "b2.json"), ["c", "c"])
+    _write(os.path.join(events_dir, "b3.json"), [])
     ref = spark.createDataFrame(
         [("a",)] * 3 + [("b",)], "event_type string"
     )
@@ -463,11 +466,15 @@ def test_stream_drift_reports_per_batch_tvd(spark, tmp_path):
     by_batch = {}
     for r in rows:
         by_batch.setdefault(r.batch_id, {})[r.event_type] = r
-    assert set(by_batch) == {0, 1}
+    # exactly two report batches: the empty trigger wrote nothing (file
+    # pickup order is mtime-arbitrary, so identify batches by content)
+    assert len(by_batch) == 2
+    disjoint = next(b for b in by_batch.values() if "c" in b)
+    matching = next(b for b in by_batch.values() if "c" not in b)
     # identical mix -> tvd 0 on every evidence row; disjoint -> tvd 1
-    assert all(r.tvd == 0.0 for r in by_batch[0].values())
-    assert all(r.tvd == 1.0 for r in by_batch[1].values())
-    assert by_batch[1]["c"].cur_n == 2 and by_batch[1]["c"].ref_n == 0
+    assert all(r.tvd == 0.0 for r in matching.values())
+    assert all(r.tvd == 1.0 for r in disjoint.values())
+    assert disjoint["c"].cur_n == 2 and disjoint["c"].ref_n == 0
 
 
 def test_running_counts_tws_state_survives_batches(spark, tmp_path):

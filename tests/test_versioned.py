@@ -78,3 +78,19 @@ def test_verify_detects_file_tampering(spark, tmp_path):
     audit = verify_version(spark, root)
     assert not audit["ok"]
     assert audit["actual"]["n_rows"] < audit["expected"]["n_rows"]
+
+
+def test_empty_snapshot_commits_and_verifies(spark, tmp_path):
+    """An empty DataFrame is a legitimate snapshot: its manifest must
+    carry the (0, 0) checksum identity (not NULLs), verify_version must
+    report ok=True, and combine_checksums must fold it (ADVICE r5)."""
+    from asterlake.operators.integrity import combine_checksums
+
+    root = str(tmp_path / "corpus")
+    empty = _corpus(spark, 100, "a").filter(F.lit(False))
+    m = write_version(empty, root)
+    assert (m["n_rows"], m["xor_sig"], m["sum_sig"]) == (0, 0, 0)
+    assert verify_version(spark, root, 1)["ok"]
+    m2 = write_version(_corpus(spark, 10, "b"), root)
+    folded = combine_checksums(m, m2)
+    assert folded["n_rows"] == 10 and folded["xor_sig"] == m2["xor_sig"]
