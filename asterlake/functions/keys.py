@@ -1,7 +1,7 @@
 """Deterministic surrogate keys.
 
 The reference generates surrogate keys with ``monotonically_increasing_id()``
-(``src/etl/silver_to_gold.py:159-160,168`` — dim_celestial_body and the fact's
+(``src/etl/silver_to_gold.py:59,67`` — dim_celestial_body and the fact's
 ``approach_event_id``), which is partition-layout-dependent: the same input
 produces different ids run-to-run, and its pandas twin uses ``index + 1``
 (``src/etl/pandas/silver_to_gold.py:63,85-86``) so the reference's two

@@ -1,6 +1,6 @@
 """Silver -> gold star schema (Kimball: 3 dims + 1 fact).
 
-Re-expresses reference ``src/etl/silver_to_gold.py:136-180`` with the fixes
+Re-expresses reference ``src/etl/silver_to_gold.py:35-79`` with the fixes
 SURVEY.md §7 calls for, preserving the shapes in FIXTURES.md A3:
 
 - **dim_asteroid** — 11 descriptive columns, one row per ``asteroid_id``.
@@ -51,7 +51,7 @@ _DIM_ASTEROID_COLS = [
 
 
 def build_dim_asteroid(silver: DataFrame) -> DataFrame:
-    """One row per asteroid_id (reference src/etl/silver_to_gold.py:136-148).
+    """One row per asteroid_id (reference src/etl/silver_to_gold.py:35-47).
 
     Deterministic survivor: max_by over the remaining columns packed as a
     struct — a single hash aggregate (same physical shape as dropDuplicates'

@@ -53,7 +53,7 @@ def run(
 
     # Read the written silver back (column-pruned parquet scans beat
     # re-flattening JSON), pruned to THIS batch's partition — the reference
-    # builds gold from today's partition only (src/etl/silver_to_gold.py:133,
+    # builds gold from today's partition only (src/etl/silver_to_gold.py:32,
     # by literal path; here via a partition-pruned filter) — and persist
     # across the four gold actions.
     # The partition filter must use the SAME clock that stamped

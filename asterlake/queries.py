@@ -25,10 +25,10 @@ Hash-match discipline (the driver compares order-insensitive value hashes):
 
 Reference-parity map (reference file:line -> query):
 - gold_catalog.py:80-84 projection+limit        -> q_topk_orders
-- silver_to_gold.py:136-148 dedup-on-key        -> q_dedup_latest_order
-- silver_to_gold.py:150-157 date dimension      -> q_dim_date
-- silver_to_gold.py:159-162 id-assigning dim    -> q_dim_segment
-- silver_to_gold.py:164-180 fact left joins     -> q_fact_star_join
+- silver_to_gold.py:35-47 dedup-on-key        -> q_dedup_latest_order
+- silver_to_gold.py:49-56 date dimension      -> q_dim_date
+- silver_to_gold.py:58-61 id-assigning dim    -> q_dim_segment
+- silver_to_gold.py:63-79 fact left joins     -> q_fact_star_join
 - bronze_to_silver.py:38-90 projections/casts   -> q_projection_arithmetic,
   q_scalar_functions, q_json_extract (nested/JSON access)
 The remaining queries are the built-in relational surface the reference
@@ -276,7 +276,7 @@ def q_dedup_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Date dimension (F7-F9: smart key, calendar parts, weekday abbrev —
-# reference silver_to_gold.py:150-157)
+# reference silver_to_gold.py:49-56)
 # ---------------------------------------------------------------------------
 @query(
     "q_dim_date",
@@ -308,7 +308,7 @@ def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Dimension with dense surrogate key (K-gen; deterministic replacement for
-# reference's monotonically_increasing_id, silver_to_gold.py:159-162)
+# reference's monotonically_increasing_id, silver_to_gold.py:58-61)
 # ---------------------------------------------------------------------------
 @query(
     "q_dim_segment",
@@ -327,7 +327,7 @@ def q_dim_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Fact build: left joins to dims + smart key (J1/J2 — silver_to_gold:164-180)
+# Fact build: left joins to dims + smart key (J1/J2 — silver_to_gold:63-79)
 # ---------------------------------------------------------------------------
 @query(
     "q_fact_star_join",

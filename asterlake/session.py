@@ -1,7 +1,7 @@
 """SparkSession construction for asterlake.
 
 Replaces the per-script session builders of the reference
-(``src/etl/bronze_to_silver.py:21-29`` and ``src/etl/silver_to_gold.py:122-130``
+(``src/etl/bronze_to_silver.py:21-29`` and ``src/etl/silver_to_gold.py:21-29``
 build one session each, hard-wired to a MinIO S3A endpoint). Here one builder
 serves every entry point and the storage layer is config-driven: local
 filesystem paths by default, S3A when an ``ObjectStoreConfig`` is supplied.

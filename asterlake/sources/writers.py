@@ -7,7 +7,7 @@ Reference behaviors and their fixes (SURVEY.md §4, §7):
   EVERY partition, i.e. each daily run destroys all history. We write with
   ``partitionOverwriteMode=dynamic`` so only the partitions present in the
   batch are replaced — idempotent re-runs of one day, history intact.
-- Gold: the reference appends blindly (``src/etl/silver_to_gold.py:183-197``)
+- Gold: the reference appends blindly (``src/etl/silver_to_gold.py:82-96``)
   so dims accumulate duplicate natural keys across days. ``write_gold``
   keeps append as the parity default; ``merge_dimension`` provides the
   fixed upsert (anti-join + union rewrite — Delta MERGE semantics without
@@ -36,7 +36,7 @@ def read_silver(spark: SparkSession, path: str, processing_date=None) -> DataFra
     """Read silver; optional filter on the partition column.
 
     The reference reads the partition by literal path
-    (``.../_processing_date={today}/``, src/etl/silver_to_gold.py:133) which
+    (``.../_processing_date={today}/``, src/etl/silver_to_gold.py:32) which
     silently drops the partition column from the schema. Filtering on the
     column instead gets identical I/O via Catalyst partition pruning and
     keeps the schema complete.
@@ -51,7 +51,7 @@ def read_silver(spark: SparkSession, path: str, processing_date=None) -> DataFra
 
 def write_gold(tables: dict[str, DataFrame], root: str, mode: str = "append") -> None:
     """Write the four gold tables (parity default: append, like reference
-    src/etl/silver_to_gold.py:183-197)."""
+    src/etl/silver_to_gold.py:82-96)."""
     for name, df in tables.items():
         df.write.mode(mode).parquet(os.path.join(root, name))
 
