@@ -44,8 +44,13 @@ def dot_double(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot_double(a, b) / (
-        F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b))
+    # try_divide: an all-zero vector (failed encode — they happen in real
+    # embedding pipelines) has zero norm; its similarity is NULL (sorts
+    # last under any top-k) instead of ANSI-crashing the whole scan.
+    # DuckDB oracles compute the same NULL on zero division.
+    return F.try_divide(
+        dot_double(a, b),
+        F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b)),
     )
 
 

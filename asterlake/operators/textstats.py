@@ -207,13 +207,26 @@ def repetition_features(
     # naively referencing split() inside the per-element lambda re-executes
     # the split per element after CollapseProject (measured 20x on the
     # simhash fold, see dedup.py)
+    # size < 2 guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), so an
+    # unguarded 1-token doc would index element_at(ts, 2) out of bounds
+    # under ANSI — zero bigrams must be an empty array, not a crash
     bigrams = F.expr(
         f"element_at(transform(array(split({text_col}, ' ')), ts -> "
-        "transform(sequence(1, size(ts) - 1), "
-        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))), 1)"
+        "CASE WHEN size(ts) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(ts) - 1), "
+        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))) "
+        "END), 1)"
     )
     n_bi = F.size(bigrams).cast("bigint")
-    dup_bi = (n_bi - F.size(F.array_distinct(bigrams)).cast("bigint")).cast("double") / n_bi
+    # try_divide: a 1-token doc has zero bigrams — its fraction is NULL
+    # (no evidence), exactly what DuckDB's NULL-on-zero-division oracle
+    # computes; a raw division would ANSI-throw on the whole job
+    dup_bi = F.try_divide(
+        (n_bi - F.size(F.array_distinct(bigrams)).cast("bigint")).cast(
+            "double"
+        ),
+        n_bi,
+    )
 
     tok = docs.select(F.col(id_col), F.explode(toks).alias("_t"))
     top = (

@@ -6043,8 +6043,14 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      media plumbing). EARLY this time so they cannot age out again.
 #   3. The 34 remaining round-3 rows (two overlaps with group 1 —
 #      q_trimmed_stats, q_histogram_equidepth — counted there).
-# After this round no row should predate r4. Rebinding QUERIES keeps
-# every QueryDef intact; only dict order changes.
+# After this round no row should predate r4. Two r5-green queries had
+# PROVABLY bit-identical r6 changes and are deliberately NOT bumped in
+# (the front is exactly the budget): q_stream_ewma (vectorized kernel,
+# identical IEEE op order — equality pinned in the batch-kernel test)
+# and q_ann_topk_bruteforce (cosine now try_divide; values unchanged
+# wherever the norm is nonzero, which is everywhere in this data).
+# Both stay gated by the per-round local DuckDB parity suite.
+# Rebinding QUERIES keeps every QueryDef intact; only dict order changes.
 _TOUCHED_R6 = [
     "q_table_checksum",
     "q_trimmed_stats",

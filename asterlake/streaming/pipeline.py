@@ -414,10 +414,20 @@ def running_ewma(
             have = True
         else:
             acc, n, have = 0.0, 0, False
-        for x in pdf[value_col].astype("float64"):
-            acc = x if not have else one_minus * acc + alpha * x
+        # same bit-identical vectorization as the batch kernel: hoist
+        # alpha*x as one vectorized multiply (identical IEEE op), loop
+        # over plain floats for the sequential (1-alpha)*acc + alpha*x
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        ax = (alpha * vals).tolist()
+        xs = vals.tolist()
+        i0 = 0
+        if xs and not have:
+            acc = xs[0]
             have = True
-            n += 1
+            i0 = 1
+        for i in range(i0, len(xs)):
+            acc = one_minus * acc + ax[i]
+        n += len(xs)
         state.update((float(acc), int(n)))
         yield pd.DataFrame(
             {

@@ -271,3 +271,26 @@ def test_pca_verify_gate_has_teeth(spark):
     bad_tr = (mu, comps, eigs, trace * 1.01)
     r = pca_verify(e, dim=64, k=2, _model=bad_tr).limit(1).collect()[0]
     assert r.trace_match_ok is False
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """A zero-norm embedding (failed encode) must score NULL against any
+    query — sorting last under top-k — instead of ANSI-crashing the scan
+    (r6 hazard sweep). DuckDB computes the same NULL on zero division."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = F.lit([1.0, 0.0]).cast("array<double>")
+    rows = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id", cosine(F.col("embedding"), q).alias("c")
+        ).collect()
+    }
+    assert rows[1] is None
+    assert rows[2] == 1.0

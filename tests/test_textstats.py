@@ -89,3 +89,18 @@ def test_fingerprint_digest_detects_exact_dup(spark):
     by_id = {r.doc_id: (r.fingerprint, r.digest) for r in fp}
     assert by_id[1] == by_id[2]
     assert by_id[1] != by_id[3]
+
+
+def test_repetition_single_token_doc_is_null_not_crash(spark):
+    """A 1-token doc has zero bigrams: its dup_bigram_frac must be NULL
+    (no evidence) — DuckDB's zero-division semantics — instead of an
+    ANSI DIVIDE_BY_ZERO crashing the whole scan (r6 hazard sweep)."""
+    from asterlake.operators.textstats import repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "a a b")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_features(docs).collect()}
+    assert rows[1].dup_bigram_frac is None
+    assert rows[1].n_tokens == 1
+    assert rows[2].dup_bigram_frac == 0.0
