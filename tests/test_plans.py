@@ -474,3 +474,15 @@ def test_drift_queries_scan_facts_only_into_cached_counts(spark):
         assert relations, name
         for p in pq:
             assert any(r < p for r in relations), (name, tree[p])
+
+
+def test_exact_percentiles_bucket_pruned(spark):
+    """The rank machinery must never sort the full distinct-value set:
+    each requested rank locates its bucket from the subtotal table and
+    the within-bucket window's input is LeftSemi-pruned to just those
+    buckets (r6 rewrite). The prune shows up as a LeftSemi join in the
+    plan; the value-buffering Percentile aggregate must stay absent."""
+    plan = _plan(spark, "q_percentiles_exact")
+    assert "LeftSemi" in plan
+    assert "percentile" not in plan.lower()
+    assert not has_node(plan, "SortMergeJoin")
