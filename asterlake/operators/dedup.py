@@ -603,7 +603,11 @@ def _ngram_jaccard_prefix(
         F.count("*").cast("bigint").alias("_df")
     )
     base = (
-        exploded.join(sh_df, "shingle")
+        # shuffle_hash: the default sort-merge would SORT the full posting
+        # list by shingle string twice (measured: the whole base build
+        # drops 4.5s -> 1.2s warm at sf0.1 with the hint); both sides
+        # already hash-partition on shingle, the vocab side builds the map
+        exploded.join(sh_df.hint("shuffle_hash"), "shingle")
         .groupBy(id_col)
         .agg(
             F.array_sort(
