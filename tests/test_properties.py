@@ -297,6 +297,57 @@ def test_exact_percentiles_match_builtin_on_random_data(spark, vals):
 
 
 @settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+            st.integers(1, 5),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_weighted_percentiles_match_builtin_on_random_data(spark, vals):
+    """Weighted twin of the differential above: the bucket-pruned rank
+    machinery with integer weights must agree bit-for-bit with Spark's
+    percentile(v, p, frequency) on arbitrary inputs (duplicates, ties,
+    boundary probs)."""
+    from asterlake.operators.stats import exact_percentiles
+
+    df = spark.createDataFrame(vals, "g string, v double, w int")
+    probs = [0.0, 0.37, 0.5, 1.0]
+    ours = {
+        r.g: (r.p00, r.p37, r.p50, r.p100)
+        for r in exact_percentiles(
+            df,
+            ["g"],
+            "v",
+            probs,
+            out_names=["p00", "p37", "p50", "p100"],
+            weight="w",
+        ).collect()
+    }
+    builtin = {
+        r.g: tuple(r.ps)
+        for r in df.groupBy("g")
+        .agg(
+            F.expr(
+                "percentile(v, array(0.0D, 0.37D, 0.5D, 1.0D), w)"
+            ).alias("ps")
+        )
+        .collect()
+    }
+    for g, want in builtin.items():
+        for a, b in zip(ours[g], want):
+            assert a == b, (g, ours[g], want)
+
+
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
