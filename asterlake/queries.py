@@ -6050,10 +6050,11 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and q_ann_topk_bruteforce (cosine now try_divide; values unchanged
 # wherever the norm is nonzero, which is everywhere in this data).
 # Both stay gated by the per-round local DuckDB parity suite.
-# R7 ROTATION NOTE: q_pagerank_copurchase's edge/degree build changed in
-# r6 (window -> co-partitioned aggregate join; DuckDB hash parity green
-# locally, r5 driver row) — put it at the r7 front along with
-# q_stream_ewma and q_ann_topk_bruteforce.
+# R7 ROTATION NOTE: two operators changed in r6 AFTER the front was
+# frozen (plan-only changes, DuckDB hash parity green locally, r5 driver
+# rows) — put q_pagerank_copurchase (degree via co-partitioned aggregate
+# join) and q_dedup_ngram_prefix (shuffle-hash df-annotation join) at the
+# r7 front along with q_stream_ewma and q_ann_topk_bruteforce.
 # Rebinding QUERIES keeps every QueryDef intact; only dict order changes.
 _TOUCHED_R6 = [
     "q_table_checksum",
