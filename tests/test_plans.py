@@ -486,3 +486,21 @@ def test_exact_percentiles_bucket_pruned(spark):
     assert "LeftSemi" in plan
     assert "percentile" not in plan.lower()
     assert not has_node(plan, "SortMergeJoin")
+
+
+def test_no_query_plans_cartesian_or_row_python(spark):
+    """Fleet-wide scale guard: NO declared query may plan a
+    CartesianProduct (an unbroadcastable cross join is quadratic data
+    motion at any scale — every legitimate cross join here broadcasts a
+    bounds/model-sized side, which plans as BroadcastNestedLoopJoin) or
+    a BatchEvalPython node (row-at-a-time Python UDF — the Arrow-batched
+    forms are the only sanctioned Python in the hot path)."""
+    from asterlake.plans.inspect import plan_string
+
+    bad: list[str] = []
+    for name, qd in QUERIES.items():
+        plan = plan_string(qd.spark(spark, SF))
+        for node in ("CartesianProduct", "BatchEvalPython"):
+            if has_node(plan, node):
+                bad.append(f"{name}: {node}")
+    assert not bad, "\n".join(bad)
