@@ -463,3 +463,39 @@ def test_observed_metrics_single_pass(spark, tmp_path):
     assert got["n_rows"] == expect.n
     assert got["n_null_qty"] == 0
     assert got["sum_qty_cents"] == expect.s
+
+
+def test_exact_percentiles_nan_matches_builtin(spark):
+    """NaN values sort greatest in Spark's double order; the bucket-pruned
+    machinery pins NaN to the last bucket explicitly. Mixed and all-NaN
+    groups must match the builtin (interpolation with a NaN endpoint is
+    NaN, all-NaN medians are NaN)."""
+    import math
+
+    vals = [
+        ("x", 1.0),
+        ("x", float("nan")),
+        ("x", 2.0),
+        ("x", 3.0),
+        ("y", float("nan")),
+        ("y", float("nan")),
+    ]
+    df = spark.createDataFrame(vals, "g string, v double")
+    ours = {
+        r.g: (r.p0, r.p50, r.p100)
+        for r in exact_percentiles(
+            df, ["g"], "v", [0.0, 0.5, 1.0], out_names=["p0", "p50", "p100"]
+        ).collect()
+    }
+    builtin = {
+        r.g: tuple(r.ps)
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.0D, 0.5D, 1.0D))").alias("ps"))
+        .collect()
+    }
+
+    def eq(a, b):
+        return a == b or (math.isnan(a) and math.isnan(b))
+
+    for g, want in builtin.items():
+        assert all(eq(a, b) for a, b in zip(ours[g], want)), (g, ours[g], want)
