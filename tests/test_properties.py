@@ -491,3 +491,52 @@ def test_twap_matches_fraction_computation(spark, rows):
             )
         else:
             assert u not in got
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.integers(-1000, 1000),
+            st.one_of(st.none(), st.integers(-50, 50)),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    split_at=st.integers(0, 30),
+)
+def test_merge_aggregates_equals_one_pass_recompute(spark, rows, split_at):
+    """The operator's core contract, on random data: aggregate an
+    arbitrary prefix and suffix of the fact separately, merge the
+    partials, and the result must be bit-identical to the one-pass
+    aggregate — including NULL-sum keys, keys present in only one batch,
+    and empty batches."""
+    from asterlake.operators.incremental import merge_aggregates
+
+    schema = "k string, v long, w long"
+    agg = lambda df: df.groupBy("k").agg(  # noqa: E731
+        F.sum("w").alias("s"),
+        F.count("v").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    first = spark.createDataFrame(rows[:split_at], schema)
+    second = spark.createDataFrame(rows[split_at:], schema)
+    merged = merge_aggregates(
+        agg(first),
+        agg(second),
+        ["k"],
+        sum_cols=["s"],
+        count_cols=["n"],
+        min_cols=["lo"],
+        max_cols=["hi"],
+    )
+    full = agg(spark.createDataFrame(rows, schema))
+    got = {r.k: (r.s, r.n, r.lo, r.hi) for r in merged.collect()}
+    want = {r.k: (r.s, r.n, r.lo, r.hi) for r in full.collect()}
+    assert got == want
