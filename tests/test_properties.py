@@ -540,3 +540,109 @@ def test_merge_aggregates_equals_one_pass_recompute(spark, rows, split_at):
     got = {r.k: (r.s, r.n, r.lo, r.hi) for r in merged.collect()}
     want = {r.k: (r.s, r.n, r.lo, r.hi) for r in full.collect()}
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 20)),
+        min_size=1,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 20), st.integers(-5, 5)),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),  # right unique per (key, ts)
+    ),
+    tol=st.one_of(st.none(), st.integers(0, 10)),
+)
+def test_asof_join_matches_python_model(spark, left, right, tol):
+    """Differential for the backward as-of join on random keyed event
+    streams: every left row must match the latest right row with
+    r.ts <= l.ts on its key (simultaneous rows match; tolerance voids
+    stale matches), per a brute-force Python replay."""
+    from datetime import datetime, timedelta
+
+    from asterlake.operators.temporal import asof_join
+
+    base = datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, base + timedelta(seconds=s)) for i, (k, s) in enumerate(left)],
+        "id int, k int, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + timedelta(seconds=s), float(v)) for k, s, v in right],
+        "k int, ts timestamp, v double",
+    )
+    got = {
+        r.id: (r.asof_v, r.asof_ts)
+        for r in asof_join(
+            ldf,
+            rdf,
+            by="k",
+            value_cols=["v"],
+            tolerance_seconds=tol,
+        ).collect()
+    }
+    assert len(got) == len(left)  # left rows never dropped
+    for i, (k, s) in enumerate(left):
+        cands = [(rs, rv) for rk, rs, rv in right if rk == k and rs <= s]
+        want = (None, None)
+        if cands:
+            rs, rv = max(cands)
+            if tol is None or rs >= s - tol:
+                want = (float(rv), base + timedelta(seconds=rs))
+        assert got[i] == want, (i, k, s, got[i], want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.dictionaries(st.integers(0, 8), st.integers(0, 99), max_size=6),
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 8),
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(0, 99),
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[2], t[1]),  # (key, seq, op) unique
+    ),
+)
+def test_cdc_apply_matches_dict_replay(spark, base, log):
+    """Differential for batch CDC application: replay the changelog into a
+    dict (highest seq wins, base below every change, D>U>I on seq ties)
+    and the operator's snapshot must equal it exactly."""
+    from asterlake.operators.cdc import apply_changes
+
+    bdf = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "k int, v int"
+    )
+    cdf = spark.createDataFrame(
+        [(k, v, op, s) for k, op, s in log for v in [s * 1000 + hash(op) % 7]],
+        "k int, v int, op string, seq int",
+    )
+    got = {r.k: r.v for r in apply_changes(bdf, cdf, ["k"], "seq").collect()}
+    # model: per key pick the change with max (seq, op-precedence)
+    prio = {"D": 2, "U": 1, "I": 0}
+    state = dict(base)
+    winners: dict = {}
+    for k, op, s in log:
+        cur = winners.get(k)
+        if cur is None or (s, prio[op]) > (cur[0], prio[cur[1]]):
+            winners[k] = (s, op)
+    for k, (s, op) in winners.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = s * 1000 + hash(op) % 7
+    assert got == state
