@@ -646,3 +646,68 @@ def test_cdc_apply_matches_dict_replay(spark, base, log):
         else:
             state[k] = s * 1000 + hash(op) % 7
     assert got == state
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 2),  # key
+            st.integers(0, 48),  # minutes offset (sub-hour collisions)
+            st.integers(-9, 9),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_gapfill_locf_matches_python_model(spark, rows):
+    """Differential for hourly LOCF gap fill: a Python replay builds each
+    key's hour grid from first to last event hour, carries the latest
+    observation forward (slot winner = max (ts, event_id)), and marks
+    observed slots; the operator must agree exactly."""
+    from datetime import datetime, timedelta
+
+    from asterlake.operators.timeseries import gap_fill_locf
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (k, i, base + timedelta(minutes=37 * m), float(v))
+        for i, (k, m, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id int, event_id int, ts timestamp, value double"
+    )
+    got = {
+        (r.user_id, r.slot_start): (r.value, r.observed)
+        for r in gap_fill_locf(df).collect()
+    }
+    # model
+    def hour(ts):
+        return ts.replace(minute=0, second=0, microsecond=0)
+
+    want: dict = {}
+    by_key: dict = {}
+    for k, eid, ts, v in data:
+        by_key.setdefault(k, []).append((ts, eid, v))
+    for k, evs in by_key.items():
+        slots: dict = {}
+        for ts, eid, v in evs:
+            h = hour(ts)
+            cur = slots.get(h)
+            if cur is None or (ts, eid) > cur[0]:
+                slots[h] = ((ts, eid), v)
+        lo, hi = min(slots), max(slots)
+        cur_v = None
+        h = lo
+        while h <= hi:
+            if h in slots:
+                cur_v = slots[h][1]
+                want[(k, h)] = (cur_v, True)
+            else:
+                want[(k, h)] = (cur_v, False)
+            h += timedelta(hours=1)
+    assert got == want
