@@ -711,3 +711,86 @@ def test_gapfill_locf_matches_python_model(spark, rows):
                 want[(k, h)] = (cur_v, False)
             h += timedelta(hours=1)
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    chunk=st.integers(1, 6),
+    stride=st.integers(1, 6),
+)
+def test_chunk_documents_matches_python_model(spark, docs, chunk, stride):
+    """Differential for sliding-window chunking: chunk count is
+    ceil(max(n - chunk, 0) / stride) + 1, chunk i covers tokens
+    [i*stride, i*stride + chunk), the tail window clips, and empty docs
+    produce one empty chunk."""
+    from asterlake.operators.chunking import chunk_documents
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, stride=stride
+        ).collect()
+    }
+    want = {}
+    for i, text in rows:
+        toks = text.split(" ")  # '' -> [''] — matches Spark's split
+        n = len(toks)
+        n_chunks = (max(n - chunk, 0) + stride - 1) // stride + 1
+        for c in range(n_chunks):
+            want[(i, c)] = " ".join(toks[c * stride : c * stride + chunk])
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(0, 9), min_size=1, max_size=25),
+    budget=st.integers(1, 16),
+)
+def test_pack_sequences_matches_python_model(spark, lens, budget):
+    """Differential for sequence packing: offsets are a prefix sum in the
+    operator's own deterministic (bucket, id) order — so the model
+    re-derives that order — and pack ids are exact integral division.
+    Zero-token docs occupy no slot but keep offset semantics."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.packing import pack_sequences
+    from asterlake.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id int, n_tokens int"
+    )
+    got = {
+        r.doc_id: (r.offset, r.pack_id, r.pack_offset, r.end_pack_id)
+        for r in pack_sequences(
+            df, F.col("n_tokens"), budget=budget, n_buckets=4
+        ).collect()
+    }
+    buckets = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id", hash_bucket(F.col("doc_id"), 4).alias("b")
+        ).collect()
+    }
+    order = sorted(range(len(lens)), key=lambda i: (buckets[i], i))
+    off = 0
+    want = {}
+    for i in order:
+        n = lens[i]
+        want[i] = (off, off // budget, off % budget, (off + max(n - 1, 0)) // budget)
+        off += n
+    assert got == want
