@@ -57,9 +57,11 @@ def test_decode_media_stats(spark, media):
     assert r.payload_digest == hashlib.md5(payload.hex().encode()).hexdigest()
 
 
-def test_decode_media_real_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_media(media, real=True)
+def test_decode_media_real_dispatches_to_stdlib_codecs(media):
+    # since r6, real=True is a working wav/bmp decoder (see the round-trip
+    # test below); the synthetic png/mp4 table fails at the format branch
+    with pytest.raises(Exception):
+        decode_media(media, real=True).collect()
 
 
 def test_resize_image_only_touches_images(spark, media):
@@ -107,3 +109,58 @@ def test_extract_features_histogram(spark, media):
 def test_custom_kernel_slot(spark, media):
     out = extract_features(media, dim=4, kernel=lambda p: [float(len(p)), 0.0, 0.0, 0.0])
     assert all(r.feature[0] == 64.0 for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib codecs (r6): WAV PCM + 24-bit BMP
+# ---------------------------------------------------------------------------
+
+
+def test_real_media_decode_round_trips_wav_and_bmp(spark):
+    """decode_media(real=True) parses ACTUAL container formats: the
+    generator writes real RIFF/WAVE and BMP files; the decoder must
+    recover the exact dimensions/rates it encoded and a mean level that
+    matches a pure-Python re-parse of the same bytes."""
+    import io
+    import struct
+    import wave
+
+    from asterlake.operators.multimodal import decode_media, real_media_table
+
+    media = real_media_table(spark, n=12)
+    rows = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        if r.format == "wav":
+            with wave.open(io.BytesIO(payloads[mid]), "rb") as w:
+                assert r.sample_rate == w.getframerate()
+                assert r.n_samples == w.getnframes()
+                raw = w.readframes(w.getnframes())
+            samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+            want = sum(abs(s) for s in samples) / (len(samples) * 32768.0)
+            assert abs(r.mean_level - want) < 1e-6
+            assert r.width is None and r.height is None
+        else:
+            assert r.format == "bmp"
+            # BMP header is self-describing: re-parse dimensions
+            w_, h_ = struct.unpack_from("<ii", payloads[mid], 18)
+            assert (r.width, r.height) == (w_, h_)
+            assert 0.0 <= r.mean_level <= 1.0
+            assert r.sample_rate is None and r.n_samples is None
+
+
+def test_real_decode_rejects_unsupported_formats(spark):
+    """png/mp4 payloads (no stdlib codec) must fail LOUDLY at the marked
+    swap branch, not decode garbage."""
+    import pytest as _pytest
+
+    from asterlake.operators.multimodal import decode_media, synthetic_media
+
+    fake = synthetic_media(spark, n=6)  # formats png/wav/mp4, garbage bytes
+    # whichever task fails first surfaces: the png/mp4 branch ("unsupported
+    # format"), the wave parser on garbage ("RIFF"), or the BMP magic check
+    with _pytest.raises(
+        Exception, match="unsupported format|RIFF|not a BMP"
+    ):
+        decode_media(fake, real=True).collect()
