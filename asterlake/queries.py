@@ -6055,6 +6055,11 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows) — put q_pagerank_copurchase (degree via co-partitioned aggregate
 # join) and q_dedup_ngram_prefix (shuffle-hash df-annotation join) at the
 # r7 front along with q_stream_ewma and q_ann_topk_bruteforce.
+# R7 CANDIDATE: a driver-gated query over the NEW real stdlib codecs
+# (multimodal.decode_media_real) — dims/rates are arithmetic functions of
+# media_id the oracle can restate, mean_level rides an in-plan bound
+# boolean; declaring it in r6 would have displaced a stale row from the
+# exactly-50 front, so it ships r7 with a front slot.
 # Rebinding QUERIES keeps every QueryDef intact; only dict order changes.
 _TOUCHED_R6 = [
     "q_table_checksum",
