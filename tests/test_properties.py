@@ -794,3 +794,71 @@ def test_pack_sequences_matches_python_model(spark, lens, budget):
         want[i] = (off, off // budget, off % budget, (off + max(n - 1, 0)) // budget)
         off += n
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 2),  # user
+            st.integers(0, 10),  # ts offset (ties on purpose)
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    within_h=st.one_of(st.none(), st.integers(1, 4)),
+)
+def test_funnel_matches_python_replay(spark, rows, within_h):
+    """Differential for the single-scan funnel: a linear replay over each
+    user's (ts, event_id)-sorted stream, where step k counts only at-or-
+    after the running earliest in-order completion of step k-1 (bounded
+    by `within`), must agree with the window formulation exactly."""
+    from datetime import datetime, timedelta
+
+    from asterlake.operators.sequence import funnel_timestamps
+
+    steps = ["a", "b", "c"]
+    base = datetime(2024, 1, 1)
+    data = [
+        (u, i, base + timedelta(hours=h), t)
+        for i, (u, h, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id int, event_id int, ts timestamp, event_type string"
+    )
+    within = f"{within_h} hours" if within_h is not None else None
+    got = {
+        r.user_id: (r.t_a, r.t_b, r.t_c, r.converted)
+        for r in funnel_timestamps(
+            df, steps, tiebreak_col="event_id", within=within
+        ).collect()
+    }
+    by_user: dict = {}
+    for u, eid, ts, t in data:
+        by_user.setdefault(u, []).append((ts, eid, t))
+    for u, evs in by_user.items():
+        run = [None, None]  # running min in-order completion of steps 0, 1
+        t_min = [None, None, None]
+        for ts, eid, t in sorted(evs):
+            for k, s in enumerate(steps):
+                if t != s:
+                    continue
+                if k > 0:
+                    anchor = run[k - 1]
+                    if anchor is None or ts < anchor:
+                        continue
+                    if within_h is not None and ts > anchor + timedelta(
+                        hours=within_h
+                    ):
+                        continue
+                if t_min[k] is None or ts < t_min[k]:
+                    t_min[k] = ts
+                if k < 2 and (run[k] is None or ts < run[k]):
+                    run[k] = ts
+        conv = all(v is not None for v in t_min)
+        assert got[u] == (t_min[0], t_min[1], t_min[2], conv), (u, got[u], t_min)
