@@ -42,6 +42,14 @@ from pyspark.sql import functions as F
 # in DECIMAL(38,0) and reduce to a canonical BIGINT residue.
 _CHECKSUM_MOD = 2_305_843_009_213_693_951  # 2^61 - 1
 
+# Version of the canonical row encoding below. Bumped whenever the
+# encoding changes so stored manifests can tell "written under an older
+# format" apart from "corrupted": v1 was the NUL-token coalesce, v2 is
+# the length-prefixed injective form. Persisted checksums (versioned
+# snapshot manifests) record this and verify_version refuses to compare
+# across versions instead of reporting a false tamper.
+SIG_ENCODING = 2
+
 # Canonical encoding: the per-field token is UNAMBIGUOUSLY parseable —
 # NULL encodes as the bare token 'n'; a non-null value encodes as
 # 'v<charlen>:<value>'. The length prefix makes the '|'-joined row string

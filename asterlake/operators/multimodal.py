@@ -415,6 +415,21 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, float]:
     hdr_size, width, height, _, bpp = struct.unpack_from(
         "<IiiHH", payload, 14
     )
+    # fail-loud contract: a BITMAPCOREHEADER (hdr_size=12, 16-bit dims at
+    # other offsets) or an RLE-compressed stream would pass the magic
+    # check and silently decode garbage — require the BITMAPINFOHEADER
+    # layout this unpack assumed and uncompressed BI_RGB pixel data
+    if hdr_size != 40:
+        raise ValueError(
+            f"only BITMAPINFOHEADER (40-byte) BMP supported, got "
+            f"hdr_size={hdr_size}"
+        )
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0:
+        raise ValueError(
+            f"only uncompressed BI_RGB BMP supported, got "
+            f"compression={compression}"
+        )
     if bpp != 24:
         raise ValueError(f"only 24-bit BMP supported, got bpp={bpp}")
     row = width * 3

@@ -39,6 +39,27 @@ def _prob_col_name(p: float) -> str:
     return f"p{int(round(p * 100)):02d}"
 
 
+# Persisted frames built by the PREVIOUS exact_percentiles call (its
+# locally-built counts + offsets), released when the NEXT call starts.
+# Lifetime contract (ADVICE r6): the output of one exact_percentiles
+# call is materialized before the next call is issued — true of every
+# caller (each driver/bench query materializes independently). A caller
+# composing several percentile outputs into ONE lazy plan should pass
+# prebuilt ``counts=`` (memoized outside this registry and never touched
+# by it) or materialize between calls. Without this, a session issuing
+# many percentile-backed queries accumulates cached blocks until
+# ContextCleaner happens to reclaim the dropped plans.
+_PREV_CALL_STATE: list[DataFrame] = []
+
+
+def release_percentile_state() -> None:
+    """Unpersist the cached state left by the last exact_percentiles
+    call. Called automatically at the start of each new call; exposed
+    for sessions that want the blocks back immediately."""
+    while _PREV_CALL_STATE:
+        _PREV_CALL_STATE.pop().unpersist(blocking=False)
+
+
 def distinct_value_counts(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -130,6 +151,10 @@ def exact_percentiles(
     names = list(out_names) if out_names else [_prob_col_name(p) for p in probs]
     if len(names) != len(probs):
         raise ValueError("out_names must match probs length")
+    # release the previous call's cached counts/offsets (see the
+    # _PREV_CALL_STATE lifetime contract) before building this call's
+    release_percentile_state()
+    _local_persisted: list[DataFrame] = []
     gcols = list(group_cols)
     # Global percentiles: inject a constant group key, drop it at the end.
     drop_key = not gcols
@@ -156,6 +181,7 @@ def exact_percentiles(
     # (:func:`distinct_value_counts`) so it materializes once.
     if counts is None:
         counts = distinct_value_counts(df, gcols, value, weight)
+        _local_persisted.append(counts)
     # Bucket assignment must be MONOTONE in _v within each group (so
     # ordering by (_b, _v) == ordering by _v); any deterministic monotone
     # map works — it only partitions the ranking work. NaN sorts greatest
@@ -207,6 +233,7 @@ def exact_percentiles(
             "_off"
         ),
     ).persist()
+    _local_persisted.append(offsets)
     totals = offsets.groupBy(*gcols).agg(F.sum("_bt").alias("_n"))
 
     # (group, prob) driver table: groups-cardinality x len(probs) — tiny.
@@ -294,6 +321,10 @@ def exact_percentiles(
         for p, name in zip(probs, names)
     ]
     out = long_form.groupBy(*gcols).agg(*agg_cols)
+    # hand this call's cached frames to the release registry: the NEXT
+    # exact_percentiles call (or an explicit release_percentile_state())
+    # unpersists them, by which time this output has been materialized
+    _PREV_CALL_STATE.extend(_local_persisted)
     return out.drop("_g") if drop_key else out
 
 

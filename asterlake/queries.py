@@ -1011,7 +1011,15 @@ QUERIES["q_ann_ivf_assign"] = QueryDef(
 )
 def q_embedding_block_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-label near-neighbor pairs (cosine >= 0.4) — the blocked
-    (sub-quadratic) form of embedding near-dup detection."""
+    (sub-quadratic) form of embedding near-dup detection.
+
+    r6 bench postmortem: the recorded 1.71->2.44s (1.43x) drift was box
+    noise, not a plan change — deliberate warm re-timing in r7 showed
+    1.5-1.6s on the identical plan (BroadcastHashJoin on _blk, 2000-row
+    self-join; nothing on this path changed in r6 — the try_divide
+    cosine lives in similarity.cosine, which this operator does not
+    call). The 1.43x slipped the then >=1.5x-only suspect-retry net;
+    bench.py now retries at >=1.3x for queries with a >=1.5s prior."""
     from asterlake.operators.similarity import blocked_neighbor_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -5169,7 +5177,9 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted violation arrays, AND the sink round trip, not just an
     in-memory frame. Rule names sort deterministically, so the joined
     violation string is stable."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from asterlake.streaming.pipeline import stream_quarantine
@@ -5180,8 +5190,12 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BAD sink lazily, so the sink must outlive this function — no
     # collect()+createDataFrame round trip through the driver (the
     # quarantined set is data-sized; bounding driver memory matters more
-    # than the few MB of OS-tmp the consumer-lifetime dirs occupy)
+    # than OS-tmp). The GOOD sink (a near-full copy of events) and the
+    # checkpoint are deleted as soon as the stream finishes, and the
+    # whole workdir at interpreter exit, so repeated bench/correctness
+    # runs don't accumulate data-sized tmp (ADVICE r6).
     workdir = tempfile.mkdtemp(prefix="asterlake-quarantine-")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     src_dir = os.path.join(workdir, "events")
     os.makedirs(src_dir)
     os.symlink(
@@ -5203,6 +5217,10 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad,
         os.path.join(workdir, "ckpt"),
     )
+    # the stream has terminated (availableNow); only the BAD sink is read
+    # downstream — reclaim the data-sized good copy + checkpoint now
+    shutil.rmtree(good, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
     if not os.path.isdir(bad):
         # zero micro-batches (empty source): nothing was quarantined
         return spark.createDataFrame([], "event_id bigint, violations string")

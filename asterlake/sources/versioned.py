@@ -42,7 +42,11 @@ import re
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from asterlake.operators.integrity import _CHECKSUM_MOD, row_signature
+from asterlake.operators.integrity import (
+    _CHECKSUM_MOD,
+    SIG_ENCODING,
+    row_signature,
+)
 
 _VDIR = re.compile(r"^v=(\d+)$")
 
@@ -117,6 +121,10 @@ def write_version(
         "xor_sig": got["xor_sig"],
         "sum_sig": got["sum_sig"],
         "sig_cols": list(sig_cols) if sig_cols is not None else list(df.columns),
+        # encoding version of row_signature at commit time: lets a later
+        # verify_version distinguish "manifest written under an older
+        # canonical encoding" from actual data corruption (ADVICE r6)
+        "sig_encoding": SIG_ENCODING,
         **(extra or {}),
     }
     tmp = _manifest_path(root, version) + ".tmp"
@@ -150,14 +158,30 @@ def verify_version(
     spark: SparkSession, root: str, version: int | None = None
 ) -> dict:
     """Re-derive the content checksum from the stored files and compare
-    to the manifest. Returns ``{"version", "ok", "expected", "actual"}``;
-    ``ok`` is True iff rows + both signatures match — the pre-training /
-    post-replication audit."""
+    to the manifest. Returns ``{"version", "ok", "reason", "expected",
+    "actual"}``; ``ok`` is True iff rows + both signatures match — the
+    pre-training / post-replication audit. ``reason`` disambiguates a
+    failure: ``"sig_encoding_mismatch"`` means the manifest was written
+    under a DIFFERENT row_signature canonical encoding (pre-r6 stores
+    used the v1 NUL-token form) and the data was NOT judged — rewrite
+    the snapshot to re-manifest it; ``"checksum_mismatch"`` is real
+    row-content divergence."""
     if version is None:
         version = latest_version(root)
         if version is None:
             raise FileNotFoundError(f"no committed versions under {root}")
     manifest = read_manifest(root, version)
+    stored_enc = manifest.get("sig_encoding", 1)  # pre-field manifests: v1
+    if stored_enc != SIG_ENCODING:
+        # recomputing under the current encoding would flag EVERY row as
+        # changed — surface the format gap instead of a false tamper
+        return {
+            "version": version,
+            "ok": False,
+            "reason": "sig_encoding_mismatch",
+            "expected": {"sig_encoding": stored_enc},
+            "actual": {"sig_encoding": SIG_ENCODING},
+        }
     from asterlake.operators.integrity import table_checksum
 
     got = table_checksum(
@@ -170,9 +194,11 @@ def verify_version(
         "sum_sig": got["sum_sig"],
     }
     expected = {k: manifest[k] for k in ("n_rows", "xor_sig", "sum_sig")}
+    ok = actual == expected
     return {
         "version": version,
-        "ok": actual == expected,
+        "ok": ok,
+        "reason": None if ok else "checksum_mismatch",
         "expected": expected,
         "actual": actual,
     }

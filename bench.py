@@ -138,7 +138,12 @@ def main() -> None:
         # spikes that land on one arbitrary query (observed: a 0.3s query
         # recorded at 14s once; r5: a 2.5s query recorded at 5.2s slipped
         # the old >3x-only net). Any query >=1.5x its last record gets ONE
-        # warm re-run; keep the min. Bounded at 12 retries so a genuinely
+        # warm re-run; keep the min. For queries whose prior record is
+        # >=1.5s the net tightens to >=1.3x — at that duration relative
+        # variance is small enough that a 1.3x jump is already suspect
+        # (r6: q_embedding_block_neighbors drifted 1.43x on pure noise
+        # and slipped the 1.5x-only net; deliberate re-timing showed it
+        # back at its prior level). Bounded at 12 retries so a genuinely
         # slower build still shows up slower. Memo-subtree BUILDERS are
         # exempt: their re-run would record the rider-side memo hit, not
         # the build they are declared to absorb.
@@ -148,7 +153,8 @@ def main() -> None:
             for n in timings
             if n in prior
             and n not in _builders
-            and timings[n] > max(1.0, 1.5 * prior[n])
+            and timings[n]
+            > max(1.0, (1.3 if prior[n] >= 1.5 else 1.5) * prior[n])
         ]
         for name in sorted(suspects, key=lambda n: -timings[n])[:12]:
             timings[name] = min(timings[name], run_one(name))

@@ -59,8 +59,10 @@ def test_decode_media_stats(spark, media):
 
 def test_decode_media_real_dispatches_to_stdlib_codecs(media):
     # since r6, real=True is a working wav/bmp decoder (see the round-trip
-    # test below); the synthetic png/mp4 table fails at the format branch
-    with pytest.raises(Exception):
+    # test below); the synthetic png/mp4 table must fail at a KNOWN branch
+    # (format dispatch, RIFF magic, or BMP magic) — a bare Exception match
+    # would also pass on schema/Py4J errors and pin nothing (ADVICE r6)
+    with pytest.raises(Exception, match="unsupported format|RIFF|not a BMP"):
         decode_media(media, real=True).collect()
 
 
@@ -148,6 +150,35 @@ def test_real_media_decode_round_trips_wav_and_bmp(spark):
             assert (r.width, r.height) == (w_, h_)
             assert 0.0 <= r.mean_level <= 1.0
             assert r.sample_rate is None and r.n_samples is None
+
+
+def test_bmp_decoder_rejects_core_header_and_compression():
+    """_decode_bmp assumed a 40-byte BITMAPINFOHEADER; a BITMAPCOREHEADER
+    (hdr_size=12, 16-bit dims at different offsets) or an RLE-compressed
+    stream used to pass the 'BM' magic and decode garbage silently. Both
+    must now fail loudly (ADVICE r6)."""
+    import struct
+
+    from asterlake.operators.multimodal import _decode_bmp
+
+    def bmp(hdr_size=40, compression=0, bpp=24):
+        # minimal header + one blue pixel row (padded), offsets per spec
+        info = struct.pack(
+            "<IiiHHIIiiII", hdr_size, 1, 1, 1, bpp, compression,
+            4, 0, 0, 0, 0,
+        )
+        head = struct.pack("<2sIHHI", b"BM", 14 + len(info) + 4, 0, 0,
+                           14 + len(info))
+        return head + info + b"\x00\x00\xff\x00"
+
+    w, h, _, _, mean = _decode_bmp(bmp())  # the valid shape still decodes
+    assert (w, h) == (1, 1) and 0.0 <= mean <= 1.0
+    with pytest.raises(ValueError, match="BITMAPINFOHEADER"):
+        _decode_bmp(bmp(hdr_size=12))
+    with pytest.raises(ValueError, match="compression=1"):
+        _decode_bmp(bmp(compression=1))  # BI_RLE8
+    with pytest.raises(ValueError, match="bpp=8"):
+        _decode_bmp(bmp(bpp=8))
 
 
 def test_real_decode_rejects_unsupported_formats(spark):

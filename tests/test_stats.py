@@ -354,6 +354,36 @@ def test_two_level_ranks_invariant_to_bucket_count(spark, lineitem):
             assert _bits(x) == _bits(y)
 
 
+def test_percentile_call_state_is_released_by_next_call(spark, lineitem):
+    """Each exact_percentiles call persists its counts + offsets; a
+    session issuing many percentile queries must not accumulate those
+    blocks (ADVICE r6). The next call releases the previous call's
+    state, and release_percentile_state() empties it on demand —
+    verified against the JVM's persistent-RDD registry."""
+    from asterlake.operators.stats import (
+        exact_percentiles,
+        release_percentile_state,
+    )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_percentile_state()  # drop leftovers from earlier tests
+    base = n_persistent()
+    exact_percentiles(
+        lineitem, ["l_returnflag"], "l_extendedprice", [0.5]
+    ).collect()
+    after_one = n_persistent()
+    assert after_one > base  # counts + offsets are live for the output
+    exact_percentiles(
+        lineitem, ["l_returnflag"], "l_quantity", [0.25, 0.9]
+    ).collect()
+    # the second call released the first call's frames: no growth
+    assert n_persistent() == after_one
+    release_percentile_state()
+    assert n_persistent() == base
+
+
 def test_rank_window_is_bucket_partitioned(spark, lineitem):
     """The within-bucket cumsum must partition by (group, bucket) — no
     window over a group's FULL distinct-value set (the single-reducer

@@ -80,6 +80,49 @@ def test_verify_detects_file_tampering(spark, tmp_path):
     assert audit["actual"]["n_rows"] < audit["expected"]["n_rows"]
 
 
+def test_verify_distinguishes_encoding_mismatch_from_tampering(
+    spark, tmp_path
+):
+    """A manifest committed under an older row_signature encoding (or
+    none at all — pre-versioning stores) must fail verification with an
+    explicit sig_encoding_mismatch reason, NOT a checksum_mismatch that
+    reads as data corruption (ADVICE r6)."""
+    import json
+
+    root = str(tmp_path / "corpus")
+    write_version(_corpus(spark, 20, "a"), root)
+    assert read_manifest(root, 1)["sig_encoding"] >= 2
+    # intact data, genuine checksum path: reason is None
+    assert verify_version(spark, root, 1)["reason"] is None
+    # rewrite the manifest as a v1-era store (field absent entirely)
+    path = os.path.join(root, "v=1", "manifest.json")
+    m = read_manifest(root, 1)
+    del m["sig_encoding"]
+    with open(path, "w") as f:
+        json.dump(m, f)
+    audit = verify_version(spark, root, 1)
+    assert not audit["ok"]
+    assert audit["reason"] == "sig_encoding_mismatch"
+    assert audit["expected"] == {"sig_encoding": 1}
+
+
+def test_verify_reports_checksum_mismatch_reason(spark, tmp_path):
+    """Same-encoding manifest + altered data: reason names the checksum,
+    so operators can route 'rewrite the store' vs 'investigate' alarms."""
+    import json
+
+    root = str(tmp_path / "corpus")
+    write_version(_corpus(spark, 20, "a"), root)
+    path = os.path.join(root, "v=1", "manifest.json")
+    m = read_manifest(root, 1)
+    m["xor_sig"] ^= 1  # flip one bit of the stored signature
+    with open(path, "w") as f:
+        json.dump(m, f)
+    audit = verify_version(spark, root, 1)
+    assert not audit["ok"]
+    assert audit["reason"] == "checksum_mismatch"
+
+
 def test_empty_snapshot_commits_and_verifies(spark, tmp_path):
     """An empty DataFrame is a legitimate snapshot: its manifest must
     carry the (0, 0) checksum identity (not NULLs), verify_version must
