@@ -342,10 +342,86 @@ def _bmp_bytes(seed: int, width: int, height: int) -> bytes:
     return header + dib + img
 
 
-def real_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic table of REAL media files (alternating wav/bmp),
-    generated inside the Arrow batch loop off ``spark.range`` — the same
-    executor-side generation shape a backfill of encoded media uses."""
+def _png_filter_row(ft: int, cur: bytes, prev: bytes) -> bytes:
+    """Apply PNG scanline filter ``ft`` (encode direction) to raw RGB
+    bytes ``cur`` given the prior reconstructed row ``prev`` (bpp=3)."""
+    n = len(cur)
+    if ft == 0:  # None
+        return cur
+    out = bytearray(n)
+    for i in range(n):
+        a = cur[i - 3] if i >= 3 else 0  # left
+        b = prev[i]  # up
+        c = prev[i - 3] if i >= 3 else 0  # up-left
+        if ft == 1:  # Sub
+            pred = a
+        elif ft == 2:  # Up
+            pred = b
+        elif ft == 3:  # Average
+            pred = (a + b) // 2
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_bytes(seed: int, width: int, height: int) -> bytes:
+    """A real non-interlaced 8-bit RGB PNG (color type 2): zlib-deflated
+    IDAT, CRC-correct chunks, and — so the decoder's filter
+    reconstruction is actually exercised — each scanline encoded with
+    filter ``row % 5`` (None/Sub/Up/Average/Paeth in rotation),
+    deterministic pixels."""
+    import struct
+    import zlib
+
+    stride = width * 3
+    raw = _det_bytes(f"png:{seed}", stride * height)
+    scanlines = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        cur = raw[r * stride : (r + 1) * stride]
+        ft = r % 5
+        scanlines.append(ft)
+        scanlines.extend(_png_filter_row(ft, cur, prev))
+        prev = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def real_media_table(
+    spark: SparkSession,
+    n: int = 64,
+    formats: tuple[str, ...] = ("bmp", "wav"),
+) -> DataFrame:
+    """Deterministic table of REAL media files (format cycles with
+    ``media_id % len(formats)``; the default keeps the original
+    bmp-on-even / wav-on-odd layout), generated inside the Arrow batch
+    loop off ``spark.range`` — the same executor-side generation shape a
+    backfill of encoded media uses. Each item's dimensions/rate are
+    arithmetic in media_id (bmp: 4+id%13 x 3+id%7; wav: 50+id%101
+    samples @ 8000+100*(id%5) Hz; png: 3+id%9 x 2+id%6) so an external
+    oracle can restate them without parsing the containers."""
+
+    fmts = tuple(formats)
+    unknown = set(fmts) - {"bmp", "wav", "png"}
+    if unknown:
+        raise ValueError(f"no real encoder for formats {sorted(unknown)}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -357,7 +433,8 @@ def real_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
             }
             for mid in pdf["id"]:
                 mid = int(mid)
-                if mid % 2 == 0:
+                fmt = fmts[mid % len(fmts)]
+                if fmt == "bmp":
                     w, h = 4 + mid % 13, 3 + mid % 7
                     payload = _bmp_bytes(mid, w, h)
                     kind, meta = "image", {
@@ -367,7 +444,7 @@ def real_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
                         "n_frames": None,
                         "format": "bmp",
                     }
-                else:
+                elif fmt == "wav":
                     ns, rate = 50 + mid % 101, 8000 + 100 * (mid % 5)
                     payload = _wav_bytes(mid, ns, rate)
                     kind, meta = "audio", {
@@ -376,6 +453,16 @@ def real_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
                         "sample_rate": rate,
                         "n_frames": ns,
                         "format": "wav",
+                    }
+                else:
+                    w, h = 3 + mid % 9, 2 + mid % 6
+                    payload = _png_bytes(mid, w, h)
+                    kind, meta = "image", {
+                        "width": w,
+                        "height": h,
+                        "sample_rate": None,
+                        "n_frames": None,
+                        "format": "png",
                     }
                 rows["media_id"].append(mid)
                 rows["kind"].append(kind)
@@ -442,14 +529,95 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, float]:
     return width, abs(height), None, None, mean  # type: ignore[return-value]
 
 
+def _decode_png(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Pure-stdlib PNG decode (zlib + chunk walk) for non-interlaced
+    8-bit RGB (color type 2): walks the chunk stream CRC-checked, inflates
+    the concatenated IDATs, reconstructs all five scanline filters, and
+    returns dimensions + mean channel level. Anything outside that shape
+    (palette, alpha, 16-bit, interlaced) fails loudly — those branches
+    need PIL."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, width, height = 8, None, None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if (depth, color) != (8, 2):
+                raise ValueError(
+                    f"only 8-bit RGB (color type 2) PNG supported, got "
+                    f"depth={depth} color_type={color}"
+                )
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("non-standard PNG compression/filter method")
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline stream length mismatch")
+    total = 0
+    prev = bytes(stride)
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft > 4:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        if ft:  # reconstruct: add the predictor back (inverse of encode)
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                line[i] = (line[i] + pred) & 0xFF
+        total += sum(line)
+        prev = bytes(line)
+    n_bytes = stride * height
+    mean = float(total) / (n_bytes * 255.0) if n_bytes else 0.0
+    return width, height, None, None, mean  # type: ignore[return-value]
+
+
 def decode_media_real(media: DataFrame) -> DataFrame:
-    """REAL decode of wav/bmp payloads (stdlib codecs, Arrow-batched).
+    """REAL decode of wav/bmp/png payloads (stdlib codecs, Arrow-batched).
 
     Output: one row per media item with the container-parsed dimensions
     (width/height for images, sample_rate/n_samples for audio) and
     ``mean_level`` in [0, 1] (mean |PCM16 amplitude| / 32768 for audio,
     mean channel byte / 255 for images). Unsupported formats raise
-    ValueError — png/jpeg/mp4 need PIL/pyav, which slot in here as
+    ValueError — jpeg/mp4 need PIL/pyav, which slot in here as
     additional format branches."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -464,10 +632,12 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                     w, h, rate, ns, mean = _decode_wav(payload)
                 elif fmt == "bmp":
                     w, h, rate, ns, mean = _decode_bmp(payload)
+                elif fmt == "png":
+                    w, h, rate, ns, mean = _decode_png(payload)
                 else:
                     raise ValueError(
                         f"unsupported format {fmt!r}: real decode handles "
-                        "wav/bmp (stdlib); png/jpeg/mp4 need PIL/pyav"
+                        "wav/bmp/png (stdlib); jpeg/mp4 need PIL/pyav"
                     )
                 out["media_id"].append(int(mid))
                 out["kind"].append(kind)

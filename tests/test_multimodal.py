@@ -62,7 +62,7 @@ def test_decode_media_real_dispatches_to_stdlib_codecs(media):
     # test below); the synthetic png/mp4 table must fail at a KNOWN branch
     # (format dispatch, RIFF magic, or BMP magic) — a bare Exception match
     # would also pass on schema/Py4J errors and pin nothing (ADVICE r6)
-    with pytest.raises(Exception, match="unsupported format|RIFF|not a BMP"):
+    with pytest.raises(Exception, match="unsupported format|RIFF|not a BMP|not a PNG"):
         decode_media(media, real=True).collect()
 
 
@@ -181,6 +181,73 @@ def test_bmp_decoder_rejects_core_header_and_compression():
         _decode_bmp(bmp(bpp=8))
 
 
+def test_real_media_decode_round_trips_png(spark):
+    """The r7 stdlib PNG codec: real zlib-deflated, CRC-correct PNG files
+    whose scanlines rotate through ALL FIVE filter types (row % 5), so
+    the decoder's Sub/Up/Average/Paeth reconstruction is exercised — the
+    recovered mean must equal the mean of the ORIGINAL pixel bytes
+    (modeled independently via the _det_bytes stream), exact."""
+    from asterlake.operators.multimodal import (
+        _det_bytes,
+        decode_media,
+        real_media_table,
+    )
+
+    media = real_media_table(spark, n=18, formats=("png",))
+    rows = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    assert len(rows) == 18
+    for mid, r in rows.items():
+        w, h = 3 + mid % 9, 2 + mid % 6
+        assert (r.format, r.kind) == ("png", "image")
+        assert (r.width, r.height) == (w, h)
+        raw = _det_bytes(f"png:{mid}", w * h * 3)
+        want = sum(raw) / (len(raw) * 255.0)
+        assert abs(r.mean_level - want) < 1e-6
+        assert r.sample_rate is None and r.n_samples is None
+
+
+def test_png_decoder_rejects_out_of_scope_shapes():
+    """Interlaced, non-RGB, CRC-corrupt, and truncated PNGs must fail
+    loudly at named branches — the PIL-requiring shapes stay gated."""
+    import struct
+    import zlib
+
+    from asterlake.operators.multimodal import _decode_png, _png_bytes
+
+    good = _png_bytes(3, 4, 3)
+
+    def rebuild_ihdr(**overrides):
+        fields = dict(w=4, h=3, depth=8, color=2, comp=0, filt=0, inter=0)
+        fields.update(overrides)
+        data = struct.pack(
+            ">IIBBBBB", fields["w"], fields["h"], fields["depth"],
+            fields["color"], fields["comp"], fields["filt"], fields["inter"],
+        )
+        body = b"IHDR" + data
+        chunk = (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+        return good[:8] + chunk + good[8 + 12 + 13 :]
+
+    with pytest.raises(ValueError, match="not a PNG payload"):
+        _decode_png(b"BM" + good)
+    with pytest.raises(ValueError, match="interlaced"):
+        _decode_png(rebuild_ihdr(inter=1))
+    with pytest.raises(ValueError, match="color type 2"):
+        _decode_png(rebuild_ihdr(color=6))  # RGBA needs PIL
+    with pytest.raises(ValueError, match="color type 2"):
+        _decode_png(rebuild_ihdr(depth=16))
+    # flip one IDAT byte: the chunk CRC must catch it
+    corrupt = bytearray(good)
+    corrupt[8 + 12 + 13 + 12 + 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        _decode_png(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        _decode_png(good[:8] + struct.pack(">I", 1 << 30) + good[12:])
+
+
 def test_real_decode_rejects_unsupported_formats(spark):
     """png/mp4 payloads (no stdlib codec) must fail LOUDLY at the marked
     swap branch, not decode garbage."""
@@ -192,6 +259,6 @@ def test_real_decode_rejects_unsupported_formats(spark):
     # whichever task fails first surfaces: the png/mp4 branch ("unsupported
     # format"), the wave parser on garbage ("RIFF"), or the BMP magic check
     with _pytest.raises(
-        Exception, match="unsupported format|RIFF|not a BMP"
+        Exception, match="unsupported format|RIFF|not a BMP|not a PNG"
     ):
         decode_media(fake, real=True).collect()
