@@ -1,0 +1,162 @@
+"""Bloom-filter semi-join reduction (beyond-parity, scale operator).
+
+The single biggest lever on a 100 TB fact-to-dim join is not the join
+algorithm — it is how many fact bytes reach the shuffle at all. When the
+dim side is selective (a filtered dimension, a key allowlist, yesterday's
+changed keys) but too large or too wide to broadcast as a hash relation,
+the classic fix is a **Bloom-filter semi-join**: fold the dim keys into a
+fixed-size bitmap (kilobytes to a few MB, independent of dim row width),
+broadcast THAT, and drop non-member fact rows *before* the exchange. The
+subsequent exact join eliminates the bitmap's false positives, so results
+are bit-identical to the plain join — only the shuffled volume changes.
+
+This is the technique behind Spark's own runtime row-level filtering
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``, InjectRuntimeFilter)
+and the semi-join reductions in Trino/Presto; here it is an explicit,
+composable operator so a pipeline can build the filter ONCE and probe it
+from many facts (the "key allowlist" shape incremental pipelines need),
+and so the FP budget is a declared parameter instead of an optimizer
+heuristic.
+
+Mechanics, all JVM-side (no UDFs):
+
+- ``bloom_bitmap``: k = ``n_hashes`` positions per key via
+  Kirsch-Mitzenmacher double hashing (pos_i = (h1 + i*h2) mod m with
+  h1/h2 two independent xxhash64 views of the key, both reduced mod m
+  BEFORE combining so ANSI bigint arithmetic cannot overflow), folded to
+  ``m/64`` longs with a map-side-combinable ``bit_or`` — the ONE shuffle
+  carries at most m/64 (word, bits) integer rows regardless of dim size —
+  then packed into a single-row ``map<long, long>``.
+- ``bloom_probe``: the one-row bitmap attaches to the fact by broadcast
+  (plans as a BroadcastNestedLoopJoin of a 1-row side — the sanctioned
+  bounds-attach shape, not a CartesianProduct) and membership is a pure
+  projection: ``try_element_at`` word lookups (NULL-safe under ANSI,
+  absent word -> non-member) + bitwise tests, evaluated inside
+  whole-stage codegen before any exchange of the fact.
+- ``bloom_semi_join``: probe then exact inner join — the user-facing
+  composition whose output provably equals the unfiltered join.
+
+Sizing: FP rate ~ (1 - e^(-k*n/m))^k; the default m = 2^20 bits (16 Ki
+longs, 128 KiB broadcast) holds ~73k keys at k=5 under 1% FP. At 100 TB
+raise ``n_bits`` — the bitmap stays driver-safe (2^27 bits = 16 MiB)
+while a hash-relation broadcast of the same keys would carry full rows.
+
+NULL fact keys never match (a NULL key joins nothing in an inner join,
+and the probe's bitwise conjunction evaluates NULL -> filtered), matching
+the exact join's semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_N_BITS = 1 << 20
+DEFAULT_N_HASHES = 5
+
+
+def _as_col(key: Column | str) -> Column:
+    return F.col(key) if isinstance(key, str) else key
+
+
+def _positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    """The k bit positions of ``key``: double hashing over two xxhash64
+    views (the second view appends a literal discriminator, which changes
+    the hash stream). Both hashes reduce mod m before combining, so the
+    ANSI-mode bigint add/multiply stays far from overflow."""
+    m = F.lit(int(n_bits)).cast("long")
+    h1 = F.pmod(F.xxhash64(key), m)
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), m)
+    return [
+        F.pmod(h1 + F.lit(i).cast("long") * h2, m) for i in range(n_hashes)
+    ]
+
+
+def bloom_bitmap(
+    dim: DataFrame,
+    key: Column | str,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """One-row ``map<long, long>`` Bloom bitmap of ``dim``'s key column.
+
+    The explode emits k rows per key but the shuffle carries only the
+    bit_or partials: at most ``n_bits/64`` (word, bits) rows however
+    large the dim is. No ``distinct`` pass — bit_or is idempotent, so
+    duplicate keys cost nothing and the extra shuffle is saved. NULL
+    keys contribute no bits (they cannot match an inner join)."""
+    k = _as_col(key)
+    pos = F.explode(F.array(*_positions(k, n_bits, n_hashes))).alias("_pos")
+    words = (
+        dim.where(k.isNotNull())
+        .select(pos)
+        .select(
+            (F.col("_pos") / F.lit(64)).cast("long").alias("_word"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("_pos"), F.lit(64)).cast("int"),
+            ).alias("_bit"),
+        )
+        .groupBy("_word")
+        .agg(F.bit_or("_bit").alias("_bits"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_word"), F.col("_bits")))
+            )
+        ).alias("_bloom")
+    )
+
+
+def bloom_probe(
+    fact: DataFrame,
+    key: Column | str,
+    bitmap: DataFrame,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """Rows of ``fact`` whose key is *probably* in the bitmap (never
+    drops a true member; keeps a bounded fraction of non-members). The
+    bitmap (one row) attaches by broadcast and the membership test is a
+    pure projection — the fact is filtered before any exchange."""
+    k = _as_col(key)
+    tests = []
+    for p in _positions(k, n_bits, n_hashes):
+        word = (p / F.lit(64)).cast("long")
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+        )
+        looked = F.coalesce(
+            F.try_element_at(F.col("_bloom"), word), F.lit(0).cast("long")
+        )
+        tests.append(looked.bitwiseAND(bit) != F.lit(0).cast("long"))
+    member = tests[0]
+    for t in tests[1:]:
+        member = member & t
+    return (
+        fact.join(F.broadcast(bitmap))
+        .where(member)
+        .drop("_bloom")
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: Column | str,
+    dim_key: str,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> DataFrame:
+    """Exact inner join of ``fact`` to ``dim`` with a Bloom pre-filter on
+    the fact side: bit-identical results to the plain join (the exact
+    join removes the bitmap's false positives), but only probable-member
+    fact rows reach the join's shuffle. ``dim_key`` is a column name (it
+    must survive into the join condition); ``fact_key`` may be any
+    expression."""
+    bitmap = bloom_bitmap(dim, dim_key, n_bits, n_hashes)
+    pruned = bloom_probe(fact, fact_key, bitmap, n_bits, n_hashes)
+    return pruned.join(
+        dim, on=_as_col(fact_key) == F.col(dim_key), how="inner"
+    )

@@ -3783,6 +3783,44 @@ def q_salted_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bloom_semi_join",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, exactness gate (r7,
+    operators/bloomjoin.py): the lineitem-to-urgent-orders join runs
+    through bloom_semi_join — the urgent keys fold into a 2^20-bit
+    bitmap whose ONE shuffle carries at most 16 Ki (word, bits) longs,
+    the bitmap broadcasts as a single row, and non-member lineitems are
+    dropped by a pure projection BEFORE the join's exchange. The exact
+    join then removes the bitmap's false positives, so revenue must be
+    BIT-IDENTICAL to the oracle's plain join — the same physical-rewrite-
+    only contract the salted-join gate pins. Plan shape (no fact
+    exchange before the probe, bounded bitmap subtree) is pinned in
+    tests/test_bloomjoin.py + test_plans.py."""
+    from asterlake.operators.bloomjoin import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    joined = bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        _sum_fixed(_REV_SPARK(), 1e4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
     "q_stream_stateful_counts",
     """
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events_total
@@ -6166,15 +6204,19 @@ _POST_FREEZE_R6 = [
 ]
 _TOUCHED_R7 = [
     "q_media_decode_real",
+    "q_bloom_semi_join",  # NEW r7: Bloom semi-join reduction exactness gate
     "q_trimmed_stats",
     "q_percentiles_exact",
     "q_stream_quarantine",
     "q_embedding_block_neighbors",
 ]
+# 41 of the 42 r4-era rows (>= 40 per the r6 verdict ask #5);
+# q_array_functions yields its slot to the new q_bloom_semi_join — it is
+# a pure built-in scalar-surface query untouched since r1 (lowest drift
+# risk in the r4 set) and leads the r8 freshness queue.
 _STALE_R4 = [
     "q_ann_int8_topk",
     "q_anomaly_outliers",
-    "q_array_functions",
     "q_chunk_documents",
     "q_collocations_lift",
     "q_conditional_agg",

