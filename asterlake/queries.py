@@ -2324,6 +2324,59 @@ def _corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+# Oracle for the leakage-safe split: reuse the registered recursive-CTE
+# clusters oracle verbatim as a nested CTE (DuckDB allows WITH RECURSIVE
+# inside a CTE body), then assign splits by the same md5 hash-bucket twin
+# the sampling oracles use — keyed on the CLUSTER id, not the doc.
+def _split_leakage_safe_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    clusters_sql = QUERIES["q_dedup_clusters"].oracle
+    bucket = duck_hash_bucket_sql("cluster")
+    return f"""
+    WITH labeled AS ({clusters_sql})
+    SELECT CASE WHEN {bucket} < 10 THEN 'test'
+                WHEN {bucket} < 20 THEN 'val'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+    FROM labeled
+    GROUP BY 1
+    """
+
+
+@query("q_split_leakage_safe", None)  # oracle injected below (needs QUERIES)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (r7): near-duplicate documents
+    must land in the SAME split — a test document whose near-dup sits in
+    train is silent test-set contamination, the exact failure
+    decontamination audits hunt post-hoc. Composition: the memoized
+    corpus near-dup closure (_corpus_clusters: 3-gram Jaccard >= 0.5
+    pairs -> connected components) keys the deterministic md5
+    hash-bucket split BY CLUSTER ID, so whole clusters move together by
+    construction and the assignment is a pure function of the data
+    (engine/partitioning/corpus-growth independent — the
+    sampling-family contract). Output: per-split doc + cluster counts;
+    the oracle re-derives the clusters with the recursive-CTE ground
+    truth and the same hash twin, so a single doc straddling splits
+    hash-mismatches. Scale: one pure projection on top of the closure
+    labels + a 3-group aggregate — the split itself adds no shuffle of
+    the corpus."""
+    from asterlake.operators.sampling import train_val_test_split
+
+    clusters = _corpus_clusters(spark, sf_dir)
+    labeled = train_val_test_split(clusters, "cluster")
+    return labeled.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+
+
+QUERIES["q_split_leakage_safe"] = QueryDef(
+    q_split_leakage_safe, _split_leakage_safe_oracle()
+)
+
+
 @query(
     "q_sample_stratified",
     None,  # oracle injected below (shares the hash-bucket SQL helper)
@@ -6205,21 +6258,22 @@ _POST_FREEZE_R6 = [
 _TOUCHED_R7 = [
     "q_media_decode_real",
     "q_bloom_semi_join",  # NEW r7: Bloom semi-join reduction exactness gate
+    "q_split_leakage_safe",  # NEW r7: cluster-keyed leakage-safe split
     "q_trimmed_stats",
     "q_percentiles_exact",
     "q_stream_quarantine",
     "q_embedding_block_neighbors",
 ]
-# 41 of the 42 r4-era rows (>= 40 per the r6 verdict ask #5);
-# q_array_functions yields its slot to the new q_bloom_semi_join — it is
-# a pure built-in scalar-surface query untouched since r1 (lowest drift
-# risk in the r4 set) and leads the r8 freshness queue.
+# 40 of the 42 r4-era rows (>= 40 per the r6 verdict ask #5);
+# q_array_functions and q_conditional_agg yield their slots to the new
+# q_bloom_semi_join and q_split_leakage_safe — both are pure built-in
+# function-surface queries untouched since r1 (lowest drift risk in the
+# r4 set) and lead the r8 freshness queue.
 _STALE_R4 = [
     "q_ann_int8_topk",
     "q_anomaly_outliers",
     "q_chunk_documents",
     "q_collocations_lift",
-    "q_conditional_agg",
     "q_contamination_scores",
     "q_decayed_engagement",
     "q_dedup_containment",

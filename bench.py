@@ -92,6 +92,7 @@ def main() -> None:
         for builder, rider in [
             ("q_trimmed_stats", "q_sketch_distinct"),   # _flag_price_counts
             ("q_dedup_clusters", "q_dedup_survivors"),  # _corpus_clusters
+            ("q_dedup_clusters", "q_split_leakage_safe"),  # _corpus_clusters
         ]:
             bi, ri = order.index(builder), order.index(rider)
             if bi > ri:

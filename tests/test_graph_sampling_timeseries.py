@@ -431,3 +431,58 @@ def test_time_weighted_avg_vs_plain_avg_burst_bias(spark):
     avg = df.agg(F.avg("value")).collect()[0][0]
     # 100.0 held 10s, 0.0 held 1h: twap ~ 0.3; row mean ~ 83
     assert twap < 1.0 < avg
+
+
+def test_leakage_safe_split_keeps_near_dup_pairs_together(spark):
+    """The r7 leakage-safe split contract, asserted at the PAIR level on
+    real corpus data: for every near-dup pair (3-gram Jaccard >= 0.5),
+    both documents get the SAME train/val/test assignment — the property
+    that makes the split contamination-free by construction rather than
+    by post-hoc decontamination. Also pins that the assignment is the
+    pure cluster-keyed hash (recomputing it from the cluster id matches)
+    and that every doc is assigned exactly once."""
+    from asterlake.operators.dedup import ngram_jaccard_pairs
+    from asterlake.operators.graph import duplicate_clusters
+    from asterlake.operators.sampling import hash_bucket, train_val_test_split
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("doc_a", "doc_b")
+    labeled = train_val_test_split(
+        duplicate_clusters(pairs, d), "cluster"
+    ).cache()
+    try:
+        assert labeled.count() == d.count()  # every doc, exactly once
+        assert labeled.select("doc_id").distinct().count() == d.count()
+        straddling = (
+            pairs.join(
+                labeled.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("split").alias("split_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                labeled.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("split").alias("split_b"),
+                ),
+                "doc_b",
+            )
+            .where(F.col("split_a") != F.col("split_b"))
+            .count()
+        )
+        assert straddling == 0
+        # the assignment is the declared pure function of the cluster id
+        recomputed = labeled.withColumn("_b", hash_bucket(F.col("cluster")))
+        bad = recomputed.where(
+            (
+                F.when(F.col("_b") < 10, F.lit("test"))
+                .when(F.col("_b") < 20, F.lit("val"))
+                .otherwise(F.lit("train"))
+            )
+            != F.col("split")
+        ).count()
+        assert bad == 0
+    finally:
+        labeled.unpersist()
