@@ -26,13 +26,23 @@ Mechanics, all JVM-side (no UDFs):
   BEFORE combining so ANSI bigint arithmetic cannot overflow), folded to
   ``m/64`` longs with a map-side-combinable ``bit_or`` — the ONE shuffle
   carries at most m/64 (word, bits) integer rows regardless of dim size —
-  then packed into a single-row ``map<long, long>``.
+  then packed into a single-row DENSE ``array<long>`` of length m/64.
+  Dense, not a map: Spark's ArrayBasedMapData ``element_at`` is a LINEAR
+  scan, so k probes per fact row against an m/64-entry map cost
+  O(k * m/64) EACH — measured 19s for the sf0.1 lineitem probe vs <1s
+  with O(1) ``get`` array indexing. Densification joins the sparse
+  (word, bits) rows onto a ``range(m/64)`` spine and collects the
+  SORTED bits as the transform's INPUT — never inside a lambda:
+  CollapseProject merges a densifying projection into the aggregate, and
+  a ``map_from_entries(collect_list(...))`` referenced from within a
+  transform lambda re-evaluates PER ELEMENT (measured: 317s to build a
+  16 Ki-word bitmap that way; as the transform input it is built once).
 - ``bloom_probe``: the one-row bitmap attaches to the fact by broadcast
   (plans as a BroadcastNestedLoopJoin of a 1-row side — the sanctioned
   bounds-attach shape, not a CartesianProduct) and membership is a pure
-  projection: ``try_element_at`` word lookups (NULL-safe under ANSI,
-  absent word -> non-member) + bitwise tests, evaluated inside
-  whole-stage codegen before any exchange of the fact.
+  projection: O(1) ``get`` word lookups (0-based, NULL-safe — no ANSI
+  out-of-bounds throw) + bitwise tests, evaluated inside whole-stage
+  codegen before any exchange of the fact.
 - ``bloom_semi_join``: probe then exact inner join — the user-facing
   composition whose output provably equals the unfiltered join.
 
@@ -77,14 +87,19 @@ def bloom_bitmap(
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
 ) -> DataFrame:
-    """One-row ``map<long, long>`` Bloom bitmap of ``dim``'s key column.
+    """One-row dense ``array<long>`` (length ``n_bits/64``) Bloom bitmap
+    of ``dim``'s key column.
 
     The explode emits k rows per key but the shuffle carries only the
     bit_or partials: at most ``n_bits/64`` (word, bits) rows however
     large the dim is. No ``distinct`` pass — bit_or is idempotent, so
     duplicate keys cost nothing and the extra shuffle is saved. NULL
-    keys contribute no bits (they cannot match an inner join)."""
+    keys contribute no bits (they cannot match an inner join). The
+    sparse (word, bits) entries densify into the fixed-length array ONCE
+    here, so every probe lookup is O(1) indexing (see module notes on
+    the map-literal linear-scan trap)."""
     k = _as_col(key)
+    n_words = (int(n_bits) + 63) // 64
     pos = F.explode(F.array(*_positions(k, n_bits, n_hashes))).alias("_pos")
     words = (
         dim.where(k.isNotNull())
@@ -100,11 +115,23 @@ def bloom_bitmap(
         .groupBy("_word")
         .agg(F.bit_or("_bit").alias("_bits"))
     )
-    return words.agg(
-        F.map_from_entries(
+    # densify on a range spine: every word 0..n_words-1 exactly once, in
+    # order, absent words -> 0. The collect feeds array_sort as the
+    # transform's INPUT (one evaluation), and the lambda is a plain
+    # field extraction per element.
+    spine = dim.sparkSession.range(n_words).select(
+        F.col("id").alias("_word")
+    )
+    dense_rows = spine.join(F.broadcast(words), "_word", "left").select(
+        "_word",
+        F.coalesce(F.col("_bits"), F.lit(0).cast("long")).alias("_bits"),
+    )
+    return dense_rows.agg(
+        F.transform(
             F.array_sort(
                 F.collect_list(F.struct(F.col("_word"), F.col("_bits")))
-            )
+            ),
+            lambda s: s["_bits"],
         ).alias("_bloom")
     )
 
@@ -123,12 +150,14 @@ def bloom_probe(
     k = _as_col(key)
     tests = []
     for p in _positions(k, n_bits, n_hashes):
-        word = (p / F.lit(64)).cast("long")
+        word = (p / F.lit(64)).cast("int")
         bit = F.call_function(
             "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
         )
+        # F.get: 0-based array index, NULL (never ANSI throw) when out of
+        # range; word < n_bits/64 by construction so lookups always hit
         looked = F.coalesce(
-            F.try_element_at(F.col("_bloom"), word), F.lit(0).cast("long")
+            F.get(F.col("_bloom"), word), F.lit(0).cast("long")
         )
         tests.append(looked.bitwiseAND(bit) != F.lit(0).cast("long"))
     member = tests[0]
