@@ -149,6 +149,7 @@ def range_bucket_stats(
     df: DataFrame,
     col: str,
     n_buckets: int = 8,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Equi-depth range-partition plan for a sorted layout.
 
@@ -166,14 +167,31 @@ def range_bucket_stats(
     back as a 1-row cross join), one pure-projection bucket assignment,
     one bucket-keyed count/min/max aggregate. The fact shuffles once, on
     the bucket id.
+
+    ``counts`` optionally supplies a prebuilt
+    :func:`~asterlake.operators.stats.distinct_value_counts` table over
+    a constant ``_g`` group (the memoized-counts pattern): callers
+    computing several percentile-backed stats of the same column pass it
+    so the distinct-value aggregate materializes once and is exempt from
+    exact_percentiles' per-call cache release.
     """
     from asterlake.operators.stats import exact_percentiles
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
     names = [f"_b{i}" for i in range(1, n_buckets)]
-    bounds = exact_percentiles(
-        df.select(col), [], col, probs, out_names=names
-    )
+    if counts is None:
+        bounds = exact_percentiles(
+            df.select(col), [], col, probs, out_names=names
+        )
+    else:
+        bounds = exact_percentiles(
+            df.select(col).withColumn("_g", F.lit(0)),
+            ["_g"],
+            col,
+            probs,
+            out_names=names,
+            counts=counts,
+        ).drop("_g")
     with_bounds = df.select(col).crossJoin(F.broadcast(bounds))
     bucket = sum(
         (F.when(F.col(col) > F.col(nm), 1).otherwise(0) for nm in names),

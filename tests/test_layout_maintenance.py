@@ -151,3 +151,32 @@ def test_range_bucket_stats_equidepth_and_disjoint(spark):
     for r in rows:
         assert r.n_rows >= total // 8 - total // 20
         assert r.n_rows <= total // 8 + total // 20
+
+
+def test_range_bucket_stats_with_prebuilt_counts_is_identical(spark):
+    """The memoized-counts routing (r7: shared _global_price_counts) must
+    be a pure physical substitution — bit-identical manifest rows to the
+    internal global path."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.layout import range_bucket_stats
+    from asterlake.operators.stats import distinct_value_counts
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    counts = distinct_value_counts(
+        li.select("l_extendedprice").withColumn("_g", F.lit(0)),
+        ["_g"],
+        "l_extendedprice",
+    )
+    try:
+        plain = sorted(
+            range_bucket_stats(li, "l_extendedprice", n_buckets=8).collect()
+        )
+        routed = sorted(
+            range_bucket_stats(
+                li, "l_extendedprice", n_buckets=8, counts=counts
+            ).collect()
+        )
+        assert plain == routed
+    finally:
+        counts.unpersist()
