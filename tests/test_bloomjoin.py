@@ -113,6 +113,37 @@ def test_null_fact_keys_never_match(spark, urgent_orders):
     assert kept.where(F.col("l_orderkey").isNull()).count() == 0
 
 
+def test_string_keys_roundtrip_no_false_negatives(spark):
+    """xxhash64 hashes strings by a different code path than longs; the
+    no-false-negative contract must hold for string keys too (the
+    'key allowlist' shape is usually string ids), including keys that
+    collide visually (case variants, embedded separators)."""
+    dim = spark.createDataFrame(
+        [(f"user-{i}",) for i in range(0, 300, 3)]
+        + [("UPPER",), ("upper",), ("a|b",), ("a}{b",), ("",)],
+        "k string",
+    )
+    fact = spark.createDataFrame(
+        [(f"user-{i}",) for i in range(300)]
+        + [("UPPER",), ("upper",), ("a|b",), ("a}{b",), ("",), ("absent",)],
+        "k string",
+    )
+    bm = bloom_bitmap(dim, "k", n_bits=1 << 14, n_hashes=4)
+    kept = set(
+        r.k for r in bloom_probe(
+            fact, F.col("k"), bm, n_bits=1 << 14, n_hashes=4
+        ).collect()
+    )
+    members = set(r.k for r in dim.collect())
+    facts = set(r.k for r in fact.collect())
+    assert members & facts <= kept  # every true member survives
+    dim2 = dim.withColumnRenamed("k", "k2")  # join keys need distinct names
+    joined = bloom_semi_join(fact, dim2, "k", "k2", n_bits=1 << 14, n_hashes=4)
+    # exact join on top: result equals the plain inner join
+    plain = fact.join(dim2, F.col("k") == F.col("k2"))
+    assert joined.count() == plain.count()
+
+
 def test_probe_is_projection_before_any_fact_exchange(lineitem, urgent_orders):
     """Plan shape: the fact side reaches the membership filter through a
     BroadcastNestedLoopJoin of the ONE-row bitmap — no exchange of fact
