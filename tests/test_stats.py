@@ -384,6 +384,39 @@ def test_percentile_call_state_is_released_by_next_call(spark, lineitem):
     assert n_persistent() == base
 
 
+def test_memoized_counts_survive_the_release_cycle(spark, lineitem):
+    """The memo pattern's load-bearing contract: counts passed in via
+    ``counts=`` are CALLER-owned — neither the next call's automatic
+    release nor an explicit release_percentile_state() may unpersist
+    them (only locally-built state is registered). _flag_price_counts /
+    _global_price_counts riders depend on this."""
+    from asterlake.operators.stats import (
+        distinct_value_counts,
+        exact_percentiles,
+        release_percentile_state,
+    )
+
+    memo = distinct_value_counts(
+        lineitem, ["l_returnflag"], "l_extendedprice"
+    )
+    try:
+        exact_percentiles(
+            lineitem, ["l_returnflag"], "l_extendedprice", [0.5],
+            counts=memo,
+        ).collect()
+        assert memo.storageLevel.useMemory or memo.storageLevel.useDisk
+        # a following call (locally-built counts) releases the previous
+        # generation — the memo must not be in it
+        exact_percentiles(
+            lineitem, ["l_returnflag"], "l_quantity", [0.9]
+        ).collect()
+        assert memo.storageLevel.useMemory or memo.storageLevel.useDisk
+        release_percentile_state()
+        assert memo.storageLevel.useMemory or memo.storageLevel.useDisk
+    finally:
+        memo.unpersist()
+
+
 def test_rank_window_is_bucket_partitioned(spark, lineitem):
     """The within-bucket cumsum must partition by (group, bucket) — no
     window over a group's FULL distinct-value set (the single-reducer
