@@ -1218,6 +1218,40 @@ def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_frequent_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, n_total
+    FROM toks, tot
+    GROUP BY token, n_total
+    HAVING CAST(COUNT(*) AS BIGINT) * 100 >= n_total
+    """,
+)
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state EXACT frequent items (r7, operators/frequency.py):
+    tokens holding >= 1% of the corpus, via per-task Misra-Gries
+    candidate summaries (mergeable-summaries trim, at most ``capacity``
+    keys of state and output per task — no vocabulary-sized shuffle)
+    then an exact broadcast-semi recount of the candidates only. The
+    MG phase provably never drops a true frequent key (pigeonhole +
+    strict survival bound, adversarial-partitioning tests in
+    tests/test_frequency.py), so the result is IDENTICAL to the full
+    GROUP BY/HAVING the oracle runs — threshold compared in exact
+    BIGINT (cnt * 100 >= n_total), so boundary tokens cannot flip
+    between engines."""
+    from asterlake.operators.frequency import frequent_items
+    from asterlake.operators.textstats import whitespace_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(whitespace_tokens("text")).alias("token"))
+    return frequent_items(toks, "token", denom=100)
+
+
 # ===========================================================================
 # Beyond-parity: multimodal columns (operators/multimodal.py)
 #
@@ -6309,18 +6343,18 @@ _TOUCHED_R7 = [
     "q_media_decode_real",
     "q_bloom_semi_join",  # NEW r7: Bloom semi-join reduction exactness gate
     "q_split_leakage_safe",  # NEW r7: cluster-keyed leakage-safe split
+    "q_frequent_tokens",  # NEW r7: bounded-state exact frequent items
     "q_histogram_equidepth",   # r7: boundaries now rank the shared memo
     "q_range_layout_stats",    # r7: cut points now rank the shared memo
     "q_embedding_block_neighbors",
 ]
-# 41 of the 42 r4-era rows (>= 40 per the r6 verdict ask #5, counting
-# q_pagerank_copurchase in the post-freeze group); q_conditional_agg
-# yields its slot to the new r7 queries — a pure built-in
-# function-surface query untouched since r1 (lowest drift risk in the
-# r4 set), it leads the r8 freshness queue.
+# 40 of the 42 r4-era rows (>= 40 per the r6 verdict ask #5, counting
+# q_pagerank_copurchase in the post-freeze group); q_conditional_agg and
+# q_array_functions yield their slots to the new r7 queries — both pure
+# built-in function-surface queries untouched since r1 (lowest drift
+# risk in the r4 set), they lead the r8 freshness queue.
 _STALE_R4 = [
     "q_ann_int8_topk",
-    "q_array_functions",
     "q_anomaly_outliers",
     "q_chunk_documents",
     "q_collocations_lift",
