@@ -404,3 +404,61 @@ def queries_touched(base: str | None = None) -> set[str]:
                 touched.update(s.queries)
 
     return touched
+
+
+def latest_scored_rounds() -> dict[str, int]:
+    """Per-query latest driver-scored round, aggregated over every
+    CORRECTNESS_r*.json in the repo root. Queries never scored are
+    absent from the result."""
+    import glob
+    import json
+
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for q in rows:
+            latest[q] = max(latest.get(q, 0), rnd)
+    return latest
+
+
+def suggest_front(
+    declared: list[str],
+    exempt: set[str] | None = None,
+    budget: int = FRONT_BUDGET,
+    base: str | None = None,
+) -> list[str]:
+    """The next round's scoring front, derived mechanically: touched
+    queries first (minus justified exemptions), then never-scored
+    queries (new declarations need a first hard signal), then
+    longest-unverified-first; ties break by name for a stable output.
+    Returns exactly ``budget`` names (or all of ``declared`` if fewer).
+
+    This is the freeze procedure: run it AFTER the round's last operator
+    commit, paste the result into the ordering block, and the
+    enforcement test keeps it honest from then on.
+
+    Known limitation: churn that happened BEFORE ``base`` (e.g. the
+    previous round's post-freeze changes, called out in its VERDICT) is
+    invisible to the diff — carry those promotions over by hand, as the
+    r7 front does for the r6 post-freeze four."""
+    exempt = exempt or set()
+    latest = latest_scored_rounds()
+    touched = queries_touched(base) - exempt
+
+    def rank(q: str) -> tuple:
+        return (
+            0 if q in touched else 1,
+            # never-scored before oldest-scored, then ascending round
+            latest.get(q, -1),
+            q,
+        )
+
+    ordered = sorted(declared, key=rank)
+    return ordered[:budget]

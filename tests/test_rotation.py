@@ -156,6 +156,31 @@ def test_helper_reference_closure_reaches_queries(tmp_path, monkeypatch):
     assert rotation.queries_touched(base="IGNORED") == {"q_alpha", "q_beta"}
 
 
+def test_suggest_front_orders_touched_then_new_then_oldest(monkeypatch):
+    """The freeze procedure's ordering contract: touched (non-exempt)
+    first, then never-scored, then longest-unverified, name ties
+    stable."""
+    import asterlake.rotation as rotation
+
+    monkeypatch.setattr(
+        rotation, "queries_touched", lambda base=None: {"q_t", "q_ex"}
+    )
+    monkeypatch.setattr(
+        rotation,
+        "latest_scored_rounds",
+        lambda: {"q_t": 6, "q_old": 3, "q_older": 2, "q_mid": 5, "q_ex": 6},
+    )
+    declared = ["q_mid", "q_new", "q_older", "q_t", "q_old", "q_ex"]
+    got = rotation.suggest_front(declared, exempt={"q_ex"}, budget=4)
+    # q_t touched; q_new never scored; then oldest rounds ascending
+    assert got == ["q_t", "q_new", "q_older", "q_old"]
+    # budget > declared: everything, exempt ranked by age like the rest
+    assert rotation.suggest_front(declared, exempt={"q_ex"}, budget=10)[-1] in (
+        "q_ex",
+        "q_t",
+    )
+
+
 def test_unrelated_module_constant_does_not_promote(monkeypatch, tmp_path):
     """Name-level propagation: a module change whose touched names are
     never referenced by a query must not promote it (adding SIG_ENCODING
