@@ -202,3 +202,38 @@ def verify_version(
         "expected": expected,
         "actual": actual,
     }
+
+
+def vacuum_versions(root: str, keep_last: int = 2) -> dict:
+    """Retention for the snapshot store: delete all but the newest
+    ``keep_last`` COMMITTED versions (plus any uncommitted leftovers of
+    already-vacuumed slots). Returns ``{"kept": [...], "removed": [...]}``.
+
+    Crash-safe in the same commit-by-manifest discipline writes use, in
+    reverse: the MANIFEST is deleted first (one atomic unlink makes the
+    version invisible to every reader — ``read_version``/``_versions``
+    ignore manifest-less directories), then the data files. A vacuum
+    that dies mid-way leaves either a fully-visible version or an
+    invisible data directory that the next vacuum finishes removing;
+    no reader can observe a partially-deleted snapshot.
+
+    Version numbers are never reused after a vacuum: ``write_version``
+    allocates ``latest_version() + 1`` and the newest version is always
+    kept, so the counter only moves forward.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest must survive)")
+    committed = _versions(root)
+    keep = set(committed[-keep_last:])
+    removed: list[int] = []
+    for v in _versions(root, committed_only=False):
+        if v in keep:
+            continue
+        manifest = _manifest_path(root, v)
+        if os.path.isfile(manifest):
+            os.remove(manifest)  # atomic: version now invisible
+        shutil.rmtree(os.path.join(root, f"v={v}"), ignore_errors=True)
+        removed.append(v)
+    return {"kept": sorted(keep), "removed": removed}

@@ -137,3 +137,38 @@ def test_empty_snapshot_commits_and_verifies(spark, tmp_path):
     m2 = write_version(_corpus(spark, 10, "b"), root)
     folded = combine_checksums(m, m2)
     assert folded["n_rows"] == 10 and folded["xor_sig"] == m2["xor_sig"]
+
+
+def test_vacuum_keeps_newest_and_removes_rest(spark, tmp_path):
+    from asterlake.sources.versioned import vacuum_versions
+
+    root = str(tmp_path / "corpus")
+    for i, tag in enumerate("abcd"):
+        write_version(_corpus(spark, 10 + i, tag), root)
+    out = vacuum_versions(root, keep_last=2)
+    assert out == {"kept": [3, 4], "removed": [1, 2]}
+    assert latest_version(root) == 4
+    assert read_version(spark, root, 3).count() == 12
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, 1)
+    # version numbers advance, never reuse a vacuumed slot
+    m = write_version(_corpus(spark, 99, "e"), root)
+    assert m["version"] == 5
+    # vacuumed data dirs are actually gone from disk
+    assert not os.path.isdir(os.path.join(root, "v=1"))
+
+
+def test_vacuum_finishes_a_crashed_removal_and_validates(spark, tmp_path):
+    from asterlake.sources.versioned import vacuum_versions
+
+    root = str(tmp_path / "corpus")
+    for tag in "ab":
+        write_version(_corpus(spark, 10, tag), root)
+    # simulate a vacuum that died after the manifest unlink
+    os.remove(os.path.join(root, "v=1", "manifest.json"))
+    assert latest_version(root) == 2  # invisible already
+    out = vacuum_versions(root, keep_last=1)
+    assert out["removed"] == [1] and out["kept"] == [2]
+    assert not os.path.isdir(os.path.join(root, "v=1"))
+    with pytest.raises(ValueError):
+        vacuum_versions(root, keep_last=0)
