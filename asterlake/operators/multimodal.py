@@ -342,17 +342,20 @@ def _bmp_bytes(seed: int, width: int, height: int) -> bytes:
     return header + dib + img
 
 
-def _png_filter_row(ft: int, cur: bytes, prev: bytes) -> bytes:
-    """Apply PNG scanline filter ``ft`` (encode direction) to raw RGB
-    bytes ``cur`` given the prior reconstructed row ``prev`` (bpp=3)."""
+def _png_filter_row(
+    ft: int, cur: bytes, prev: bytes, bpp: int = 3
+) -> bytes:
+    """Apply PNG scanline filter ``ft`` (encode direction) to raw pixel
+    bytes ``cur`` given the prior reconstructed row ``prev`` (``bpp``
+    bytes per pixel: 3 for RGB, 1 for grayscale)."""
     n = len(cur)
     if ft == 0:  # None
         return cur
     out = bytearray(n)
     for i in range(n):
-        a = cur[i - 3] if i >= 3 else 0  # left
+        a = cur[i - bpp] if i >= bpp else 0  # left
         b = prev[i]  # up
-        c = prev[i - 3] if i >= 3 else 0  # up-left
+        c = prev[i - bpp] if i >= bpp else 0  # up-left
         if ft == 1:  # Sub
             pred = a
         elif ft == 2:  # Up
@@ -367,16 +370,20 @@ def _png_filter_row(ft: int, cur: bytes, prev: bytes) -> bytes:
     return bytes(out)
 
 
-def _png_bytes(seed: int, width: int, height: int) -> bytes:
-    """A real non-interlaced 8-bit RGB PNG (color type 2): zlib-deflated
-    IDAT, CRC-correct chunks, and — so the decoder's filter
-    reconstruction is actually exercised — each scanline encoded with
-    filter ``row % 5`` (None/Sub/Up/Average/Paeth in rotation),
-    deterministic pixels."""
+def _png_bytes(
+    seed: int, width: int, height: int, grayscale: bool = False
+) -> bytes:
+    """A real non-interlaced 8-bit PNG (color type 2 RGB, or color type
+    0 grayscale): zlib-deflated IDAT, CRC-correct chunks, and — so the
+    decoder's filter reconstruction is actually exercised — each
+    scanline encoded with filter ``row % 5`` (None/Sub/Up/Average/Paeth
+    in rotation), deterministic pixels."""
     import struct
     import zlib
 
-    stride = width * 3
+    bpp = 1 if grayscale else 3
+    color_type = 0 if grayscale else 2
+    stride = width * bpp
     raw = _det_bytes(f"png:{seed}", stride * height)
     scanlines = bytearray()
     prev = bytes(stride)
@@ -384,7 +391,7 @@ def _png_bytes(seed: int, width: int, height: int) -> bytes:
         cur = raw[r * stride : (r + 1) * stride]
         ft = r % 5
         scanlines.append(ft)
-        scanlines.extend(_png_filter_row(ft, cur, prev))
+        scanlines.extend(_png_filter_row(ft, cur, prev, bpp))
         prev = cur
 
     def chunk(tag: bytes, data: bytes) -> bytes:
@@ -395,7 +402,7 @@ def _png_bytes(seed: int, width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -531,17 +538,18 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, float]:
 
 def _decode_png(payload: bytes) -> tuple[int, int, int, int, float]:
     """Pure-stdlib PNG decode (zlib + chunk walk) for non-interlaced
-    8-bit RGB (color type 2): walks the chunk stream CRC-checked, inflates
-    the concatenated IDATs, reconstructs all five scanline filters, and
-    returns dimensions + mean channel level. Anything outside that shape
-    (palette, alpha, 16-bit, interlaced) fails loudly — those branches
-    need PIL."""
+    8-bit RGB (color type 2) and grayscale (color type 0): walks the
+    chunk stream CRC-checked, inflates the concatenated IDATs,
+    reconstructs all five scanline filters at the format's
+    bytes-per-pixel, and returns dimensions + mean channel level.
+    Anything outside those shapes (palette, alpha, 16-bit, interlaced)
+    fails loudly — those branches need PIL."""
     import struct
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, width, height = 8, None, None
+    pos, width, height, bpp = 8, None, None, 3
     idat = bytearray()
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -556,11 +564,13 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, int, float]:
             width, height, depth, color, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if (depth, color) != (8, 2):
+            if depth != 8 or color not in (0, 2):
                 raise ValueError(
-                    f"only 8-bit RGB (color type 2) PNG supported, got "
-                    f"depth={depth} color_type={color}"
+                    f"only 8-bit RGB (color type 2) or grayscale (color "
+                    f"type 0) PNG supported, got depth={depth} "
+                    f"color_type={color}"
                 )
+            bpp = 1 if color == 0 else 3
             if interlace != 0:
                 raise ValueError("interlaced PNG not supported")
             if comp != 0 or filt != 0:
@@ -573,7 +583,7 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, int, float]:
     if width is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    stride = width * 3
+    stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline stream length mismatch")
     total = 0
@@ -585,9 +595,9 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, int, float]:
             raise ValueError(f"unknown PNG filter type {ft}")
         if ft:  # reconstruct: add the predictor back (inverse of encode)
             for i in range(stride):
-                a = line[i - 3] if i >= 3 else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - 3] if i >= 3 else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 if ft == 1:
                     pred = a
                 elif ft == 2:

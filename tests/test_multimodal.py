@@ -206,6 +206,25 @@ def test_real_media_decode_round_trips_png(spark):
         assert r.sample_rate is None and r.n_samples is None
 
 
+def test_png_grayscale_round_trips_all_filters():
+    """Color type 0 (8-bit grayscale, bpp=1): the filter reconstruction
+    must use the format's bytes-per-pixel — a bpp=3 'left' predictor on
+    grayscale rows would decode garbage. Exact mean vs the _det_bytes
+    model, heights >= 5 so all five filters occur."""
+    from asterlake.operators.multimodal import (
+        _decode_png,
+        _det_bytes,
+        _png_bytes,
+    )
+
+    for seed, w, h in [(1, 5, 7), (9, 3, 6), (4, 1, 5)]:
+        p = _png_bytes(seed, w, h, grayscale=True)
+        W, H, rate, n, mean = _decode_png(p)
+        raw = _det_bytes(f"png:{seed}", w * h)
+        assert (W, H, rate, n) == (w, h, None, None)
+        assert abs(mean - sum(raw) / (len(raw) * 255.0)) < 1e-12
+
+
 def test_png_decoder_rejects_out_of_scope_shapes():
     """Interlaced, non-RGB, CRC-corrupt, and truncated PNGs must fail
     loudly at named branches — the PIL-requiring shapes stay gated."""
@@ -237,6 +256,8 @@ def test_png_decoder_rejects_out_of_scope_shapes():
         _decode_png(rebuild_ihdr(inter=1))
     with pytest.raises(ValueError, match="color type 2"):
         _decode_png(rebuild_ihdr(color=6))  # RGBA needs PIL
+    with pytest.raises(ValueError, match="color type 2"):
+        _decode_png(rebuild_ihdr(color=3))  # palette needs PIL
     with pytest.raises(ValueError, match="color type 2"):
         _decode_png(rebuild_ihdr(depth=16))
     # flip one IDAT byte: the chunk CRC must catch it
