@@ -517,3 +517,47 @@ def test_running_counts_tws_state_survives_batches(spark, tmp_path):
     for r in spark.sql("SELECT * FROM tws_sink").collect():
         final[r.user_id] = max(final.get(r.user_id, 0), r.n_events)
     assert final == {1: 3, 2: 1}
+
+
+def test_bloom_probe_composes_into_streaming(spark, tmp_path):
+    """The Bloom semi-join reduction (operators/bloomjoin.py) is a pure
+    projection + 1-row broadcast, so it applies UNCHANGED to a streaming
+    DataFrame — the stream-static join's fact side can be pruned before
+    the join in each micro-batch. Pin: bloom-probed stream-static join
+    drains to the identical result set as the unpruned join, across
+    multiple micro-batches, including a saturated tiny bitmap (false
+    positives removed by the exact join)."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.bloomjoin import bloom_bitmap, bloom_probe
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    rows = [(i % 7, f"2025-10-12T01:3{i % 10}:00Z") for i in range(40)]
+    # two files -> at least two micro-batches with maxFilesPerTrigger=1
+    _write_events_jsonl(os.path.join(src, "a.jsonl"), rows[:20])
+    _write_events_jsonl(os.path.join(src, "b.jsonl"), rows[20:])
+
+    allow = spark.createDataFrame([(1,), (3,), (5,)], "user_id bigint")
+    for n_bits, name in [(1 << 16, "bloomed_big"), (64, "bloomed_tiny")]:
+        bitmap = bloom_bitmap(allow, "user_id", n_bits=n_bits, n_hashes=3)
+        stream = _events_stream(spark, src, max_files=1)
+        pruned = bloom_probe(
+            stream, F.col("user_id"), bitmap, n_bits=n_bits, n_hashes=3
+        ).join(allow, "user_id")  # exact join removes any false positives
+        _drain(pruned, str(tmp_path / f"ck_{name}"), name)
+        got = sorted(
+            (r.user_id, str(r.ts))
+            for r in spark.table(name).collect()
+        )
+        want = sorted(
+            (uid, str(ts))
+            for uid, ts in [
+                (r.user_id, r.ts)
+                for r in spark.read.schema("user_id long, ts timestamp")
+                .json(src)
+                .join(allow, "user_id")
+                .collect()
+            ]
+        )
+        assert got == want, name
