@@ -189,3 +189,28 @@ def bloom_semi_join(
     return pruned.join(
         dim, on=_as_col(fact_key) == F.col(dim_key), how="inner"
     )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two bitmaps: element-wise ``bit_or`` of the dense arrays.
+
+    Because the bit positions of a key are a pure function of the key,
+    ``bloom_merge(bitmap(X), bitmap(Y))`` is IDENTICAL to
+    ``bitmap(X union Y)`` — not merely equivalent-up-to-FP-rate. That is
+    the incremental-index property: yesterday's persisted bitmap ORs
+    with the bitmap of today's NEW keys only, never rescanning the full
+    dim. Bitmaps built with different ``n_bits`` cannot merge —
+    asserted in-plan (array lengths must match)."""
+    left = a.select(F.col("_bloom").alias("_a"))
+    right = b.select(F.col("_bloom").alias("_b"))
+    merged = F.zip_with(
+        F.col("_a"), F.col("_b"), lambda x, y: x.bitwiseOR(y)
+    )
+    guard = F.assert_true(
+        F.size(F.col("_a")) == F.size(F.col("_b")),
+        F.lit("bloom_merge: bitmaps have different n_bits"),
+    )
+    return (
+        left.join(F.broadcast(right))
+        .select(F.when(guard.isNull(), merged).alias("_bloom"))
+    )

@@ -165,3 +165,33 @@ def test_probe_is_projection_before_any_fact_exchange(lineitem, urgent_orders):
     assert len(exchanges) == 2, plan
     assert any("_word" in e for e in exchanges)
     assert any("SinglePartition" in e for e in exchanges)
+
+
+def test_merge_equals_bitmap_of_union_and_round_trips_parquet(
+    spark, urgent_orders, tmp_path
+):
+    """bloom_merge(bitmap(X), bitmap(Y)) must be bit-identical to
+    bitmap(X union Y) — the incremental-allowlist property — and a
+    bitmap written to parquet must probe identically after reload (the
+    persisted cross-job index shape)."""
+    from asterlake.operators.bloomjoin import bloom_merge
+
+    x = urgent_orders.limit(300)
+    y = urgent_orders.subtract(x)
+    merged = bloom_merge(bloom_bitmap(x, "o_orderkey"), bloom_bitmap(y, "o_orderkey"))
+    full = bloom_bitmap(urgent_orders, "o_orderkey")
+    assert merged.collect()[0]["_bloom"] == full.collect()[0]["_bloom"]
+    # parquet round trip: reload and probe — identical kept set
+    path = str(tmp_path / "bitmap")
+    full.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    a = sorted(r.l_orderkey for r in bloom_probe(li, F.col("l_orderkey"), full).collect())
+    b = sorted(r.l_orderkey for r in bloom_probe(li, F.col("l_orderkey"), reloaded).collect())
+    assert a == b
+    # mismatched n_bits refuses loudly
+    import pytest as _pytest
+
+    small = bloom_bitmap(x, "o_orderkey", n_bits=1 << 10)
+    with _pytest.raises(Exception, match="different n_bits"):
+        bloom_merge(full, small).collect()
