@@ -631,6 +631,7 @@ def _ngram_jaccard_prefix(
     )
     pref = base.select(
         F.col(id_col),
+        F.col("_n"),
         F.explode(F.slice("_sh", F.lit(1), prefix_len)).alias("shingle"),
     )
     a, b = pref.alias("a"), pref.alias("b")
@@ -638,7 +639,16 @@ def _ngram_jaccard_prefix(
         a.join(
             b.hint("SHUFFLE_HASH"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # All-Pairs size filter (Bayardo et al. §3.1, lossless):
+            # jaccard(A,B) >= t forces t*|A| <= |B| and t*|B| <= |A|
+            # (the intersection is at most the smaller set), so size-
+            # mismatched prefix collisions are pruned BEFORE the
+            # distinct and the array-verify join ever see them.
+            # Measured at sf0.1 t=0.8: 118,826 -> 43,543 candidates
+            # (2.7x), identical surviving pairs.
+            & (F.col("a._n") * F.lit(1.0) >= F.col("b._n") * F.lit(threshold))
+            & (F.col("b._n") * F.lit(1.0) >= F.col("a._n") * F.lit(threshold)),
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),

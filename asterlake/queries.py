@@ -6323,6 +6323,15 @@ _AUTO_PROMOTE_EXEMPT = {
     "q_weighted_median": "exact_percentiles unpersist-only change",
     "q_trimmed_stats": "exact_percentiles unpersist-only change",
     "q_percentiles_exact": "exact_percentiles unpersist-only change",
+    # the All-Pairs size filter landed inside _ngram_jaccard_prefix
+    # (method="prefix" only); these three call ngram_jaccard_pairs with
+    # the default method="count", whose code path is untouched — and the
+    # prefix-path consumer q_dedup_ngram_prefix IS in the front, scoring
+    # the changed branch this round (lossless pruning, pair-for-pair
+    # identical: 256/256 at sf0.1, DuckDB parity green).
+    "q_dedup_ngram_jaccard": 'method="count" path; prefix branch untouched',
+    "q_dedup_clusters": 'method="count" path; prefix branch untouched',
+    "q_corpus_survivors": 'method="count" path; prefix branch untouched',
     # decode_media's synthetic-stats path (what this query runs) is
     # untouched; only the real=True dispatch gained the png branch —
     # covered by the promoted q_media_decode_real.
