@@ -195,3 +195,23 @@ def test_ngram_jaccard_prefix_method_matches_count_method(spark):
     }
     assert count_form == prefix_form
     assert len(count_form) > 0
+
+
+def test_ngram_prefix_size_filter_keeps_boundary_pair(spark):
+    """The All-Pairs size filter prunes on t*|A| <= |B| <= |A|/t — both
+    INCLUSIVE: a pair sitting exactly on the bound (|B| = t*|A| with
+    jaccard exactly t) must survive. Doc a: 6 distinct words -> 4
+    shingles; doc b: its first 4 words -> 2 shingles, both shared, so
+    jaccard = 2/(4+2-2) = 0.5 = t and the filter's b-side test is the
+    equality 2 >= 4*0.5. A strict '>' in either place silently drops
+    exactly-threshold pairs — the off-by-one this pins."""
+    from asterlake.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4")],
+        "doc_id int, text string",
+    )
+    got = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, method="prefix"
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in got] == [(1, 2, 0.5)]
