@@ -4,14 +4,17 @@ Media are **opaque ``binary`` payload columns with a typed metadata struct**
 — the lakehouse never interprets pixels/samples on the JVM side; any
 decode/transform runs in Arrow-batched Python (``mapInPandas``) where the
 codec libraries live. All the Spark-side plumbing is real — schemas, batch
-iteration, partitioning, UDF signatures — and since r6 so is the decode
-for the two formats the standard library can parse: ``decode_media_real``
-reads actual RIFF/WAVE PCM (``wave``) and uncompressed 24-bit BMP
-(``struct``) containers. The remaining formats (png/jpeg/mp4) still need
-PIL/pyav — absent from this container — so the fake-kernel operators
-below keep exercising that plumbing with deterministic payloads, and the
-real path raises ValueError at the clearly-marked format branch where
-those libraries slot in.
+iteration, partitioning, UDF signatures — and since r6/r7 so is the
+decode for the formats parseable without third-party codecs:
+``decode_media_real`` reads actual RIFF/WAVE PCM (``wave``), uncompressed
+24-bit BMP (``struct``), non-interlaced 8-bit RGB/grayscale PNG
+(``zlib`` + chunk walk), and baseline grayscale JFIF/JPEG (marker walk,
+canonical Huffman entropy decode, dequantize + IDCT — numpy for the 8x8
+transforms). The remaining shapes (mp4 video, color/progressive JPEG,
+palette/16-bit PNG) still need PIL/pyav — absent from this container —
+so the fake-kernel operators below keep exercising that plumbing with
+deterministic payloads, and the real path raises ValueError at the
+clearly-marked format branch where those libraries slot in.
 
 Schema:
 
@@ -422,11 +425,12 @@ def real_media_table(
     loop off ``spark.range`` — the same executor-side generation shape a
     backfill of encoded media uses. Each item's dimensions/rate are
     arithmetic in media_id (bmp: 4+id%13 x 3+id%7; wav: 50+id%101
-    samples @ 8000+100*(id%5) Hz; png: 3+id%9 x 2+id%6) so an external
-    oracle can restate them without parsing the containers."""
+    samples @ 8000+100*(id%5) Hz; png: 3+id%9 x 2+id%6; jpeg:
+    5+id%12 x 4+id%9) so an external oracle can restate them without
+    parsing the containers."""
 
     fmts = tuple(formats)
-    unknown = set(fmts) - {"bmp", "wav", "png"}
+    unknown = set(fmts) - {"bmp", "wav", "png", "jpeg"}
     if unknown:
         raise ValueError(f"no real encoder for formats {sorted(unknown)}")
 
@@ -461,7 +465,7 @@ def real_media_table(
                         "n_frames": ns,
                         "format": "wav",
                     }
-                else:
+                elif fmt == "png":
                     w, h = 3 + mid % 9, 2 + mid % 6
                     payload = _png_bytes(mid, w, h)
                     kind, meta = "image", {
@@ -470,6 +474,16 @@ def real_media_table(
                         "sample_rate": None,
                         "n_frames": None,
                         "format": "png",
+                    }
+                else:
+                    w, h = 5 + mid % 12, 4 + mid % 9
+                    payload = _jpeg_bytes(mid, w, h)
+                    kind, meta = "image", {
+                        "width": w,
+                        "height": h,
+                        "sample_rate": None,
+                        "n_frames": None,
+                        "format": "jpeg",
                     }
                 rows["media_id"].append(mid)
                 rows["kind"].append(kind)
@@ -620,6 +634,347 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, int, float]:
     return width, height, None, None, mean  # type: ignore[return-value]
 
 
+def _jpeg_zigzag() -> list[int]:
+    """The JPEG zigzag scan as natural-order indices, generated from the
+    diagonal-walk rule (ITU-T T.81 Figure 5) instead of a 64-entry
+    constant a typo could silently corrupt: anti-diagonal s runs from
+    (0,s) down-left when s is odd, from (s,0) up-right when s is even."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()  # up-right: larger row first
+        order.extend(r * 8 + c for r, c in diag)
+    return order
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8-point DCT-II basis C: forward is C @ X @ C.T,
+    inverse is C.T @ Y @ C (float64 — deterministic on every platform
+    that implements IEEE 754, which Arrow/pandas already assume)."""
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for k in range(8):
+        s = math.sqrt(1 / 8) if k == 0 else math.sqrt(2 / 8)
+        for n in range(8):
+            c[k, n] = s * math.cos((2 * n + 1) * k * math.pi / 16)
+    return c
+
+
+def _huff_canonical(bits: list[int], values: bytes) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG Huffman code assignment (T.81 Annex C): symbol ->
+    (code, length). Shared by the encoder (symbol -> bits) and, inverted,
+    by the decoder — one construction, no drift between the two."""
+    out: dict[int, tuple[int, int]] = {}
+    code, i = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[i]] = (code, length)
+            i += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+# Encoder-side tables: UNIFORM-length canonical codes (12 DC size
+# categories at 4 bits, all 162 baseline AC (run,size) symbols at 8 bits)
+# rather than the Annex K defaults — a valid baseline JPEG any decoder
+# accepts (the tables ship in DHT), chosen so the encoder needs no
+# 162-entry magic constant. The DECODER builds whatever DHT declares, so
+# it reads Annex-K-coded files from other producers all the same.
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALUES = bytes(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
+_JPEG_AC_VALUES = bytes(
+    [0x00, 0xF0]  # EOB, ZRL
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+# DC quant 1 (bit-exact DC for flat blocks), AC quant 4: an 8x8 block of
+# bytes has |AC| <= 2048 in the orthonormal basis, so /4 keeps every
+# quantized magnitude within the baseline 10-bit AC size categories.
+_JPEG_QUANT = [1] + [4] * 63  # natural order
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, length: int) -> None:
+        self._acc = (self._acc << length) | (value & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _jpeg_bytes(
+    seed: int, width: int, height: int, solid: int | None = None
+) -> bytes:
+    """A real baseline JFIF/JPEG file: single-component (grayscale) SOF0,
+    DQT/DHT carried in-stream, 8x8 FDCT + quantize + zigzag + canonical
+    Huffman entropy coding. ``solid`` paints a constant image — flat
+    blocks quantize to a lone DC with quant 1, so their decode round-trip
+    is bit-exact (the lossless corner of a lossy codec, the same
+    exactness hook the PNG/BMP/WAV fixtures give tests); default content
+    is deterministic hash-stream noise."""
+    import struct
+
+    import numpy as np
+
+    if solid is None:
+        pix = (
+            np.frombuffer(
+                _det_bytes(f"jpeg:{seed}", width * height), dtype=np.uint8
+            )
+            .reshape(height, width)
+            .astype(np.float64)
+        )
+    else:
+        pix = np.full((height, width), float(solid))
+    h8 = -(-height // 8) * 8
+    w8 = -(-width // 8) * 8
+    img = np.pad(pix, ((0, h8 - height), (0, w8 - width)), mode="edge")
+
+    cmat = _jpeg_dct_matrix()
+    zz = _jpeg_zigzag()
+    qt = np.array(_JPEG_QUANT, dtype=np.float64).reshape(8, 8)
+    dc_code = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALUES)
+    ac_code = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALUES)
+
+    bw = _BitWriter()
+    dc_prev = 0
+    for by in range(h8 // 8):
+        for bx in range(w8 // 8):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coeff = cmat @ block @ cmat.T
+            q = np.rint(coeff / qt).astype(np.int64)
+            seq = [int(q.flat[i]) for i in zz]
+
+            def put_val(code_tab, run: int, v: int) -> None:
+                size = abs(v).bit_length()
+                sym = (run << 4) | size if code_tab is ac_code else size
+                c, ln = code_tab[sym]
+                bw.put(c, ln)
+                if size:
+                    bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+
+            put_val(dc_code, 0, seq[0] - dc_prev)
+            dc_prev = seq[0]
+            run = 0
+            for v in seq[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_code[0xF0]
+                    bw.put(c, ln)
+                    run -= 16
+                put_val(ac_code, run, v)
+                run = 0
+            if run:
+                c, ln = ac_code[0x00]
+                bw.put(c, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qt_zz = bytes(_JPEG_QUANT[i] for i in zz)
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, b"\x00" + qt_zz)
+        + seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+        + seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALUES)
+        + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALUES)
+        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        + bw.flush()
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    un-stuffing; stops (raises StopIteration) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    raise StopIteration  # real marker: scan is over
+            else:
+                self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive_extend(self, size: int) -> int:
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | self.bit()
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Pure stdlib+numpy baseline JPEG decode: marker walk, canonical
+    Huffman tables rebuilt from DHT (Annex-K or any other valid tables —
+    nothing assumes the sibling encoder produced the file), entropy
+    decode with byte un-stuffing, dequantize, de-zigzag, orthonormal
+    IDCT, clamp. Grayscale (single-component) sequential baseline only:
+    color, progressive (SOF2), and restart-interval streams fail loudly
+    — those branches need PIL."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    comp_q = comp_dc = comp_ac = 0
+    scan_pos = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = body[i + 17 : i + 17 + n]
+                sym_code = _huff_canonical(bits, vals)
+                htables[(tc, th)] = {
+                    (ln, code): sym for sym, (code, ln) in sym_code.items()
+                }
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline sequential
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"only 8-bit precision supported, got {prec}")
+            if ncomp != 1:
+                raise ValueError(
+                    f"only grayscale (1-component) baseline JPEG supported, "
+                    f"got {ncomp} components; color needs PIL"
+                )
+            if body[7] != 0x11:
+                raise ValueError("subsampled JPEG not supported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "only baseline sequential (SOF0) JPEG supported; "
+                f"got SOF marker 0xFF{marker:02X} (progressive needs PIL)"
+            )
+        elif marker == 0xDD:  # DRI
+            raise ValueError("restart-interval JPEG streams not supported")
+        elif marker == 0xDA:  # SOS
+            if body[0] != 1:
+                raise ValueError("scan component count != 1")
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            scan_pos = pos + 2 + length
+            break
+        pos += 2 + length
+    if width is None or scan_pos is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    qt = qtables[comp_q]
+    dc_tab, ac_tab = htables[(0, comp_dc)], htables[(1, comp_ac)]
+    zz = _jpeg_zigzag()
+    cmat = _jpeg_dct_matrix()
+    dequant_nat = np.zeros(64)
+
+    br = _BitReader(payload, scan_pos)
+
+    def read_symbol(tab: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            sym = tab.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    bh, bw_ = -(-height // 8), -(-width // 8)
+    img = np.zeros((bh * 8, bw_ * 8))
+    dc_prev = 0
+    try:
+        for by in range(bh):
+            for bx in range(bw_):
+                coeff_zz = [0] * 64
+                size = read_symbol(dc_tab)
+                diff = br.receive_extend(size) if size else 0
+                dc_prev += diff
+                coeff_zz[0] = dc_prev
+                k = 1
+                while k < 64:
+                    sym = read_symbol(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("invalid AC run/size symbol")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    coeff_zz[k] = br.receive_extend(size)
+                    k += 1
+                for i, nat in enumerate(zz):
+                    dequant_nat[nat] = coeff_zz[i] * qt[i]
+                block = cmat.T @ dequant_nat.reshape(8, 8) @ cmat + 128.0
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    except StopIteration as exc:
+        raise ValueError("JPEG entropy stream ended mid-block") from exc
+    pix = np.clip(np.rint(img[:height, :width]), 0, 255)
+    mean = float(pix.sum()) / (width * height * 255.0) if width * height else 0.0
+    return width, height, None, None, mean  # type: ignore[return-value]
+
+
 def decode_media_real(media: DataFrame) -> DataFrame:
     """REAL decode of wav/bmp/png payloads (stdlib codecs, Arrow-batched).
 
@@ -644,10 +999,12 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                     w, h, rate, ns, mean = _decode_bmp(payload)
                 elif fmt == "png":
                     w, h, rate, ns, mean = _decode_png(payload)
+                elif fmt == "jpeg":
+                    w, h, rate, ns, mean = _decode_jpeg(payload)
                 else:
                     raise ValueError(
                         f"unsupported format {fmt!r}: real decode handles "
-                        "wav/bmp/png (stdlib); jpeg/mp4 need PIL/pyav"
+                        "wav/bmp/png/jpeg (stdlib+numpy); mp4 needs pyav"
                     )
                 out["media_id"].append(int(mid))
                 out["kind"].append(kind)

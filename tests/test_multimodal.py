@@ -283,3 +283,116 @@ def test_real_decode_rejects_unsupported_formats(spark):
         Exception, match="unsupported format|RIFF|not a BMP|not a PNG"
     ):
         decode_media(fake, real=True).collect()
+
+
+def test_jpeg_solid_round_trip_is_exact():
+    """Baseline JPEG is lossy, but a FLAT image quantizes to a lone DC
+    coefficient with quant step 1 — the lossless corner of the codec, so
+    decode must recover the exact constant level (same exactness hook
+    the other formats' fixtures give). Covers sub-block, multi-block,
+    and 1x1 geometries plus both clamp extremes."""
+    from asterlake.operators.multimodal import _decode_jpeg, _jpeg_bytes
+
+    for v in (0, 1, 127, 128, 200, 255):
+        for w, h in ((1, 1), (8, 8), (5, 4), (17, 9)):
+            W, H, rate, n, mean = _decode_jpeg(_jpeg_bytes(0, w, h, solid=v))
+            assert (W, H, rate, n) == (w, h, None, None)
+            assert abs(mean - v / 255.0) < 1e-12
+
+
+def test_jpeg_noise_round_trip_bounded_error():
+    """Full pipeline on hash-stream noise (the hardest content for a
+    DCT codec): dimensions recover exactly from SOF0; the decoded mean
+    must sit within the AC-quantization error envelope of the ORIGINAL
+    pixel stream's mean (independent _det_bytes model, not the encoder's
+    own buffer). Also pins byte-determinism of the encoder."""
+    import numpy as np
+
+    from asterlake.operators.multimodal import (
+        _decode_jpeg,
+        _det_bytes,
+        _jpeg_bytes,
+    )
+
+    for seed in range(6):
+        w, h = 5 + seed % 12, 4 + seed % 9
+        payload = _jpeg_bytes(seed, w, h)
+        assert payload == _jpeg_bytes(seed, w, h)
+        W, H, _, _, mean = _decode_jpeg(payload)
+        assert (W, H) == (w, h)
+        src = np.frombuffer(
+            _det_bytes(f"jpeg:{seed}", w * h), dtype=np.uint8
+        ).astype(float)
+        assert abs(mean - src.mean() / 255.0) < 0.02
+
+
+def test_real_media_decode_round_trips_jpeg(spark):
+    """decode_media_real's jpeg branch inside the Arrow batch loop: the
+    arithmetic dimension contract (5+id%12 x 4+id%9) an external oracle
+    restates must match what the DECODER parses back out of the real
+    JFIF containers."""
+    from asterlake.operators.multimodal import decode_media, real_media_table
+
+    media = real_media_table(spark, n=15, formats=("jpeg",))
+    rows = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    assert len(rows) == 15
+    for mid, r in rows.items():
+        assert (r.format, r.kind) == ("jpeg", "image")
+        assert (r.width, r.height) == (5 + mid % 12, 4 + mid % 9)
+        assert 0.0 <= r.mean_level <= 1.0
+        assert r.sample_rate is None and r.n_samples is None
+
+
+def test_jpeg_decoder_rejects_out_of_scope_shapes():
+    """Progressive (SOF2), color (3-component), subsampled, restart-
+    interval, and 16-bit-quant streams must fail loudly at named
+    branches — the PIL-requiring shapes stay gated, never decode
+    garbage. Each malformed stream is built by surgically rewriting the
+    relevant segment of a valid file."""
+    import re
+    import struct
+
+    import pytest as _pytest
+
+    from asterlake.operators.multimodal import _decode_jpeg, _jpeg_bytes
+
+    good = _jpeg_bytes(1, 6, 5)
+
+    def find_seg(marker: int) -> tuple[int, int]:
+        pat = re.escape(bytes([0xFF, marker]))
+        m = re.search(pat, good)
+        assert m, f"marker {marker:02x} not found"
+        (length,) = struct.unpack_from(">H", good, m.start() + 2)
+        return m.start(), 2 + length
+
+    with _pytest.raises(ValueError, match="not a JPEG payload"):
+        _decode_jpeg(b"\x89PNG" + good)
+    # SOF0 -> SOF2: progressive
+    s, _ = find_seg(0xC0)
+    with _pytest.raises(ValueError, match="progressive"):
+        _decode_jpeg(good[:s + 1] + b"\xc2" + good[s + 2:])
+    # 3-component SOF (color): rebuild the SOF segment
+    s, ln = find_seg(0xC0)
+    sof3 = (
+        struct.pack(">HHBHHB", 0xFFC0, 8 + 3 * 3, 8, 5, 6, 3)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    with _pytest.raises(ValueError, match="color needs PIL"):
+        _decode_jpeg(good[:s] + sof3 + good[s + ln:])
+    # subsampled single component (2x2 sampling factors); full-segment
+    # layout: FF C0 len(2) prec h(2) w(2) ncomp id SAMPLING tq
+    body = bytearray(good[s:s + ln])
+    body[11] = 0x22
+    with _pytest.raises(ValueError, match="subsampled"):
+        _decode_jpeg(good[:s] + bytes(body) + good[s + ln:])
+    # DRI segment injected before SOS
+    sos, _ = find_seg(0xDA)
+    dri = struct.pack(">HHH", 0xFFDD, 4, 8)
+    with _pytest.raises(ValueError, match="restart-interval"):
+        _decode_jpeg(good[:sos] + dri + good[sos:])
+    # 16-bit quant table precision (Pq=1)
+    q, qln = find_seg(0xDB)
+    body = bytearray(good[q:q + qln])
+    body[4] = 0x10
+    with _pytest.raises(ValueError, match="16-bit quant"):
+        _decode_jpeg(good[:q] + bytes(body) + good[q + qln:])
