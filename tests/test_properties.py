@@ -862,3 +862,166 @@ def test_funnel_matches_python_replay(spark, rows, within_h):
                     run[k] = ts
         conv = all(v is not None for v in t_min)
         assert got[u] == (t_min[0], t_min[1], t_min[2], conv), (u, got[u], t_min)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "fox", "dog", "run", "sky"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_simhash_banding_matches_bruteforce(spark, docs):
+    """Differential for the pigeonhole banding: with max_hamming <=
+    bands-1 the band join is LOSSLESS, so the operator's pair set must
+    equal an all-pairs Python scan over the very fingerprints
+    simhash_table emits — every near-dup pair recovered, every hamming
+    value exact, nothing extra. A small word pool forces colliding and
+    near-colliding fingerprints, the regime banding has to get right."""
+    from asterlake.operators.dedup import simhash_candidate_pairs, simhash_table
+
+    data = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "doc_id int, text string")
+    fps = {
+        r.doc_id: int(r.simhash, 2)
+        for r in simhash_table(df, nbits=16).collect()
+    }
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            if ham <= 3:
+                want[(a, b)] = ham
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_candidate_pairs(
+            df, nbits=16, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(0, 6), st.just(0), st.just(1), st.none()),
+        min_size=1,
+        max_size=60,
+    ),
+    denom=st.sampled_from([2, 3, 5]),
+)
+@_SETTINGS
+def test_frequent_items_matches_bruteforce(spark, vals, denom):
+    """Differential for bounded-state exact frequent items: the
+    Misra-Gries candidate pass may overselect but never underselect, and
+    the exact recount must land on precisely the GROUP BY ... HAVING
+    cnt*denom >= n_total rows a full-shuffle computation yields — counts
+    exact, NULLs excluded from both numerator and total."""
+    from collections import Counter
+
+    from asterlake.operators.frequency import frequent_items
+
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    present = [v for v in vals if v is not None]
+    n_total = len(present)
+    c = Counter(present)
+    want = {
+        k: (cnt, n_total)
+        for k, cnt in c.items()
+        if cnt * denom >= n_total
+    }
+    got = {
+        r.v: (r.cnt, r.n_total)
+        for r in frequent_items(df, "v", denom=denom).collect()
+    }
+    assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 99)),
+        min_size=0,
+        max_size=20,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 99)),
+        min_size=0,
+        max_size=8,
+    ),
+    how=st.sampled_from(["inner", "left", "semi", "anti"]),
+)
+@_SETTINGS
+def test_salted_join_matches_plain_join(spark, left, right, how):
+    """Differential for the skew toolkit: salting is a PHYSICAL rewrite
+    only — for every allowed join type the salted row multiset must
+    equal the plain join's exactly (duplicate keys on both sides, keys
+    missing from either side, and empty inputs included)."""
+    from asterlake.operators.skew import salted_join
+
+    ldf = spark.createDataFrame(left, "k int, lv int") if left else (
+        spark.createDataFrame([], "k int, lv int")
+    )
+    rdf = spark.createDataFrame(right, "k int, rv int") if right else (
+        spark.createDataFrame([], "k int, rv int")
+    )
+    got = salted_join(ldf, rdf, "k", buckets=3, how=how)
+    want = ldf.join(rdf, "k", how)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 2),  # user
+            st.integers(0, 8),  # ts (ties on purpose)
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_change_intervals_matches_python_replay(spark, rows):
+    """Differential for SCD2 interval building: per key, a linear replay
+    of the (ts, event_id)-sorted stream collapsing same-value runs must
+    reproduce the window formulation's (value, valid_from, valid_to)
+    rows — intervals chain (each valid_to = next valid_from), the last
+    is open (NULL), and ties resolve identically through the tiebreak."""
+    from asterlake.operators.timeseries import change_intervals
+
+    data = [(u, i, t, v) for i, (u, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "user_id int, event_id int, ts int, event_type string"
+    )
+    key = lambda t: (t[0], t[1], t[2], t[3] is None, t[3] or 0)
+    got = sorted(
+        (
+            (r.user_id, r.event_type, r.valid_from, r.valid_to)
+            for r in change_intervals(df).collect()
+        ),
+        key=key,
+    )
+    by_user: dict = {}
+    for u, eid, ts, v in data:
+        by_user.setdefault(u, []).append((ts, eid, v))
+    want = []
+    for u, evs in by_user.items():
+        runs = []
+        prev = None
+        for ts, eid, v in sorted(evs):
+            if prev is None or v != prev:
+                runs.append((v, ts))
+                prev = v
+        for i, (v, start) in enumerate(runs):
+            end = runs[i + 1][1] if i + 1 < len(runs) else None
+            want.append((u, v, start, end))
+    assert got == sorted(want, key=key)
