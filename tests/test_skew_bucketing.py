@@ -77,6 +77,16 @@ def test_salted_aggregate_rejects_unknown_fn(spark, skewed):
 
 
 def test_bucketed_join_has_no_shuffle(spark):
+    # a run killed mid-test (e.g. the harness dying between saveAsTable
+    # and the finally-drop) leaves the warehouse DIRECTORY behind with no
+    # catalog entry; the next overwrite then throws LOCATION_ALREADY_EXISTS.
+    # Clear both table and any dangling location up front.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_li_bucketed", "t_o_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
         "l_orderkey", "l_extendedprice"
     )
