@@ -561,3 +561,81 @@ def test_bloom_probe_composes_into_streaming(spark, tmp_path):
             ]
         )
         assert got == want, name
+
+
+def test_sketch_state_advances_per_micro_batch(spark, tmp_path):
+    """Mergeable distinct-count maintenance (operators/sketches.py)
+    composes into Structured Streaming: a foreachBatch sink folds each
+    micro-batch into the persisted sketch state with
+    advance_sketch_state — the fact is sketched exactly once per batch,
+    the state table is all later batches ever read. Pin: after the
+    stream drains, the final state's rollup estimates equal both the
+    one-shot batch rebuild AND (coupon-regime cardinalities) the true
+    distinct user counts per group."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.sketches import (
+        advance_sketch_state,
+        distinct_sketches,
+        rollup_sketches,
+        sketch_estimates,
+    )
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    rows = [(i * 13 % 61, f"2025-10-12T01:3{i % 10}:00Z") for i in range(50)]
+    _write_events_jsonl(os.path.join(src, "a.jsonl"), rows[:25])
+    _write_events_jsonl(os.path.join(src, "b.jsonl"), rows[25:])
+
+    state_dir = str(tmp_path / "sketch_state")
+    latest: list[str] = []
+
+    def fold(batch_df, batch_id):
+        with_g = batch_df.withColumn("g", F.pmod("user_id", F.lit(3)))
+        out = f"{state_dir}/v{batch_id}"
+        if latest:
+            prior = batch_df.sparkSession.read.parquet(latest[-1])
+            new_state = advance_sketch_state(
+                prior, with_g, ["g"], "user_id"
+            )
+        else:
+            new_state = distinct_sketches(with_g, ["g"], "user_id")
+        new_state.write.parquet(out)
+        latest.append(out)
+
+    stream = _events_stream(spark, src, max_files=1)
+    (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck_sketch"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert len(latest) >= 2  # really advanced across micro-batches
+
+    final = spark.read.parquet(latest[-1])
+    got = {
+        r.g: r.est
+        for r in sketch_estimates(
+            rollup_sketches(final, ["g"]), out="est"
+        ).collect()
+    }
+    full = (
+        spark.read.schema("user_id long, ts timestamp")
+        .json(src)
+        .withColumn("g", F.pmod("user_id", F.lit(3)))
+    )
+    rebuild = {
+        r.g: r.est
+        for r in sketch_estimates(
+            rollup_sketches(distinct_sketches(full, ["g"], "user_id"), ["g"]),
+            out="est",
+        ).collect()
+    }
+    exact = {
+        r.g: r.x
+        for r in full.groupBy("g")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    assert got == rebuild == exact
