@@ -1025,3 +1025,42 @@ def test_change_intervals_matches_python_replay(spark, rows):
             end = runs[i + 1][1] if i + 1 < len(runs) else None
             want.append((u, v, start, end))
     assert got == sorted(want, key=key)
+
+
+@given(
+    assignments=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # group
+            st.integers(0, 30),  # value (coupon-regime cardinality)
+            st.integers(0, 4),  # arbitrary split cell (the "day")
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@_SETTINGS
+def test_sketch_rollup_exact_under_any_split(spark, assignments):
+    """Differential for mergeable HLL maintenance: below the sparse->
+    dense promotion the sketch stores explicit coupons and unions
+    preserve them, so for ANY assignment of rows to cell sketches the
+    rollup estimate must equal the exact per-group distinct count a
+    Python set computes — duplicates across and within cells, groups
+    appearing in one cell only, and singleton cells included."""
+    from asterlake.operators.sketches import (
+        distinct_sketches,
+        rollup_sketches,
+        sketch_estimates,
+    )
+
+    df = spark.createDataFrame(assignments, "g int, v int, cell int")
+    got = {
+        r.g: r.est
+        for r in sketch_estimates(
+            rollup_sketches(distinct_sketches(df, ["g", "cell"], "v"), ["g"]),
+            out="est",
+        ).collect()
+    }
+    want: dict = {}
+    for g, v, _ in assignments:
+        want.setdefault(g, set()).add(v)
+    assert got == {g: len(vs) for g, vs in want.items()}
