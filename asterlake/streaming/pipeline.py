@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -441,6 +442,107 @@ def running_ewma(
         update,
         outputStructType=_EWMA_OUTPUT,
         stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_MG_OUTPUT = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("token", StringType()),
+        StructField("n_shard_total", LongType()),
+    ]
+)
+# one Misra-Gries summary per SHARD (not per key — that would be the
+# vocabulary-sized state the algorithm exists to avoid)
+_MG_STATE = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def streaming_frequent_candidates(
+    tokens: DataFrame,
+    col: str = "token",
+    denom: int = 100,
+    capacity: int | None = None,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Streaming twin of :func:`asterlake.operators.frequency.frequent_items`'
+    candidate phase: Misra-Gries summaries carried across micro-batches.
+
+    The key domain is sharded by ``xxhash64(token) % n_shards`` and ONE
+    bounded summary (<= ``capacity`` counters) per shard is the stream
+    state — total state is ``n_shards * capacity`` counters no matter
+    how large the vocabulary grows. The no-false-negative guarantee
+    survives sharding: a key's every occurrence lands in exactly one
+    shard, so its share WITHIN that shard's stream is >= its global
+    share, and with ``capacity >= denom`` any key holding >= 1/denom of
+    all rows survives its shard's summary (the same pigeonhole bound as
+    the batch operator, applied per shard).
+
+    Each batch emits the shard's current candidate set plus
+    ``n_shard_total`` (cumulative rows the shard has absorbed) in
+    update mode; a consumer takes each shard's rows at its maximum
+    ``n_shard_total`` for the latest summary, then exact-recounts the
+    candidates (batch ``frequent_items`` phase 2) for exact results.
+    Because the state IS the batch algorithm's running summary, the
+    final candidate set equals running batch Misra-Gries over the
+    concatenated micro-batches in arrival order (pinned in
+    tests/test_streaming.py)."""
+    from asterlake.operators.frequency import _trim
+
+    if capacity is None:
+        capacity = 2 * denom
+    if capacity < denom:
+        raise ValueError(
+            f"capacity {capacity} cannot guarantee the 1/{denom} "
+            f"threshold; need capacity >= denom"
+        )
+    sharded = tokens.select(
+        F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).alias("shard"),
+        F.col(col).cast("string").alias("token"),
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, counts, n_seen = state.get
+            summary = dict(zip(keys, counts))
+        else:
+            summary, n_seen = {}, 0
+        for pdf in pdfs:
+            vals = pdf["token"].dropna()
+            n_seen += len(vals)
+            for k, c in vals.value_counts().items():
+                summary[k] = summary.get(k, 0) + int(c)
+            summary = _trim(summary, capacity)
+        state.update(
+            (
+                [str(k) for k in summary],
+                [int(v) for v in summary.values()],
+                int(n_seen),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(summary),
+                "token": list(summary.keys()),
+                "n_shard_total": [int(n_seen)] * len(summary),
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=_MG_OUTPUT,
+        stateStructType=_MG_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

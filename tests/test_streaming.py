@@ -639,3 +639,98 @@ def test_sketch_state_advances_per_micro_batch(spark, tmp_path):
         .collect()
     }
     assert got == rebuild == exact
+
+
+def test_streaming_frequent_candidates_bounded_and_lossless(spark, tmp_path):
+    """Streaming Misra-Gries (streaming/pipeline.py): summaries carried
+    across micro-batches as per-SHARD state. Pins the three contracts:
+    (1) every token holding >= 1/denom of the whole stream is in the
+    final candidate set (no false negatives across batch boundaries),
+    (2) state/output stay bounded by capacity per shard, and (3) the
+    exact recount of the candidates equals the batch frequent_items on
+    the full data. With n_shards=1 the final summary also replays the
+    batch algorithm on the concatenated files in arrival order."""
+    import json
+
+    from asterlake.operators.frequency import _trim, frequent_items
+    from asterlake.streaming.pipeline import streaming_frequent_candidates
+
+    src = str(tmp_path / "toks")
+    os.makedirs(src)
+    # heavy hitters "hot"/"warm" spread across BOTH files; a long tail of
+    # one-off tokens pressures the summaries
+    file_a = ["hot"] * 12 + ["warm"] * 6 + [f"a{i}" for i in range(22)]
+    file_b = ["hot"] * 8 + ["warm"] * 6 + [f"b{i}" for i in range(26)]
+    for name, toks in [("a.jsonl", file_a), ("b.jsonl", file_b)]:
+        with open(os.path.join(src, name), "w") as f:
+            for t in toks:
+                f.write(json.dumps({"token": t}) + "\n")
+
+    denom, capacity, n_shards = 5, 6, 4
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    cands = streaming_frequent_candidates(
+        stream, denom=denom, capacity=capacity, n_shards=n_shards
+    )
+    _drain(cands, str(tmp_path / "ck_mg"), "mg_sink", mode="update")
+    emitted = spark.table("mg_sink").collect()
+    assert len({r.shard for r in emitted}) >= 2  # sharding actually split
+
+    # latest summary per shard = rows at that shard's max n_shard_total
+    latest_n: dict = {}
+    for r in emitted:
+        latest_n[r.shard] = max(latest_n.get(r.shard, 0), r.n_shard_total)
+    final = {}
+    for r in emitted:
+        if r.n_shard_total == latest_n[r.shard]:
+            final.setdefault(r.shard, set()).add(r.token)
+    for shard, toks in final.items():
+        assert len(toks) <= capacity, (shard, toks)
+    candidates = set().union(*final.values())
+
+    all_toks = file_a + file_b
+    n_total = len(all_toks)
+    from collections import Counter
+
+    true_frequent = {
+        t for t, c in Counter(all_toks).items() if c * denom >= n_total
+    }
+    assert true_frequent  # the fixture really exercises the bound
+    assert true_frequent <= candidates  # (1) no false negatives
+
+    # (3) exact recount of the streaming candidates == batch operator
+    full = spark.createDataFrame([(t,) for t in all_toks], "token string")
+    want = {
+        (r.token, r.cnt)
+        for r in frequent_items(full, "token", denom=denom).collect()
+    }
+    recount = Counter(t for t in all_toks if t in candidates)
+    got = {
+        (t, c) for t, c in recount.items() if c * denom >= n_total
+    }
+    assert got == want
+
+    # replay equality with one shard: state IS the batch MG summary
+    for t in ("t_mg1",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    stream1 = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    c1 = streaming_frequent_candidates(
+        stream1, denom=denom, capacity=capacity, n_shards=1
+    )
+    _drain(c1, str(tmp_path / "ck_mg1"), "mg1_sink", mode="update")
+    rows1 = spark.table("mg1_sink").collect()
+    last = max(r.n_shard_total for r in rows1)
+    final1 = {r.token for r in rows1 if r.n_shard_total == last}
+    summary: dict = {}
+    for chunk in (file_a, file_b):
+        for t, c in Counter(chunk).items():
+            summary[t] = summary.get(t, 0) + c
+        summary = _trim(summary, capacity)
+    assert final1 == set(summary)
