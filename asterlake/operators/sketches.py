@@ -124,3 +124,46 @@ def advance_sketch_state(
     )
     combined = state.select(*group_cols, sketch_col).unionByName(delta)
     return rollup_sketches(combined, group_cols, sketch_col)
+
+
+def sketch_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Per-key overlap estimate between two stored sketch tables — the
+    "audience overlap" question (customers active in BOTH segments)
+    answered from sketches alone, no fact scan, no pairwise key join.
+
+    Joins the two states on ``key_cols`` and applies inclusion-
+    exclusion: ``|A ∩ B| = |A| + |B| - |A ∪ B|``, with the union from
+    the two-sketch ``hll_union`` projection (whole-stage codegen, no
+    aggregate). Output per key: ``est_left``, ``est_right``,
+    ``est_union``, ``est_overlap`` (clamped at 0 — inclusion-exclusion
+    over independent estimates can go slightly negative for disjoint
+    sets). In the coupon regime all four are exact; past promotion the
+    overlap inherits roughly the sum of the three estimators' errors,
+    so it is a coarse signal at small overlaps — callers needing tight
+    small-overlap bounds should keep higher-lgk sketches."""
+    a = left.select(
+        *key_cols, F.col(sketch_col).alias("_sk_a")
+    )
+    b = right.select(
+        *key_cols, F.col(sketch_col).alias("_sk_b")
+    )
+    joined = a.join(b, key_cols)
+    est_a = F.hll_sketch_estimate("_sk_a")
+    est_b = F.hll_sketch_estimate("_sk_b")
+    est_u = F.hll_sketch_estimate(
+        F.hll_union("_sk_a", "_sk_b", False)
+    )
+    return joined.select(
+        *key_cols,
+        est_a.alias("est_left"),
+        est_b.alias("est_right"),
+        est_u.alias("est_union"),
+        F.greatest(F.lit(0).cast("bigint"), est_a + est_b - est_u).alias(
+            "est_overlap"
+        ),
+    )

@@ -2,10 +2,11 @@
 
 The operator's promise is incremental distinct counting WITHOUT fact
 rescans; these tests pin the properties that make that safe to rely on:
-split-invariance (the estimate depends only on the value set), coupon-
-regime exactness, bounded dense-regime error, parquet round-trip of the
-binary state, advance==rebuild, loud failure on mixed precision, and a
-rollup plan that provably never touches the fact table.
+coupon-regime exactness under any row split, bounded (and cross-split-
+consistent) dense-regime error, parquet round-trip of the binary state,
+advance==rebuild, loud failure on mixed precision, inclusion-exclusion
+overlap estimates, and a rollup plan that provably never touches the
+fact table.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ from asterlake.operators.sketches import (
     distinct_sketches,
     rollup_sketches,
     sketch_estimates,
+    sketch_overlap,
 )
 from asterlake.plans.inspect import has_node, plan_string, scans
 
@@ -178,3 +180,36 @@ def test_build_aggregate_is_map_side_combinable(spark):
     # ObjectHashAggregate appears twice bracketing one shuffle
     assert tree.count("ObjectHashAggregate") == 2
     assert tree.count("Exchange") == 1
+
+
+def test_overlap_exact_in_coupon_regime(spark):
+    # inclusion-exclusion over exact coupon-mode sketches is exact;
+    # keys present on one side only are dropped by the inner join
+    la = [(1, v) for v in range(40)] + [(2, v) for v in range(10)] + [
+        (9, 0)
+    ]
+    rb = [(1, v) for v in range(20, 70)] + [(2, v) for v in range(100, 105)]
+    A = distinct_sketches(
+        spark.createDataFrame(la, "k int, v int"), ["k"], "v"
+    )
+    B = distinct_sketches(
+        spark.createDataFrame(rb, "k int, v int"), ["k"], "v"
+    )
+    got = {
+        r.k: (r.est_left, r.est_right, r.est_union, r.est_overlap)
+        for r in sketch_overlap(A, B, ["k"]).collect()
+    }
+    # k=1: [0,40) vs [20,70) -> overlap [20,40); k=2 disjoint -> clamp 0
+    assert got == {1: (40, 50, 70, 20), 2: (10, 5, 15, 0)}
+
+
+def test_overlap_is_a_pure_projection_after_the_join(spark):
+    # no aggregate runs on the overlap path: hll_union is a two-column
+    # scalar function, so the plan is join + project only
+    df = spark.createDataFrame([(1, v) for v in range(50)], "k int, v int")
+    A = distinct_sketches(df, ["k"], "v")
+    plan = plan_string(sketch_overlap(A, A, ["k"]))
+    tree = plan.split("\n\n", 1)[0]
+    # the only aggregates are the two sketch BUILDS under the join
+    assert tree.count("ObjectHashAggregate") == 4  # 2 builds x (partial+final)
+    assert "hll_union(" in plan
