@@ -1064,3 +1064,53 @@ def test_sketch_rollup_exact_under_any_split(spark, assignments):
     for g, v, _ in assignments:
         want.setdefault(g, set()).add(v)
     assert got == {g: len(vs) for g, vs in want.items()}
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 25)),
+        min_size=0,
+        max_size=60,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 25)),
+        min_size=0,
+        max_size=60,
+    ),
+)
+@_SETTINGS
+def test_sketch_overlap_matches_set_algebra(spark, left, right):
+    """Differential for inclusion-exclusion overlap: in the coupon
+    regime every estimate is exact, so per shared key the operator must
+    reproduce Python set algebra — |A|, |B|, |A∪B|, |A∩B| — with keys
+    on one side only dropped (inner join) and disjoint sets landing on
+    exactly 0 (the clamp never fires above the true value)."""
+    from asterlake.operators.sketches import distinct_sketches, sketch_overlap
+
+    if not left or not right:
+        return
+    A = distinct_sketches(
+        spark.createDataFrame(left, "k int, v int"), ["k"], "v"
+    )
+    B = distinct_sketches(
+        spark.createDataFrame(right, "k int, v int"), ["k"], "v"
+    )
+    got = {
+        r.k: (r.est_left, r.est_right, r.est_union, r.est_overlap)
+        for r in sketch_overlap(A, B, ["k"]).collect()
+    }
+    la, rb = {}, {}
+    for k, v in left:
+        la.setdefault(k, set()).add(v)
+    for k, v in right:
+        rb.setdefault(k, set()).add(v)
+    want = {
+        k: (
+            len(la[k]),
+            len(rb[k]),
+            len(la[k] | rb[k]),
+            len(la[k] & rb[k]),
+        )
+        for k in set(la) & set(rb)
+    }
+    assert got == want
