@@ -724,32 +724,57 @@ class _BitWriter:
 
 
 def _jpeg_bytes(
-    seed: int, width: int, height: int, solid: int | None = None
+    seed: int,
+    width: int,
+    height: int,
+    solid: int | tuple[int, int, int] | None = None,
+    color: bool = False,
 ) -> bytes:
-    """A real baseline JFIF/JPEG file: single-component (grayscale) SOF0,
-    DQT/DHT carried in-stream, 8x8 FDCT + quantize + zigzag + canonical
-    Huffman entropy coding. ``solid`` paints a constant image — flat
-    blocks quantize to a lone DC with quant 1, so their decode round-trip
-    is bit-exact (the lossless corner of a lossy codec, the same
-    exactness hook the PNG/BMP/WAV fixtures give tests); default content
-    is deterministic hash-stream noise."""
+    """A real baseline JFIF/JPEG file: SOF0, DQT/DHT carried in-stream,
+    8x8 FDCT + quantize + zigzag + canonical Huffman entropy coding.
+    Grayscale (default, byte-stable vs the pre-color encoder) or
+    ``color=True`` 3-component 4:4:4 YCbCr with interleaved Y/Cb/Cr
+    MCUs, per-component DC prediction, and shared quant/Huffman tables
+    (legal per the spec, and what keeps flat chroma exact). ``solid``
+    paints a constant image (an (r, g, b) tuple when color) — flat
+    blocks quantize to a lone DC with quant 1, so their decode
+    round-trip is bit-exact (the lossless corner of a lossy codec, the
+    same exactness hook the PNG/BMP/WAV fixtures give tests); default
+    content is deterministic hash-stream noise."""
     import struct
 
     import numpy as np
 
+    ncomp = 3 if color else 1
     if solid is None:
-        pix = (
+        raw = (
             np.frombuffer(
-                _det_bytes(f"jpeg:{seed}", width * height), dtype=np.uint8
+                _det_bytes(f"jpeg:{seed}", width * height * ncomp),
+                dtype=np.uint8,
             )
-            .reshape(height, width)
+            .reshape(ncomp, height, width)
             .astype(np.float64)
         )
     else:
-        pix = np.full((height, width), float(solid))
+        vals = solid if color else (solid,)
+        raw = np.stack(
+            [np.full((height, width), float(v)) for v in vals]
+        )
+    if color:
+        r, g, b = raw
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [raw[0]]
     h8 = -(-height // 8) * 8
     w8 = -(-width // 8) * 8
-    img = np.pad(pix, ((0, h8 - height), (0, w8 - width)), mode="edge")
+    planes = [
+        np.pad(p, ((0, h8 - height), (0, w8 - width)), mode="edge")
+        for p in planes
+    ]
 
     cmat = _jpeg_dct_matrix()
     zz = _jpeg_zigzag()
@@ -758,51 +783,61 @@ def _jpeg_bytes(
     ac_code = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALUES)
 
     bw = _BitWriter()
-    dc_prev = 0
+    dc_prev = [0] * ncomp
     for by in range(h8 // 8):
         for bx in range(w8 // 8):
-            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coeff = cmat @ block @ cmat.T
-            q = np.rint(coeff / qt).astype(np.int64)
-            seq = [int(q.flat[i]) for i in zz]
+            for ci, plane in enumerate(planes):
+                block = (
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                )
+                coeff = cmat @ block @ cmat.T
+                q = np.rint(coeff / qt).astype(np.int64)
+                seq = [int(q.flat[i]) for i in zz]
 
-            def put_val(code_tab, run: int, v: int) -> None:
-                size = abs(v).bit_length()
-                sym = (run << 4) | size if code_tab is ac_code else size
-                c, ln = code_tab[sym]
-                bw.put(c, ln)
-                if size:
-                    bw.put(v if v >= 0 else v + (1 << size) - 1, size)
-
-            put_val(dc_code, 0, seq[0] - dc_prev)
-            dc_prev = seq[0]
-            run = 0
-            for v in seq[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_code[0xF0]
+                def put_val(code_tab, run: int, v: int) -> None:
+                    size = abs(v).bit_length()
+                    sym = (run << 4) | size if code_tab is ac_code else size
+                    c, ln = code_tab[sym]
                     bw.put(c, ln)
-                    run -= 16
-                put_val(ac_code, run, v)
+                    if size:
+                        bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+
+                put_val(dc_code, 0, seq[0] - dc_prev[ci])
+                dc_prev[ci] = seq[0]
                 run = 0
-            if run:
-                c, ln = ac_code[0x00]
-                bw.put(c, ln)
+                for v in seq[1:]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_code[0xF0]
+                        bw.put(c, ln)
+                        run -= 16
+                    put_val(ac_code, run, v)
+                    run = 0
+                if run:
+                    c, ln = ac_code[0x00]
+                    bw.put(c, ln)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     qt_zz = bytes(_JPEG_QUANT[i] for i in zz)
+    sof_comps = b"".join(
+        bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1)
+    )
+    sos_comps = b"".join(bytes([cid, 0]) for cid in range(1, ncomp + 1))
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + seg(0xFFDB, b"\x00" + qt_zz)
-        + seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps,
+        )
         + seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALUES)
         + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALUES)
-        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        + seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
         + bw.flush()
         + b"\xff\xd9"  # EOI
     )
@@ -848,9 +883,10 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
     Huffman tables rebuilt from DHT (Annex-K or any other valid tables —
     nothing assumes the sibling encoder produced the file), entropy
     decode with byte un-stuffing, dequantize, de-zigzag, orthonormal
-    IDCT, clamp. Grayscale (single-component) sequential baseline only:
-    color, progressive (SOF2), and restart-interval streams fail loudly
-    — those branches need PIL."""
+    IDCT, clamp. Sequential baseline, grayscale or 4:4:4 YCbCr color
+    (interleaved MCUs, per-component DC prediction, JFIF YCbCr->RGB):
+    chroma-subsampled, progressive (SOF2), and restart-interval streams
+    fail loudly — those branches need PIL."""
     import struct
 
     import numpy as np
@@ -861,7 +897,8 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = 0
+    sof_comps: list[tuple[int, int]] = []  # (component id, quant table)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # id -> (dc, ac) tables
     scan_pos = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -895,14 +932,16 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"only 8-bit precision supported, got {prec}")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    f"only grayscale (1-component) baseline JPEG supported, "
-                    f"got {ncomp} components; color needs PIL"
+                    f"only grayscale or 3-component (YCbCr) baseline JPEG "
+                    f"supported, got {ncomp} components"
                 )
-            if body[7] != 0x11:
-                raise ValueError("subsampled JPEG not supported")
-            comp_q = body[8]
+            for ci in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError("subsampled JPEG not supported")
+                sof_comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
                 "only baseline sequential (SOF0) JPEG supported; "
@@ -911,16 +950,24 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
         elif marker == 0xDD:  # DRI
             raise ValueError("restart-interval JPEG streams not supported")
         elif marker == 0xDA:  # SOS
-            if body[0] != 1:
-                raise ValueError("scan component count != 1")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            if body[0] != len(sof_comps):
+                raise ValueError(
+                    "scan component count differs from SOF0 (multi-scan "
+                    "sequential JPEG not supported)"
+                )
+            for ci in range(body[0]):
+                cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
             scan_pos = pos + 2 + length
             break
         pos += 2 + length
     if width is None or scan_pos is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    qt = qtables[comp_q]
-    dc_tab, ac_tab = htables[(0, comp_dc)], htables[(1, comp_ac)]
+    comps = [
+        (qtables[tq], htables[(0, scan_tabs[cid][0])],
+         htables[(1, scan_tabs[cid][1])])
+        for cid, tq in sof_comps
+    ]
     zz = _jpeg_zigzag()
     cmat = _jpeg_dct_matrix()
     dequant_nat = np.zeros(64)
@@ -938,40 +985,66 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
         raise ValueError("invalid JPEG Huffman code")
 
     bh, bw_ = -(-height // 8), -(-width // 8)
-    img = np.zeros((bh * 8, bw_ * 8))
-    dc_prev = 0
+    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in comps]
+    dc_prev = [0] * len(comps)
     try:
         for by in range(bh):
             for bx in range(bw_):
-                coeff_zz = [0] * 64
-                size = read_symbol(dc_tab)
-                diff = br.receive_extend(size) if size else 0
-                dc_prev += diff
-                coeff_zz[0] = dc_prev
-                k = 1
-                while k < 64:
-                    sym = read_symbol(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("invalid AC run/size symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    coeff_zz[k] = br.receive_extend(size)
-                    k += 1
-                for i, nat in enumerate(zz):
-                    dequant_nat[nat] = coeff_zz[i] * qt[i]
-                block = cmat.T @ dequant_nat.reshape(8, 8) @ cmat + 128.0
-                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                # 4:4:4 interleaved MCU: one block per component, in
+                # SOF order, each with its own DC predictor
+                for ci, (qt, dc_tab, ac_tab) in enumerate(comps):
+                    coeff_zz = [0] * 64
+                    size = read_symbol(dc_tab)
+                    diff = br.receive_extend(size) if size else 0
+                    dc_prev[ci] += diff
+                    coeff_zz[0] = dc_prev[ci]
+                    k = 1
+                    while k < 64:
+                        sym = read_symbol(ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError(
+                                    "invalid AC run/size symbol"
+                                )
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError(
+                                "AC coefficient index overflow"
+                            )
+                        coeff_zz[k] = br.receive_extend(size)
+                        k += 1
+                    for i, nat in enumerate(zz):
+                        dequant_nat[nat] = coeff_zz[i] * qt[i]
+                    block = (
+                        cmat.T @ dequant_nat.reshape(8, 8) @ cmat + 128.0
+                    )
+                    planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ] = block
     except StopIteration as exc:
         raise ValueError("JPEG entropy stream ended mid-block") from exc
-    pix = np.clip(np.rint(img[:height, :width]), 0, 255)
-    mean = float(pix.sum()) / (width * height * 255.0) if width * height else 0.0
+    if len(comps) == 1:
+        pix = np.clip(np.rint(planes[0][:height, :width]), 0, 255)
+    else:
+        y = planes[0][:height, :width]
+        cb = planes[1][:height, :width] - 128.0
+        cr = planes[2][:height, :width] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ]
+        )
+        pix = np.clip(np.rint(rgb), 0, 255)
+    mean = (
+        float(pix.mean()) / 255.0 if width * height else 0.0
+    )
     return width, height, None, None, mean  # type: ignore[return-value]
 
 

@@ -344,9 +344,9 @@ def test_real_media_decode_round_trips_jpeg(spark):
 
 
 def test_jpeg_decoder_rejects_out_of_scope_shapes():
-    """Progressive (SOF2), color (3-component), subsampled, restart-
-    interval, and 16-bit-quant streams must fail loudly at named
-    branches — the PIL-requiring shapes stay gated, never decode
+    """Progressive (SOF2), chroma-subsampled, restart-interval,
+    16-bit-quant, and SOF/SOS-mismatched streams must fail loudly at
+    named branches — the PIL-requiring shapes stay gated, never decode
     garbage. Each malformed stream is built by surgically rewriting the
     relevant segment of a valid file."""
     import re
@@ -371,14 +371,32 @@ def test_jpeg_decoder_rejects_out_of_scope_shapes():
     s, _ = find_seg(0xC0)
     with _pytest.raises(ValueError, match="progressive"):
         _decode_jpeg(good[:s + 1] + b"\xc2" + good[s + 2:])
-    # 3-component SOF (color): rebuild the SOF segment
+    # 3-component SOF over a 1-component scan: color is decodable since
+    # r7, so the boundary moved — the mismatch (a multi-scan sequential
+    # file) is what must fail, not the component count itself
     s, ln = find_seg(0xC0)
     sof3 = (
         struct.pack(">HHBHHB", 0xFFC0, 8 + 3 * 3, 8, 5, 6, 3)
         + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
     )
-    with _pytest.raises(ValueError, match="color needs PIL"):
+    with _pytest.raises(ValueError, match="differs from SOF0"):
         _decode_jpeg(good[:s] + sof3 + good[s + ln:])
+    # 4-component (CMYK-style) SOF stays out of scope
+    sof4 = (
+        struct.pack(">HHBHHB", 0xFFC0, 8 + 3 * 4, 8, 5, 6, 4)
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00"
+    )
+    with _pytest.raises(ValueError, match="got 4 components"):
+        _decode_jpeg(good[:s] + sof4 + good[s + ln:])
+    # subsampled COLOR stream (2x1 luma sampling) fails at the named
+    # branch before any entropy decode
+    color = _jpeg_bytes(1, 6, 5, color=True)
+    cs = color.index(b"\xff\xc0")
+    cbody = bytearray(color)
+    assert cbody[cs + 11] == 0x11
+    cbody[cs + 11] = 0x21
+    with _pytest.raises(ValueError, match="subsampled"):
+        _decode_jpeg(bytes(cbody))
     # subsampled single component (2x2 sampling factors); full-segment
     # layout: FF C0 len(2) prec h(2) w(2) ncomp id SAMPLING tq
     body = bytearray(good[s:s + ln])
@@ -396,3 +414,80 @@ def test_jpeg_decoder_rejects_out_of_scope_shapes():
     body[4] = 0x10
     with _pytest.raises(ValueError, match="16-bit quant"):
         _decode_jpeg(good[:q] + bytes(body) + good[q + qln:])
+
+
+def test_jpeg_color_solid_gray_round_trip_is_exact():
+    """Solid R=G=B color: Y equals the gray value exactly (the JFIF luma
+    weights sum to 1) and both chroma planes sit exactly at 128, so all
+    three flat planes quantize to lone DCs with quant 1 and the decoded
+    RGB mean is bit-exact — the lossless corner of the COLOR pipeline,
+    conversion included."""
+    from asterlake.operators.multimodal import _decode_jpeg, _jpeg_bytes
+
+    for v in (0, 8, 128, 200, 248):
+        for w, h in [(6, 5), (8, 8), (17, 3)]:
+            W, H, rate, n, mean = _decode_jpeg(
+                _jpeg_bytes(0, w, h, solid=(v, v, v), color=True)
+            )
+            assert (W, H, rate, n) == (w, h, None, None)
+            assert mean == v / 255.0, (v, w, h, mean)
+
+
+def test_jpeg_color_solid_round_trip_bounded_by_dc_quant():
+    """Arbitrary solid colors: each flat plane's DC quantizes with
+    quant 1 (error <= 1/16 of a level through the 8x FDCT gain), plus
+    the final per-pixel rounding — decoded mean within 2/255 of the
+    exact float YCbCr->RGB round trip of the source color."""
+    import numpy as np
+
+    from asterlake.operators.multimodal import _decode_jpeg, _jpeg_bytes
+
+    for r, g, b in [(255, 0, 0), (10, 200, 90), (0, 0, 255), (33, 66, 99)]:
+        W, H, _, _, mean = _decode_jpeg(
+            _jpeg_bytes(0, 9, 7, solid=(r, g, b), color=True)
+        )
+        assert (W, H) == (9, 7)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        back = np.clip(
+            np.rint(
+                np.array(
+                    [
+                        y + 1.402 * cr,
+                        y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb,
+                    ]
+                )
+            ),
+            0,
+            255,
+        )
+        assert abs(mean - back.mean() / 255.0) <= 2 / 255, (r, g, b, mean)
+
+
+def test_jpeg_color_noise_round_trip_bounded_error():
+    """Hash-stream RGB noise through the full color pipeline: dims
+    recover exactly; the decoded mean sits within the AC-quantization
+    envelope of the ORIGINAL byte stream's mean (independent model, not
+    the encoder's buffer); encoder is byte-deterministic."""
+    import numpy as np
+
+    from asterlake.operators.multimodal import (
+        _decode_jpeg,
+        _det_bytes,
+        _jpeg_bytes,
+    )
+
+    for seed in range(4):
+        w, h = 5 + seed % 12, 4 + seed % 9
+        payload = _jpeg_bytes(seed, w, h, color=True)
+        assert payload == _jpeg_bytes(seed, w, h, color=True)
+        W, H, _, _, mean = _decode_jpeg(payload)
+        assert (W, H) == (w, h)
+        src = np.frombuffer(
+            _det_bytes(f"jpeg:{seed}", w * h * 3), dtype=np.uint8
+        ).astype(float)
+        # RGB->YCbCr->RGB is mean-preserving only approximately (clamp
+        # + chroma quantization): wider envelope than grayscale
+        assert abs(mean - src.mean() / 255.0) < 0.04, (seed, mean)
