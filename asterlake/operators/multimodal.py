@@ -425,12 +425,14 @@ def real_media_table(
     loop off ``spark.range`` — the same executor-side generation shape a
     backfill of encoded media uses. Each item's dimensions/rate are
     arithmetic in media_id (bmp: 4+id%13 x 3+id%7; wav: 50+id%101
-    samples @ 8000+100*(id%5) Hz; png: 3+id%9 x 2+id%6; jpeg:
-    5+id%12 x 4+id%9) so an external oracle can restate them without
-    parsing the containers."""
+    samples @ 8000+100*(id%5) Hz; png: 3+id%9 x 2+id%6; jpeg and
+    jpeg_rgb: 5+id%12 x 4+id%9) so an external oracle can restate them
+    without parsing the containers. ``jpeg_rgb`` writes 4:4:4 color
+    files that ship under container format "jpeg" (the decoder branches
+    on the SOF0 component count, as a real reader must)."""
 
     fmts = tuple(formats)
-    unknown = set(fmts) - {"bmp", "wav", "png", "jpeg"}
+    unknown = set(fmts) - {"bmp", "wav", "png", "jpeg", "jpeg_rgb"}
     if unknown:
         raise ValueError(f"no real encoder for formats {sorted(unknown)}")
 
@@ -476,8 +478,14 @@ def real_media_table(
                         "format": "png",
                     }
                 else:
+                    # "jpeg_rgb" selects the color encoder but ships as
+                    # format "jpeg" — one container format, the decoder
+                    # branches on the SOF0 component count like any real
+                    # reader would
                     w, h = 5 + mid % 12, 4 + mid % 9
-                    payload = _jpeg_bytes(mid, w, h)
+                    payload = _jpeg_bytes(
+                        mid, w, h, color=(fmt == "jpeg_rgb")
+                    )
                     kind, meta = "image", {
                         "width": w,
                         "height": h,

