@@ -425,7 +425,7 @@ def real_media_table(
     loop off ``spark.range`` — the same executor-side generation shape a
     backfill of encoded media uses. Each item's dimensions/rate are
     arithmetic in media_id (bmp: 4+id%13 x 3+id%7; wav: 50+id%101
-    samples @ 8000+100*(id%5) Hz; png: 3+id%9 x 2+id%6; jpeg and
+    samples @ 8000+100*(id%7) Hz; png: 3+id%9 x 2+id%6; jpeg and
     jpeg_rgb: 5+id%12 x 4+id%9) so an external oracle can restate them
     without parsing the containers. ``jpeg_rgb`` writes 4:4:4 color
     files that ship under container format "jpeg" (the decoder branches
@@ -458,7 +458,10 @@ def real_media_table(
                         "format": "bmp",
                     }
                 elif fmt == "wav":
-                    ns, rate = 50 + mid % 101, 8000 + 100 * (mid % 5)
+                    # rate modulus 7 is coprime with every format-cycle
+                    # length in use (2/4/5), so the rate keeps varying
+                    # whatever slot wav occupies in the cycle
+                    ns, rate = 50 + mid % 101, 8000 + 100 * (mid % 7)
                     payload = _wav_bytes(mid, ns, rate)
                     kind, meta = "audio", {
                         "width": None,
