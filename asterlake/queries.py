@@ -6484,6 +6484,16 @@ _TOUCHED_R7 = [
 # q_array_functions yield their slots to the new r7 queries — both pure
 # built-in function-surface queries untouched since r1 (lowest drift
 # risk in the r4 set), they lead the r8 freshness queue.
+#
+# R8 CANDIDATES (operators landed r7 with local pins but no driver row
+# yet — declare their queries at the r8 front): sketch_overlap
+# (operators/sketches.py — per-key audience overlap; oracle shape: the
+# coupon-regime exactness makes |A∩B| restatable as an exact COUNT
+# (DISTINCT) intersection at sf0.01, with the dense-regime booleans as
+# TRUE literals) and streaming_frequent_candidates
+# (streaming/pipeline.py — availableNow drain + exact recount equals
+# the q_frequent_tokens oracle verbatim, the q_stream_* pattern).
+# After those two, the front returns to pure freshness rotation.
 _STALE_R4 = [
     "q_ann_int8_topk",
     "q_anomaly_outliers",
