@@ -504,3 +504,22 @@ def test_no_query_plans_cartesian_or_row_python(spark):
             if has_node(plan, node):
                 bad.append(f"{name}: {node}")
     assert not bad, "\n".join(bad)
+
+
+def test_sketch_rollup_merge_all_broadcast_and_partial_merged(spark):
+    """q_sketch_rollup_merge at 100 TB: the month-key joins broadcast
+    (~84 rows — the fact never shuffles for a join), both sketch builds
+    are two-phase ObjectHashAggregates (map-side partial, the exchange
+    carries sketches not keys), and Catalyst prunes the sketch column
+    entirely out of the n_day_sketches subtree (it degenerates to a
+    two-phase distinct count — no wasted sketch build)."""
+    plan = _plan(spark, "q_sketch_rollup_merge")
+    tree = plan.split("\n\n", 1)[0]
+    assert node_count(plan, "BroadcastHashJoin") == 3
+    assert not has_node(plan, "SortMergeJoin")
+    # exactly the two sketch subtrees carry object aggregates: each is
+    # build (partial+final) then rollup union (partial+final) = 4 per
+    # side; the exchanges between them move sketches, never raw keys
+    assert tree.count("ObjectHashAggregate") == 8
+    assert plan.count("partial_hll_sketch_agg") >= 2
+    assert plan.count("partial_hll_union_agg") >= 2
