@@ -1114,3 +1114,43 @@ def test_sketch_overlap_matches_set_algebra(spark, left, right):
         for k in set(la) & set(rb)
     }
     assert got == want
+
+
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 9)),
+        min_size=0,
+        max_size=50,
+    ),
+    dim=st.lists(st.integers(-50, 50), min_size=0, max_size=12),
+    n_bits=st.sampled_from([16, 64, 1 << 12]),
+)
+@_SETTINGS
+def test_bloom_semi_join_matches_plain_join(spark, fact, dim, n_bits):
+    """Differential for the Bloom reduction: for ANY key distribution
+    (negatives, misses, duplicates on both sides — duplicate dim keys
+    multiply rows, plain-join semantics) and ANY bitmap size — down to
+    a 16-bit bitmap where nearly every probe is a false positive — the
+    bloom-pruned exact join must return the plain join's row multiset
+    exactly. Saturation may cost pruning, never rows."""
+    from asterlake.operators.bloomjoin import bloom_semi_join
+
+    fdf = spark.createDataFrame(fact, "k int, payload int") if fact else (
+        spark.createDataFrame([], "k int, payload int")
+    )
+    ddf = spark.createDataFrame(
+        [(k,) for k in dim], "dk int"
+    ) if dim else spark.createDataFrame([], "dk int")
+    got = sorted(
+        map(
+            tuple,
+            bloom_semi_join(fdf, ddf, "k", "dk", n_bits=n_bits).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            fdf.join(ddf, F.col("k") == F.col("dk"), "inner").collect(),
+        )
+    )
+    assert got == want
