@@ -144,9 +144,10 @@ def decode_media(media: DataFrame, real: bool = False) -> DataFrame:
 
     ``real=True`` dispatches to :func:`decode_media_real` — an actual
     stdlib-only codec path (WAV PCM via ``wave``, 24-bit BMP via
-    ``struct``; see REAL_DECODED_SCHEMA). Formats those two can't parse
-    (png/jpeg/mp4) still need PIL/pyav and raise there — that is the
-    remaining swap point.
+    ``struct``, PNG via ``zlib``, baseline grayscale/4:4:4-color JPEG
+    via numpy; see REAL_DECODED_SCHEMA). Formats those can't parse
+    (mp4 video, subsampled/progressive JPEG) still need pyav/PIL and
+    raise there — that is the remaining swap point.
     """
     if real:
         return decode_media_real(media)
@@ -974,6 +975,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
         pos += 2 + length
     if width is None or scan_pos is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    missing = [cid for cid, _ in sof_comps if cid not in scan_tabs]
+    if missing:
+        raise ValueError(
+            f"SOS references unknown component ids (SOF0 declares "
+            f"{[c for c, _ in sof_comps]}, scan lacks {missing})"
+        )
     comps = [
         (qtables[tq], htables[(0, scan_tabs[cid][0])],
          htables[(1, scan_tabs[cid][1])])
@@ -1060,14 +1067,16 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
 
 
 def decode_media_real(media: DataFrame) -> DataFrame:
-    """REAL decode of wav/bmp/png payloads (stdlib codecs, Arrow-batched).
+    """REAL decode of wav/bmp/png/jpeg payloads (stdlib+numpy codecs,
+    Arrow-batched; jpeg covers sequential baseline, grayscale and 4:4:4
+    color).
 
     Output: one row per media item with the container-parsed dimensions
     (width/height for images, sample_rate/n_samples for audio) and
     ``mean_level`` in [0, 1] (mean |PCM16 amplitude| / 32768 for audio,
     mean channel byte / 255 for images). Unsupported formats raise
-    ValueError — jpeg/mp4 need PIL/pyav, which slot in here as
-    additional format branches."""
+    ValueError — mp4 needs pyav and subsampled/progressive JPEG needs
+    PIL; those slot in here as additional format branches."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

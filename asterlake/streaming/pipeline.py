@@ -447,22 +447,29 @@ def running_ewma(
     )
 
 
-_MG_OUTPUT = StructType(
-    [
-        StructField("shard", LongType()),
-        StructField("token", StringType()),
-        StructField("n_shard_total", LongType()),
-    ]
-)
 # one Misra-Gries summary per SHARD (not per key — that would be the
-# vocabulary-sized state the algorithm exists to avoid)
-_MG_STATE = StructType(
-    [
-        StructField("keys", ArrayType(StringType())),
-        StructField("counts", ArrayType(LongType())),
-        StructField("n_seen", LongType()),
-    ]
-)
+# vocabulary-sized state the algorithm exists to avoid); schemas are
+# built per call so the token column keeps its OWN type end-to-end and
+# the exact-recount recipe (semi-join back against the source column,
+# frequency.frequent_items phase 2) never hits a string-cast mismatch
+
+
+def _mg_schemas(token_type) -> tuple[StructType, StructType]:
+    output = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("token", token_type),
+            StructField("n_shard_total", LongType()),
+        ]
+    )
+    state = StructType(
+        [
+            StructField("keys", ArrayType(token_type)),
+            StructField("counts", ArrayType(LongType())),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    return output, state
 
 
 def streaming_frequent_candidates(
@@ -489,11 +496,17 @@ def streaming_frequent_candidates(
     ``n_shard_total`` (cumulative rows the shard has absorbed) in
     update mode; a consumer takes each shard's rows at its maximum
     ``n_shard_total`` for the latest summary, then exact-recounts the
-    candidates (batch ``frequent_items`` phase 2) for exact results.
-    Because the state IS the batch algorithm's running summary, the
-    final candidate set equals running batch Misra-Gries over the
-    concatenated micro-batches in arrival order (pinned in
-    tests/test_streaming.py)."""
+    candidates (batch ``frequent_items`` phase 2) for exact results —
+    the ``token`` column keeps the source column's type, so that
+    semi-join needs no casts. Because the state IS the batch
+    algorithm's running summary, the final candidate set equals batch
+    Misra-Gries applied chunk-by-chunk over the stream in arrival
+    order, where a chunk is an Arrow batch (trims happen per chunk to
+    keep memory bounded — a micro-batch above
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows spans several
+    chunks; extra trims only lower counts, so the no-false-negative
+    bound is unaffected). Pinned in tests/test_streaming.py, where each
+    micro-batch is a single chunk and the replay is exact."""
     from asterlake.operators.frequency import _trim
 
     if capacity is None:
@@ -503,9 +516,10 @@ def streaming_frequent_candidates(
             f"capacity {capacity} cannot guarantee the 1/{denom} "
             f"threshold; need capacity >= denom"
         )
+    out_schema, state_schema = _mg_schemas(tokens.schema[col].dataType)
     sharded = tokens.select(
         F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).alias("shard"),
-        F.col(col).cast("string").alias("token"),
+        F.col(col).alias("token"),
     )
 
     def update(
@@ -526,7 +540,7 @@ def streaming_frequent_candidates(
             summary = _trim(summary, capacity)
         state.update(
             (
-                [str(k) for k in summary],
+                list(summary.keys()),
                 [int(v) for v in summary.values()],
                 int(n_seen),
             )
@@ -541,8 +555,8 @@ def streaming_frequent_candidates(
 
     return sharded.groupBy("shard").applyInPandasWithState(
         update,
-        outputStructType=_MG_OUTPUT,
-        stateStructType=_MG_STATE,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

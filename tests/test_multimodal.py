@@ -519,6 +519,23 @@ def test_real_media_decode_round_trips_color_jpeg(spark):
         assert np.float32(r.mean_level) == np.float32(want_mean), mid
     # the two encoders really differ: color payloads carry 3-component
     # SOF0 (odd ids here), grayscale 1-component
-    assert payloads[0][:50] != payloads[1][:50] or True
     ncomp = {mid: p[p.index(b"\xff\xc0") + 9] for mid, p in payloads.items()}
     assert all(n == (3 if mid % 2 else 1) for mid, n in ncomp.items())
+
+
+def test_jpeg_decoder_rejects_sos_with_unknown_component_id():
+    """A scan referencing a component id SOF0 never declared must fail
+    at the named branch, not a KeyError — same fail-loud contract as the
+    other malformed-stream shapes."""
+    import pytest as _pytest
+
+    from asterlake.operators.multimodal import _decode_jpeg, _jpeg_bytes
+
+    color = _jpeg_bytes(2, 6, 5, color=True)
+    s = color.index(b"\xff\xda")
+    body = bytearray(color)
+    # SOS layout: FF DA len(2) ns cid1 tabs1 cid2 tabs2 cid3 tabs3 ...
+    assert body[s + 9] == 3
+    body[s + 9] = 4  # third scan component now names id 4
+    with _pytest.raises(ValueError, match="unknown component ids"):
+        _decode_jpeg(bytes(body))

@@ -714,8 +714,8 @@ def test_streaming_frequent_candidates_bounded_and_lossless(spark, tmp_path):
     assert got == want
 
     # replay equality with one shard: state IS the batch MG summary
-    for t in ("t_mg1",):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # (each file is <10k rows = one Arrow chunk, so the per-chunk trim
+    # sequence is exactly the per-file sequence this replay models)
     stream1 = (
         spark.readStream.schema("token string")
         .option("maxFilesPerTrigger", 1)
@@ -734,3 +734,54 @@ def test_streaming_frequent_candidates_bounded_and_lossless(spark, tmp_path):
             summary[t] = summary.get(t, 0) + c
         summary = _trim(summary, capacity)
     assert final1 == set(summary)
+
+
+def test_streaming_frequent_candidates_preserve_token_type(spark, tmp_path):
+    """The token column keeps its source type (here bigint) end-to-end,
+    so the documented exact-recount recipe — semi-join candidates back
+    against the original column — works without casts. A string-typed
+    candidate set would match nothing here."""
+    import json
+
+    from collections import Counter
+
+    from asterlake.streaming.pipeline import streaming_frequent_candidates
+
+    src = str(tmp_path / "itoks")
+    os.makedirs(src)
+    vals_a = [7] * 10 + list(range(100, 112))
+    vals_b = [7] * 6 + list(range(200, 210))
+    for name, vals in [("a.jsonl", vals_a), ("b.jsonl", vals_b)]:
+        with open(os.path.join(src, name), "w") as f:
+            for v in vals:
+                f.write(json.dumps({"token": v}) + "\n")
+    stream = (
+        spark.readStream.schema("token bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    cands = streaming_frequent_candidates(
+        stream, denom=4, capacity=8, n_shards=2
+    )
+    assert dict(cands.dtypes)["token"] == "bigint"
+    _drain(cands, str(tmp_path / "ck_img"), "mg_int_sink", mode="update")
+    emitted = spark.table("mg_int_sink").collect()
+    latest_n: dict = {}
+    for r in emitted:
+        latest_n[r.shard] = max(latest_n.get(r.shard, 0), r.n_shard_total)
+    candidates = {
+        r.token
+        for r in emitted
+        if r.n_shard_total == latest_n[r.shard]
+    }
+    assert all(isinstance(t, int) for t in candidates)
+    # exact recount against the original ints: the one true heavy
+    # hitter (7 holds 16/38 >= 1/4) survives
+    all_vals = vals_a + vals_b
+    n_total = len(all_vals)
+    got = {
+        t
+        for t, c in Counter(v for v in all_vals if v in candidates).items()
+        if c * 4 >= n_total
+    }
+    assert got == {7}
