@@ -167,3 +167,143 @@ def sketch_overlap(
             "est_overlap"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches: distinct-set ALGEBRA (union / intersection / difference)
+# ---------------------------------------------------------------------------
+
+
+def theta_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int | None = None,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Per-group Theta sketch of ``value_col`` — the stored distinct-set
+    form that supports FULL set algebra, not just union. DataSketches
+    Theta keeps the k smallest value hashes (default lgNomEntries=12,
+    k=4096): below k it retains EVERY hash, so intersections and
+    differences are exact; above k they are sampled estimates with
+    ~1/sqrt(k) relative error. Same build shape as the HLL path: one
+    scan, map-side-combinable ObjectHashAggregate."""
+    agg = (
+        F.theta_sketch_agg(value_col)
+        if lg_k is None
+        else F.theta_sketch_agg(value_col, lg_k)
+    )
+    return df.groupBy(*group_cols).agg(agg.alias(sketch_col))
+
+
+def theta_rollup(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union stored Theta sketches to a coarser grouping — scans only
+    the sketch table, map-side-combinable like the HLL rollup."""
+    return sketches.groupBy(*group_cols).agg(
+        F.theta_union_agg(sketch_col).alias(sketch_col)
+    )
+
+
+def theta_set_estimates(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Per-key set algebra between two stored Theta sketch tables:
+    ``est_union``, ``est_intersection``, and ``est_difference``
+    (left minus right) alongside both input estimates — all pure
+    projections over the joined sketches (the two-column theta_*
+    functions aggregate nothing). Unlike HLL inclusion-exclusion
+    (:func:`sketch_overlap`), the intersection here is computed on the
+    retained hash sets directly: EXACT whenever both sketches are in
+    exact mode, and never negative, so small overlaps stay
+    trustworthy."""
+    a = left.select(*key_cols, F.col(sketch_col).alias("_th_a"))
+    b = right.select(*key_cols, F.col(sketch_col).alias("_th_b"))
+    joined = a.join(b, key_cols)
+    return joined.select(
+        *key_cols,
+        F.theta_sketch_estimate("_th_a").alias("est_left"),
+        F.theta_sketch_estimate("_th_b").alias("est_right"),
+        F.theta_sketch_estimate(
+            F.theta_union("_th_a", "_th_b")
+        ).alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("_th_a", "_th_b")
+        ).alias("est_intersection"),
+        F.theta_sketch_estimate(
+            F.theta_difference("_th_a", "_th_b")
+        ).alias("est_difference"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL sketches: mergeable QUANTILES (the distinct-count story, for ranks)
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int | None = None,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Per-group KLL quantile sketch of a DOUBLE column — the stored
+    form of a percentile. Below ``k`` retained items (default k=200)
+    the sketch holds every value and quantiles are EXACT order
+    statistics; above, rank error is ~1.65% at 99% confidence
+    (Karnin-Lang-Liberty, FOCS'16). NOTE: past capacity, compaction is
+    RANDOMIZED — unlike the HLL/Theta builds, two runs over identical
+    data may retain different items (estimates still within bound), so
+    exact-equality tests and oracle gates must stay in exact mode or
+    assert bounds, never bytes."""
+    agg = (
+        F.kll_sketch_agg_double(value_col)
+        if k is None
+        else F.kll_sketch_agg_double(value_col, k)
+    )
+    return df.groupBy(*group_cols).agg(agg.alias(sketch_col))
+
+
+def quantile_rollup(
+    sketches: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Merge stored KLL sketches to a coarser grouping — the percentile
+    range-query path; scans only the sketch table."""
+    return sketches.groupBy(*group_cols).agg(
+        F.kll_merge_agg_double(sketch_col).alias(sketch_col)
+    )
+
+
+def quantile_estimates(
+    sketches: DataFrame,
+    probs: list[float],
+    out_names: list[str] | None = None,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Attach one quantile column per requested rank plus ``q_n`` (the
+    absorbed row count). In exact mode the returned value is the order
+    statistic ``sorted[ceil(q * n) - 1]`` (inclusive-rank semantics,
+    q=0 clamping to the minimum) — pinned by the differential property
+    test."""
+    if out_names is None:
+        out_names = [f"q{int(p * 100):02d}" for p in probs]
+    if len(out_names) != len(probs):
+        raise ValueError("out_names must match probs length")
+    cols = [
+        F.kll_sketch_get_quantile_double(sketch_col, F.lit(p)).alias(n)
+        for p, n in zip(probs, out_names)
+    ]
+    return sketches.select(
+        "*",
+        *cols,
+        F.kll_sketch_get_n_double(sketch_col).alias("q_n"),
+    )

@@ -6493,7 +6493,12 @@ _TOUCHED_R7 = [
 # TRUE literals) and streaming_frequent_candidates
 # (streaming/pipeline.py — availableNow drain + exact recount equals
 # the q_frequent_tokens oracle verbatim, the q_stream_* pattern).
-# After those two, the front returns to pure freshness rotation.
+# Also landed r7 with local pins: theta_set_estimates (exact set
+# algebra incl. difference — oracle shape: exact COUNT(DISTINCT)
+# intersections/differences at sf0.01) and the KLL quantile family
+# (exact-mode order statistics restatable in SQL; past-capacity gates
+# must be bound-booleans because KLL compaction is randomized).
+# After these, the front returns to pure freshness rotation.
 _STALE_R4 = [
     "q_ann_int8_topk",
     "q_anomaly_outliers",

@@ -1154,3 +1154,96 @@ def test_bloom_semi_join_matches_plain_join(spark, fact, dim, n_bits):
         )
     )
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # cell (arbitrary split)
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    q=st.sampled_from([0.0, 0.25, 0.37, 0.5, 0.9, 1.0]),
+)
+@_SETTINGS
+def test_quantile_sketch_exact_mode_matches_order_statistic(spark, vals, q):
+    """Differential for mergeable KLL quantiles in exact mode (n <= k):
+    for ANY split of the values into cell sketches, the merged sketch's
+    quantile must be the inclusive-rank order statistic
+    ``sorted[max(0, ceil(q*n) - 1)]`` — duplicates, negatives, and
+    single-value cells included. This pins the exact-mode semantics the
+    operator docstring promises."""
+    import math
+
+    from asterlake.operators.sketches import (
+        quantile_estimates,
+        quantile_rollup,
+        quantile_sketches,
+    )
+
+    data = [(0, c, float(v)) for c, v in vals]
+    df = spark.createDataFrame(data, "g int, cell int, v double")
+    merged = quantile_rollup(quantile_sketches(df, ["g", "cell"], "v"), ["g"])
+    r = quantile_estimates(merged, [q], ["qq"]).first()
+    s = sorted(v for _, _, v in data)
+    want = s[max(0, math.ceil(q * len(s)) - 1)]
+    assert r.qq == want and r.q_n == len(s)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+    ),
+)
+@_SETTINGS
+def test_theta_set_algebra_matches_python_sets(spark, left, right):
+    """Differential for Theta set algebra in exact mode: per shared key
+    the union, intersection, AND difference estimates must equal Python
+    set algebra exactly — the contract that makes theta_set_estimates
+    strictly stronger than HLL inclusion-exclusion (which cannot
+    express difference and goes noisy at small overlaps)."""
+    from asterlake.operators.sketches import theta_set_estimates, theta_sketches
+
+    if not left or not right:
+        return
+    A = theta_sketches(
+        spark.createDataFrame(left, "k int, v int"), ["k"], "v"
+    )
+    B = theta_sketches(
+        spark.createDataFrame(right, "k int, v int"), ["k"], "v"
+    )
+    got = {
+        r.k: (
+            r.est_left,
+            r.est_right,
+            r.est_union,
+            r.est_intersection,
+            r.est_difference,
+        )
+        for r in theta_set_estimates(A, B, ["k"]).collect()
+    }
+    la, rb = {}, {}
+    for k, v in left:
+        la.setdefault(k, set()).add(v)
+    for k, v in right:
+        rb.setdefault(k, set()).add(v)
+    want = {
+        k: (
+            float(len(la[k])),
+            float(len(rb[k])),
+            float(len(la[k] | rb[k])),
+            float(len(la[k] & rb[k])),
+            float(len(la[k] - rb[k])),
+        )
+        for k in set(la) & set(rb)
+    }
+    assert got == want

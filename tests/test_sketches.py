@@ -213,3 +213,202 @@ def test_overlap_is_a_pure_projection_after_the_join(spark):
     # the only aggregates are the two sketch BUILDS under the join
     assert tree.count("ObjectHashAggregate") == 4  # 2 builds x (partial+final)
     assert "hll_union(" in plan
+
+
+# ---------------------------------------------------------------------------
+# Theta: distinct-set algebra
+# ---------------------------------------------------------------------------
+
+
+def test_theta_set_algebra_exact_below_k(spark):
+    from asterlake.operators.sketches import theta_set_estimates, theta_sketches
+
+    la = [(1, v) for v in range(60)] + [(2, v) for v in range(20)]
+    rb = [(1, v) for v in range(30, 100)] + [(2, v) for v in range(200, 205)]
+    A = theta_sketches(spark.createDataFrame(la, "k int, v int"), ["k"], "v")
+    B = theta_sketches(spark.createDataFrame(rb, "k int, v int"), ["k"], "v")
+    got = {
+        r.k: (
+            r.est_left,
+            r.est_right,
+            r.est_union,
+            r.est_intersection,
+            r.est_difference,
+        )
+        for r in theta_set_estimates(A, B, ["k"]).collect()
+    }
+    # exact mode: every estimate is the true set cardinality, including
+    # the intersection HLL inclusion-exclusion can only approximate and
+    # the difference it cannot express at all
+    assert got == {
+        1: (60.0, 70.0, 100.0, 30.0, 30.0),
+        2: (20.0, 5.0, 25.0, 0.0, 20.0),
+    }
+
+
+def test_theta_rollup_matches_direct_below_k(spark):
+    from asterlake.operators.sketches import theta_rollup, theta_sketches
+
+    rows = _rows(4000, groups=7, card=900, days=6)
+    df = spark.createDataFrame(rows, "g int, day string, v int")
+    merged = theta_rollup(theta_sketches(df, ["g", "day"], "v"), ["g"])
+    got = {
+        r.g: r.est
+        for r in merged.select(
+            "g", F.theta_sketch_estimate("sketch").alias("est")
+        ).collect()
+    }
+    exact = {}
+    for g, _, v in rows:
+        exact.setdefault(g, set()).add(v)
+    assert got == {g: float(len(vs)) for g, vs in exact.items()}
+
+
+def test_theta_large_cardinality_error_bound(spark):
+    from asterlake.operators.sketches import theta_rollup, theta_sketches
+
+    n = 40000
+    df = spark.createDataFrame(
+        [(0, f"d{i % 5}", i * 7 % 20011) for i in range(n)],
+        "g int, day string, v int",
+    )
+    merged = theta_rollup(theta_sketches(df, ["g", "day"], "v"), ["g"])
+    est = merged.select(
+        F.theta_sketch_estimate("sketch").alias("e")
+    ).first().e
+    exact = len({i * 7 % 20011 for i in range(n)})
+    assert abs(est - exact) <= 0.05 * exact, (est, exact)
+
+
+# ---------------------------------------------------------------------------
+# KLL: mergeable quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_rollup_exact_mode(spark):
+    from asterlake.operators.sketches import (
+        quantile_estimates,
+        quantile_rollup,
+        quantile_sketches,
+    )
+
+    import math
+
+    vals = [(i % 3, f"d{i % 4}", float((i * 37) % 150)) for i in range(120)]
+    df = spark.createDataFrame(vals, "g int, day string, v double")
+    daily = quantile_sketches(df, ["g", "day"], "v")
+    merged = quantile_rollup(daily, ["g"])
+    got = {
+        r.g: (r.q00, r.q50, r.q95, r.q100, r.q_n)
+        for r in quantile_estimates(
+            merged,
+            [0.0, 0.5, 0.95, 1.0],
+            ["q00", "q50", "q95", "q100"],
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, _, v in vals:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        want = tuple(
+            vs[max(0, math.ceil(q * n) - 1)] for q in (0.0, 0.5, 0.95, 1.0)
+        ) + (n,)
+        assert got[g] == want, (g, got[g], want)
+
+
+def test_quantile_merge_order_independent_in_exact_mode(spark):
+    from asterlake.operators.sketches import (
+        quantile_estimates,
+        quantile_rollup,
+        quantile_sketches,
+    )
+
+    vals = [(0, f"c{i % 7}", float(i)) for i in range(150)]
+    df = spark.createDataFrame(vals, "g int, cell string, v double")
+    a = quantile_estimates(
+        quantile_rollup(quantile_sketches(df, ["g", "cell"], "v"), ["g"]),
+        [0.25, 0.5, 0.75],
+    ).select("q25", "q50", "q75").first()
+    resplit = spark.createDataFrame(
+        [(g, f"x{int(v) % 11}", v) for g, _, v in vals],
+        "g int, cell string, v double",
+    )
+    b = quantile_estimates(
+        quantile_rollup(
+            quantile_sketches(resplit, ["g", "cell"], "v"), ["g"]
+        ),
+        [0.25, 0.5, 0.75],
+    ).select("q25", "q50", "q75").first()
+    assert tuple(a) == tuple(b)
+
+
+def test_quantile_rank_error_bound_past_capacity(spark):
+    from asterlake.operators.sketches import quantile_estimates, quantile_sketches
+
+    n = 30000
+    df = spark.createDataFrame(
+        [(0, float((i * 101) % n)) for i in range(n)], "g int, v double"
+    )
+    r = quantile_estimates(
+        quantile_sketches(df, ["g"], "v"), [0.5, 0.9]
+    ).first()
+    # values are a permutation of 0..n-1: value/(n-1) ~= its rank; KLL
+    # k=200 guarantees ~1.65% rank error at 99% confidence — assert 5%
+    assert abs(r.q50 / (n - 1) - 0.5) <= 0.05
+    assert abs(r.q90 / (n - 1) - 0.9) <= 0.05
+    assert r.q_n == n
+
+
+def test_sketch_tables_parquet_round_trip_theta_and_kll(spark, tmp_path):
+    from asterlake.operators.sketches import (
+        quantile_estimates,
+        quantile_rollup,
+        quantile_sketches,
+        theta_rollup,
+        theta_sketches,
+    )
+
+    rows = [(i % 2, f"d{i % 3}", float(i % 70)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g int, day string, v double")
+    tpath, kpath = str(tmp_path / "theta"), str(tmp_path / "kll")
+    theta_sketches(df, ["g", "day"], "v").write.parquet(tpath)
+    quantile_sketches(df, ["g", "day"], "v").write.parquet(kpath)
+    import math
+
+    by_g: dict = {}
+    for g, _, v in rows:
+        by_g.setdefault(g, []).append(v)
+    t_est = {
+        r.g: float(r.est)
+        for r in theta_rollup(spark.read.parquet(tpath), ["g"])
+        .select("g", F.theta_sketch_estimate("sketch").alias("est"))
+        .collect()
+    }
+    assert t_est == {g: float(len(set(vs))) for g, vs in by_g.items()}
+    k_est = {
+        r.g: r.q50
+        for r in quantile_estimates(
+            quantile_rollup(spark.read.parquet(kpath), ["g"]), [0.5]
+        ).collect()
+    }
+    want_q50 = {
+        g: sorted(vs)[math.ceil(0.5 * len(vs)) - 1] for g, vs in by_g.items()
+    }
+    assert k_est == want_q50
+
+
+def test_theta_and_kll_builds_are_map_side_combinable(spark):
+    from asterlake.operators.sketches import quantile_sketches, theta_sketches
+
+    df = spark.createDataFrame(
+        [(1, float(i)) for i in range(100)], "g int, v double"
+    )
+    for built in (
+        theta_sketches(df, ["g"], "v"),
+        quantile_sketches(df, ["g"], "v"),
+    ):
+        tree = plan_string(built).split("\n\n", 1)[0]
+        assert tree.count("ObjectHashAggregate") == 2
+        assert tree.count("Exchange") == 1
