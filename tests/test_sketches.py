@@ -412,3 +412,45 @@ def test_theta_and_kll_builds_are_map_side_combinable(spark):
         tree = plan_string(built).split("\n\n", 1)[0]
         assert tree.count("ObjectHashAggregate") == 2
         assert tree.count("Exchange") == 1
+
+
+def test_empty_inputs_yield_empty_or_zero(spark):
+    """Empty frames flow through every sketch path without raising:
+    builds yield zero groups, rollups of empty states stay empty, and a
+    group whose values are all NULL keeps its row with estimate 0."""
+    from asterlake.operators.sketches import (
+        quantile_estimates,
+        quantile_rollup,
+        quantile_sketches,
+        theta_rollup,
+        theta_set_estimates,
+        theta_sketches,
+    )
+
+    empty = spark.createDataFrame([], "g int, day string, v int")
+    assert distinct_sketches(empty, ["g", "day"], "v").count() == 0
+    assert rollup_sketches(
+        distinct_sketches(empty, ["g", "day"], "v"), ["g"]
+    ).count() == 0
+    assert theta_rollup(
+        theta_sketches(empty, ["g", "day"], "v"), ["g"]
+    ).count() == 0
+    emptyd = spark.createDataFrame([], "g int, v double")
+    assert quantile_rollup(
+        quantile_sketches(emptyd, ["g"], "v"), ["g"]
+    ).count() == 0
+    some = theta_sketches(
+        spark.createDataFrame([(1, 5)], "k int, v int"), ["k"], "v"
+    )
+    none = theta_sketches(
+        spark.createDataFrame([], "k int, v int"), ["k"], "v"
+    )
+    assert theta_set_estimates(some, none, ["k"]).count() == 0
+
+    nulls = spark.createDataFrame(
+        [(1, None), (1, None)], "g int, v int"
+    )
+    r = sketch_estimates(
+        distinct_sketches(nulls, ["g"], "v"), out="est"
+    ).first()
+    assert (r.g, r.est) == (1, 0)
