@@ -1,12 +1,14 @@
-"""Mergeable HLL sketch maintenance: determinism contracts + plan shape.
+"""Mergeable sketch maintenance (HLL, Theta, KLL): determinism
+contracts + plan shape.
 
-The operator's promise is incremental distinct counting WITHOUT fact
-rescans; these tests pin the properties that make that safe to rely on:
-coupon-regime exactness under any row split, bounded (and cross-split-
-consistent) dense-regime error, parquet round-trip of the binary state,
-advance==rebuild, loud failure on mixed precision, inclusion-exclusion
-overlap estimates, and a rollup plan that provably never touches the
-fact table.
+The family's promise is incremental distinct counts / set algebra /
+quantiles WITHOUT fact rescans; these tests pin the properties that
+make that safe to rely on: exact-mode equality to Python set/order-
+statistic oracles under any row split, bounded (and cross-split-
+consistent) error past capacity, parquet round-trips of the binary
+states, advance==rebuild, loud failure on mixed precision, and rollup
+plans that provably never touch the fact table (map-side-combinable
+ObjectHashAggregates throughout).
 """
 
 from __future__ import annotations
