@@ -768,7 +768,20 @@ def _jpeg_bytes(
             .astype(np.float64)
         )
     else:
-        vals = solid if color else (solid,)
+        if color and not isinstance(solid, (tuple, list)):
+            raise ValueError(
+                "color=True needs solid as an (r, g, b) tuple, got "
+                f"{solid!r}"
+            )
+        if not color and isinstance(solid, (tuple, list)):
+            raise ValueError(
+                f"grayscale needs a scalar solid value, got {solid!r}"
+            )
+        vals = tuple(solid) if color else (solid,)
+        if len(vals) != ncomp:
+            raise ValueError(
+                f"solid has {len(vals)} channels, need {ncomp}"
+            )
         raw = np.stack(
             [np.full((height, width), float(v)) for v in vals]
         )
@@ -981,6 +994,18 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
             f"SOS references unknown component ids (SOF0 declares "
             f"{[c for c, _ in sof_comps]}, scan lacks {missing})"
         )
+    for cid, tq in sof_comps:
+        dc_id, ac_id = scan_tabs[cid]
+        if tq not in qtables:
+            raise ValueError(
+                f"component {cid} selects quant table {tq} but no such "
+                f"DQT segment exists (have {sorted(qtables)})"
+            )
+        if (0, dc_id) not in htables or (1, ac_id) not in htables:
+            raise ValueError(
+                f"component {cid} selects Huffman tables dc={dc_id}/"
+                f"ac={ac_id} but no such DHT segment exists"
+            )
     comps = [
         (qtables[tq], htables[(0, scan_tabs[cid][0])],
          htables[(1, scan_tabs[cid][1])])

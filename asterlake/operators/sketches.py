@@ -298,6 +298,11 @@ def quantile_estimates(
         out_names = [f"q{int(p * 100):02d}" for p in probs]
     if len(out_names) != len(probs):
         raise ValueError("out_names must match probs length")
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(
+            f"quantile column names collide: {out_names} — probs in the "
+            "same integer-percent bucket need explicit out_names"
+        )
     cols = [
         F.kll_sketch_get_quantile_double(sketch_col, F.lit(p)).alias(n)
         for p, n in zip(probs, out_names)

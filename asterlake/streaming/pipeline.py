@@ -517,7 +517,13 @@ def streaming_frequent_candidates(
             f"threshold; need capacity >= denom"
         )
     out_schema, state_schema = _mg_schemas(tokens.schema[col].dataType)
-    sharded = tokens.select(
+    # NULLs are dropped BEFORE the stateful operator, not inside it: a
+    # single NULL in an Arrow chunk coerces a bigint token column to
+    # float64 in pandas, silently rounding values >= 2^53 (xxhash64
+    # surrogate keys live there) and breaking the no-false-negative
+    # guarantee; the batch twin excludes NULLs from counts and totals
+    # too, so semantics are unchanged
+    sharded = tokens.where(F.col(col).isNotNull()).select(
         F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).alias("shard"),
         F.col(col).alias("token"),
     )

@@ -539,3 +539,28 @@ def test_jpeg_decoder_rejects_sos_with_unknown_component_id():
     body[s + 9] = 4  # third scan component now names id 4
     with _pytest.raises(ValueError, match="unknown component ids"):
         _decode_jpeg(bytes(body))
+
+
+def test_jpeg_decoder_rejects_missing_tables_and_encoder_rejects_bad_solid():
+    """Table-id indirection must fail loudly, not KeyError: a scan
+    selecting a DHT/DQT id that no segment defined names the missing
+    table. The encoder likewise names a solid/color shape mismatch."""
+    import pytest as _pytest
+
+    from asterlake.operators.multimodal import _decode_jpeg, _jpeg_bytes
+
+    good = _jpeg_bytes(3, 6, 5)
+    s = good.index(b"\xff\xda")
+    body = bytearray(good)
+    body[s + 6] = 0x22  # scan selects dc=2/ac=2; only tables 0 exist
+    with _pytest.raises(ValueError, match="no such DHT"):
+        _decode_jpeg(bytes(body))
+    sof = good.index(b"\xff\xc0")
+    body = bytearray(good)
+    body[sof + 12] = 1  # component selects quant table 1; only 0 exists
+    with _pytest.raises(ValueError, match="no such \\(DQT\\)|no such DQT"):
+        _decode_jpeg(bytes(body))
+    with _pytest.raises(ValueError, match="needs solid as an"):
+        _jpeg_bytes(0, 4, 4, solid=128, color=True)
+    with _pytest.raises(ValueError, match="scalar solid"):
+        _jpeg_bytes(0, 4, 4, solid=(1, 2, 3), color=False)

@@ -456,3 +456,13 @@ def test_empty_inputs_yield_empty_or_zero(spark):
         distinct_sketches(nulls, ["g"], "v"), out="est"
     ).first()
     assert (r.g, r.est) == (1, 0)
+
+
+def test_quantile_name_collisions_fail_loudly(spark):
+    from asterlake.operators.sketches import quantile_estimates, quantile_sketches
+
+    sk = quantile_sketches(
+        spark.createDataFrame([(1, 2.0)], "g int, v double"), ["g"], "v"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        quantile_estimates(sk, [0.375, 0.379])

@@ -785,3 +785,48 @@ def test_streaming_frequent_candidates_preserve_token_type(spark, tmp_path):
         if c * 4 >= n_total
     }
     assert got == {7}
+
+
+def test_streaming_frequent_candidates_survive_nulls_and_big_ints(
+    spark, tmp_path
+):
+    """A NULL token in an Arrow chunk used to coerce the bigint column
+    to float64 in pandas, silently rounding tokens >= 2^53 (where
+    xxhash64 surrogate keys live) and dropping the true heavy hitter
+    from the candidate set. NULLs are now filtered before the stateful
+    operator; the exact 2^53+1 value must come back intact."""
+    import json
+
+    from asterlake.streaming.pipeline import streaming_frequent_candidates
+
+    big = (1 << 53) + 1
+    src = str(tmp_path / "btoks")
+    os.makedirs(src)
+    vals_a = [big] * 8 + [None] * 3 + [5, 6, 7]
+    vals_b = [big] * 4 + [None] * 2 + [8, 9]
+    for name, vals in [("a.jsonl", vals_a), ("b.jsonl", vals_b)]:
+        with open(os.path.join(src, name), "w") as f:
+            for v in vals:
+                f.write(json.dumps({"token": v}) + "\n")
+    stream = (
+        spark.readStream.schema("token bigint")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    cands = streaming_frequent_candidates(
+        stream, denom=3, capacity=6, n_shards=2
+    )
+    _drain(cands, str(tmp_path / "ck_big"), "mg_big_sink", mode="update")
+    emitted = spark.table("mg_big_sink").collect()
+    latest_n: dict = {}
+    for r in emitted:
+        latest_n[r.shard] = max(latest_n.get(r.shard, 0), r.n_shard_total)
+    candidates = {
+        r.token for r in emitted if r.n_shard_total == latest_n[r.shard]
+    }
+    assert big in candidates  # exact value, not 2^53
+    assert None not in candidates
+    # NULLs count toward neither candidates nor shard totals
+    assert sum(latest_n.values()) == sum(
+        1 for v in vals_a + vals_b if v is not None
+    )
