@@ -830,3 +830,75 @@ def test_streaming_frequent_candidates_survive_nulls_and_big_ints(
     assert sum(latest_n.values()) == sum(
         1 for v in vals_a + vals_b if v is not None
     )
+
+
+def test_streaming_frequent_candidates_state_survives_restart(
+    spark, tmp_path
+):
+    """The per-shard summaries live in the checkpoint: a SECOND drain
+    with the same checkpoint over newly-arrived files continues from
+    the stored state (not from zero), so the candidate set after the
+    restart reflects the whole history — the daily-maintenance restart
+    pattern every stateful operator must support."""
+    import json
+
+    from asterlake.streaming.pipeline import streaming_frequent_candidates
+
+    src = str(tmp_path / "rtoks")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        for t in ["hot"] * 9 + [f"a{i}" for i in range(11)]:
+            f.write(json.dumps({"token": t}) + "\n")
+    ck = str(tmp_path / "ck_restart")
+    out = str(tmp_path / "mg_out")
+
+    def drain():
+        # memory sinks refuse checkpoint recovery; foreachBatch is the
+        # fault-tolerant sink shape for update-mode stateful queries
+        stream = (
+            spark.readStream.schema("token string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        # capacity exceeds the fixture's distinct-per-shard count, so
+        # no trim ever empties a summary mid-test (a trim that drops
+        # every count-1 key makes that shard emit zero rows — correct
+        # MG behavior, but it would hide the n_shard_total we assert on)
+        cands = streaming_frequent_candidates(
+            stream, denom=4, capacity=24, n_shards=2
+        )
+        (
+            cands.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    rows1 = spark.read.parquet(out).collect()
+    n_after_first = max(r.n_shard_total for r in rows1)
+    assert n_after_first <= 20
+
+    # new file lands AFTER the first query stopped; restart from the
+    # same checkpoint processes ONLY the new file but keeps the state
+    with open(os.path.join(src, "b.jsonl"), "w") as f:
+        for t in ["hot"] * 6 + [f"b{i}" for i in range(9)]:
+            f.write(json.dumps({"token": t}) + "\n")
+    drain()
+    rows2 = spark.read.parquet(out).collect()
+    assert len(rows2) > len(rows1), "restart emitted nothing"
+    latest_n: dict = {}
+    for r in rows2:
+        latest_n[r.shard] = max(latest_n.get(r.shard, 0), r.n_shard_total)
+    # cumulative counts span BOTH files (35 rows total): the state was
+    # resumed, not rebuilt from the new file alone
+    assert sum(latest_n.values()) == 35
+    final = {
+        r.token for r in rows2 if r.n_shard_total == latest_n[r.shard]
+    }
+    # 'hot' holds 15/35 >= 1/4 across the restart boundary
+    assert "hot" in final
