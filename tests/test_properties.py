@@ -1247,3 +1247,79 @@ def test_theta_set_algebra_matches_python_sets(spark, left, right):
         for k in set(la) & set(rb)
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    span_tokens=st.sampled_from([2, 3]),
+)
+@_SETTINGS
+def test_span_dedup_matches_python_replay(spark, docs, span_tokens):
+    """Differential for C4-style span scrubbing: a linear Python replay
+    over documents in id order — segment into span_tokens windows, keep
+    a span only on its FIRST corpus-wide occurrence (min (doc, pos)) —
+    must reproduce (n_segments, n_kept, text_clean) for every document.
+    A tiny token pool forces heavy cross- and within-document span
+    collisions, including partial trailing spans."""
+    from asterlake.operators.dedup import span_dedup
+
+    data = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_segments, r.n_kept, r.text_clean)
+        for r in span_dedup(df, span_tokens=span_tokens).collect()
+    }
+    seen: set = set()
+    want = {}
+    for i, words in enumerate(docs):
+        spans = [
+            " ".join(words[p : p + span_tokens])
+            for p in range(0, len(words), span_tokens)
+        ]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        want[i] = (len(spans), len(kept), " ".join(kept))
+    assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=30,
+    ),
+    bits=st.sampled_from([4, 8]),
+)
+@_SETTINGS
+def test_interleave_bits_matches_python_morton(spark, pairs, bits):
+    """Differential for the Morton Z-order key: the shift/mask column
+    expression must equal a bit-by-bit Python interleave (x bit b at
+    position 2b, y at 2b+1) for any bucket ids, including ids wider
+    than `bits` (upper bits are ignored by the mask, both sides)."""
+    from asterlake.operators.layout import interleave_bits
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = [
+        r.z
+        for r in df.select(
+            interleave_bits(F.col("x"), F.col("y"), bits).alias("z")
+        ).collect()
+    ]
+    def morton(x, y):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+    assert got == [morton(x, y) for x, y in pairs]
