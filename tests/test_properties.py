@@ -1323,3 +1323,100 @@ def test_interleave_bits_matches_python_morton(spark, pairs, bits):
             z |= ((y >> b) & 1) << (2 * b + 1)
         return z
     assert got == [morton(x, y) for x, y in pairs]
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=30,
+    ),
+    extra_verts=st.lists(st.integers(0, 15), min_size=0, max_size=6),
+    method=st.sampled_from(["propagation", "star"]),
+)
+@_SETTINGS
+def test_connected_components_matches_union_find(
+    spark, edges, extra_verts, method
+):
+    """Differential for both CC methods vs a Python union-find with
+    min-label components: random multigraphs with self-loops, repeated
+    edges, and isolated vertices supplied via the vertices frame must
+    all land on component = min reachable id."""
+    from asterlake.operators.graph import connected_components
+
+    if not edges and not extra_verts:
+        return
+    vids = sorted(
+        {v for e in edges for v in e} | set(extra_verts)
+    )
+    edf = spark.createDataFrame(edges, "src int, dst int") if edges else (
+        spark.createDataFrame([], "src int, dst int")
+    )
+    vdf = spark.createDataFrame([(v,) for v in vids], "id int")
+    got = {
+        r.id: r.component
+        for r in connected_components(edf, vdf, method=method).collect()
+    }
+    parent = {v: v for v in vids}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for s, d in edges:
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in vids}
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["w1", "w2", "w3", "w4", "w5"]),
+            min_size=2,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_ngram_containment_matches_bruteforce(spark, docs):
+    """Differential for max-containment pairs: an all-pairs Python scan
+    over 2-shingle SETS computing |A∩B|/min(|A|,|B|) >= 0.5 must equal
+    the inverted-index join's pair set and scores exactly — including
+    full containment of short docs inside long ones (the case Jaccard
+    misses) and docs with every shingle repeated."""
+    from asterlake.operators.dedup import ngram_containment_pairs
+
+    data = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "doc_id int, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(df, n=2, threshold=0.5).collect()
+    }
+    sh = {
+        i: {
+            " ".join(words[p : p + 2])
+            for p in range(len(words) - 1)
+        }
+        for i, words in enumerate(docs)
+    }
+    want = {}
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            c = inter / min(len(sh[a]), len(sh[b]))
+            if c >= 0.5:
+                want[(a, b)] = c
+    assert got == want
