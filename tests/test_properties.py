@@ -1420,3 +1420,94 @@ def test_ngram_containment_matches_bruteforce(spark, docs):
             if c >= 0.5:
                 want[(a, b)] = c
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["q", "r", "s", "t", "u"]),
+            min_size=0,
+            max_size=7,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    bench=st.lists(
+        st.lists(
+            st.sampled_from(["q", "r", "s", "t", "u"]),
+            min_size=2,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@_SETTINGS
+def test_contamination_scores_match_python_overlap(spark, docs, bench):
+    """Differential for graded decontamination: per document, distinct
+    2-gram totals, benchmark-overlap hits, and the drop set of
+    decontaminate() must match a Python set computation — shingle-less
+    docs (< 2 tokens) keep a NULL ratio and are never dropped."""
+    from asterlake.operators.decontam import contamination_scores, decontaminate
+
+    ddf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    bdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(bench)],
+        "doc_id int, text string",
+    )
+
+    def grams(ws):
+        return {
+            " ".join(ws[p : p + 2]) for p in range(len(ws) - 1)
+        }
+
+    bset = set().union(*(grams(ws) for ws in bench))
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_contaminated, r.contamination_ratio)
+        for r in contamination_scores(ddf, bdf, n=2).collect()
+    }
+    want = {}
+    for i, ws in enumerate(docs):
+        g = grams(ws)
+        ratio = len(g & bset) / len(g) if g else None
+        want[i] = (len(g), len(g & bset), ratio)
+    assert got == want
+    kept = {r.doc_id for r in decontaminate(ddf, bdf, n=2).collect()}
+    assert kept == {
+        i for i, ws in enumerate(docs) if not (grams(ws) & bset)
+    }
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.integers(0, 200),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    quota=st.integers(1, 5),
+)
+@_SETTINGS
+def test_quota_sample_invariants(spark, rows, quota):
+    """quota_sample contracts that hold for ANY data: at most quota
+    rows per group, a SUBSET of the input rows (multiset), groups at or
+    under quota pass through whole, and two invocations pick the
+    identical rows (pure hash order, no RNG)."""
+    from collections import Counter
+
+    from asterlake.operators.sampling import quota_sample
+
+    df = spark.createDataFrame(rows, "lang string, key int")
+    out1 = [tuple(r) for r in quota_sample(df, "lang", "key", quota).collect()]
+    out2 = [tuple(r) for r in quota_sample(df, "lang", "key", quota).collect()]
+    assert sorted(out1) == sorted(out2)  # deterministic
+    assert not (Counter(out1) - Counter(rows))  # multiset subset
+    per_group = Counter(g for g, _ in out1)
+    src_group = Counter(g for g, _ in rows)
+    for g, n in src_group.items():
+        assert per_group[g] == min(n, quota), (g, per_group[g], n)
