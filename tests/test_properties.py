@@ -1511,3 +1511,53 @@ def test_quota_sample_invariants(spark, rows, quota):
     src_group = Counter(g for g, _ in rows)
     for g, n in src_group.items():
         assert per_group[g] == min(n, quota), (g, per_group[g], n)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["cat", "dog", "fox", "owl"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.integers(1, 3),
+)
+@_SETTINGS
+def test_tfidf_top_terms_matches_python_model(spark, docs, k):
+    """Differential for per-doc tf-idf top-k: a Python replay of the
+    exact rational score tf * (N+1)/(df+1) with the (score desc, term
+    asc) tiebreak must reproduce every (term, tf, df, tfidf, rank) row.
+    A tiny vocabulary forces score ties, the regime where only the
+    deterministic tiebreak keeps output stable."""
+    from asterlake.operators.textstats import tfidf_top_terms
+
+    data = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id int, text string")
+    got = sorted(
+        (r.doc_id, r.rank, r.term, r.tf, r.df, r.tfidf)
+        for r in tfidf_top_terms(df, k=k).collect()
+    )
+    from collections import Counter
+
+    n_docs = len(docs)
+    dfreq = Counter()
+    tfs = {}
+    for i, ws in enumerate(docs):
+        c = Counter(ws)
+        tfs[i] = c
+        for t in c:
+            dfreq[t] += 1
+    want = []
+    for i, c in tfs.items():
+        scored = sorted(
+            (
+                (-(tf * (n_docs + 1.0) / (dfreq[t] + 1.0)), t, tf)
+                for t, tf in c.items()
+            )
+        )
+        for rank, (neg, t, tf) in enumerate(scored[:k], start=1):
+            want.append((i, rank, t, tf, dfreq[t], -neg))
+    assert got == sorted(want)
