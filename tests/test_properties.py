@@ -1561,3 +1561,52 @@ def test_tfidf_top_terms_matches_python_model(spark, docs, k):
         for rank, (neg, t, tf) in enumerate(scored[:k], start=1):
             want.append((i, rank, t, tf, dfreq[t], -neg))
     assert got == sorted(want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["cat", "dog", "fox", "owl", "elk"]),
+            min_size=1,
+            max_size=9,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    terms=st.lists(
+        st.sampled_from(["cat", "dog", "owl", "yak"]),  # yak never occurs
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@_SETTINGS
+def test_bm25_matches_python_replay_bit_exact(spark, docs, terms):
+    """Differential for BM25: the score is a FIXED left-to-right sum of
+    per-term rational expressions over plan literals, so a Python replay
+    with the identical IEEE op order must match BIT-EXACTLY (==, no
+    tolerance) — including query terms absent from the corpus (df=0,
+    idf capped by the +0.5) and docs matching no term (absent rows)."""
+    from asterlake.operators.textstats import bm25_scores
+
+    data = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id int, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, terms).collect()}
+    k1, b = 1.2, 0.75
+    n = len(docs)
+    sum_dl = sum(len(ws) for ws in docs)
+    avgdl = sum_dl / n
+    dfreq = {t: sum(1 for ws in docs if t in ws) for t in terms}
+    want = {}
+    for i, ws in enumerate(docs):
+        tfs = [float(ws.count(t)) for t in terms]
+        if not any(tfs):
+            continue
+        dl = float(len(ws))
+        norm = k1 * (1.0 - b + b * (dl / avgdl))
+        s = 0.0
+        for t, tf in zip(terms, tfs):
+            idf = (float(n) + 1.0) / (float(dfreq[t]) + 0.5)
+            s = s + idf * (tf * (k1 + 1.0)) / (tf + norm)
+        want[i] = s
+    assert got == want
