@@ -1552,9 +1552,11 @@ def test_tfidf_top_terms_matches_python_model(spark, docs, k):
             dfreq[t] += 1
     want = []
     for i, c in tfs.items():
+        # same IEEE association as the operator: tf * ((N+1)/(df+1)),
+        # NOT (tf*(N+1))/(df+1) — 3*(6/5) != (3*6)/5 in floats
         scored = sorted(
             (
-                (-(tf * (n_docs + 1.0) / (dfreq[t] + 1.0)), t, tf)
+                (-(tf * ((n_docs + 1.0) / (dfreq[t] + 1.0))), t, tf)
                 for t, tf in c.items()
             )
         )
