@@ -160,8 +160,14 @@ def bloom_probe(
             F.get(F.col("_bloom"), word), F.lit(0).cast("long")
         )
         tests.append(looked.bitwiseAND(bit) != F.lit(0).cast("long"))
-    member = tests[0]
-    for t in tests[1:]:
+    # NULL keys are excluded STRUCTURALLY, not probabilistically:
+    # xxhash64 ignores NULL inputs, so a NULL key would probe the fixed
+    # seed-hash positions and pass whenever those bits happen to be set
+    # (always, on a dense bitmap). The semi-join contract is "NULL never
+    # matches" (SQL equi-join semantics), so AND it into the predicate
+    # rather than relying on the false-positive rate (ADVICE r7).
+    member = k.isNotNull()
+    for t in tests:
         member = member & t
     return (
         fact.join(F.broadcast(bitmap))

@@ -161,17 +161,29 @@ def verify_version(
     to the manifest. Returns ``{"version", "ok", "reason", "expected",
     "actual"}``; ``ok`` is True iff rows + both signatures match — the
     pre-training / post-replication audit. ``reason`` disambiguates a
-    failure: ``"sig_encoding_mismatch"`` means the manifest was written
-    under a DIFFERENT row_signature canonical encoding (pre-r6 stores
-    used the v1 NUL-token form) and the data was NOT judged — rewrite
-    the snapshot to re-manifest it; ``"checksum_mismatch"`` is real
-    row-content divergence."""
+    failure: ``"sig_encoding_mismatch"`` means the manifest EXPLICITLY
+    declares a different row_signature canonical encoding and the data
+    was NOT judged — rewrite the snapshot to re-manifest it;
+    ``"checksum_mismatch"`` is real row-content divergence. Manifests
+    missing the field entirely are audited under the CURRENT encoding
+    (they may well be current-encoding stores written before the field
+    existed); a field-less store signed under an older encoding thus
+    fails as checksum_mismatch — conservative, never blessed."""
     if version is None:
         version = latest_version(root)
         if version is None:
             raise FileNotFoundError(f"no committed versions under {root}")
     manifest = read_manifest(root, version)
-    stored_enc = manifest.get("sig_encoding", 1)  # pre-field manifests: v1
+    # A manifest MISSING the field is NOT assumed v1: the v2 canonical
+    # encoding predates the field itself, so field-less manifests exist
+    # with valid v2 signatures — defaulting to v1 would false-flag them
+    # as sig_encoding_mismatch and SKIP the checksum audit, masking real
+    # corruption in those stores (ADVICE r7). Instead, recompute under
+    # the current encoding: a genuinely v1-signed store then fails
+    # loudly as checksum_mismatch (conservative — never blesses), while
+    # v2-signed field-less stores get the full audit. Only an EXPLICIT
+    # differing field is a known-format gap worth short-circuiting.
+    stored_enc = manifest.get("sig_encoding", SIG_ENCODING)
     if stored_enc != SIG_ENCODING:
         # recomputing under the current encoding would flag EVERY row as
         # changed — surface the format gap instead of a false tamper
@@ -220,6 +232,17 @@ def vacuum_versions(root: str, keep_last: int = 2) -> dict:
     Version numbers are never reused after a vacuum: ``write_version``
     allocates ``latest_version() + 1`` and the newest version is always
     kept, so the counter only moves forward.
+
+    Safe against a CONCURRENT in-flight ``write_version``: the writer
+    lands data files first and commits the manifest last, so at vacuum
+    time the in-progress snapshot is a manifest-less directory at
+    ``latest_committed + 1`` — indistinguishable by inspection from a
+    crashed writer's leftover. Manifest-less directories are therefore
+    only removed BELOW the newest committed version (a slot already
+    vacuumed or superseded can never be the writer's live ``latest+1``
+    allocation); the in-flight slot is left alone and, if the writer
+    did crash, the NEXT vacuum (running after a newer commit) sweeps
+    it (ADVICE r7).
     """
     import shutil
 
@@ -227,9 +250,16 @@ def vacuum_versions(root: str, keep_last: int = 2) -> dict:
         raise ValueError("keep_last must be >= 1 (the latest must survive)")
     committed = _versions(root)
     keep = set(committed[-keep_last:])
+    newest_committed = committed[-1] if committed else None
     removed: list[int] = []
     for v in _versions(root, committed_only=False):
         if v in keep:
+            continue
+        if v not in committed and (
+            newest_committed is None or v > newest_committed
+        ):
+            # manifest-less slot ABOVE the newest commit: possibly a
+            # concurrent writer's live allocation — never touch it
             continue
         manifest = _manifest_path(root, v)
         if os.path.isfile(manifest):

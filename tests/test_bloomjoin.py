@@ -113,6 +113,26 @@ def test_null_fact_keys_never_match(spark, urgent_orders):
     assert kept.where(F.col("l_orderkey").isNull()).count() == 0
 
 
+def test_null_fact_keys_excluded_even_on_saturated_bitmap(spark):
+    """NULL exclusion is structural (isNotNull in the membership
+    predicate), not false-positive-rate luck: xxhash64 ignores NULL
+    inputs, so without the guard a NULL key probes the fixed seed-hash
+    positions and PASSES on any bitmap dense enough to have them set.
+    Saturate a tiny bitmap so every position is set — NULLs must still
+    be dropped (ADVICE r7)."""
+    dim = spark.createDataFrame([(i,) for i in range(4096)], "k bigint")
+    fact = spark.createDataFrame(
+        [(None,), (None,), (7,)], "k bigint"
+    )
+    # 256 bits for 4096 keys: every word is all-ones with overwhelming
+    # probability, and certainly every probed position for ANY input
+    bm = bloom_bitmap(dim, "k", n_bits=256, n_hashes=4)
+    kept = bloom_probe(fact, F.col("k"), bm, n_bits=256, n_hashes=4)
+    rows = kept.collect()
+    assert all(r.k is not None for r in rows)
+    assert {r.k for r in rows} == {7}  # non-null members still pass
+
+
 def test_string_keys_roundtrip_no_false_negatives(spark):
     """xxhash64 hashes strings by a different code path than longs; the
     no-false-negative contract must hold for string keys too (the

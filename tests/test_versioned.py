@@ -83,10 +83,14 @@ def test_verify_detects_file_tampering(spark, tmp_path):
 def test_verify_distinguishes_encoding_mismatch_from_tampering(
     spark, tmp_path
 ):
-    """A manifest committed under an older row_signature encoding (or
-    none at all — pre-versioning stores) must fail verification with an
-    explicit sig_encoding_mismatch reason, NOT a checksum_mismatch that
-    reads as data corruption (ADVICE r6)."""
+    """A manifest EXPLICITLY declaring an older row_signature encoding
+    must fail verification with a sig_encoding_mismatch reason, NOT a
+    checksum_mismatch that reads as data corruption (ADVICE r6). A
+    manifest merely MISSING the field is NOT assumed old: the current
+    encoding predates the field, so field-less stores with valid
+    current-encoding signatures exist — they get the full checksum
+    audit (intact -> ok; tampered -> checksum_mismatch), never a
+    blessing-skip (ADVICE r7)."""
     import json
 
     root = str(tmp_path / "corpus")
@@ -94,12 +98,27 @@ def test_verify_distinguishes_encoding_mismatch_from_tampering(
     assert read_manifest(root, 1)["sig_encoding"] >= 2
     # intact data, genuine checksum path: reason is None
     assert verify_version(spark, root, 1)["reason"] is None
-    # rewrite the manifest as a v1-era store (field absent entirely)
     path = os.path.join(root, "v=1", "manifest.json")
     m = read_manifest(root, 1)
-    del m["sig_encoding"]
+    # field absent, signatures current-encoding and intact: audited, ok
+    m_absent = {k: v for k, v in m.items() if k != "sig_encoding"}
     with open(path, "w") as f:
-        json.dump(m, f)
+        json.dump(m_absent, f)
+    audit = verify_version(spark, root, 1)
+    assert audit["ok"] and audit["reason"] is None
+    # field absent AND signature corrupt: real corruption is REPORTED,
+    # not masked behind an encoding guess
+    m_bad = dict(m_absent)
+    m_bad["xor_sig"] ^= 1
+    with open(path, "w") as f:
+        json.dump(m_bad, f)
+    audit = verify_version(spark, root, 1)
+    assert not audit["ok"] and audit["reason"] == "checksum_mismatch"
+    # field PRESENT and differing: known format gap, short-circuit
+    m_old = dict(m)
+    m_old["sig_encoding"] = 1
+    with open(path, "w") as f:
+        json.dump(m_old, f)
     audit = verify_version(spark, root, 1)
     assert not audit["ok"]
     assert audit["reason"] == "sig_encoding_mismatch"
@@ -172,3 +191,32 @@ def test_vacuum_finishes_a_crashed_removal_and_validates(spark, tmp_path):
     assert not os.path.isdir(os.path.join(root, "v=1"))
     with pytest.raises(ValueError):
         vacuum_versions(root, keep_last=0)
+
+
+def test_vacuum_spares_a_concurrent_writers_live_slot(spark, tmp_path):
+    """write_version lands data files first and the manifest last, so a
+    concurrent vacuum sees the in-flight snapshot as a manifest-less
+    directory at latest_committed + 1. Vacuum must NOT sweep it as an
+    'uncommitted leftover' (it would delete the new snapshot's data out
+    from under the writer, ADVICE r7) — only manifest-less slots BELOW
+    the newest commit (provably crashed/superseded) are reclaimed."""
+    from asterlake.sources.versioned import vacuum_versions
+
+    root = str(tmp_path / "corpus")
+    for tag in "ab":
+        write_version(_corpus(spark, 10, tag), root)
+    # crashed-writer leftover BELOW the newest commit: reclaimable
+    os.makedirs(os.path.join(root, "v=1", "junk"), exist_ok=True)
+    os.remove(os.path.join(root, "v=1", "manifest.json"))
+    # in-flight writer at latest+1: data landed, manifest not yet
+    live = os.path.join(root, "v=3", "data")
+    os.makedirs(live)
+    with open(os.path.join(live, "part-0.parquet"), "w") as f:
+        f.write("in-flight")
+    out = vacuum_versions(root, keep_last=1)
+    assert out == {"kept": [2], "removed": [1]}
+    assert os.path.isfile(os.path.join(live, "part-0.parquet"))
+    # after the writer would have committed (simulate), the slot is a
+    # normal version again; a LATER vacuum with a newer commit reclaims
+    # manifest-less leftovers below it as before
+    assert not os.path.isdir(os.path.join(root, "v=1"))
