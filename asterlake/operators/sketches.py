@@ -213,6 +213,7 @@ def theta_set_estimates(
     right: DataFrame,
     key_cols: list[str],
     sketch_col: str = "sketch",
+    lg_union: int | None = None,
 ) -> DataFrame:
     """Per-key set algebra between two stored Theta sketch tables:
     ``est_union``, ``est_intersection``, and ``est_difference``
@@ -222,7 +223,14 @@ def theta_set_estimates(
     (:func:`sketch_overlap`), the intersection here is computed on the
     retained hash sets directly: EXACT whenever both sketches are in
     exact mode, and never negative, so small overlaps stay
-    trustworthy."""
+    trustworthy. Intersection and difference inherit the INPUT
+    sketches' thetas, but the union op has its own nominal-entries
+    gadget (engine default lgNomEntries=12): two exact-mode inputs
+    whose combined entries exceed 4096 get a SAMPLED union estimate
+    unless ``lg_union`` raises the gadget to match the build's
+    ``lg_k`` — pass it whenever exact-regime unions matter
+    (measured: 7k-entry unions of lg_k=14 builds are exact with
+    lg_union=14, ~1% off without)."""
     a = left.select(*key_cols, F.col(sketch_col).alias("_th_a"))
     b = right.select(*key_cols, F.col(sketch_col).alias("_th_b"))
     joined = a.join(b, key_cols)
@@ -231,7 +239,7 @@ def theta_set_estimates(
         F.theta_sketch_estimate("_th_a").alias("est_left"),
         F.theta_sketch_estimate("_th_b").alias("est_right"),
         F.theta_sketch_estimate(
-            F.theta_union("_th_a", "_th_b")
+            F.theta_union("_th_a", "_th_b", lg_union)
         ).alias("est_union"),
         F.theta_sketch_estimate(
             F.theta_intersection("_th_a", "_th_b")

@@ -1906,6 +1906,426 @@ def q_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_month")
 
 
+# Shared split for the two set-algebra sketch queries: per-priority
+# customer audiences of two adjacent order years. Exact counterparts are
+# one distinct-shuffle (the (priority, custkey) grid with membership
+# flags), mirrored verbatim in the oracles.
+_SEG_YEAR_A, _SEG_YEAR_B = 1996, 1997
+
+
+def _segment_audiences(spark: SparkSession, sf_dir: str):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("_y"),
+        "o_custkey",
+    )
+    a = o.where(F.col("_y") == _SEG_YEAR_A)
+    b = o.where(F.col("_y") == _SEG_YEAR_B)
+    exact = (
+        o.where(F.col("_y").isin(_SEG_YEAR_A, _SEG_YEAR_B))
+        .groupBy("o_orderpriority", "o_custkey")
+        .agg(
+            F.max((F.col("_y") == _SEG_YEAR_A).cast("int")).alias("_ia"),
+            F.max((F.col("_y") == _SEG_YEAR_B).cast("int")).alias("_ib"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("_ia").cast("bigint").alias("exact_left"),
+            F.sum("_ib").cast("bigint").alias("exact_right"),
+            F.count("*").cast("bigint").alias("exact_union"),
+            F.sum(F.col("_ia") * F.col("_ib"))
+            .cast("bigint")
+            .alias("exact_intersection"),
+            F.sum(F.col("_ia") * (F.lit(1) - F.col("_ib")))
+            .cast("bigint")
+            .alias("exact_difference"),
+        )
+    )
+    return a, b, exact
+
+
+_SEG_ORACLE_FLAGS = f"""
+    flags AS (
+      SELECT o_orderpriority, o_custkey,
+             MAX(CASE WHEN year(o_orderdate) = {_SEG_YEAR_A}
+                      THEN 1 ELSE 0 END) AS ia,
+             MAX(CASE WHEN year(o_orderdate) = {_SEG_YEAR_B}
+                      THEN 1 ELSE 0 END) AS ib
+      FROM orders
+      WHERE year(o_orderdate) IN ({_SEG_YEAR_A}, {_SEG_YEAR_B})
+      GROUP BY o_orderpriority, o_custkey)
+"""
+
+
+@query(
+    "q_theta_set_ops",
+    f"""
+    WITH {_SEG_ORACLE_FLAGS}
+    SELECT o_orderpriority,
+           CAST(SUM(ia) AS BIGINT) AS exact_left,
+           CAST(SUM(ib) AS BIGINT) AS exact_right,
+           CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(ia * ib) AS BIGINT) AS exact_intersection,
+           CAST(SUM(ia * (1 - ib)) AS BIGINT) AS exact_difference,
+           TRUE AS left_exact, TRUE AS right_exact, TRUE AS union_exact,
+           TRUE AS intersection_exact, TRUE AS difference_exact
+    FROM flags
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch distinct-set ALGEBRA (r7 operator, driver-gated r8:
+    operators/sketches.py theta_sketches/theta_set_estimates): per-
+    priority customer audiences of two order years stored as Theta
+    sketches, then union / intersection / difference answered from the
+    SKETCHES alone — the stored-form path that at 100 TB computes
+    audience set algebra without rescanning either year's fact (each
+    side is sketched once, map-side-combinable ObjectHashAggregate;
+    the algebra is a pure projection over the ~5-row joined states).
+
+    Correctness form (the q_sketch_rollup_merge pattern): the exact
+    five-way set cardinalities — one distinct-shuffle over the two
+    years' (priority, custkey) grid — are hash-compared against the
+    oracle, and five booleans assert the sketch estimates EQUAL them.
+    DataSketches Theta is in exact mode while retained entries < k
+    (all value hashes kept; theta=1), intersections/differences of
+    exact sketches are exact, and the union gadget is raised to the
+    build's lg_k=14 (theta_set_estimates lg_union — without it the
+    default 4096-entry gadget samples ~7k-entry unions, measured ~1%
+    off at sf0.1). Verified exact at sf0.01 (~390/group) and sf0.1
+    (~3.9k/group, union ~6.9k < 2^14); each boolean carries an
+    `exact-regime OR beyond-capacity` escape (> 14000 retained) so
+    the gate states the actual DataSketches contract, not a lucky
+    draw — the oracle states them as TRUE literals."""
+    from asterlake.operators.sketches import (
+        theta_set_estimates,
+        theta_sketches,
+    )
+
+    a, b, exact = _segment_audiences(spark, sf_dir)
+    tha = theta_sketches(a, ["o_orderpriority"], "o_custkey", lg_k=14)
+    thb = theta_sketches(b, ["o_orderpriority"], "o_custkey", lg_k=14)
+    est = theta_set_estimates(
+        tha, thb, ["o_orderpriority"], lg_union=14
+    )
+    j = exact.join(F.broadcast(est), "o_orderpriority")
+    # exact-mode escape: below ~14000 retained entries a lg_k=14 Theta
+    # sketch provably holds every hash (k = 16384, margin for the
+    # internal rebuild threshold), so equality is the contract; past
+    # that the estimate is sampled and the gate degrades to vacuous
+    # rather than asserting a bound the regime no longer promises
+    _CAP = F.lit(14000).cast("bigint")
+
+    def _eq(est_col: str, exact_col: str, regime: F.Column) -> F.Column:
+        return (F.col(est_col) == F.col(exact_col)) | regime
+
+    return j.select(
+        "o_orderpriority",
+        "exact_left",
+        "exact_right",
+        "exact_union",
+        "exact_intersection",
+        "exact_difference",
+        _eq("est_left", "exact_left", F.col("exact_left") > _CAP).alias(
+            "left_exact"
+        ),
+        _eq("est_right", "exact_right", F.col("exact_right") > _CAP).alias(
+            "right_exact"
+        ),
+        _eq("est_union", "exact_union", F.col("exact_union") > _CAP).alias(
+            "union_exact"
+        ),
+        _eq(
+            "est_intersection",
+            "exact_intersection",
+            F.col("exact_union") > _CAP,
+        ).alias("intersection_exact"),
+        _eq(
+            "est_difference",
+            "exact_difference",
+            F.col("exact_union") > _CAP,
+        ).alias("difference_exact"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "q_sketch_overlap",
+    f"""
+    WITH {_SEG_ORACLE_FLAGS}
+    SELECT o_orderpriority,
+           CAST(SUM(ia) AS BIGINT) AS exact_left,
+           CAST(SUM(ib) AS BIGINT) AS exact_right,
+           CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(ia * ib) AS BIGINT) AS exact_overlap,
+           TRUE AS overlap_exact_in_coupon,
+           TRUE AS union_within_tol,
+           TRUE AS overlap_within_ie_tol
+    FROM flags
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL audience overlap by inclusion-exclusion (r7 operator,
+    driver-gated r8: operators/sketches.py sketch_overlap): the same
+    per-priority two-year customer audiences as q_theta_set_ops, but
+    answered from stored HLL sketches — |A∩B| = |A| + |B| - |A∪B| with
+    the union a pure two-column hll_union projection (no aggregate,
+    whole-stage codegen). This is the overlap path for states that
+    standardized on HLL (smaller, faster union) rather than Theta;
+    its contract is correspondingly weaker — inclusion-exclusion sums
+    three estimators' errors — which the gate states honestly.
+
+    Gate: exact cardinalities hash-compared (same distinct-shuffle as
+    the theta query), plus (a) coupon-regime exactness — DataSketches
+    HLL retains explicit coupons until sparse->dense promotion and
+    unions preserve coupon exactness, so at sf0.01 (~690-entry unions,
+    lgk=14 promotes well past 1024) every estimate is EXACT; the
+    boolean escapes above 1024 where promotion may sample (sf0.1:
+    ~6.9k unions measured within 0.4%) — and (b, c) unconditional
+    3-sigma-style tolerances: union within 3% of exact (rse at lgk=14
+    is 0.81%), overlap within 3% of the inclusion-exclusion mass
+    |A|+|B|+|A∪B| (measured max drift 41 of a 441 allowance at sf0.1).
+    HLL estimates are hash-deterministic, so the booleans are stable
+    and the oracle states them as TRUE literals."""
+    from asterlake.operators.sketches import (
+        distinct_sketches,
+        sketch_overlap,
+    )
+
+    a, b, exact = _segment_audiences(spark, sf_dir)
+    sa = distinct_sketches(a, ["o_orderpriority"], "o_custkey", lgk=14)
+    sb = distinct_sketches(b, ["o_orderpriority"], "o_custkey", lgk=14)
+    est = sketch_overlap(sa, sb, ["o_orderpriority"])
+    j = exact.join(F.broadcast(est), "o_orderpriority")
+    _COUPON_SAFE = F.lit(1024).cast("bigint")
+
+    def _tol(est_col: str, exact_col: str, frac: float, mass: F.Column):
+        return (
+            F.abs(F.col(est_col) - F.col(exact_col))
+            <= F.lit(frac) * mass
+        )
+
+    ie_mass = (
+        F.col("exact_left") + F.col("exact_right") + F.col("exact_union")
+    )
+    return j.select(
+        "o_orderpriority",
+        "exact_left",
+        "exact_right",
+        "exact_union",
+        F.col("exact_intersection").alias("exact_overlap"),
+        (
+            (F.col("est_overlap") == F.col("exact_intersection"))
+            | (F.col("exact_union") > _COUPON_SAFE)
+        ).alias("overlap_exact_in_coupon"),
+        _tol(
+            "est_union", "exact_union", 0.03, F.col("exact_union")
+        ).alias("union_within_tol"),
+        _tol(
+            "est_overlap", "exact_intersection", 0.03, ie_mass
+        ).alias("overlap_within_ie_tol"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "q_kll_quantile_rollup",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           MAX(CASE WHEN rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+                    THEN o_totalprice END) AS exact_p50,
+           MAX(CASE WHEN rn = CAST(CEIL(CAST(0.9 AS DOUBLE) * n) AS BIGINT)
+                    THEN o_totalprice END) AS exact_p90,
+           TRUE AS sketch_counts_rows,
+           TRUE AS p50_within_rank_tol,
+           TRUE AS p90_within_rank_tol
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL mergeable-quantile maintenance (r7 operator, driver-gated
+    r8: operators/sketches.py quantile_sketches/quantile_rollup/
+    quantile_estimates): one KLL sketch of o_totalprice per (priority,
+    month) stored as binary state, merged to per-priority quantiles —
+    the incremental percentile path where, at 100 TB, each month is
+    sketched once and any asked range merges ~200-item sketches
+    instead of re-sorting history.
+
+    KLL compaction is RANDOMIZED past k=200 retained items (two runs
+    may keep different items), so the gate never compares sketch
+    output exactly: the query emits EXACT order statistics — the
+    rank-ceil(q*n) value per priority via one row_number window,
+    restated verbatim in the oracle (both engines evaluate ceil on the
+    same IEEE double product; the oracle casts its literals to DOUBLE
+    since DuckDB would otherwise parse 0.9 as DECIMAL and ceil the
+    exact rational differently) — plus booleans asserting (a) the
+    merged sketch absorbed exactly n rows (kll_sketch_get_n is
+    deterministic) and (b, c) each sketch quantile lies between the
+    exact order statistics at ranks ceil((q +/- 0.04) * n): a value-
+    space restatement of KLL's normalized rank error, with 0.04 ~ 6
+    sigma of the k=200 single-sided bound (99%-confidence eps is
+    1.65%), so the randomized compaction cannot realistically breach
+    it (measured at sf0.01/sf0.1: drift stays inside the +/-4% rank
+    window at every priority). Oracle states the booleans TRUE."""
+    from asterlake.operators.sketches import (
+        quantile_estimates,
+        quantile_rollup,
+        quantile_sketches,
+    )
+
+    om = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("_m"),
+        "o_totalprice",
+    )
+    monthly = quantile_sketches(
+        om, ["o_orderpriority", "_m"], "o_totalprice"
+    )
+    rolled = quantile_estimates(
+        quantile_rollup(monthly, ["o_orderpriority"]),
+        [0.5, 0.9],
+        out_names=["_k50", "_k90"],
+    ).select("o_orderpriority", "_k50", "_k90", "q_n")
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = om.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wn).alias("_n"),
+    )
+
+    def _at(q: float) -> F.Column:
+        # order statistic at 1-based rank ceil(q*n); the VALUE at a rank
+        # is deterministic under row_number tie-breaks (ties are equal)
+        rank = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(q) * F.col("_n")).cast("long"),
+        )
+        return F.max(
+            F.when(F.col("_rn") == rank, F.col("o_totalprice"))
+        )
+
+    exact = ranked.groupBy("o_orderpriority").agg(
+        F.max("_n").cast("bigint").alias("n_rows"),
+        _at(0.5).alias("exact_p50"),
+        _at(0.9).alias("exact_p90"),
+        _at(0.46).alias("_lo50"),
+        _at(0.54).alias("_hi50"),
+        _at(0.86).alias("_lo90"),
+        _at(0.94).alias("_hi90"),
+    )
+    j = exact.join(F.broadcast(rolled), "o_orderpriority")
+
+    def _between(col: str, lo: str, hi: str) -> F.Column:
+        return (F.col(col) >= F.col(lo)) & (F.col(col) <= F.col(hi))
+
+    return j.select(
+        "o_orderpriority",
+        "n_rows",
+        "exact_p50",
+        "exact_p90",
+        (F.col("q_n") == F.col("n_rows")).alias("sketch_counts_rows"),
+        _between("_k50", "_lo50", "_hi50").alias("p50_within_rank_tol"),
+        _between("_k90", "_lo90", "_hi90").alias("p90_within_rank_tol"),
+    ).orderBy("o_orderpriority")
+
+
+@query("q_stream_frequent", QUERIES["q_frequent_tokens"].oracle)
+def q_stream_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bounded-state frequent items, batch-equivalent (r7
+    operator, driver-gated r8: streaming/pipeline.py
+    streaming_frequent_candidates): the documents table replayed
+    through readStream into per-SHARD Misra-Gries summaries carried as
+    applyInPandasWithState stream state (n_shards x capacity counters
+    total, whatever the vocabulary), drained update-mode to a memory
+    sink. The final candidate set — each shard's rows at its maximum
+    cumulative n_shard_total; a shard whose last batch legitimately
+    trimmed to empty just contributes its previous (superset) summary,
+    false positives the recount removes — is exact-recounted against
+    the batch corpus (broadcast semi-join, the frequency.py phase 2),
+    so the result is IDENTICAL to q_frequent_tokens' plain GROUP BY /
+    HAVING oracle, reused verbatim. The MG no-false-negative bound
+    survives sharding (a key's occurrences land in exactly one shard,
+    where its share only concentrates) and batching (extra per-chunk
+    trims only lower counts) — tests/test_streaming.py pins the
+    cross-micro-batch state survival and checkpoint restart this
+    single-drain query doesn't exercise."""
+    import os
+    import tempfile
+
+    from asterlake.operators.textstats import whitespace_tokens
+    from asterlake.streaming.pipeline import streaming_frequent_candidates
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    denom = 100
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "documents")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(src_dir, "documents.parquet"),
+        )
+        stream_toks = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .select(F.explode(whitespace_tokens("text")).alias("token"))
+        )
+        cands = streaming_frequent_candidates(
+            stream_toks, denom=denom, n_shards=8
+        )
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            (
+                cands.writeStream.format("memory")
+                .queryName("stream_frequent_sink")
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    w_shard = Window.partitionBy("shard")
+    final_cands = (
+        spark.table("stream_frequent_sink")
+        .withColumn("_mx", F.max("n_shard_total").over(w_shard))
+        .where(F.col("n_shard_total") == F.col("_mx"))
+        .select("token")
+        .distinct()
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(whitespace_tokens("text")).alias("token")
+    )
+    totals = toks.where(F.col("token").isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n_total")
+    )
+    return (
+        toks.where(F.col("token").isNotNull())
+        .join(F.broadcast(final_cands), "token", "leftsemi")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .join(F.broadcast(totals))
+        .where(
+            F.col("cnt") * F.lit(denom).cast("bigint") >= F.col("n_total")
+        )
+    )
+
+
 @query(
     "q_window_frames",
     """
@@ -6398,149 +6818,91 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # turns the suite red until the front is re-frozen, so the freeze is
 # provably no older than the last operator commit (r6 verdict ask #6).
 #
-# Round-7 front (exactly 50):
-#   1. q_pagerank_copurchase FIRST (r6 verdict ask #1: r4-era driver row
-#      + r6 plan rewrite — the largest code-vs-hard-signal gap), then the
-#      other three r6 post-freeze changes: q_dedup_ngram_prefix
-#      (SHUFFLE_HASH df-annotation join), q_stream_ewma (vectorized
-#      kernel), q_ann_topk_bruteforce (try_divide cosine).
-#   2. The r7-touched promotions (auto-derived, see _AUTO_PROMOTE_EXEMPT
-#      for the bit-identical ones left out): the FOUR new r7 queries —
-#      q_media_decode_real (r6 verdict ask #2: real wav/bmp + r7 png
-#      codecs, oracle-gated), q_bloom_semi_join (Bloom semi-join
-#      reduction exactness gate), q_split_leakage_safe (cluster-keyed
-#      leakage-safe split), q_sketch_rollup_merge (mergeable HLL
-#      distinct rollup, operators/sketches.py) — plus the two
-#      percentile consumers whose cut points now rank the shared
-#      _global_price_counts memo (q_histogram_equidepth,
-#      q_range_layout_stats). The r6 "weak" bench mark
-#      (q_embedding_block_neighbors) is answered in its docstring
-#      postmortem + the >=1.3x retry net and stays exempt (code is the
-#      r6-scored bytes), yielding its tentative slot to the new query.
-#   3. 41 of the 42 r4-era rows (q_pagerank_copurchase counted in
-#      group 1; q_conditional_agg yields one slot to the new queries) —
-#      after this round no driver row predates r5 except that one
-#      lowest-risk built-in-surface row, meeting the >= 40 bar
-#      (r6 verdict ask #5).
-# Rebinding QUERIES keeps every QueryDef intact; only dict order changes.
-
-# Touched-this-round queries allowed OUTSIDE the front, each with why the
-# change is provably value-identical (tests/test_rotation.py checks the
-# exemption is declared; the local DuckDB parity suite still gates all).
-_AUTO_PROMOTE_EXEMPT = {
-    # exact_percentiles r7 change is cache-lifecycle only (unpersist of
-    # the previous call's counts/offsets): plan + values bit-identical,
-    # pinned by test_stats builtin-parity and the release-registry test.
-    # The two family members whose r7 change went beyond the unpersist
-    # (memoized global counts routing) ARE promoted (group 2).
-    "q_sketch_distinct": "exact_percentiles unpersist-only change",
-    "q_weighted_median": "exact_percentiles unpersist-only change",
-    "q_trimmed_stats": "exact_percentiles unpersist-only change",
-    "q_percentiles_exact": "exact_percentiles unpersist-only change",
-    # the All-Pairs size filter landed inside _ngram_jaccard_prefix
-    # (method="prefix" only); these three call ngram_jaccard_pairs with
-    # the default method="count", whose code path is untouched — and the
-    # prefix-path consumer q_dedup_ngram_prefix IS in the front, scoring
-    # the changed branch this round (lossless pruning, pair-for-pair
-    # identical: 256/256 at sf0.1, DuckDB parity green).
-    "q_dedup_ngram_jaccard": 'method="count" path; prefix branch untouched',
-    "q_dedup_clusters": 'method="count" path; prefix branch untouched',
-    "q_corpus_survivors": 'method="count" path; prefix branch untouched',
-    # decode_media's synthetic-stats path (what this query runs) is
-    # untouched; only the real=True dispatch gained the png branch —
-    # covered by the promoted q_media_decode_real.
-    "q_media_decode": "real=True branch only; synthetic path untouched",
-    # sink cleanup happens AFTER the stream terminates and only the BAD
-    # sink is read back: returned rows unchanged (DuckDB parity green);
-    # the r6 driver row already covers the scoring path.
-    "q_stream_quarantine": "post-stream tmp cleanup only; rows unchanged",
-    # the r7 change is the bench-noise postmortem DOCSTRING — the
-    # operator (similarity.py) is byte-identical to the r6-scored code
-    # (git diff vs the r6 boundary is empty) and its r6 driver row is
-    # green; the noise question was a BENCH matter, answered by the
-    # deliberate warm re-timing + the >=1.3x retry-net change. Its
-    # tentative front slot goes to the new oracle-gated
-    # q_sketch_rollup_merge instead, keeping 40 r4-era rows in front.
-    "q_embedding_block_neighbors": "docstring-only postmortem; code is r6-scored bytes",
+# Round-8 front (exactly 50):
+#   1. The FOUR new r8 queries closing the r7 verdict's top item (scale
+#      operators landed r7 with only local pins): q_theta_set_ops,
+#      q_kll_quantile_rollup, q_sketch_overlap, q_stream_frequent.
+#   2. The r8-touched promotions: q_bloom_semi_join (bloom_probe now
+#      ANDs isNotNull into the membership predicate — ADVICE r7) and
+#      q_media_decode_real (4:2:0 chroma-subsampled JPEG added to the
+#      stdlib codec + media fixture, r7 verdict ask #5).
+#   3. The LAST two r4-era rows, q_array_functions and q_conditional_agg,
+#      leading the freshness queue as promised in the r7 front notes —
+#      after this round no driver row predates r5.
+#   4. All 41 remaining r5-era rows (the oldest block) — after this
+#      round no row predates r6, so the r9 front returns to pure
+#      freshness rotation (47 r6 rows + headroom).
+#   5. One r6 filler to reach the 50 budget: q_percentiles_exact,
+#      doubling as the percentile-family steady-state re-check the r7
+#      verdict asked for (ask #4).
+_AUTO_PROMOTE_EXEMPT: dict[str, str] = {
+    # (empty this round: every query rotation derives as touched since
+    # the r7 driver commit is promoted into the front below)
 }
 
-_POST_FREEZE_R6 = [
-    "q_pagerank_copurchase",
-    "q_dedup_ngram_prefix",
-    "q_stream_ewma",
-    "q_ann_topk_bruteforce",
+_NEW_R8 = [
+    "q_theta_set_ops",  # NEW r8: Theta sketch set algebra, exact-mode gate
+    "q_kll_quantile_rollup",  # NEW r8: KLL mergeable quantile rollup
+    "q_sketch_overlap",  # NEW r8: HLL inclusion-exclusion overlap
+    "q_stream_frequent",  # NEW r8: streaming Misra-Gries, batch-equal
 ]
-_TOUCHED_R7 = [
-    "q_media_decode_real",
-    "q_bloom_semi_join",  # NEW r7: Bloom semi-join reduction exactness gate
-    "q_split_leakage_safe",  # NEW r7: cluster-keyed leakage-safe split
-    "q_frequent_tokens",  # NEW r7: bounded-state exact frequent items
-    "q_histogram_equidepth",   # r7: boundaries now rank the shared memo
-    "q_range_layout_stats",    # r7: cut points now rank the shared memo
-    "q_sketch_rollup_merge",  # NEW r7: mergeable HLL distinct rollup
+_TOUCHED_R8 = [
+    "q_bloom_semi_join",  # r8: structural NULL-key guard in bloom_probe
+    "q_media_decode_real",  # r8: 4:2:0 chroma-subsampled JPEG decode
 ]
-# 40 of the 42 r4-era rows (>= 40 per the r6 verdict ask #5, counting
-# q_pagerank_copurchase in the post-freeze group); q_conditional_agg and
-# q_array_functions yield their slots to the new r7 queries — both pure
-# built-in function-surface queries untouched since r1 (lowest drift
-# risk in the r4 set), they lead the r8 freshness queue.
-#
-# R8 CANDIDATES (operators landed r7 with local pins but no driver row
-# yet — declare their queries at the r8 front): sketch_overlap
-# (operators/sketches.py — per-key audience overlap; oracle shape: the
-# coupon-regime exactness makes |A∩B| restatable as an exact COUNT
-# (DISTINCT) intersection at sf0.01, with the dense-regime booleans as
-# TRUE literals) and streaming_frequent_candidates
-# (streaming/pipeline.py — availableNow drain + exact recount equals
-# the q_frequent_tokens oracle verbatim, the q_stream_* pattern).
-# Also landed r7 with local pins: theta_set_estimates (exact set
-# algebra incl. difference — oracle shape: exact COUNT(DISTINCT)
-# intersections/differences at sf0.01) and the KLL quantile family
-# (exact-mode order statistics restatable in SQL; past-capacity gates
-# must be bound-booleans because KLL compaction is randomized).
-# After these, the front returns to pure freshness rotation.
 _STALE_R4 = [
-    "q_ann_int8_topk",
-    "q_anomaly_outliers",
-    "q_chunk_documents",
-    "q_collocations_lift",
-    "q_contamination_scores",
-    "q_decayed_engagement",
-    "q_dedup_containment",
-    "q_dedup_incremental",
-    "q_dedup_normalized",
-    "q_dedup_spans",
-    "q_dedup_survivors",
-    "q_doc_rarity",
-    "q_embedding_centroids",
-    "q_embedding_dup_clusters",
-    "q_embedding_normalize",
-    "q_kmeans_step",
-    "q_pack_sequences",
-    "q_posexplode_tokens",
-    "q_quarantine_expectations",
-    "q_quota_sample",
-    "q_scd2_intervals",
-    "q_schema_drift_union",
-    "q_session_window",
-    "q_small_quantity_revenue",
-    "q_split_assign",
-    "q_stream_dedup",
-    "q_stream_interval_join",
-    "q_stream_session_window",
-    "q_stream_stateful_counts",
-    "q_stream_static_join",
-    "q_stream_windowed_counts",
-    "q_table_profile",
-    "q_text_redact",
-    "q_training_mix",
-    "q_udaf_iqr",
-    "q_udf_vector_norm",
-    "q_variant_extract",
-    "q_weighted_sample",
-    "q_zorder_stats",
+    # the final two r4-era rows (pure built-in surface, untouched since
+    # r1) — promised the front in the r7 ordering notes
+    "q_array_functions",
+    "q_conditional_agg",
 ]
-_FRONT = _POST_FREEZE_R6 + _TOUCHED_R7 + _STALE_R4
+_STALE_R5 = [
+    "flagship_revenue_by_nation",
+    "q_ann_ivf_assign",
+    "q_ann_ivf_search",
+    "q_ann_srp_buckets",
+    "q_array_agg_sorted",
+    "q_count_distinct",
+    "q_cube_revenue",
+    "q_date_arithmetic",
+    "q_dedup_exact",
+    "q_dedup_latest_order",
+    "q_dedup_minhash_lsh",
+    "q_dim_date",
+    "q_dim_segment",
+    "q_drift_numeric",
+    "q_drift_tvd",
+    "q_embedding_block_neighbors",
+    "q_embedding_pca",
+    "q_fact_star_join",
+    "q_filter_predicates",
+    "q_forget_cascade",
+    "q_full_outer_join",
+    "q_grouping_sets",
+    "q_join_anti",
+    "q_join_semi",
+    "q_monthly_revenue",
+    "q_pivot_status",
+    "q_pricing_summary",
+    "q_projection_arithmetic",
+    "q_rollup_pricing",
+    "q_scalar_functions",
+    "q_set_ops",
+    "q_simhash_fingerprint",
+    "q_skew_report",
+    "q_snapshot_diff",
+    "q_string_functions",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_vocab_topk",
+    "q_top3_orders_per_segment",
+    "q_topk_orders",
+]
+# One r6 filler to land exactly on the 50 budget; q_percentiles_exact
+# doubles as the percentile-family steady-state re-check (r7 ask #4).
+_FILLER_R6 = ["q_percentiles_exact"]
+_FRONT = _NEW_R8 + _TOUCHED_R8 + _STALE_R4 + _STALE_R5 + _FILLER_R6
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 assert len(set(_FRONT)) == len(_FRONT), "duplicate in ordering front block"
 # exactly the 50-query budget: nothing in the front can age out this round
