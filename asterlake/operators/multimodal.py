@@ -8,9 +8,10 @@ iteration, partitioning, UDF signatures — and since r6/r7 so is the
 decode for the formats parseable without third-party codecs:
 ``decode_media_real`` reads actual RIFF/WAVE PCM (``wave``), uncompressed
 24-bit BMP (``struct``), non-interlaced 8-bit RGB/grayscale PNG
-(``zlib`` + chunk walk), and baseline grayscale JFIF/JPEG (marker walk,
-canonical Huffman entropy decode, dequantize + IDCT — numpy for the 8x8
-transforms). The remaining shapes (mp4 video, color/progressive JPEG,
+(``zlib`` + chunk walk), and baseline JFIF/JPEG — grayscale, 4:4:4
+color, and 4:2:0 chroma-subsampled (marker walk, canonical Huffman
+entropy decode, dequantize + IDCT — numpy for the 8x8 transforms).
+The remaining shapes (mp4 video, progressive JPEG,
 palette/16-bit PNG) still need PIL/pyav — absent from this container —
 so the fake-kernel operators below keep exercising that plumbing with
 deterministic payloads, and the real path raises ValueError at the
@@ -144,10 +145,10 @@ def decode_media(media: DataFrame, real: bool = False) -> DataFrame:
 
     ``real=True`` dispatches to :func:`decode_media_real` — an actual
     stdlib-only codec path (WAV PCM via ``wave``, 24-bit BMP via
-    ``struct``, PNG via ``zlib``, baseline grayscale/4:4:4-color JPEG
-    via numpy; see REAL_DECODED_SCHEMA). Formats those can't parse
-    (mp4 video, subsampled/progressive JPEG) still need pyav/PIL and
-    raise there — that is the remaining swap point.
+    ``struct``, PNG via ``zlib``, baseline JPEG — grayscale, 4:4:4
+    color, 4:2:0 subsampled — via numpy; see REAL_DECODED_SCHEMA).
+    Formats those can't parse (mp4 video, progressive JPEG) still
+    need pyav/PIL and raise there — that is the remaining swap point.
     """
     if real:
         return decode_media_real(media)
@@ -426,14 +427,18 @@ def real_media_table(
     loop off ``spark.range`` — the same executor-side generation shape a
     backfill of encoded media uses. Each item's dimensions/rate are
     arithmetic in media_id (bmp: 4+id%13 x 3+id%7; wav: 50+id%101
-    samples @ 8000+100*(id%7) Hz; png: 3+id%9 x 2+id%6; jpeg and
-    jpeg_rgb: 5+id%12 x 4+id%9) so an external oracle can restate them
-    without parsing the containers. ``jpeg_rgb`` writes 4:4:4 color
-    files that ship under container format "jpeg" (the decoder branches
-    on the SOF0 component count, as a real reader must)."""
+    samples @ 8000+100*(id%7) Hz; png: 3+id%9 x 2+id%6; jpeg, jpeg_rgb
+    and jpeg_420: 5+id%12 x 4+id%9) so an external oracle can restate
+    them without parsing the containers. ``jpeg_rgb`` writes 4:4:4
+    color files and ``jpeg_420`` 4:2:0 chroma-subsampled color files;
+    both ship under container format "jpeg" (the decoder branches on
+    the SOF0 component count and sampling factors, as a real reader
+    must)."""
 
     fmts = tuple(formats)
-    unknown = set(fmts) - {"bmp", "wav", "png", "jpeg", "jpeg_rgb"}
+    unknown = set(fmts) - {
+        "bmp", "wav", "png", "jpeg", "jpeg_rgb", "jpeg_420",
+    }
     if unknown:
         raise ValueError(f"no real encoder for formats {sorted(unknown)}")
 
@@ -482,13 +487,20 @@ def real_media_table(
                         "format": "png",
                     }
                 else:
-                    # "jpeg_rgb" selects the color encoder but ships as
-                    # format "jpeg" — one container format, the decoder
-                    # branches on the SOF0 component count like any real
-                    # reader would
+                    # "jpeg_rgb"/"jpeg_420" select the color encoder
+                    # (4:4:4 and 4:2:0 layouts) but ship as format
+                    # "jpeg" — one container format, the decoder
+                    # branches on the SOF0 component count and sampling
+                    # factors like any real reader would
                     w, h = 5 + mid % 12, 4 + mid % 9
                     payload = _jpeg_bytes(
-                        mid, w, h, color=(fmt == "jpeg_rgb")
+                        mid,
+                        w,
+                        h,
+                        color=(fmt in ("jpeg_rgb", "jpeg_420")),
+                        subsampling=(
+                            "420" if fmt == "jpeg_420" else "444"
+                        ),
                     )
                     kind, meta = "image", {
                         "width": w,
@@ -741,22 +753,32 @@ def _jpeg_bytes(
     height: int,
     solid: int | tuple[int, int, int] | None = None,
     color: bool = False,
+    subsampling: str = "444",
 ) -> bytes:
     """A real baseline JFIF/JPEG file: SOF0, DQT/DHT carried in-stream,
     8x8 FDCT + quantize + zigzag + canonical Huffman entropy coding.
     Grayscale (default, byte-stable vs the pre-color encoder) or
-    ``color=True`` 3-component 4:4:4 YCbCr with interleaved Y/Cb/Cr
-    MCUs, per-component DC prediction, and shared quant/Huffman tables
-    (legal per the spec, and what keeps flat chroma exact). ``solid``
-    paints a constant image (an (r, g, b) tuple when color) — flat
-    blocks quantize to a lone DC with quant 1, so their decode
-    round-trip is bit-exact (the lossless corner of a lossy codec, the
-    same exactness hook the PNG/BMP/WAV fixtures give tests); default
-    content is deterministic hash-stream noise."""
+    ``color=True`` 3-component YCbCr with interleaved MCUs,
+    per-component DC prediction, and shared quant/Huffman tables
+    (legal per the spec, and what keeps flat chroma exact).
+    ``subsampling`` (color only): "444" writes one block per component
+    per MCU (sampling factors 1x1 everywhere); "420" — the dominant
+    real-world layout — writes 16x16-pixel MCUs of four Y blocks
+    (sampling 2x2) plus one Cb and one Cr block over 2x2 box-averaged
+    chroma planes. ``solid`` paints a constant image (an (r, g, b)
+    tuple when color) — flat blocks quantize to a lone DC with quant 1
+    and constant chroma averages to itself, so the decode round-trip
+    is bit-exact in BOTH layouts (the lossless corner of a lossy
+    codec, the same exactness hook the PNG/BMP/WAV fixtures give
+    tests); default content is deterministic hash-stream noise."""
     import struct
 
     import numpy as np
 
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if subsampling == "420" and not color:
+        raise ValueError("4:2:0 subsampling requires color=True")
     ncomp = 3 if color else 1
     if solid is None:
         raw = (
@@ -794,12 +816,41 @@ def _jpeg_bytes(
         ]
     else:
         planes = [raw[0]]
-    h8 = -(-height // 8) * 8
-    w8 = -(-width // 8) * 8
-    planes = [
-        np.pad(p, ((0, h8 - height), (0, w8 - width)), mode="edge")
-        for p in planes
-    ]
+    # per-component sampling factors (h, v); MCU spans 8*hmax x 8*vmax px
+    samps = (
+        [(2, 2), (1, 1), (1, 1)]
+        if subsampling == "420"
+        else [(1, 1)] * ncomp
+    )
+    hmax = max(h for h, _ in samps)
+    vmax = max(v for _, v in samps)
+    if subsampling == "420":
+        # box-average chroma over the even-padded full-res plane, so
+        # edge pixels of odd-sized images average real+replicated data
+        # (what libjpeg's DCT-domain scaler converges to on edges)
+        h2 = -(-height // 2) * 2
+        w2 = -(-width // 2) * 2
+        for ci in (1, 2):
+            p = np.pad(
+                planes[ci],
+                ((0, h2 - height), (0, w2 - width)),
+                mode="edge",
+            )
+            planes[ci] = (
+                p.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            )
+    # pad each plane to whole blocks of its own MCU share
+    for ci, (sh, sv) in enumerate(samps):
+        ph = -(-height * sv // vmax // 8) * 8
+        pw = -(-width * sh // hmax // 8) * 8
+        # MCU alignment: the luma grid must cover whole MCUs, not just
+        # whole blocks (a 12x12 4:2:0 image has 2x2 luma blocks = 16x16)
+        ph = -(-ph // (8 * sv)) * (8 * sv)
+        pw = -(-pw // (8 * sh)) * (8 * sh)
+        p = planes[ci]
+        planes[ci] = np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+        )
 
     cmat = _jpeg_dct_matrix()
     zz = _jpeg_zigzag()
@@ -809,47 +860,60 @@ def _jpeg_bytes(
 
     bw = _BitWriter()
     dc_prev = [0] * ncomp
-    for by in range(h8 // 8):
-        for bx in range(w8 // 8):
-            for ci, plane in enumerate(planes):
-                block = (
-                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                )
-                coeff = cmat @ block @ cmat.T
-                q = np.rint(coeff / qt).astype(np.int64)
-                seq = [int(q.flat[i]) for i in zz]
 
-                def put_val(code_tab, run: int, v: int) -> None:
-                    size = abs(v).bit_length()
-                    sym = (run << 4) | size if code_tab is ac_code else size
-                    c, ln = code_tab[sym]
-                    bw.put(c, ln)
-                    if size:
-                        bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+    def encode_block(ci: int, by: int, bx: int) -> None:
+        plane = planes[ci]
+        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coeff = cmat @ block @ cmat.T
+        q = np.rint(coeff / qt).astype(np.int64)
+        seq = [int(q.flat[i]) for i in zz]
 
-                put_val(dc_code, 0, seq[0] - dc_prev[ci])
-                dc_prev[ci] = seq[0]
-                run = 0
-                for v in seq[1:]:
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, ln = ac_code[0xF0]
-                        bw.put(c, ln)
-                        run -= 16
-                    put_val(ac_code, run, v)
-                    run = 0
-                if run:
-                    c, ln = ac_code[0x00]
-                    bw.put(c, ln)
+        def put_val(code_tab, run: int, v: int) -> None:
+            size = abs(v).bit_length()
+            sym = (run << 4) | size if code_tab is ac_code else size
+            c, ln = code_tab[sym]
+            bw.put(c, ln)
+            if size:
+                bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+
+        put_val(dc_code, 0, seq[0] - dc_prev[ci])
+        dc_prev[ci] = seq[0]
+        run = 0
+        for v in seq[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_code[0xF0]
+                bw.put(c, ln)
+                run -= 16
+            put_val(ac_code, run, v)
+            run = 0
+        if run:
+            c, ln = ac_code[0x00]
+            bw.put(c, ln)
+
+    mcuy = planes[0].shape[0] // (8 * samps[0][1])
+    mcux = planes[0].shape[1] // (8 * samps[0][0])
+    for my in range(mcuy):
+        for mx in range(mcux):
+            # T.81 interleaved MCU: per component in SOF order, its
+            # v x h blocks in raster order (4:4:4 degenerates to one
+            # block per component; 4:2:0 to Y Y Y Y Cb Cr)
+            for ci, (sh, sv) in enumerate(samps):
+                for byi in range(sv):
+                    for bxi in range(sh):
+                        encode_block(
+                            ci, my * sv + byi, mx * sh + bxi
+                        )
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     qt_zz = bytes(_JPEG_QUANT[i] for i in zz)
     sof_comps = b"".join(
-        bytes([cid, 0x11, 0]) for cid in range(1, ncomp + 1)
+        bytes([cid + 1, (samps[cid][0] << 4) | samps[cid][1], 0])
+        for cid in range(ncomp)
     )
     sos_comps = b"".join(bytes([cid, 0]) for cid in range(1, ncomp + 1))
     return (
@@ -908,10 +972,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
     Huffman tables rebuilt from DHT (Annex-K or any other valid tables —
     nothing assumes the sibling encoder produced the file), entropy
     decode with byte un-stuffing, dequantize, de-zigzag, orthonormal
-    IDCT, clamp. Sequential baseline, grayscale or 4:4:4 YCbCr color
-    (interleaved MCUs, per-component DC prediction, JFIF YCbCr->RGB):
-    chroma-subsampled, progressive (SOF2), and restart-interval streams
-    fail loudly — those branches need PIL."""
+    IDCT, clamp. Sequential baseline, grayscale or YCbCr color with any
+    integer-ratio sampling factors — 4:4:4 and the dominant 4:2:0
+    layout included (general T.81 interleaved MCUs, per-component DC
+    prediction, nearest-neighbor chroma upsampling, JFIF YCbCr->RGB):
+    progressive (SOF2) and restart-interval streams fail loudly —
+    those branches need PIL."""
     import struct
 
     import numpy as np
@@ -922,7 +988,8 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    sof_comps: list[tuple[int, int]] = []  # (component id, quant table)
+    # (component id, quant table, horizontal/vertical sampling factor)
+    sof_comps: list[tuple[int, int, int, int]] = []
     scan_tabs: dict[int, tuple[int, int]] = {}  # id -> (dc, ac) tables
     scan_pos = None
     while pos + 4 <= len(payload):
@@ -964,9 +1031,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
                 )
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise ValueError("subsampled JPEG not supported")
-                sof_comps.append((cid, tq))
+                sof_comps.append((cid, tq, sampling >> 4, sampling & 0x0F))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
                 "only baseline sequential (SOF0) JPEG supported; "
@@ -988,13 +1053,13 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
         pos += 2 + length
     if width is None or scan_pos is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    missing = [cid for cid, _ in sof_comps if cid not in scan_tabs]
+    missing = [cid for cid, *_ in sof_comps if cid not in scan_tabs]
     if missing:
         raise ValueError(
             f"SOS references unknown component ids (SOF0 declares "
-            f"{[c for c, _ in sof_comps]}, scan lacks {missing})"
+            f"{[c for c, *_ in sof_comps]}, scan lacks {missing})"
         )
-    for cid, tq in sof_comps:
+    for cid, tq, _sh, _sv in sof_comps:
         dc_id, ac_id = scan_tabs[cid]
         if tq not in qtables:
             raise ValueError(
@@ -1006,10 +1071,24 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
                 f"component {cid} selects Huffman tables dc={dc_id}/"
                 f"ac={ac_id} but no such DHT segment exists"
             )
+    # single-component scans are non-interleaved: the MCU is one block
+    # and the declared sampling factors do not shape it (T.81 A.2.2)
+    if len(sof_comps) == 1:
+        sof_comps = [(sof_comps[0][0], sof_comps[0][1], 1, 1)]
+    hmax = max(sh for _, _, sh, _ in sof_comps)
+    vmax = max(sv for _, _, _, sv in sof_comps)
+    for cid, _, sh, sv in sof_comps:
+        if not (1 <= sh <= 4 and 1 <= sv <= 4):
+            raise ValueError(f"invalid sampling factors {sh}x{sv}")
+        if hmax % sh or vmax % sv:
+            raise ValueError(
+                f"non-integer chroma ratio {sh}x{sv} vs {hmax}x{vmax} "
+                "not supported (integer-replication upsampling only)"
+            )
     comps = [
         (qtables[tq], htables[(0, scan_tabs[cid][0])],
-         htables[(1, scan_tabs[cid][1])])
-        for cid, tq in sof_comps
+         htables[(1, scan_tabs[cid][1])], sh, sv)
+        for cid, tq, sh, sv in sof_comps
     ]
     zz = _jpeg_zigzag()
     cmat = _jpeg_dct_matrix()
@@ -1027,50 +1106,66 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
-    bh, bw_ = -(-height // 8), -(-width // 8)
-    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in comps]
+    # MCU grid spans 8*hmax x 8*vmax pixels; each component ci owns a
+    # plane of (mcu count) x (its own sampling share) blocks
+    mcuy = -(-height // (8 * vmax))
+    mcux = -(-width // (8 * hmax))
+    planes = [
+        np.zeros((mcuy * 8 * sv, mcux * 8 * sh))
+        for _, _, _, sh, sv in comps
+    ]
     dc_prev = [0] * len(comps)
+
+    def decode_block(ci: int, by: int, bx: int) -> None:
+        qt, dc_tab, ac_tab = comps[ci][:3]
+        coeff_zz = [0] * 64
+        size = read_symbol(dc_tab)
+        diff = br.receive_extend(size) if size else 0
+        dc_prev[ci] += diff
+        coeff_zz[0] = dc_prev[ci]
+        k = 1
+        while k < 64:
+            sym = read_symbol(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid AC run/size symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index overflow")
+            coeff_zz[k] = br.receive_extend(size)
+            k += 1
+        for i, nat in enumerate(zz):
+            dequant_nat[nat] = coeff_zz[i] * qt[i]
+        block = cmat.T @ dequant_nat.reshape(8, 8) @ cmat + 128.0
+        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+
     try:
-        for by in range(bh):
-            for bx in range(bw_):
-                # 4:4:4 interleaved MCU: one block per component, in
-                # SOF order, each with its own DC predictor
-                for ci, (qt, dc_tab, ac_tab) in enumerate(comps):
-                    coeff_zz = [0] * 64
-                    size = read_symbol(dc_tab)
-                    diff = br.receive_extend(size) if size else 0
-                    dc_prev[ci] += diff
-                    coeff_zz[0] = dc_prev[ci]
-                    k = 1
-                    while k < 64:
-                        sym = read_symbol(ac_tab)
-                        if sym == 0x00:  # EOB
-                            break
-                        run, size = sym >> 4, sym & 0x0F
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError(
-                                    "invalid AC run/size symbol"
-                                )
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError(
-                                "AC coefficient index overflow"
+        for my in range(mcuy):
+            for mx in range(mcux):
+                # T.81 interleaved MCU: per component in SOF order, its
+                # v x h blocks in raster order (4:4:4 degenerates to the
+                # one-block-per-component layout; 4:2:0 to Y Y Y Y Cb
+                # Cr), each component with its own DC predictor
+                for ci, (_, _, _, sh, sv) in enumerate(comps):
+                    for byi in range(sv):
+                        for bxi in range(sh):
+                            decode_block(
+                                ci, my * sv + byi, mx * sh + bxi
                             )
-                        coeff_zz[k] = br.receive_extend(size)
-                        k += 1
-                    for i, nat in enumerate(zz):
-                        dequant_nat[nat] = coeff_zz[i] * qt[i]
-                    block = (
-                        cmat.T @ dequant_nat.reshape(8, 8) @ cmat + 128.0
-                    )
-                    planes[ci][
-                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                    ] = block
     except StopIteration as exc:
         raise ValueError("JPEG entropy stream ended mid-block") from exc
+    # bring subsampled planes to full resolution by integer replication
+    # (nearest-neighbor — the baseline upsampler; on the flat-chroma
+    # fixtures it is exact, which keeps the solid round-trip bit-true)
+    for ci, (_, _, _, sh, sv) in enumerate(comps):
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            planes[ci] = planes[ci].repeat(fy, axis=0).repeat(fx, axis=1)
     if len(comps) == 1:
         pix = np.clip(np.rint(planes[0][:height, :width]), 0, 255)
     else:
@@ -1093,8 +1188,8 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
 
 def decode_media_real(media: DataFrame) -> DataFrame:
     """REAL decode of wav/bmp/png/jpeg payloads (stdlib+numpy codecs,
-    Arrow-batched; jpeg covers sequential baseline, grayscale and 4:4:4
-    color).
+    Arrow-batched; jpeg covers sequential baseline — grayscale, 4:4:4
+    color, and 4:2:0 chroma-subsampled).
 
     Output: one row per media item with the container-parsed dimensions
     (width/height for images, sample_rate/n_samples for audio) and

@@ -388,21 +388,33 @@ def test_jpeg_decoder_rejects_out_of_scope_shapes():
     )
     with _pytest.raises(ValueError, match="got 4 components"):
         _decode_jpeg(good[:s] + sof4 + good[s + ln:])
-    # subsampled COLOR stream (2x1 luma sampling) fails at the named
-    # branch before any entropy decode
+    # integer-ratio subsampling is IN scope since r8 (4:2:0/4:2:2 MCU
+    # geometry), so the boundary moved again: what must still fail
+    # loudly is a NON-INTEGER chroma ratio (3x1 luma over 2x1 chroma —
+    # T.81-legal but needs fractional upsampling) ...
     color = _jpeg_bytes(1, 6, 5, color=True)
     cs = color.index(b"\xff\xc0")
     cbody = bytearray(color)
     assert cbody[cs + 11] == 0x11
-    cbody[cs + 11] = 0x21
-    with _pytest.raises(ValueError, match="subsampled"):
+    cbody[cs + 11] = 0x31  # luma 3x1
+    cbody[cs + 14] = 0x21  # cb 2x1: 3 % 2 != 0
+    with _pytest.raises(ValueError, match="non-integer chroma ratio"):
         _decode_jpeg(bytes(cbody))
-    # subsampled single component (2x2 sampling factors); full-segment
-    # layout: FF C0 len(2) prec h(2) w(2) ncomp id SAMPLING tq
+    # ... and out-of-range sampling factors (T.81 allows 1..4)
+    cbody = bytearray(color)
+    cbody[cs + 11] = 0x51
+    with _pytest.raises(ValueError, match="invalid sampling factors"):
+        _decode_jpeg(bytes(cbody))
+    # declared sampling on a SINGLE-component file is a no-op, not an
+    # error: one-component scans are non-interleaved and their MCU is
+    # one block whatever the SOF says (T.81 A.2.2) — the file decodes
+    # identically; full-segment layout:
+    # FF C0 len(2) prec h(2) w(2) ncomp id SAMPLING tq
     body = bytearray(good[s:s + ln])
     body[11] = 0x22
-    with _pytest.raises(ValueError, match="subsampled"):
-        _decode_jpeg(good[:s] + bytes(body) + good[s + ln:])
+    assert _decode_jpeg(good[:s] + bytes(body) + good[s + ln:]) == (
+        _decode_jpeg(good)
+    )
     # DRI segment injected before SOS
     sos, _ = find_seg(0xDA)
     dri = struct.pack(">HHH", 0xFFDD, 4, 8)
@@ -521,6 +533,124 @@ def test_real_media_decode_round_trips_color_jpeg(spark):
     # SOF0 (odd ids here), grayscale 1-component
     ncomp = {mid: p[p.index(b"\xff\xc0") + 9] for mid, p in payloads.items()}
     assert all(n == (3 if mid % 2 else 1) for mid, n in ncomp.items())
+
+
+def test_jpeg_420_solid_round_trip_is_exact():
+    """4:2:0's lossless corner: a FLAT color image keeps every plane
+    constant through the 2x2 chroma box average (mean of four equal
+    values), every block quantizes to a lone DC with quant 1, and
+    nearest-neighbor upsampling replicates the constant — so the
+    decoded mean must be bit-exact across sub-MCU, MCU-aligned, odd,
+    and 1x1 geometries, clamp extremes included."""
+    import numpy as np
+
+    from asterlake.operators.multimodal import _decode_jpeg, _jpeg_bytes
+
+    for rgb in ((0, 0, 0), (255, 255, 255), (200, 30, 90), (7, 250, 121)):
+        for w, h in ((1, 1), (16, 16), (5, 4), (11, 9), (17, 3), (8, 12)):
+            W, H, rate, n, mean = _decode_jpeg(
+                _jpeg_bytes(0, w, h, solid=rgb, color=True,
+                            subsampling="420")
+            )
+            assert (W, H, rate, n) == (w, h, None, None)
+            y = 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+            cb = -0.168736 * rgb[0] - 0.331264 * rgb[1] + 0.5 * rgb[2]
+            cr = 0.5 * rgb[0] - 0.418688 * rgb[1] - 0.081312 * rgb[2]
+            back = np.clip(
+                np.rint([y + 1.402 * cr,
+                         y - 0.344136 * cb - 0.714136 * cr,
+                         y + 1.772 * cb]),
+                0, 255,
+            )
+            assert mean == back.mean() / 255.0, (rgb, w, h, mean)
+
+
+def test_jpeg_420_noise_round_trip_bounded_error():
+    """Hash-stream RGB noise through the 4:2:0 pipeline: dims recover
+    exactly whatever the MCU padding, the mean sits in the same
+    quantization envelope as 4:4:4 (chroma averaging shifts individual
+    pixels, not the mean, beyond clamp effects), the encoder is
+    byte-deterministic, and the container genuinely differs from the
+    4:4:4 twin (2x2 luma sampling factors in SOF0, fewer chroma
+    blocks -> shorter entropy stream)."""
+    import numpy as np
+
+    from asterlake.operators.multimodal import (
+        _decode_jpeg,
+        _det_bytes,
+        _jpeg_bytes,
+    )
+
+    for seed in range(4):
+        w, h = 5 + seed % 12, 4 + seed % 9
+        payload = _jpeg_bytes(seed, w, h, color=True, subsampling="420")
+        assert payload == _jpeg_bytes(
+            seed, w, h, color=True, subsampling="420"
+        )
+        W, H, _, _, mean = _decode_jpeg(payload)
+        assert (W, H) == (w, h)
+        src = np.frombuffer(
+            _det_bytes(f"jpeg:{seed}", w * h * 3), dtype=np.uint8
+        ).astype(float)
+        assert abs(mean - src.mean() / 255.0) < 0.04, (seed, mean)
+        p444 = _jpeg_bytes(seed, w, h, color=True)
+        assert payload != p444
+        s = payload.index(b"\xff\xc0")
+        assert payload[s + 11] == 0x22  # luma 2x2
+        assert payload[s + 14] == payload[s + 17] == 0x11  # chroma 1x1
+
+
+def test_jpeg_420_mcu_boundary_geometries():
+    """MCU-geometry sweep: 4:2:0 pads the luma grid to 16x16 MCUs and
+    the chroma grid to 8x8 blocks, so sizes straddling the MCU boundary
+    (15/16/17), extreme aspect strips, and the degenerate 2x1 all
+    exercise distinct padding/cropping paths — each must recover its
+    exact dims with a sane decoded mean."""
+    from asterlake.operators.multimodal import _decode_jpeg, _jpeg_bytes
+
+    strip = _jpeg_bytes(
+        0, 2, 1, solid=None, color=True, subsampling="420"
+    )
+    assert _decode_jpeg(strip)[:2] == (2, 1)
+    for w, h in ((15, 15), (16, 16), (17, 17), (31, 2), (2, 31)):
+        data = _jpeg_bytes(5, w, h, color=True, subsampling="420")
+        W, H, _, _, mean = _decode_jpeg(data)
+        assert (W, H) == (w, h)
+        assert 0.0 < mean < 1.0
+
+
+def test_real_media_decode_round_trips_jpeg_420(spark):
+    """The 4:2:0 branch through the Arrow batch loop: jpeg_420 items
+    ship under container format 'jpeg' (the decoder branches on SOF0
+    sampling factors, not the label), dims follow the arithmetic
+    contract, and the mean matches a direct _decode_jpeg of the
+    identical payload bit-for-bit."""
+    import numpy as np
+
+    from asterlake.operators.multimodal import (
+        _decode_jpeg,
+        decode_media,
+        real_media_table,
+    )
+
+    media = real_media_table(
+        spark, n=12, formats=("jpeg_420", "jpeg_rgb")
+    )
+    rows = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        assert (r.format, r.kind) == ("jpeg", "image")
+        assert (r.width, r.height) == (5 + mid % 12, 4 + mid % 9)
+        _, _, _, _, want_mean = _decode_jpeg(payloads[mid])
+        assert np.float32(r.mean_level) == np.float32(want_mean), mid
+    # even ids took the 4:2:0 encoder: luma sampling byte is 0x22
+    samp = {
+        mid: p[p.index(b"\xff\xc0") + 11] for mid, p in payloads.items()
+    }
+    assert all(
+        s == (0x22 if mid % 2 == 0 else 0x11) for mid, s in samp.items()
+    )
 
 
 def test_jpeg_decoder_rejects_sos_with_unknown_component_id():
