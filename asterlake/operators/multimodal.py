@@ -416,6 +416,223 @@ def _png_bytes(
     )
 
 
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def _mp4_bytes(
+    seed: int,
+    width: int,
+    height: int,
+    n_frames: int,
+    timescale: int = 600,
+    frame_delta: int = 100,
+) -> bytes:
+    """A real minimal ISO BMFF (mp4) container: ftyp + mdat + moov with
+    the full video-track box chain (mvhd, trak[tkhd, mdia[mdhd, hdlr
+    'vide', minf[vmhd, dinf/dref, stbl[stsd 'avc1'+'avcC', stts, stsc,
+    stsz, stco]]]]). Sample payloads are deterministic hash-stream
+    bytes with VARYING per-sample sizes (a real stsz table, sample_size
+    = 0 + explicit entries); the single stco chunk offset points at the
+    true absolute mdat payload position, so a parser that resolves
+    offsets (ours does) cross-checks the layout. The track is
+    structurally conformant but carries no real H.264 bitstream (empty
+    avcC parameter sets) — the METADATA is the decode target; frame
+    pixel decode is exactly what needs pyav."""
+    import struct
+
+    sizes = [32 + (seed + i) % 17 for i in range(n_frames)]
+    payload = _det_bytes(f"mp4:{seed}", sum(sizes))
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41"
+    )
+    mdat = _mp4_box(b"mdat", payload)
+    duration = n_frames * frame_delta
+
+    def full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+        return _mp4_box(
+            tag, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body
+        )
+
+    unity = struct.pack(
+        ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    mvhd = full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x10000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + unity
+        + b"\x00" * 24  # predefined
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = full(
+        b"tkhd",
+        0,
+        7,  # enabled | in-movie | in-preview
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)
+        + unity
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = full(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = full(
+        b"hdlr", 0, 0,
+        b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"asterlake video\x00",
+    )
+    vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = full(
+        b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1, b"")
+    )
+    dinf = _mp4_box(b"dinf", dref)
+    avcc = _mp4_box(
+        b"avcC", bytes([1, 0x42, 0x00, 0x1E, 0xFF, 0xE0, 0x00])
+    )
+    avc1 = _mp4_box(
+        b"avc1",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data reference index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame count
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1)  # depth, color table
+        + avcc,
+    )
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
+    stts = full(
+        b"stts", 0, 0,
+        struct.pack(">III", 1, n_frames, frame_delta),
+    )
+    stsc = full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_frames, 1))
+    stsz = full(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n_frames)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    # absolute file offset of the first (only) chunk: mdat payload
+    # starts right after ftyp and the 8-byte mdat header
+    stco = full(
+        b"stco", 0, 0, struct.pack(">II", 1, len(ftyp) + 8)
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_children(data: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for each box in [start, end);
+    fail loudly on 64-bit largesize, run-to-EOF sizes, or truncation —
+    shapes our writer never emits and a metadata walk must not guess
+    through."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("mp4 box header truncated")
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        if size == 1:
+            raise ValueError("mp4 64-bit largesize boxes not supported")
+        if size == 0:
+            raise ValueError("mp4 run-to-end box sizes not supported")
+        if size < 8 or pos + size > end:
+            raise ValueError(f"mp4 box {tag!r} size {size} out of bounds")
+        yield tag, pos + 8, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, tag: bytes):
+    for t, s, e in _mp4_children(data, start, end):
+        if t == tag:
+            return s, e
+    raise ValueError(f"mp4 missing required box {tag!r}")
+
+
+def _decode_mp4(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Metadata decode of an ISO BMFF (mp4) container: box-walk to the
+    video track's tkhd (width/height, 16.16 fixed point), mvhd
+    (timescale -> ``sample_rate``, in media time units per second) and
+    stbl (stts sample count -> ``n_samples``, cross-checked against the
+    stsz entry count, with the stco chunk offset verified to land
+    inside mdat). ``mean_level`` is the mean mdat payload byte / 255 —
+    a real byte-level stat of the actual sample data; decoding PIXELS
+    out of the H.264 bitstream is the pyav swap point, not this walk."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (mp4) payload")
+    top = list(_mp4_children(payload, 0, len(payload)))
+    mdats = [(s, e) for t, s, e in top if t == b"mdat"]
+    if not mdats:
+        raise ValueError("mp4 missing mdat")
+    moov_s, moov_e = next(
+        ((s, e) for t, s, e in top if t == b"moov"), (None, None)
+    )
+    if moov_s is None:
+        raise ValueError("mp4 missing moov")
+    mvhd_s, _ = _mp4_find(payload, moov_s, moov_e, b"mvhd")
+    version = payload[mvhd_s]
+    if version != 0:
+        raise ValueError("mp4 version-1 (64-bit) mvhd not supported")
+    timescale = struct.unpack_from(">I", payload, mvhd_s + 12)[0]
+    trak_s, trak_e = _mp4_find(payload, moov_s, moov_e, b"trak")
+    tkhd_s, _ = _mp4_find(payload, trak_s, trak_e, b"tkhd")
+    if payload[tkhd_s] != 0:
+        raise ValueError("mp4 version-1 (64-bit) tkhd not supported")
+    w_fixed, h_fixed = struct.unpack_from(">II", payload, tkhd_s + 76)
+    if w_fixed % (1 << 16) or h_fixed % (1 << 16):
+        raise ValueError("fractional tkhd dimensions not supported")
+    width, height = w_fixed >> 16, h_fixed >> 16
+    mdia_s, mdia_e = _mp4_find(payload, trak_s, trak_e, b"mdia")
+    minf_s, minf_e = _mp4_find(payload, mdia_s, mdia_e, b"minf")
+    stbl_s, stbl_e = _mp4_find(payload, minf_s, minf_e, b"stbl")
+    stts_s, stts_e = _mp4_find(payload, stbl_s, stbl_e, b"stts")
+    n_entries = struct.unpack_from(">I", payload, stts_s + 4)[0]
+    n_samples = 0
+    for i in range(n_entries):
+        cnt, _delta = struct.unpack_from(">II", payload, stts_s + 8 + 8 * i)
+        n_samples += cnt
+    stsz_s, _ = _mp4_find(payload, stbl_s, stbl_e, b"stsz")
+    fixed_size, stsz_count = struct.unpack_from(">II", payload, stsz_s + 4)
+    if stsz_count != n_samples:
+        raise ValueError(
+            f"mp4 stsz sample count {stsz_count} != stts total {n_samples}"
+        )
+    stco_s, _ = _mp4_find(payload, stbl_s, stbl_e, b"stco")
+    n_chunks = struct.unpack_from(">I", payload, stco_s + 4)[0]
+    if n_chunks:
+        first_off = struct.unpack_from(">I", payload, stco_s + 8)[0]
+        if not any(s <= first_off < e for s, e in mdats):
+            raise ValueError(
+                f"mp4 stco offset {first_off} points outside mdat"
+            )
+    mdat_bytes = sum(e - s for s, e in mdats)
+    mean = (
+        sum(sum(payload[s:e]) for s, e in mdats) / mdat_bytes / 255.0
+        if mdat_bytes
+        else 0.0
+    )
+    return width, height, timescale, n_samples, mean
+
+
 def real_media_table(
     spark: SparkSession,
     n: int = 64,
@@ -437,7 +654,7 @@ def real_media_table(
 
     fmts = tuple(formats)
     unknown = set(fmts) - {
-        "bmp", "wav", "png", "jpeg", "jpeg_rgb", "jpeg_420",
+        "bmp", "wav", "png", "jpeg", "jpeg_rgb", "jpeg_420", "mp4",
     }
     if unknown:
         raise ValueError(f"no real encoder for formats {sorted(unknown)}")
@@ -485,6 +702,19 @@ def real_media_table(
                         "sample_rate": None,
                         "n_frames": None,
                         "format": "png",
+                    }
+                elif fmt == "mp4":
+                    # moduli pairwise coprime with every cycle length in
+                    # use, same varying-fields reasoning as the wav rate
+                    w, h = 16 + mid % 13, 9 + mid % 9
+                    nf, ts = 4 + mid % 11, 600 + 10 * (mid % 5)
+                    payload = _mp4_bytes(mid, w, h, nf, timescale=ts)
+                    kind, meta = "video", {
+                        "width": w,
+                        "height": h,
+                        "sample_rate": ts,
+                        "n_frames": nf,
+                        "format": "mp4",
                     }
                 else:
                     # "jpeg_rgb"/"jpeg_420" select the color encoder
@@ -1214,10 +1444,13 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                     w, h, rate, ns, mean = _decode_png(payload)
                 elif fmt == "jpeg":
                     w, h, rate, ns, mean = _decode_jpeg(payload)
+                elif fmt == "mp4":
+                    w, h, rate, ns, mean = _decode_mp4(payload)
                 else:
                     raise ValueError(
                         f"unsupported format {fmt!r}: real decode handles "
-                        "wav/bmp/png/jpeg (stdlib+numpy); mp4 needs pyav"
+                        "wav/bmp/png/jpeg/mp4 metadata (stdlib+numpy); "
+                        "mp4 FRAME decode needs pyav"
                     )
                 out["media_id"].append(int(mid))
                 out["kind"].append(kind)

@@ -58,11 +58,15 @@ def test_decode_media_stats(spark, media):
 
 
 def test_decode_media_real_dispatches_to_stdlib_codecs(media):
-    # since r6, real=True is a working wav/bmp decoder (see the round-trip
-    # test below); the synthetic png/mp4 table must fail at a KNOWN branch
-    # (format dispatch, RIFF magic, or BMP magic) — a bare Exception match
-    # would also pass on schema/Py4J errors and pin nothing (ADVICE r6)
-    with pytest.raises(Exception, match="unsupported format|RIFF|not a BMP|not a PNG"):
+    # since r6, real=True is a working decoder for every synthetic format
+    # (wav/bmp/png and, since r8, the mp4 box-walk); the garbage-byte table
+    # must fail at a KNOWN parser branch (magic/structure check) — a bare
+    # Exception match would also pass on schema/Py4J errors and pin
+    # nothing (ADVICE r6)
+    with pytest.raises(
+        Exception,
+        match="unsupported format|RIFF|not a BMP|not a PNG|not an ISO BMFF",
+    ):
         decode_media(media, real=True).collect()
 
 
@@ -270,18 +274,43 @@ def test_png_decoder_rejects_out_of_scope_shapes():
 
 
 def test_real_decode_rejects_unsupported_formats(spark):
-    """png/mp4 payloads (no stdlib codec) must fail LOUDLY at the marked
-    swap branch, not decode garbage."""
+    """Garbage bytes under real container labels must fail LOUDLY at
+    each codec's magic/structure check, never decode as noise (since r8
+    every synthetic_media format has a real parser, so the failure is
+    the parser's named magic-check, not the unsupported-format branch —
+    which test_real_media_decode_rejects_unknown_format still pins)."""
     import pytest as _pytest
 
     from asterlake.operators.multimodal import decode_media, synthetic_media
 
     fake = synthetic_media(spark, n=6)  # formats png/wav/mp4, garbage bytes
-    # whichever task fails first surfaces: the png/mp4 branch ("unsupported
-    # format"), the wave parser on garbage ("RIFF"), or the BMP magic check
+    # whichever task fails first surfaces: the wave parser on garbage
+    # ("RIFF"), the PNG signature, or the ISO-BMFF ftyp check
     with _pytest.raises(
-        Exception, match="unsupported format|RIFF|not a BMP|not a PNG"
+        Exception, match="RIFF|not a BMP|not a PNG|not an ISO BMFF"
     ):
+        decode_media(fake, real=True).collect()
+
+
+def test_real_media_decode_rejects_unknown_format(spark):
+    """The unsupported-format swap branch itself stays fail-loud for
+    labels with no parser at all."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.multimodal import decode_media, synthetic_media
+
+    fake = synthetic_media(spark, n=3).withColumn(
+        "meta",
+        F.named_struct(
+            F.lit("width"), F.col("meta.width"),
+            F.lit("height"), F.col("meta.height"),
+            F.lit("sample_rate"), F.col("meta.sample_rate"),
+            F.lit("n_frames"), F.col("meta.n_frames"),
+            F.lit("format"), F.lit("webm"),
+        ),
+    )
+    with _pytest.raises(Exception, match="unsupported format"):
         decode_media(fake, real=True).collect()
 
 
@@ -651,6 +680,128 @@ def test_real_media_decode_round_trips_jpeg_420(spark):
     assert all(
         s == (0x22 if mid % 2 == 0 else 0x11) for mid, s in samp.items()
     )
+
+
+def test_mp4_metadata_round_trip_and_independent_offsets():
+    """_mp4_bytes writes a genuine ISO BMFF layout; _decode_mp4 must
+    recover every metadata field from the BYTES, and this test audits
+    the container independently of both: the stco chunk offset read
+    straight out of the file equals the hand-computed absolute mdat
+    payload position, and the stsz entries sum to the mdat body size
+    (so the sample tables describe the actual payload, not just
+    mutually-consistent fiction)."""
+    import struct
+
+    from asterlake.operators.multimodal import _decode_mp4, _mp4_bytes
+
+    for seed in range(8):
+        w, h = 16 + seed % 13, 9 + seed % 9
+        nf, ts = 4 + seed % 11, 600 + 10 * (seed % 5)
+        p = _mp4_bytes(seed, w, h, nf, timescale=ts)
+        assert p == _mp4_bytes(seed, w, h, nf, timescale=ts)
+        W, H, rate, ns, mean = _decode_mp4(p)
+        assert (W, H, rate, ns) == (w, h, ts, nf)
+        assert 0.0 < mean < 1.0
+        # independent audit, no shared helpers: first box is ftyp, the
+        # second mdat; stco's offset must be ftyp_size + 8
+        ftyp_size = struct.unpack_from(">I", p, 0)[0]
+        assert p[4:8] == b"ftyp"
+        mdat_size = struct.unpack_from(">I", p, ftyp_size)[0]
+        assert p[ftyp_size + 4 : ftyp_size + 8] == b"mdat"
+        stco = p.index(b"stco")
+        n_chunks, off = struct.unpack_from(">II", p, stco + 8)
+        assert (n_chunks, off) == (1, ftyp_size + 8)
+        stsz = p.index(b"stsz")
+        fixed, cnt = struct.unpack_from(">II", p, stsz + 8)
+        assert fixed == 0 and cnt == nf
+        sizes = struct.unpack_from(f">{cnt}I", p, stsz + 16)
+        assert sum(sizes) == mdat_size - 8
+        assert len(set(sizes)) > 1 or nf == 1  # genuinely varying stsz
+
+
+def test_mp4_decoder_rejects_malformed_containers():
+    """Box-walk fail-loud contract: truncation, largesize, run-to-end
+    sizes, missing required boxes, 64-bit versions, fractional
+    dimensions, and stsz/stts disagreement all raise named errors —
+    the metadata walk never guesses through a shape it can't prove."""
+    import re
+    import struct
+
+    import pytest as _pytest
+
+    from asterlake.operators.multimodal import _decode_mp4, _mp4_bytes
+
+    good = _mp4_bytes(3, 16, 9, 5)
+
+    with _pytest.raises(ValueError, match="not an ISO BMFF"):
+        _decode_mp4(b"\x00" * 8 + good)
+    with _pytest.raises(ValueError, match="truncated|out of bounds"):
+        _decode_mp4(good[:-10])
+    # 64-bit largesize on the top-level mdat
+    ftyp_size = struct.unpack_from(">I", good, 0)[0]
+    big = bytearray(good)
+    struct.pack_into(">I", big, ftyp_size, 1)
+    with _pytest.raises(ValueError, match="largesize"):
+        _decode_mp4(bytes(big))
+    # run-to-end size
+    struct.pack_into(">I", big, ftyp_size, 0)
+    with _pytest.raises(ValueError, match="run-to-end"):
+        _decode_mp4(bytes(big))
+    # moov gone: retag it so the walk sees no moov box
+    moov = good.index(b"moov")
+    with _pytest.raises(ValueError, match="missing moov"):
+        _decode_mp4(good[:moov] + b"free" + good[moov + 4:])
+    # version-1 (64-bit) mvhd
+    mvhd = good.index(b"mvhd")
+    with _pytest.raises(ValueError, match="mvhd not supported"):
+        _decode_mp4(good[:mvhd + 4] + b"\x01" + good[mvhd + 5:])
+    # fractional tkhd width (low 16 bits set)
+    tkhd = good.index(b"tkhd")
+    frac = bytearray(good)
+    frac[tkhd + 4 + 76 + 2] = 0x80  # width 16.16 fraction byte
+    with _pytest.raises(ValueError, match="fractional tkhd"):
+        _decode_mp4(bytes(frac))
+    # stsz count != stts total
+    stsz = good.index(b"stsz")
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, stsz + 12, 99)
+    with _pytest.raises(ValueError, match=re.escape("stsz sample count")):
+        _decode_mp4(bytes(bad))
+    # stco offset outside mdat
+    stco = good.index(b"stco")
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, stco + 12, len(good) - 1)
+    with _pytest.raises(ValueError, match="outside mdat"):
+        _decode_mp4(bytes(bad))
+
+
+def test_real_media_decode_round_trips_mp4(spark):
+    """The mp4 branch through the Arrow batch loop: video items carry
+    the arithmetic metadata contract (w=16+id%13, h=9+id%9,
+    n=4+id%11, timescale=600+10*(id%5)) and the mean matches a direct
+    _decode_mp4 of the identical payload bit-for-bit."""
+    import numpy as np
+
+    from asterlake.operators.multimodal import (
+        _decode_mp4,
+        decode_media,
+        real_media_table,
+    )
+
+    media = real_media_table(spark, n=10, formats=("mp4", "wav"))
+    rows = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert len(rows) == 10
+    for mid, r in rows.items():
+        if mid % 2:  # wav slots unchanged by the mp4 addition
+            assert (r.format, r.kind) == ("wav", "audio")
+            continue
+        assert (r.format, r.kind) == ("mp4", "video")
+        assert (r.width, r.height) == (16 + mid % 13, 9 + mid % 9)
+        assert r.sample_rate == 600 + 10 * (mid % 5)
+        assert r.n_samples == 4 + mid % 11
+        _, _, _, _, want_mean = _decode_mp4(payloads[mid])
+        assert np.float32(r.mean_level) == np.float32(want_mean), mid
 
 
 def test_jpeg_decoder_rejects_sos_with_unknown_component_id():
