@@ -110,6 +110,10 @@ def main() -> None:
             # _global_price_counts (r7: the equidepth/range-layout pair's
             # cut points rank the same memoized global price counts)
             ("q_histogram_equidepth", "q_range_layout_stats"),
+            # _flag_qty_counts (r8, verdict ask #4: one distinct-
+            # (flag, quantity) aggregate carries both the row counts and
+            # the revenue-cents weight sums)
+            ("q_percentiles_exact", "q_weighted_median"),
         ]:
             bi, ri = order.index(builder), order.index(rider)
             if bi > ri:
@@ -173,7 +177,16 @@ def main() -> None:
         # slower build still shows up slower. Memo-subtree BUILDERS are
         # exempt: their re-run would record the rider-side memo hit, not
         # the build they are declared to absorb.
-        _builders = {"q_trimmed_stats", "q_dedup_clusters"}
+        # (q_histogram_equidepth and q_percentiles_exact joined r7/r8:
+        # any declared memo builder's retry would record the rider-side
+        # memo hit, flattering exactly the family the r7 verdict asked
+        # to watch)
+        _builders = {
+            "q_trimmed_stats",
+            "q_dedup_clusters",
+            "q_histogram_equidepth",
+            "q_percentiles_exact",
+        }
         suspects = [
             n
             for n in timings
