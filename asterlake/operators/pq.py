@@ -1,0 +1,317 @@
+"""Product quantization (PQ) ANN: codebook compression for 100-TB
+embedding search.
+
+Brute-force cosine (similarity.py) reads every float of every vector:
+64 dims x 4 bytes = 256 B/vector, so a 100-TB corpus scan is I/O-bound
+on the embeddings themselves. PQ splits each vector into ``m``
+subvectors, quantizes each against a per-subspace codebook of ``k``
+centroids, and stores only the ``m`` code bytes (m=8, k=16 -> 8 B/vector,
+a 32x scan reduction). Query-time scoring never touches the original
+floats: an m x k lookup table of query-to-centroid distances is computed
+once on the driver (float64, tiny) and broadcast as a literal; per-row
+distance is ``sum_s lut[s][code_s]`` — an array-indexing fold, pure
+JVM-side expression, no shuffle, TakeOrderedAndProject top-k.
+
+Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011) — the asymmetric distance computation (ADC) variant:
+queries stay exact, only the corpus is quantized.
+
+Determinism discipline (the q_ann_* oracle pattern): codebooks are either
+seeded data-independent literals (:func:`pq_codebooks`, embeddable in a
+DuckDB oracle the same way ivf_centroids is) or Lloyd-refined from data
+with the exact quantized-BIGINT mean arithmetic of kmeans_step
+(:func:`pq_train`, bit-reproducible, model state bounded at m x k x dsub
+floats). Every distance fold is an explicit left-to-right DOUBLE
+``zip_with`` + ``aggregate`` — bit-identical to DuckDB's
+``list_sum(list_transform(...))`` fold (see similarity.py module doc).
+
+Reference parity: the reference engine has no vector surface at all
+(/root/reference/src is ETL glue); this is the beyond-parity
+training-data-pipeline tier next to SRP/IVF/INT8.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pq_codebooks(
+    m: int = 8, k: int = 16, dim: int = 64, seed: int = 11
+) -> list[list[list[float]]]:
+    """Seeded data-independent codebooks: ``m`` subspaces x ``k``
+    centroids x ``dim/m`` coordinates, N(0, 1/sqrt(dim)) — the right
+    scale for unit-norm-ish embedding coordinates, and (like
+    ivf_centroids) a plain Python literal both the Spark plan and a
+    DuckDB oracle can embed verbatim. Production path: refine with
+    :func:`pq_train`."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.RandomState(seed)
+    c = rng.randn(m, k, dim // m) / np.sqrt(dim)
+    return [[[float(x) for x in row] for row in sub] for sub in c]
+
+
+def _sq_dist(c: Column, v: Column) -> Column:
+    """Left-to-right double fold of the squared coordinate deltas —
+    same associativity contract as similarity.dot_double."""
+    d = F.zip_with(
+        c,
+        v,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dists_to(cb: Column, sub: Column) -> Column:
+    """transform(cb, c -> sq_dist(c, sub)) via a closure — a default-arg
+    lambda would have TWO parameters, which PySpark's transform treats
+    as the (element, index) form and binds the index to the capture."""
+    return F.transform(cb, lambda c: _sq_dist(c, sub))
+
+
+def _codebooks_lit(codebooks: list[list[list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in row])
+                    for row in sub
+                ]
+            )
+            for sub in codebooks
+        ]
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each vector to its ``m`` nearest-centroid codes
+    (``codes`` array<int>, code s in [0, k)).
+
+    Pure projection: the codebook is a literal broadcast by value, each
+    subspace's argmin is a k-fold over the sliced subvector, no shuffle,
+    no UDF. Ties break to the lower code (array_position finds the first
+    minimum — same as DuckDB's list_position). This is the write-path
+    operator: at 100 TB the codes column is what lands in the hot table;
+    the float vectors stay in cold storage for reranking only.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        cb = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in row])
+                for row in codebooks[s]
+            ]
+        )
+        dists = _dists_to(cb, sub)
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return vectors.select(id_col, F.array(*codes).alias("codes"))
+
+
+def adc_topk(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact,
+    the corpus is its codes.
+
+    The m x k LUT (squared distance from each query subvector to each
+    centroid) is computed on the driver in float64 — bounded model
+    state, never data-sized — and embedded as a literal. Per-row
+    distance is a left-to-right fold of ``lut[s][code_s]`` (array
+    indexing only: the plan touches 8 ints per row, not 64 floats), and
+    the ORDER BY ... LIMIT k compiles to TakeOrderedAndProject — no
+    global sort, no shuffle beyond the top-k combine. Ordering is made
+    total with the id tiebreak; NULL codes (a NULL input vector) sort
+    last."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query_vec) != m * dsub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != m*dsub {m * dsub}"
+        )
+    lut = []
+    for s in range(m):
+        q = query_vec[s * dsub : (s + 1) * dsub]
+        row = []
+        for c in codebooks[s]:
+            acc = 0.0
+            for x, y in zip(c, q):
+                d = float(x) - float(y)
+                acc += d * d
+            row.append(acc)
+        lut.append(row)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+    )
+    # fold over subspace index: acc + lut[s][codes[s]]  (1-based indexing)
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    dist = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(lut_lit, s.cast("int") + 1),
+            F.element_at(F.col("codes"), s.cast("int") + 1) + 1,
+        ),
+    )
+    return (
+        codes_df.select(id_col, dist.alias("adc_dist"))
+        .orderBy(F.asc_nulls_last("adc_dist"), id_col)
+        .limit(k)
+    )
+
+
+def pq_search(
+    vectors: DataFrame,
+    codes_df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search — the production shape: ADC over the compact
+    codes table produces a ``shortlist`` of candidates (the only
+    full-corpus pass, touching m bytes/row), then the float vectors of
+    just those ids are fetched and reranked by EXACT cosine.
+
+    The shortlist ids broadcast into a hash semi-join against the vector
+    table — at 100 TB that fetch prunes to the candidate files when the
+    table is id-ordered (layout.py's range layout + parquet min/max
+    skipping), so the expensive float column is read for ~shortlist
+    rows, not the corpus. Final ordering is (cosine desc, id) — total and
+    deterministic. Quality contract: the result equals exact brute-force
+    top-k whenever the true top-k survives the shortlist (measured
+    recall pins in tests/test_pq.py)."""
+    from asterlake.operators.similarity import cosine
+
+    cand = adc_topk(
+        codes_df, query_vec, codebooks, k=shortlist, id_col=id_col
+    ).select(id_col)
+    q_lit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        vectors.join(F.broadcast(cand), id_col)
+        .select(
+            id_col,
+            cosine(F.col(vec_col), q_lit).alias("cos_sim"),
+        )
+        .orderBy(F.desc_nulls_last("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def pq_reconstruction_sse(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Total squared reconstruction error of the codebooks over the
+    corpus (one double + one count row) — the Lloyd objective. Exposed
+    so training improvement is a pinnable fact, not a belief. One scan,
+    map-side-combinable aggregate."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    per_sub = []
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        cb = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in row])
+                for row in codebooks[s]
+            ]
+        )
+        dists = _dists_to(cb, sub)
+        per_sub.append(F.array_min(dists))
+    row_err = sum(per_sub[1:], per_sub[0])
+    return vectors.select(row_err.alias("_e")).agg(
+        F.sum("_e").alias("sse"), F.count("*").cast("bigint").alias("n")
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 4,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    scale: int = 10_000_000,
+) -> list[list[list[float]]]:
+    """Lloyd-refine PQ codebooks from data: ``iters`` rounds of
+    assign-to-nearest + per-(subspace, code, dim) exact mean.
+
+    All m subspaces train in ONE job per iteration: each vector explodes
+    into m (sub, subvec) rows, assignment indexes the literal codebook
+    stack by sub (projection, no join), and the single shuffle carries
+    only (sub, code, dim) quantized-BIGINT partial sums with map-side
+    combine — m x k x dsub = k x dim cells, the same bounded model state
+    and FLOOR 1e-7 quantized tie-free mean discipline as
+    similarity.kmeans_step, so training is bit-reproducible. The driver
+    collects k x dim values per round, never data-sized. A code that
+    loses all members keeps its previous centroid (standard
+    empty-cluster policy).
+    """
+    codebooks = pq_codebooks(m=m, k=k, dim=dim, seed=seed)
+    dsub = dim // m
+    for _ in range(iters):
+        cb_lit = _codebooks_lit(codebooks)
+        subs = F.array(
+            *[
+                F.slice(F.col(vec_col), s * dsub + 1, dsub)
+                for s in range(m)
+            ]
+        )
+        ex = vectors.select(F.posexplode(subs).alias("sub", "subvec"))
+        dists = F.transform(
+            F.element_at(cb_lit, F.col("sub") + 1),
+            lambda c: _sq_dist(c, F.col("subvec")),
+        )
+        assigned = ex.select(
+            "sub",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("code"),
+            "subvec",
+        )
+        exd = assigned.select(
+            "sub", "code", F.posexplode("subvec").alias("dim0", "val")
+        )
+        q = F.floor(F.col("val").cast("double") * F.lit(float(scale))).cast(
+            "long"
+        )
+        rows = (
+            exd.groupBy("sub", "code", "dim0")
+            .agg(
+                (
+                    F.sum(q).cast("double")
+                    / F.count("*").cast("double")
+                    / F.lit(float(scale))
+                ).alias("centroid")
+            )
+            .collect()  # driver-ok: m x k x dsub model values, never data
+        )
+        nxt = [
+            [list(row) for row in sub] for sub in codebooks
+        ]
+        for r in rows:
+            nxt[r.sub][r.code][r.dim0] = r.centroid
+        codebooks = nxt
+    return codebooks

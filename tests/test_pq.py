@@ -1,0 +1,199 @@
+"""Product-quantization ANN (operators/pq.py): encode/ADC bit-exactness
+against a same-fold Python replay, Lloyd training improvement, bounded
+model state, and the no-Python-in-plan / top-k plan shape.
+
+R9 driver-query candidate: the seeded-codebook encode+ADC pipeline is
+fully arithmetic, so the oracle restates it with the codebook literal
+embedded the same way q_ann_ivf_search embeds ivf_centroids.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from asterlake.operators.pq import (
+    adc_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_reconstruction_sse,
+    pq_train,
+)
+
+M, K, DIM = 8, 16, 64
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+def _replay_code(vec, codebooks, s):
+    """Nearest-centroid code with the EXACT left-to-right double fold the
+    Spark expression evaluates — first minimum wins, like array_position."""
+    dsub = len(codebooks[0][0])
+    sub = vec[s * dsub : (s + 1) * dsub]
+    dists = []
+    for c in codebooks[s]:
+        acc = 0.0
+        for x, y in zip(c, sub):
+            d = float(x) - float(y)
+            acc += d * d
+        dists.append(acc)
+    return dists.index(min(dists))
+
+
+def test_encode_matches_python_replay_bit_for_bit(vectors):
+    codebooks = pq_codebooks(m=M, k=K, dim=DIM)
+    sample = vectors.filter("vec_id < 40")
+    got = {r.vec_id: list(r.codes) for r in pq_encode(sample, codebooks).collect()}
+    raw = {r.vec_id: [float(x) for x in r.embedding] for r in sample.collect()}
+    assert len(got) == len(raw) > 0
+    for vid, vec in raw.items():
+        want = [_replay_code(vec, codebooks, s) for s in range(M)]
+        assert got[vid] == want, vid
+    for codes in got.values():
+        assert all(0 <= c < K for c in codes) and len(codes) == M
+
+
+def test_adc_topk_matches_python_replay_exactly(vectors):
+    codebooks = pq_codebooks(m=M, k=K, dim=DIM)
+    query = [float(x) for x in vectors.filter("vec_id = 0").collect()[0].embedding]
+    codes_df = pq_encode(vectors, codebooks)
+    got = [(r.vec_id, r.adc_dist) for r in adc_topk(codes_df, query, codebooks, k=10).collect()]
+    # replay: LUT in float64, dist = left-to-right fold over subspaces
+    dsub = DIM // M
+    lut = []
+    for s in range(M):
+        q = query[s * dsub : (s + 1) * dsub]
+        row = []
+        for c in codebooks[s]:
+            acc = 0.0
+            for x, y in zip(c, q):
+                d = float(x) - float(y)
+                acc += d * d
+            row.append(acc)
+        lut.append(row)
+    raw = {r.vec_id: [float(x) for x in r.embedding] for r in vectors.collect()}
+    dists = []
+    for vid, vec in raw.items():
+        codes = [_replay_code(vec, codebooks, s) for s in range(M)]
+        acc = 0.0
+        for s in range(M):
+            acc += lut[s][codes[s]]
+        dists.append((acc, vid))
+    dists.sort()
+    want = [(vid, d) for d, vid in dists[:10]]
+    assert got == want  # ids AND doubles, bit-for-bit
+
+
+def test_adc_rejects_dim_mismatch():
+    codebooks = pq_codebooks(m=M, k=K, dim=DIM)
+    with pytest.raises(ValueError, match="query dim"):
+        adc_topk(None, [0.0] * 63, codebooks)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(m=7, k=K, dim=DIM)
+
+
+def test_train_reduces_reconstruction_error_and_is_deterministic(vectors):
+    sample = vectors.filter("vec_id < 200")
+    init = pq_codebooks(m=M, k=K, dim=DIM)
+    trained = pq_train(sample, m=M, k=K, dim=DIM, iters=3)
+    sse0 = pq_reconstruction_sse(sample, init).collect()[0]
+    sse1 = pq_reconstruction_sse(sample, trained).collect()[0]
+    assert sse0.n == sse1.n == 200
+    # Lloyd with exact quantized means: strictly better than the random
+    # init on real data (not just non-increasing)
+    assert sse1.sse < sse0.sse * 0.9
+    # bit-reproducible: same seed + data -> identical floats
+    again = pq_train(sample, m=M, k=K, dim=DIM, iters=3)
+    assert trained == again
+    # bounded model state
+    assert len(trained) == M and all(len(s) == K for s in trained)
+    assert all(len(c) == DIM // M for s in trained for c in s)
+
+
+def test_two_stage_search_machinery_and_recall(vectors):
+    """Two-stage pq_search at m=8, k=64 codes, exact-cosine rerank.
+
+    (a) Machinery pin: with the shortlist covering the whole corpus
+    (500), pq_search must equal brute-force cosine top-10 EXACTLY — ids
+    and order — for every probe; any divergence is a join/ordering/
+    scoring bug, not quantization.
+    (b) Quality pin: at shortlist=50 (10% of the corpus), recall@10
+    floors. The synthetic embeddings are near-uniform on the sphere —
+    PQ's distance-concentration worst case — and still measure
+    {7: 10, 123: 8, 250: 9, 401: 8, 42: 6}; floor 5, sum floor 37."""
+    from asterlake.operators.pq import pq_search
+    from asterlake.operators.similarity import topk_cosine
+
+    trained = pq_train(vectors, m=M, k=64, dim=DIM, iters=3)
+    codes = pq_encode(vectors, trained)
+    total = 0
+    for qid in (7, 123, 250, 401, 42):
+        query_df = vectors.filter(f"vec_id = {qid}")
+        query = [float(x) for x in query_df.collect()[0].embedding]
+        exact = [
+            r.vec_id for r in topk_cosine(vectors, query_df, k=10).collect()
+        ]
+        full = [
+            r.vec_id
+            for r in pq_search(
+                vectors, codes, query, trained, k=10, shortlist=500
+            ).collect()
+        ]
+        assert full == exact, qid
+        got50 = {
+            r.vec_id
+            for r in pq_search(
+                vectors, codes, query, trained, k=10, shortlist=50
+            ).collect()
+        }
+        rec = len(set(exact) & got50)
+        assert rec >= 5, (qid, rec)
+        total += rec
+    assert total >= 37, total
+
+
+def test_shortlist_recall_floor_at_compact_codes(vectors):
+    """ADC shortlist quality at the most aggressive setting (m=8, k=16:
+    4 bits/subspace, 8 B/vector): the 50-candidate shortlist must catch
+    most of the exact top-10 for every probe query. Measured per-query
+    recall on this data: {7: 7, 123: 5, 250: 5, 401: 5, 42: 8} of 10 —
+    the synthetic embeddings are near-uniform on the sphere (no cluster
+    structure for Lloyd to exploit; training's value is pinned by the
+    SSE test, its recall effect here is within noise of the seeded
+    codebooks), so the floor is 4 with a sum floor of 25."""
+    from asterlake.operators.similarity import topk_cosine
+
+    trained = pq_train(vectors, m=M, k=K, dim=DIM, iters=3)
+    codes = pq_encode(vectors, trained)
+    total = 0
+    for qid in (7, 123, 250, 401, 42):
+        query_df = vectors.filter(f"vec_id = {qid}")
+        query = [float(x) for x in query_df.collect()[0].embedding]
+        exact = {
+            r.vec_id
+            for r in topk_cosine(vectors, query_df, k=11).collect()
+            if r.vec_id != qid
+        }
+        short = {
+            r.vec_id
+            for r in adc_topk(codes, query, trained, k=50).collect()
+        }
+        rec = len(exact & short)
+        assert rec >= 4, (qid, rec)
+        total += rec
+    assert total >= 25, total
+
+
+def test_plan_shape_no_python_and_topk(vectors):
+    codebooks = pq_codebooks(m=M, k=K, dim=DIM)
+    codes_df = pq_encode(vectors, codebooks)
+    plan = adc_topk(codes_df, [0.0] * DIM, codebooks, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    enc_plan = codes_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in enc_plan  # encode is a pure projection
+    assert "BatchEvalPython" not in enc_plan
