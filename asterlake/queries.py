@@ -6963,6 +6963,17 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      percentile steady-state re-check (r7 ask #4) is a BENCH matter
 #      (probe-normalized family totals), not a correctness row, so no
 #      r6 row is pulled forward for it.
+#
+# R9 CANDIDATES (operators landed r8 with local pins only, oracle
+# shapes ready):
+#   q_ann_pq_search — seeded-codebook PQ encode + ADC top-k
+#     (operators/pq.py): pq_codebooks() is data-independent, so the
+#     oracle embeds the codebook literal exactly like q_ann_ivf_search
+#     embeds ivf_centroids; encode's argmin and the LUT fold are both
+#     left-to-right double folds DuckDB restates with
+#     list_sum(list_transform(...)) + list_position. The two-stage
+#     pq_search rerank reuses the q_ann_topk_bruteforce oracle over the
+#     shortlist CTE.
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # decode_media's r8 change is DOCSTRING-only (the 4:2:0 codec note);
     # this query runs the real=False synthetic-stats branch, whose code

