@@ -24,6 +24,13 @@ deliberately minimal:
   the stored files and compares it to the manifest — the audit a trainer
   runs before a multi-week job, and the cross-site check a replica runs
   after a copy.
+- ``scan_version(spark, root, conditions, version)`` (r8) is the
+  data-skipping read: ``write_version(..., stats_cols=[...])`` harvests
+  per-file min/max/null statistics from the just-written parquet footers
+  (a metadata read, no second scan) into the manifest, and scan planning
+  drops every file the conjunctive predicate provably cannot match
+  before Spark sees a path — file-level skipping above Spark's own
+  row-group skipping, the Delta/Iceberg planning shape on plain parquet.
 
 Scale shape: a snapshot write is one pass (the caller's plan + observed
 metrics); verify is one scan + scalar aggregate. Versions share nothing
@@ -81,18 +88,107 @@ def _data_path(root: str, version: int) -> str:
     return os.path.join(root, f"v={version}", "data")
 
 
+def _stat_encode(v):
+    """JSON-encode a parquet footer statistic, tagging the types JSON
+    can't round-trip. Returns None for types the skipper doesn't
+    understand — the file then simply never prunes on that column."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max is useless for pruning; keep it simple
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return {"_t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"_t": "date", "v": v.isoformat()}
+    return None
+
+
+def _stat_decode(v):
+    import datetime
+
+    if isinstance(v, dict) and "_t" in v:
+        if v["_t"] == "ts":
+            return datetime.datetime.fromisoformat(v["v"])
+        if v["_t"] == "date":
+            return datetime.date.fromisoformat(v["v"])
+        raise ValueError(f"unknown stat type tag {v['_t']!r}")
+    return v
+
+
+def collect_file_stats(data_dir: str, cols: list[str]) -> dict:
+    """Per-data-file column statistics from the parquet FOOTERS — a
+    metadata read (one footer per file), never a data scan; the same
+    source of truth Spark's own row-group skipping uses, lifted to the
+    manifest so planning can drop whole files before any footer I/O.
+
+    Returns ``{filename: {"n_rows": n, "cols": {col: {"min", "max",
+    "null_count"}}}}``. A column is recorded only when EVERY row group
+    in the file carries exact min/max (``has_min_max``) or is all-null;
+    anything else (unsupported type, truncated/absent stats) omits the
+    column and the file is never pruned on it — skipping must only ever
+    be provably safe."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(data_dir, name))
+        schema_names = pf.schema_arrow.names
+        idx = {c: schema_names.index(c) for c in cols if c in schema_names}
+        col_stats: dict = {}
+        for c, i in idx.items():
+            lo = hi = None
+            nulls = 0
+            usable = True
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(i).statistics
+                n_in_group = pf.metadata.row_group(rg).num_rows
+                if st is None or st.null_count is None:
+                    usable = False
+                    break
+                nulls += st.null_count
+                if st.null_count == n_in_group:
+                    continue  # all-null group contributes no min/max
+                if not st.has_min_max:
+                    usable = False
+                    break
+                mn, mx = _stat_encode(st.min), _stat_encode(st.max)
+                if mn is None or mx is None:
+                    usable = False
+                    break
+                lo = mn if lo is None or _lt(mn, lo) else lo
+                hi = mx if hi is None or _lt(hi, mx) else hi
+            if usable:
+                col_stats[c] = {"min": lo, "max": hi, "null_count": nulls}
+        out[name] = {"n_rows": pf.metadata.num_rows, "cols": col_stats}
+    return out
+
+
+def _lt(a, b) -> bool:
+    return _stat_decode(a) < _stat_decode(b)
+
+
 def write_version(
     df: DataFrame,
     root: str,
     sig_cols: list[str] | None = None,
     extra: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Write ``df`` as the next snapshot version; returns the manifest.
 
     ``sig_cols`` selects the checksum's canonical columns (default: all —
     callers with double columns should pass the engine-portable subset,
     see integrity.row_signature). ``extra`` merges caller metadata into
-    the manifest (corpus recipe, upstream versions, ...). The manifest
+    the manifest (corpus recipe, upstream versions, ...). ``stats_cols``
+    opts columns into file-level min/max skipping: their per-file
+    statistics are harvested from the just-written parquet footers (a
+    metadata read, not a second scan) and committed INSIDE the manifest,
+    so :func:`scan_version` can plan a pruned file list — the
+    Delta/Iceberg data-skipping shape on plain parquet. The manifest
     file is the commit: it is written only after the data files land."""
     version = (latest_version(root) or 0) + 1
     sig = row_signature(sig_cols if sig_cols is not None else df.columns)
@@ -127,6 +223,11 @@ def write_version(
         "sig_encoding": SIG_ENCODING,
         **(extra or {}),
     }
+    if stats_cols:
+        manifest["stats_cols"] = list(stats_cols)
+        manifest["file_stats"] = collect_file_stats(
+            _data_path(root, version), list(stats_cols)
+        )
     tmp = _manifest_path(root, version) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -152,6 +253,127 @@ def read_version(
     elif version not in _versions(root):
         raise FileNotFoundError(f"version {version} not committed under {root}")
     return spark.read.parquet(_data_path(root, version))
+
+
+_SKIP_OPS = {"==", "<", "<=", ">", ">=", "is_null", "not_null"}
+
+
+def _file_may_match(finfo: dict, conditions: list[tuple]) -> bool:
+    """Can a file possibly hold a row satisfying the CONJUNCTION of
+    ``conditions``, judging only by its manifest stats? Returns True on
+    any doubt (missing column stats, unencodable value) — pruning must
+    be provably safe, never heuristic."""
+    for cond in conditions:
+        op = cond[1] if len(cond) > 1 else None
+        col = cond[0]
+        st = finfo.get("cols", {}).get(col)
+        if st is None:
+            continue  # no stats for this column: cannot prune on it
+        n_rows = finfo.get("n_rows", 0)
+        nulls = st.get("null_count", 0)
+        if op == "is_null":
+            if nulls == 0:
+                return False
+            continue
+        if op == "not_null":
+            if n_rows > 0 and nulls == n_rows:
+                return False
+            continue
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported skip predicate op {op!r}")
+        # comparison ops: NULL rows never satisfy them, so an all-null
+        # file proves empty; otherwise judge against [min, max]
+        if n_rows > 0 and nulls == n_rows:
+            return False
+        if st["min"] is None or st["max"] is None:
+            continue
+        lo, hi = _stat_decode(st["min"]), _stat_decode(st["max"])
+        v = cond[2]
+        try:
+            if op == "==" and (v < lo or v > hi):
+                return False
+            if op == ">=" and hi < v:
+                return False
+            if op == ">" and hi <= v:
+                return False
+            if op == "<=" and lo > v:
+                return False
+            if op == "<" and lo >= v:
+                return False
+        except TypeError:
+            continue  # incomparable value type: keep the file
+    return True
+
+
+def scan_version(
+    spark: SparkSession,
+    root: str,
+    conditions: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Predicate-pruned snapshot scan: plan the file list from the
+    manifest's per-file min/max/null stats, read only the files the
+    conjunctive ``conditions`` can possibly match, and apply the SAME
+    conditions as real Spark filters — pruning is a planning
+    optimization, never a semantics change, so
+    ``scan_version(spark, root, conds, v)`` always equals
+    ``read_version(spark, root, v).filter(conds)`` row-for-row (pinned
+    by tests/test_versioned.py against that exact twin).
+
+    ``conditions``: ``[("col", op, value), ...]`` with op in
+    ``== < <= > >= is_null not_null`` (the two null ops take no value),
+    combined with AND. Files without stats for a referenced column are
+    always kept.
+
+    Scale shape: at 100 TB the win is DRIVER-side — a time- or
+    key-range query over a snapshot with thousands of files plans a
+    file list proportional to the range, before any footer I/O or task
+    scheduling; Spark's own row-group skipping then handles the
+    intra-file remainder of the pushed filters. An empty pruned list
+    returns an empty DataFrame with the snapshot's schema (read via the
+    full path's schema, no data tasks)."""
+    if version is None:
+        version = latest_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no committed versions under {root}")
+    manifest = read_manifest(root, version)
+    file_stats = manifest.get("file_stats")
+    if file_stats is None:
+        raise ValueError(
+            f"version {version} has no file_stats manifest section: "
+            "write it with stats_cols=[...] to enable skipping"
+        )
+    data_dir = _data_path(root, version)
+    kept = [
+        os.path.join(data_dir, name)
+        for name, finfo in sorted(file_stats.items())
+        if _file_may_match(finfo, conditions)
+    ]
+
+    def apply_conditions(df: DataFrame) -> DataFrame:
+        for cond in conditions:
+            col, op = cond[0], cond[1]
+            c = F.col(col)
+            if op == "is_null":
+                df = df.where(c.isNull())
+            elif op == "not_null":
+                df = df.where(c.isNotNull())
+            else:
+                v = F.lit(cond[2])
+                expr = {
+                    "==": c == v,
+                    "<": c < v,
+                    "<=": c <= v,
+                    ">": c > v,
+                    ">=": c >= v,
+                }[op]
+                df = df.where(expr)
+        return df
+
+    if not kept:
+        full = spark.read.parquet(data_dir)
+        return apply_conditions(full).where(F.lit(False))
+    return apply_conditions(spark.read.parquet(*kept))
 
 
 def verify_version(

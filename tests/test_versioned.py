@@ -220,3 +220,156 @@ def test_vacuum_spares_a_concurrent_writers_live_slot(spark, tmp_path):
     # normal version again; a LATER vacuum with a newer commit reclaims
     # manifest-less leftovers below it as before
     assert not os.path.isdir(os.path.join(root, "v=1"))
+
+
+# ---------------------------------------------------------------------------
+# File-level min/max data skipping (scan_version, r8)
+# ---------------------------------------------------------------------------
+
+
+def _skippable(spark, n=400):
+    """Range-layout table: 4 files partitioned by value, a string label,
+    a date column, and a column with NULLs concentrated in one file —
+    every pruning path exercisable."""
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("double").alias("price"),
+        F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 4, "0")).alias(
+            "label"
+        ),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "d"
+        ),
+        F.when(F.col("id") < 100, F.lit(None).cast("long"))
+        .otherwise(F.col("id"))
+        .alias("maybe"),
+    )
+    return df.repartitionByRange(4, "k")
+
+
+def test_scan_version_equals_filter_twin_and_prunes_files(spark, tmp_path):
+    from asterlake.sources.versioned import scan_version
+
+    root = str(tmp_path / "corpus")
+    write_version(
+        _skippable(spark), root, stats_cols=["k", "price", "label", "d", "maybe"]
+    )
+    full = read_version(spark, root, 1)
+    n_files = len(full.inputFiles())
+    assert n_files == 4
+    cases = [
+        [("k", ">=", 300)],
+        [("k", ">=", 150), ("k", "<", 250)],
+        [("price", "<=", 500.0)],
+        [("label", "==", "u0042")],
+        [("d", ">", __import__("datetime").date(2024, 12, 1))],
+        [("maybe", "is_null",)],
+        [("maybe", "not_null",)],
+    ]
+    import datetime
+
+    for conds in cases:
+        got = scan_version(spark, root, conds, version=1)
+        twin = full
+        for c in conds:
+            col = F.col(c[0])
+            if c[1] == "is_null":
+                twin_c = col.isNull()
+            elif c[1] == "not_null":
+                twin_c = col.isNotNull()
+            else:
+                ops = {"==": col == c[2], "<": col < c[2], "<=": col <= c[2],
+                       ">": col > c[2], ">=": col >= c[2]}
+                twin_c = ops[c[1]]
+            twin = twin.where(twin_c)
+        g = sorted(r.k for r in got.select("k").collect())
+        t = sorted(r.k for r in twin.select("k").collect())
+        assert g == t and len(g) > 0, conds
+    # pruning is real: a one-file range reads one file, not four
+    narrow = scan_version(spark, root, [("k", ">=", 350)], version=1)
+    assert len(narrow.inputFiles()) < n_files
+    assert len(narrow.inputFiles()) >= 1
+
+
+def test_scan_version_provably_empty_range_reads_zero_files(spark, tmp_path):
+    from asterlake.sources.versioned import scan_version
+
+    root = str(tmp_path / "corpus")
+    write_version(_skippable(spark), root, stats_cols=["k"])
+    out = scan_version(spark, root, [("k", ">", 10_000)], version=1)
+    assert out.count() == 0
+    assert out.inputFiles() == []
+    # schema survives the empty plan
+    assert "price" in out.columns
+
+
+def test_scan_version_never_prunes_without_stats(spark, tmp_path):
+    """A column outside stats_cols must not prune anything — same rows
+    as the filter twin, all files read."""
+    from asterlake.sources.versioned import scan_version
+
+    root = str(tmp_path / "corpus")
+    write_version(_skippable(spark), root, stats_cols=["k"])
+    got = scan_version(spark, root, [("price", ">=", 3500.0)], version=1)
+    assert len(got.inputFiles()) == 4  # no stats for price: kept all
+    want = read_version(spark, root, 1).where(F.col("price") >= 3500.0)
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in want.collect()
+    )
+
+
+def test_scan_version_null_semantics_prune_all_null_file(spark, tmp_path):
+    """Comparison predicates never match NULL rows, so the file whose
+    `maybe` column is entirely NULL is provably empty for `maybe >= 0`
+    and must be skipped."""
+    from asterlake.sources.versioned import scan_version
+
+    root = str(tmp_path / "corpus")
+    write_version(_skippable(spark), root, stats_cols=["maybe"])
+    got = scan_version(spark, root, [("maybe", ">=", 0)], version=1)
+    assert len(got.inputFiles()) < 4
+    assert got.count() == 300  # ids 100..399
+
+
+def test_scan_version_errors(spark, tmp_path):
+    from asterlake.sources.versioned import scan_version
+
+    root = str(tmp_path / "corpus")
+    write_version(_skippable(spark), root)  # no stats_cols
+    with pytest.raises(ValueError, match="no file_stats"):
+        scan_version(spark, root, [("k", ">=", 1)], version=1)
+    write_version(_skippable(spark), root, stats_cols=["k"])
+    with pytest.raises(ValueError, match="unsupported skip predicate"):
+        scan_version(spark, root, [("k", "!=", 1)], version=2)
+
+
+def test_collect_file_stats_match_spark_per_file_minmax(spark, tmp_path):
+    """The footer-harvested stats must equal an independent Spark
+    per-file aggregation of the same files."""
+    from asterlake.sources.versioned import collect_file_stats, _stat_decode
+
+    root = str(tmp_path / "corpus")
+    write_version(_skippable(spark), root, stats_cols=["k", "label"])
+    data_dir = os.path.join(root, "v=1", "data")
+    stats = collect_file_stats(data_dir, ["k", "label"])
+    per_file = {
+        os.path.basename(r.f): r
+        for r in read_version(spark, root, 1)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("k").alias("kmin"),
+            F.max("k").alias("kmax"),
+            F.min("label").alias("lmin"),
+            F.max("label").alias("lmax"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert len(per_file) == 4 and set(per_file) == set(stats)
+    for name, finfo in stats.items():
+        want = per_file[name]
+        assert finfo["n_rows"] == want.n
+        assert _stat_decode(finfo["cols"]["k"]["min"]) == want.kmin
+        assert _stat_decode(finfo["cols"]["k"]["max"]) == want.kmax
+        assert _stat_decode(finfo["cols"]["label"]["min"]) == want.lmin
+        assert _stat_decode(finfo["cols"]["label"]["max"]) == want.lmax
