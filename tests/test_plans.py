@@ -198,10 +198,11 @@ def test_no_driver_side_actions_in_operator_code():
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
     # the pragma is an exception mechanism, not a loophole — keep it
-    # rare. The four: graph.py convergence scalar, similarity.py
-    # kmeans/PCA model partials, pq.py codebook training (r8) — every
-    # one a bounded-model-state training loop, never data-sized.
-    assert pragmas <= 4, f"too many driver-ok pragmas: {pragmas}"
+    # rare. The five: graph.py convergence scalar, similarity.py
+    # kmeans/PCA model partials, pq.py codebook training (r8), bpe.py
+    # one-argmax-pair-per-round (r8) — every one a bounded-model-state
+    # training loop, never data-sized.
+    assert pragmas <= 5, f"too many driver-ok pragmas: {pragmas}"
 
 
 def test_srp_blocked_neighbors_no_quadratic_shape(spark):
