@@ -6974,6 +6974,12 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     list_sum(list_transform(...)) + list_position. The two-stage
 #     pq_search rerank reuses the q_ann_topk_bruteforce oracle over the
 #     shortlist CTE.
+#   q_bpe_segment — bpe_segment(documents, merges) with a FIXED literal
+#     merge list (training is a driver loop DuckDB can't run; a fixed
+#     rank table makes the greedy lowest-rank-first apply deterministic
+#     and SQL-replayable via a recursive CTE over (word, step) states);
+#     gate on per-doc piece arrays + corpus piece counts
+#     (operators/bpe.py, differential-pinned in test_bpe.py).
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # decode_media's r8 change is DOCSTRING-only (the 4:2:0 codec note);
     # this query runs the real=False synthetic-stats branch, whose code
