@@ -1612,3 +1612,140 @@ def test_bm25_matches_python_replay_bit_exact(spark, docs, terms):
             s = s + idf * (tf * (k1 + 1.0)) / (tf + norm)
         want[i] = s
     assert got == want
+
+
+# -- r8: BPE training vs pure-Python reference --------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    wc=st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_train_matches_reference_on_random_dicts(spark, wc):
+    """The distributed trainer's merge SEQUENCE (order included) equals
+    the pure-Python reference on arbitrary word-count dictionaries —
+    small alphabet + tiny words force heavy pair-count ties, so the
+    lexicographic tiebreak is exercised hard."""
+    from asterlake.operators.bpe import bpe_train
+    from tests.test_bpe import ref_train
+
+    wc_df = spark.createDataFrame(
+        [(w, n) for w, n in wc.items()], ["word", "n"]
+    )
+    assert bpe_train(wc_df, n_merges=8) == ref_train(wc, 8)
+
+
+# -- r8: PQ encode vs same-fold replay on random vectors ----------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2, 2, allow_nan=False, allow_infinity=False, width=32),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_pq_encode_matches_replay_on_random_vectors(spark, vecs):
+    """Codes from arbitrary float vectors (m=4 subspaces of 2 dims,
+    k=5) equal the left-to-right-fold Python replay bit-for-bit —
+    adversarial floats probe the argmin tie/precision edges."""
+    from asterlake.operators.pq import pq_codebooks, pq_encode
+    from tests.test_pq import _replay_code
+
+    cb = pq_codebooks(m=4, k=5, dim=8, seed=3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, cb).collect()}
+    for i, v in enumerate(vecs):
+        want = [_replay_code([float(x) for x in v], cb, s) for s in range(4)]
+        assert got[i] == want, i
+
+
+# -- r8: file-skipping prune decision vs brute-force row check ----------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(st.one_of(st.none(), st.integers(-20, 20)), max_size=12),
+    conds=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("k"),
+                st.sampled_from(["==", "<", "<=", ">", ">="]),
+                st.integers(-25, 25),
+            ),
+            st.tuples(st.just("k"), st.sampled_from(["is_null", "not_null"])),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_file_skip_decision_never_drops_a_matching_file(rows, conds):
+    """Pure-Python property (no Spark): if ANY row in a file satisfies
+    the conjunction, _file_may_match must keep the file — fast brute
+    force over random files and predicates. (The converse — pruning as
+    often as provable — is a quality property pinned by the Spark
+    inputFiles tests.)"""
+    from asterlake.sources.versioned import _file_may_match
+
+    vals = [r for r in rows if r is not None]
+    finfo = {
+        "n_rows": len(rows),
+        "cols": {
+            "k": {
+                "min": min(vals) if vals else None,
+                "max": max(vals) if vals else None,
+                "null_count": len(rows) - len(vals),
+            }
+        },
+    }
+
+    def row_ok(r):
+        for c in conds:
+            op = c[1]
+            if op == "is_null":
+                if r is not None:
+                    return False
+            elif op == "not_null":
+                if r is None:
+                    return False
+            else:
+                if r is None:
+                    return False
+                v = c[2]
+                if op == "==" and not r == v:
+                    return False
+                if op == "<" and not r < v:
+                    return False
+                if op == "<=" and not r <= v:
+                    return False
+                if op == ">" and not r > v:
+                    return False
+                if op == ">=" and not r >= v:
+                    return False
+        return True
+
+    any_match = any(row_ok(r) for r in rows)
+    kept = _file_may_match(finfo, conds)
+    if any_match:
+        assert kept  # pruning must NEVER drop a file holding a match
