@@ -217,6 +217,129 @@ def pq_search(
     )
 
 
+def ivfpq_index(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the FAISS-style IVF+PQ index layout: assign each vector to
+    its max-cosine IVF cell (similarity.ivf_assign semantics, inlined),
+    then PQ-encode the RESIDUAL ``v - centroid_cell`` — residuals
+    concentrate near zero, so the same codebook budget quantizes them
+    far better than raw vectors (Jegou et al. 2011, IVFADC).
+
+    Pure projection: both codebooks are literals, assignment is an
+    argmax fold, the residual a ``zip_with`` subtraction — no shuffle,
+    no UDF. At 100 TB this (cell, codes) table IS the hot index:
+    ~1 int + m bytes per vector, cell-partitionable, the float vectors
+    stay cold."""
+    from asterlake.operators.similarity import dot_double
+
+    c_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
+    )
+    scores = F.transform(c_lit, lambda c: dot_double(c, F.col(vec_col)))
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    resid = F.zip_with(
+        F.col(vec_col),
+        F.element_at(c_lit, F.col("cell") + 1),
+        lambda x, y: x.cast("double") - y,
+    )
+    with_resid = vectors.select(
+        id_col, cell.alias("cell"), F.col(vec_col)
+    ).withColumn("_resid", resid)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = F.slice(F.col("_resid"), s * dsub + 1, dsub)
+        cb = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in row])
+                for row in codebooks[s]
+            ]
+        )
+        dists = _dists_to(cb, sub)
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return with_resid.select(id_col, "cell", F.array(*codes).alias("codes"))
+
+
+def ivfpq_search(
+    spark,
+    index_df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC search: probe the query's ``nprobe`` best cells, score
+    only those cells' codes with per-cell residual LUTs.
+
+    Driver side computes nprobe m x k LUTs (squared distance from the
+    query's per-cell residual subvectors to the codebook centroids) —
+    nprobe x m x k float64s, bounded model state. They ship as a tiny
+    broadcast (cell, lut) table; the probe is a BroadcastHashJoin on
+    the cell id (so only probed cells' index rows are even scored —
+    with a cell-partitioned index the scan itself prunes), the distance
+    an array-indexing fold, the top-k a TakeOrderedAndProject. No
+    corpus-sized shuffle anywhere."""
+    import math
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query_vec) != m * dsub:
+        raise ValueError(f"query dim {len(query_vec)} != m*dsub {m * dsub}")
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(sum(x * x for x in q))
+    # nprobe best cells by cosine (driver-side: k x dim literals)
+    cell_scores = []
+    for ci, c in enumerate(centroids):
+        dot = 0.0
+        for x, y in zip(c, q):
+            dot += float(x) * y
+        cn = math.sqrt(sum(float(x) * float(x) for x in c))
+        cell_scores.append((-(dot / (cn * qn) if cn and qn else 0.0), ci))
+    probed = [ci for _, ci in sorted(cell_scores)[:nprobe]]
+    lut_rows = []
+    for ci in probed:
+        r = [q[d] - float(centroids[ci][d]) for d in range(m * dsub)]
+        lut = []
+        for s in range(m):
+            rs = r[s * dsub : (s + 1) * dsub]
+            row = []
+            for c in codebooks[s]:
+                acc = 0.0
+                for x, y in zip(c, rs):
+                    d = float(x) - y
+                    acc += d * d
+                row.append(acc)
+            lut.append(row)
+        lut_rows.append((ci, lut))
+    luts = spark.createDataFrame(lut_rows, ["cell", "_lut"])
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    dist = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_lut"), s.cast("int") + 1),
+            F.element_at(F.col("codes"), s.cast("int") + 1) + 1,
+        ),
+    )
+    return (
+        index_df.join(F.broadcast(luts), "cell")
+        .select(id_col, dist.alias("adc_dist"))
+        .orderBy(F.asc_nulls_last("adc_dist"), id_col)
+        .limit(k)
+    )
+
+
 def pq_reconstruction_sse(
     vectors: DataFrame,
     codebooks: list[list[list[float]]],

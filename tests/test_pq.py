@@ -197,3 +197,121 @@ def test_plan_shape_no_python_and_topk(vectors):
     enc_plan = codes_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in enc_plan  # encode is a pure projection
     assert "BatchEvalPython" not in enc_plan
+
+
+def _replay_cell(vec, centroids):
+    """argmax cosine, first max wins (array_position semantics)."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in vec))
+    best, best_s = 0, None
+    for ci, c in enumerate(centroids):
+        dot = 0.0
+        for x, y in zip(c, vec):
+            dot += float(x) * y
+        cn = math.sqrt(sum(float(x) * float(x) for x in c))
+        s = dot / (cn * qn) if cn and qn else 0.0
+        if best_s is None or s > best_s:
+            best, best_s = ci, s
+    return best
+
+
+def test_ivfpq_index_and_fullprobe_search_match_replay(vectors):
+    """IVFADC machinery: cell assignment, residual codes, and the
+    full-probe (nprobe = n_cells) search must all equal a same-fold
+    Python replay — ids AND distance doubles."""
+    from asterlake.operators.pq import ivfpq_index, ivfpq_search
+    from asterlake.operators.similarity import ivf_centroids
+
+    spark = vectors.sparkSession
+    cents = ivf_centroids(k=8, dim=DIM, seed=7)
+    codebooks = pq_codebooks(m=M, k=K, dim=DIM)
+    idx = {(r.vec_id): (r.cell, list(r.codes))
+           for r in ivfpq_index(vectors, cents, codebooks).collect()}
+    raw = {r.vec_id: [float(x) for x in r.embedding] for r in vectors.collect()}
+    assert len(idx) == len(raw)
+    dsub = DIM // M
+    for vid, vec in raw.items():
+        cell = _replay_cell(vec, cents)
+        resid = [vec[d] - float(cents[cell][d]) for d in range(DIM)]
+        codes = [_replay_code(resid, codebooks, s) for s in range(M)]
+        assert idx[vid] == (cell, codes), vid
+    # full-probe search replay
+    query = raw[7]
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in ivfpq_search(
+            spark, ivfpq_index(vectors, cents, codebooks), query,
+            cents, codebooks, k=10, nprobe=8,
+        ).collect()
+    ]
+    dists = []
+    for vid, (cell, codes) in idx.items():
+        r = [query[d] - float(cents[cell][d]) for d in range(DIM)]
+        acc = 0.0
+        for s in range(M):
+            rs = r[s * dsub : (s + 1) * dsub]
+            c = codebooks[s][codes[s]]
+            lut = 0.0
+            for x, y in zip(c, rs):
+                d = float(x) - y
+                lut += d * d
+            acc += lut
+        dists.append((acc, vid))
+    dists.sort()
+    assert got == [(vid, d) for d, vid in dists[:10]]
+
+
+def test_ivfpq_probe_prunes_and_recall_floor(vectors):
+    """nprobe=2 of 8 cells: the scored row set shrinks to the probed
+    cells, and recall@10 against exact brute force clears the measured
+    floor with residual-trained codebooks."""
+    from asterlake.operators.pq import ivfpq_index, ivfpq_search, pq_train
+    from asterlake.operators.similarity import ivf_centroids, topk_cosine
+    from pyspark.sql import functions as F
+
+    spark = vectors.sparkSession
+    cents = ivf_centroids(k=8, dim=DIM, seed=7)
+    # train the PQ codebooks on the RESIDUALS (the IVFADC discipline)
+    c_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    from asterlake.operators.similarity import dot_double
+    scores = F.transform(c_lit, lambda c: dot_double(c, F.col("embedding")))
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    resid_df = vectors.select(
+        F.zip_with(
+            F.col("embedding"),
+            F.element_at(c_lit, cell + 1),
+            lambda x, y: x.cast("double") - y,
+        ).alias("embedding")
+    )
+    codebooks = pq_train(resid_df, m=M, k=64, dim=DIM, iters=3)
+    idx_df = ivfpq_index(vectors, cents, codebooks)
+    query_df = vectors.filter("vec_id = 7")
+    query = [float(x) for x in query_df.collect()[0].embedding]
+    exact = {r.vec_id for r in topk_cosine(vectors, query_df, k=10).collect()}
+    got = ivfpq_search(spark, idx_df, query, cents, codebooks, k=50, nprobe=2)
+    rows = got.collect()
+    # pruning: every returned row sits in one of the 2 probed cells
+    cells = {r.cell for r in idx_df.join(
+        got.select("vec_id"), "vec_id").select("cell").collect()}
+    assert len(cells) <= 2
+    rec = len(exact & {r.vec_id for r in rows})
+    assert rec >= 5, rec  # measured: nprobe=2 keeps most of the top-10
+
+
+def test_ivfpq_plan_shape(vectors):
+    from asterlake.operators.pq import ivfpq_index, ivfpq_search
+    from asterlake.operators.similarity import ivf_centroids
+
+    spark = vectors.sparkSession
+    cents = ivf_centroids(k=8, dim=DIM, seed=7)
+    codebooks = pq_codebooks(m=M, k=K, dim=DIM)
+    idx_df = ivfpq_index(vectors, cents, codebooks)
+    enc_plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in enc_plan and "BatchEvalPython" not in enc_plan
+    plan = ivfpq_search(
+        spark, idx_df, [0.0] * DIM, cents, codebooks, k=5, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
