@@ -902,3 +902,78 @@ def test_streaming_frequent_candidates_state_survives_restart(
     }
     # 'hot' holds 15/35 >= 1/4 across the restart boundary
     assert "hot" in final
+
+
+def test_bloom_state_advances_per_micro_batch(spark, tmp_path):
+    """Incremental Bloom allowlist maintenance composes into Structured
+    Streaming (r8): a foreachBatch sink ORs each micro-batch's NEW-key
+    bitmap into the persisted state with bloom_merge — the identical-
+    bitmap property (positions are pure key functions) means the final
+    folded state is BIT-IDENTICAL to a one-shot bitmap of all keys, so
+    a probe through the folded state equals a probe through the
+    rebuild, row for row."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.bloomjoin import (
+        bloom_bitmap,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    n_bits, n_hashes = 1 << 12, 4
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    rows = [(i * 7 % 97, f"2025-10-12T02:1{i % 10}:00Z") for i in range(40)]
+    _write_events_jsonl(os.path.join(src, "a.jsonl"), rows[:20])
+    _write_events_jsonl(os.path.join(src, "b.jsonl"), rows[20:])
+
+    state_dir = str(tmp_path / "bloom_state")
+    latest: list[str] = []
+
+    def fold(batch_df, batch_id):
+        new_bits = bloom_bitmap(
+            batch_df, "user_id", n_bits=n_bits, n_hashes=n_hashes
+        )
+        out = f"{state_dir}/v{batch_id}"
+        if latest:
+            prior = batch_df.sparkSession.read.parquet(latest[-1])
+            bloom_merge(prior, new_bits).write.parquet(out)
+        else:
+            new_bits.write.parquet(out)
+        latest.append(out)
+
+    (
+        _events_stream(spark, src, max_files=1)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck_bloom"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert len(latest) >= 2  # really folded across micro-batches
+
+    folded = spark.read.parquet(latest[-1])
+    all_keys = spark.createDataFrame(
+        [(uid,) for uid, _ in rows], ["user_id"]
+    )
+    rebuilt = bloom_bitmap(
+        all_keys, "user_id", n_bits=n_bits, n_hashes=n_hashes
+    )
+    assert folded.collect()[0]._bloom == rebuilt.collect()[0]._bloom
+
+    # probe equality through both states on a fact with members + strangers
+    fact = spark.range(0, 200).select(F.col("id").alias("user_id"))
+    via_folded = sorted(
+        r.user_id
+        for r in bloom_probe(
+            fact, "user_id", folded, n_bits=n_bits, n_hashes=n_hashes
+        ).collect()
+    )
+    via_rebuilt = sorted(
+        r.user_id
+        for r in bloom_probe(
+            fact, "user_id", rebuilt, n_bits=n_bits, n_hashes=n_hashes
+        ).collect()
+    )
+    assert via_folded == via_rebuilt
+    assert set(uid for uid, _ in rows) <= set(via_folded)  # no false negatives
