@@ -8,14 +8,18 @@ iteration, partitioning, UDF signatures — and since r6/r7 so is the
 decode for the formats parseable without third-party codecs:
 ``decode_media_real`` reads actual RIFF/WAVE PCM (``wave``), uncompressed
 24-bit BMP (``struct``), non-interlaced 8-bit RGB/grayscale PNG
-(``zlib`` + chunk walk), and baseline JFIF/JPEG — grayscale, 4:4:4
-color, and 4:2:0 chroma-subsampled (marker walk, canonical Huffman
-entropy decode, dequantize + IDCT — numpy for the 8x8 transforms).
-The remaining shapes (mp4 video, progressive JPEG,
-palette/16-bit PNG) still need PIL/pyav — absent from this container —
-so the fake-kernel operators below keep exercising that plumbing with
-deterministic payloads, and the real path raises ValueError at the
-clearly-marked format branch where those libraries slot in.
+(``zlib`` + chunk walk), and JFIF/JPEG — sequential baseline AND
+progressive (SOF2: spectral selection, successive approximation,
+EOB-run coding), grayscale, 4:4:4 color, 4:2:0 chroma-subsampled, and
+restart-interval streams (marker walk, canonical Huffman entropy
+decode, dequantize + IDCT — numpy for the 8x8 transforms); for mp4 the
+real path recovers container METADATA via a fail-loud ISO BMFF box
+walk. The remaining shapes (mp4 frame pixels, hierarchical/arithmetic
+JPEG, palette/16-bit PNG) still need PIL/pyav — absent from this
+container — so the fake-kernel operators below keep exercising that
+plumbing with deterministic payloads, and the real path raises
+ValueError at the clearly-marked format branch where those libraries
+slot in.
 
 Schema:
 
@@ -145,10 +149,12 @@ def decode_media(media: DataFrame, real: bool = False) -> DataFrame:
 
     ``real=True`` dispatches to :func:`decode_media_real` — an actual
     stdlib-only codec path (WAV PCM via ``wave``, 24-bit BMP via
-    ``struct``, PNG via ``zlib``, baseline JPEG — grayscale, 4:4:4
-    color, 4:2:0 subsampled — via numpy; see REAL_DECODED_SCHEMA).
-    Formats those can't parse (mp4 video, progressive JPEG) still
-    need pyav/PIL and raise there — that is the remaining swap point.
+    ``struct``, PNG via ``zlib``, JPEG — sequential baseline and
+    progressive, grayscale, 4:4:4 color, 4:2:0 subsampled, restart
+    intervals — via numpy; mp4 metadata via an ISO BMFF box walk; see
+    REAL_DECODED_SCHEMA). Formats those can't parse (mp4 frame pixels,
+    hierarchical/arithmetic JPEG) still need pyav/PIL and raise there —
+    that is the remaining swap point.
     """
     if real:
         return decode_media_real(media)
@@ -643,18 +649,20 @@ def real_media_table(
     bmp-on-even / wav-on-odd layout), generated inside the Arrow batch
     loop off ``spark.range`` — the same executor-side generation shape a
     backfill of encoded media uses. Each item's dimensions/rate are
-    arithmetic in media_id (bmp: 4+id%13 x 3+id%7; wav: 50+id%101
-    samples @ 8000+100*(id%7) Hz; png: 3+id%9 x 2+id%6; jpeg, jpeg_rgb
-    and jpeg_420: 5+id%12 x 4+id%9) so an external oracle can restate
-    them without parsing the containers. ``jpeg_rgb`` writes 4:4:4
-    color files and ``jpeg_420`` 4:2:0 chroma-subsampled color files;
-    both ship under container format "jpeg" (the decoder branches on
-    the SOF0 component count and sampling factors, as a real reader
-    must)."""
+    arithmetic in media_id (bmp: 4+id%13 x 3+id%8; wav: 50+id%101
+    samples @ 8000+100*(id%9) Hz; png: 3+id%9 x 2+id%6; jpeg, jpeg_rgb,
+    jpeg_420 and jpeg_prog: 5+id%12 x 4+id%9) so an external oracle can
+    restate them without parsing the containers. ``jpeg_rgb`` writes
+    4:4:4 color files, ``jpeg_420`` 4:2:0 chroma-subsampled color
+    files, and ``jpeg_prog`` PROGRESSIVE (SOF2) 4:2:0 color files with
+    a 2-MCU restart interval; all ship under container format "jpeg"
+    (the decoder branches on the SOF marker, component count and
+    sampling factors, as a real reader must)."""
 
     fmts = tuple(formats)
     unknown = set(fmts) - {
-        "bmp", "wav", "png", "jpeg", "jpeg_rgb", "jpeg_420", "mp4",
+        "bmp", "wav", "png", "jpeg", "jpeg_rgb", "jpeg_420", "jpeg_prog",
+        "mp4",
     }
     if unknown:
         raise ValueError(f"no real encoder for formats {sorted(unknown)}")
@@ -671,7 +679,7 @@ def real_media_table(
                 mid = int(mid)
                 fmt = fmts[mid % len(fmts)]
                 if fmt == "bmp":
-                    w, h = 4 + mid % 13, 3 + mid % 7
+                    w, h = 4 + mid % 13, 3 + mid % 8
                     payload = _bmp_bytes(mid, w, h)
                     kind, meta = "image", {
                         "width": w,
@@ -681,10 +689,12 @@ def real_media_table(
                         "format": "bmp",
                     }
                 elif fmt == "wav":
-                    # rate modulus 7 is coprime with every format-cycle
-                    # length in use (2/4/5), so the rate keeps varying
-                    # whatever slot wav occupies in the cycle
-                    ns, rate = 50 + mid % 101, 8000 + 100 * (mid % 7)
+                    # rate modulus 9 is coprime with every format-cycle
+                    # length in use (2/4/5/7), so the rate keeps varying
+                    # whatever slot wav occupies in the cycle (the bmp
+                    # height modulus 8 serves the same purpose — the
+                    # r8 seven-format cycle made the old %7 constants)
+                    ns, rate = 50 + mid % 101, 8000 + 100 * (mid % 9)
                     payload = _wav_bytes(mid, ns, rate)
                     kind, meta = "audio", {
                         "width": None,
@@ -718,19 +728,27 @@ def real_media_table(
                     }
                 else:
                     # "jpeg_rgb"/"jpeg_420" select the color encoder
-                    # (4:4:4 and 4:2:0 layouts) but ship as format
-                    # "jpeg" — one container format, the decoder
-                    # branches on the SOF0 component count and sampling
+                    # (4:4:4 and 4:2:0 layouts) and "jpeg_prog" the
+                    # progressive 4:2:0 scan script with a 2-MCU
+                    # restart interval, but ALL ship as format "jpeg"
+                    # — one container format, the decoder branches on
+                    # the SOF marker, component count and sampling
                     # factors like any real reader would
                     w, h = 5 + mid % 12, 4 + mid % 9
                     payload = _jpeg_bytes(
                         mid,
                         w,
                         h,
-                        color=(fmt in ("jpeg_rgb", "jpeg_420")),
-                        subsampling=(
-                            "420" if fmt == "jpeg_420" else "444"
+                        color=(
+                            fmt in ("jpeg_rgb", "jpeg_420", "jpeg_prog")
                         ),
+                        subsampling=(
+                            "420"
+                            if fmt in ("jpeg_420", "jpeg_prog")
+                            else "444"
+                        ),
+                        progressive=(fmt == "jpeg_prog"),
+                        restart_interval=(2 if fmt == "jpeg_prog" else 0),
                     )
                     kind, meta = "image", {
                         "width": w,
@@ -946,6 +964,17 @@ _JPEG_AC_VALUES = bytes(
     [0x00, 0xF0]  # EOB, ZRL
     + [(run << 4) | size for run in range(16) for size in range(1, 11)]
 )
+# Progressive AC scans additionally need the EOBn symbols (run<<4 with
+# size 0 for run 0..14, T.81 G.1.2.2) the baseline alphabet lacks, so
+# progressive files ship a 176-symbol uniform-length table instead (15
+# EOBn + ZRL + 160 run/size pairs, still < 255 so 8-bit codes fit); the
+# sequential table stays byte-for-byte what it always was.
+_JPEG_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 176] + [0] * 8
+_JPEG_AC_PROG_VALUES = bytes(
+    [run << 4 for run in range(15)]  # EOB / EOBn run lengths
+    + [0xF0]  # ZRL
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
 # DC quant 1 (bit-exact DC for flat blocks), AC quant 4: an 8x8 block of
 # bytes has |AC| <= 2048 in the orthonormal basis, so /4 keeps every
 # quantized magnitude within the baseline 10-bit AC size categories.
@@ -977,6 +1006,228 @@ class _BitWriter:
         return bytes(self.out)
 
 
+def _jpeg_ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class _JpegEntropyWriter:
+    """One scan's entropy-coded segment: a _BitWriter plus the
+    progressive bookkeeping T.81 G.1.2 needs — EOB-run accumulation
+    with its deferred correction bits (libjpeg's EOBRUN/BE state), and
+    RSTn emission between restart intervals (markers go out raw,
+    after the current interval's bits are padded closed)."""
+
+    def __init__(self, ac_code: dict[int, tuple[int, int]]) -> None:
+        self.bw = _BitWriter()
+        self.ac = ac_code
+        self.chunks: list[bytes] = []
+        self.eob_run = 0
+        # correction bits owed to blocks inside the pending EOB run,
+        # emitted right after the EOBn symbol that closes the run
+        self.pending: list[int] = []
+
+    def sym(self, tab: dict[int, tuple[int, int]], s: int) -> None:
+        c, ln = tab[s]
+        self.bw.put(c, ln)
+
+    def flush_eob(self) -> None:
+        if self.eob_run:
+            nb = self.eob_run.bit_length() - 1
+            self.sym(self.ac, nb << 4)
+            if nb:
+                self.bw.put(self.eob_run, nb)  # low nb bits, T.81 G.1.2.2
+            self.eob_run = 0
+            for b in self.pending:
+                self.bw.put(b, 1)
+            self.pending = []
+
+    def bump_eob(self) -> None:
+        self.eob_run += 1
+        if self.eob_run == 0x7FFF:  # the largest EOBn can express
+            self.flush_eob()
+
+    def restart(self, m: int) -> None:
+        self.flush_eob()
+        self.chunks.append(self.bw.flush() + bytes([0xFF, 0xD0 + m]))
+        self.bw = _BitWriter()
+
+    def finish(self) -> bytes:
+        self.flush_eob()
+        self.chunks.append(self.bw.flush())
+        return b"".join(self.chunks)
+
+
+def _jpeg_emit_scan(
+    ew: _JpegEntropyWriter,
+    zblocks,
+    samps: list[tuple[int, int]],
+    scan_comps: list[int],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    ri: int,
+    dc_code: dict[int, tuple[int, int]],
+    ac_code: dict[int, tuple[int, int]],
+    ceil_grids: list[tuple[int, int]],
+    mcuy: int,
+    mcux: int,
+) -> None:
+    """Emit one scan's entropy data (T.81 F.1.2 sequential, G.1.2
+    progressive). Multi-component scans are interleaved over the frame
+    MCU grid; single-component scans are non-interleaved over the
+    component's own ceil block grid, each block its own restart unit.
+    The AC refinement emitter mirrors libjpeg's encode_mcu_AC_refine
+    exactly: ZRLs are emitted the moment the pending zero run exceeds
+    15 at ANY nonzero coefficient (never after — a deferred ZRL would
+    let correction bits straddle the 16-zero span the decoder refines
+    while skipping), and trailing runs fold into the shared EOB run."""
+    dc_prev = {ci: 0 for ci in scan_comps}
+    rst = [0]
+
+    def maybe_restart(idx: int) -> None:
+        if ri and idx and idx % ri == 0:
+            ew.restart(rst[0])
+            rst[0] = (rst[0] + 1) & 7
+            for ci in dc_prev:
+                dc_prev[ci] = 0
+
+    def put_extend(v: int, size: int) -> None:
+        ew.bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+
+    def dc_unit(ci: int, by: int, bx: int) -> None:
+        dc = int(zblocks[ci][by, bx, 0])
+        if ah == 0:
+            v = dc >> al  # DC point transform: arithmetic shift (G.1.2.1)
+            diff = v - dc_prev[ci]
+            dc_prev[ci] = v
+            size = abs(diff).bit_length()
+            ew.sym(dc_code, size)
+            if size:
+                put_extend(diff, size)
+        else:
+            ew.bw.put((dc >> al) & 1, 1)  # refinement: one raw bit
+
+    def seq_ac(ci: int, by: int, bx: int) -> None:
+        seq = zblocks[ci][by, bx]
+        run = 0
+        for k in range(1, 64):
+            v = int(seq[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ew.sym(ac_code, 0xF0)
+                run -= 16
+            size = abs(v).bit_length()
+            ew.sym(ac_code, (run << 4) | size)
+            put_extend(v, size)
+            run = 0
+        if run:
+            ew.sym(ac_code, 0x00)
+
+    def ac_first(ci: int, by: int, bx: int) -> None:
+        seq = zblocks[ci][by, bx]
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(seq[k])
+            a = abs(v) >> al  # AC point transform: magnitude shift
+            vals.append(a if v >= 0 else -a)
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            ew.bump_eob()
+            return
+        ew.flush_eob()
+        run = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ew.sym(ac_code, 0xF0)
+                run -= 16
+            size = abs(v).bit_length()
+            ew.sym(ac_code, (run << 4) | size)
+            put_extend(v, size)
+            run = 0
+        if last < len(vals) - 1:
+            ew.bump_eob()
+
+    def ac_refine(ci: int, by: int, bx: int) -> None:
+        seq = zblocks[ci][by, bx]
+        absv = [abs(int(seq[k])) >> al for k in range(ss, se + 1)]
+        # index of the last NEWLY-visible coefficient (t == 1 means the
+        # bit at Al is its first nonzero bit, since Ah == Al + 1)
+        eob_idx = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_idx = i
+        run = 0
+        br_bits: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_idx:
+                ew.flush_eob()
+                ew.sym(ac_code, 0xF0)
+                run -= 16
+                for b in br_bits:
+                    ew.bw.put(b, 1)
+                br_bits = []
+            if t > 1:  # history-nonzero: a correction bit, run unbroken
+                br_bits.append(t & 1)
+                continue
+            ew.flush_eob()
+            ew.sym(ac_code, (run << 4) | 1)
+            ew.bw.put(1 if int(seq[ss + i]) > 0 else 0, 1)
+            for b in br_bits:
+                ew.bw.put(b, 1)
+            br_bits = []
+            run = 0
+        if run > 0 or br_bits:
+            ew.pending.extend(br_bits)
+            ew.bump_eob()
+
+    if ss == 0 and se == 63:  # sequential full-band block
+        def unit(ci: int, by: int, bx: int) -> None:
+            dc_unit(ci, by, bx)
+            seq_ac(ci, by, bx)
+    elif se == 0:
+        unit = dc_unit
+    elif ah == 0:
+        unit = ac_first
+    else:
+        unit = ac_refine
+
+    if len(scan_comps) > 1:
+        idx = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(idx)
+                idx += 1
+                # T.81 interleaved MCU: per component in scan order,
+                # its v x h blocks in raster order
+                for ci in scan_comps:
+                    sh, sv = samps[ci]
+                    for byi in range(sv):
+                        for bxi in range(sh):
+                            unit(ci, my * sv + byi, mx * sh + bxi)
+    else:
+        ci = scan_comps[0]
+        bh, bwid = ceil_grids[ci]
+        idx = 0
+        for by in range(bh):
+            for bx in range(bwid):
+                maybe_restart(idx)
+                idx += 1
+                unit(ci, by, bx)
+
+
 def _jpeg_bytes(
     seed: int,
     width: int,
@@ -984,9 +1235,12 @@ def _jpeg_bytes(
     solid: int | tuple[int, int, int] | None = None,
     color: bool = False,
     subsampling: str = "444",
+    progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
-    """A real baseline JFIF/JPEG file: SOF0, DQT/DHT carried in-stream,
-    8x8 FDCT + quantize + zigzag + canonical Huffman entropy coding.
+    """A real JFIF/JPEG file: SOF0 (or SOF2 when ``progressive``),
+    DQT/DHT carried in-stream, 8x8 FDCT + quantize + zigzag +
+    canonical Huffman entropy coding.
     Grayscale (default, byte-stable vs the pre-color encoder) or
     ``color=True`` 3-component YCbCr with interleaved MCUs,
     per-component DC prediction, and shared quant/Huffman tables
@@ -995,12 +1249,20 @@ def _jpeg_bytes(
     per MCU (sampling factors 1x1 everywhere); "420" — the dominant
     real-world layout — writes 16x16-pixel MCUs of four Y blocks
     (sampling 2x2) plus one Cb and one Cr block over 2x2 box-averaged
-    chroma planes. ``solid`` paints a constant image (an (r, g, b)
-    tuple when color) — flat blocks quantize to a lone DC with quant 1
-    and constant chroma averages to itself, so the decode round-trip
-    is bit-exact in BOTH layouts (the lossless corner of a lossy
-    codec, the same exactness hook the PNG/BMP/WAV fixtures give
-    tests); default content is deterministic hash-stream noise."""
+    chroma planes. ``progressive`` emits a libjpeg-shaped scan script
+    exercising every T.81 G.1 scan type: an interleaved DC-first scan
+    at Al=1, per-component spectral-band AC-first scans (1..5 and
+    6..63, Al=1, EOB-run coded), a DC refinement scan, and
+    per-component AC refinement scans (Ah=1 -> Al=0, correction-bit
+    buffered). ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that-many MCUs in every scan. ``solid`` paints a
+    constant image (an (r, g, b) tuple when color) — flat blocks
+    quantize to a lone DC with quant 1 and constant chroma averages to
+    itself, so the decode round-trip is bit-exact in EVERY layout,
+    progressive included (successive approximation is exact once all
+    refinement scans land; the lossless corner of a lossy codec, the
+    same exactness hook the PNG/BMP/WAV fixtures give tests); default
+    content is deterministic hash-stream noise."""
     import struct
 
     import numpy as np
@@ -1009,6 +1271,8 @@ def _jpeg_bytes(
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     if subsampling == "420" and not color:
         raise ValueError("4:2:0 subsampling requires color=True")
+    if not (0 <= restart_interval <= 0xFFFF):
+        raise ValueError(f"restart interval {restart_interval} out of range")
     ncomp = 3 if color else 1
     if solid is None:
         raw = (
@@ -1086,56 +1350,81 @@ def _jpeg_bytes(
     zz = _jpeg_zigzag()
     qt = np.array(_JPEG_QUANT, dtype=np.float64).reshape(8, 8)
     dc_code = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALUES)
-    ac_code = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALUES)
+    ac_bits, ac_values = (
+        (_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALUES)
+        if progressive
+        else (_JPEG_AC_BITS, _JPEG_AC_VALUES)
+    )
+    ac_code = _huff_canonical(ac_bits, ac_values)
 
-    bw = _BitWriter()
-    dc_prev = [0] * ncomp
-
-    def encode_block(ci: int, by: int, bx: int) -> None:
-        plane = planes[ci]
-        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-        coeff = cmat @ block @ cmat.T
+    # quantize every block up front (one vectorized FDCT per component;
+    # identical arithmetic to the former per-block path, so sequential
+    # output stays byte-stable): zblocks[ci][by, bx] is the 64-entry
+    # ZIGZAG-order coefficient vector
+    zblocks = []
+    for ci in range(ncomp):
+        p = planes[ci] - 128.0
+        bh, bwid = p.shape[0] // 8, p.shape[1] // 8
+        b4 = p.reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3)
+        coeff = np.einsum("ik,yxkl,jl->yxij", cmat, b4, cmat)
         q = np.rint(coeff / qt).astype(np.int64)
-        seq = [int(q.flat[i]) for i in zz]
-
-        def put_val(code_tab, run: int, v: int) -> None:
-            size = abs(v).bit_length()
-            sym = (run << 4) | size if code_tab is ac_code else size
-            c, ln = code_tab[sym]
-            bw.put(c, ln)
-            if size:
-                bw.put(v if v >= 0 else v + (1 << size) - 1, size)
-
-        put_val(dc_code, 0, seq[0] - dc_prev[ci])
-        dc_prev[ci] = seq[0]
-        run = 0
-        for v in seq[1:]:
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = ac_code[0xF0]
-                bw.put(c, ln)
-                run -= 16
-            put_val(ac_code, run, v)
-            run = 0
-        if run:
-            c, ln = ac_code[0x00]
-            bw.put(c, ln)
-
+        zblocks.append(q.reshape(bh, bwid, 64)[:, :, zz])
     mcuy = planes[0].shape[0] // (8 * samps[0][1])
     mcux = planes[0].shape[1] // (8 * samps[0][0])
-    for my in range(mcuy):
-        for mx in range(mcux):
-            # T.81 interleaved MCU: per component in SOF order, its
-            # v x h blocks in raster order (4:4:4 degenerates to one
-            # block per component; 4:2:0 to Y Y Y Y Cb Cr)
-            for ci, (sh, sv) in enumerate(samps):
-                for byi in range(sv):
-                    for bxi in range(sh):
-                        encode_block(
-                            ci, my * sv + byi, mx * sh + bxi
-                        )
+    # non-interleaved (single-component) scans cover the component's own
+    # ceil grid, not the MCU-padded grid (T.81 A.2.2) — identical for
+    # the max-sampled component, smaller where MCU padding added blocks
+    ceil_grids = [
+        (
+            _jpeg_ceil_div(_jpeg_ceil_div(height * sv, vmax), 8),
+            _jpeg_ceil_div(_jpeg_ceil_div(width * sh, hmax), 8),
+        )
+        for sh, sv in samps
+    ]
+
+    if progressive:
+        # libjpeg-shaped script covering all four G.1 scan types
+        script: list[tuple[list[int], int, int, int, int]] = [
+            (list(range(ncomp)), 0, 0, 0, 1),  # DC first, Al=1
+        ]
+        for ci in range(ncomp):
+            script.append(([ci], 1, 5, 0, 1))  # AC first, low band
+        for ci in range(ncomp):
+            script.append(([ci], 6, 63, 0, 1))  # AC first, high band
+        script.append((list(range(ncomp)), 0, 0, 1, 0))  # DC refine
+        for ci in range(ncomp):
+            script.append(([ci], 1, 63, 1, 0))  # AC refine -> Al=0
+    else:
+        script = [(list(range(ncomp)), 0, 63, 0, 0)]
+
+    scan_segments = []
+    for scan_comps, ss, se, ah, al in script:
+        ew = _JpegEntropyWriter(ac_code)
+        _jpeg_emit_scan(
+            ew,
+            zblocks,
+            samps,
+            scan_comps,
+            ss,
+            se,
+            ah,
+            al,
+            restart_interval,
+            dc_code,
+            ac_code,
+            ceil_grids,
+            mcuy,
+            mcux,
+        )
+        sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in scan_comps)
+        hdr = (
+            bytes([len(scan_comps)])
+            + sos_comps
+            + bytes([ss, se, (ah << 4) | al])
+        )
+        scan_segments.append(
+            struct.pack(">HH", 0xFFDA, len(hdr) + 2) + hdr + ew.finish()
+        )
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -1145,19 +1434,24 @@ def _jpeg_bytes(
         bytes([cid + 1, (samps[cid][0] << 4) | samps[cid][1], 0])
         for cid in range(ncomp)
     )
-    sos_comps = b"".join(bytes([cid, 0]) for cid in range(1, ncomp + 1))
+    sof_marker = 0xFFC2 if progressive else 0xFFC0
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + seg(0xFFDB, b"\x00" + qt_zz)
         + seg(
-            0xFFC0,
+            sof_marker,
             struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps,
         )
         + seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALUES)
-        + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALUES)
-        + seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
-        + bw.flush()
+        + seg(0xFFC4, b"\x10" + bytes(ac_bits) + ac_values)
+        + dri
+        + b"".join(scan_segments)
         + b"\xff\xd9"  # EOI
     )
 
@@ -1190,24 +1484,49 @@ class _BitReader:
         self._n -= 1
         return (self._acc >> self._n) & 1
 
-    def receive_extend(self, size: int) -> int:
+    def receive(self, size: int) -> int:
         v = 0
         for _ in range(size):
             v = (v << 1) | self.bit()
+        return v
+
+    def receive_extend(self, size: int) -> int:
+        v = self.receive(size)
         return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    def restart(self, m: int) -> None:
+        """Consume an RSTm marker at a restart-interval boundary: drop
+        the padded remainder of the current byte, then the next two
+        bytes must be the expected marker (T.81 E.1.4 — markers appear
+        byte-aligned, in 0..7 rotation)."""
+        self._n = 0
+        p = self.pos
+        if (
+            p + 1 >= len(self.data)
+            or self.data[p] != 0xFF
+            or self.data[p + 1] != 0xD0 + m
+        ):
+            raise ValueError(f"expected JPEG restart marker RST{m}")
+        self.pos = p + 2
 
 
 def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
-    """Pure stdlib+numpy baseline JPEG decode: marker walk, canonical
-    Huffman tables rebuilt from DHT (Annex-K or any other valid tables —
+    """Pure stdlib+numpy JPEG decode: marker walk, canonical Huffman
+    tables rebuilt from DHT (Annex-K or any other valid tables —
     nothing assumes the sibling encoder produced the file), entropy
     decode with byte un-stuffing, dequantize, de-zigzag, orthonormal
-    IDCT, clamp. Sequential baseline, grayscale or YCbCr color with any
-    integer-ratio sampling factors — 4:4:4 and the dominant 4:2:0
-    layout included (general T.81 interleaved MCUs, per-component DC
-    prediction, nearest-neighbor chroma upsampling, JFIF YCbCr->RGB):
-    progressive (SOF2) and restart-interval streams fail loudly —
-    those branches need PIL."""
+    IDCT, clamp. Covers sequential baseline (SOF0) AND progressive
+    (SOF2, T.81 G.1: spectral selection, successive approximation with
+    DC/AC refinement scans, EOB-run coding) — grayscale or YCbCr color
+    with any integer-ratio sampling factors (4:4:4 and the dominant
+    4:2:0 layout included; general interleaved MCUs, per-component DC
+    prediction, nearest-neighbor chroma upsampling, JFIF YCbCr->RGB)
+    plus restart-interval streams (DRI + RSTn rotation verified at
+    every boundary, predictors and EOB runs reset). Coefficients
+    accumulate across scans in per-component zigzag-order arrays; the
+    IDCT runs once, vectorized over all blocks, after the last scan.
+    Hierarchical/lossless/arithmetic SOFs still fail loudly — those
+    branches need PIL."""
     import struct
 
     import numpy as np
@@ -1218,18 +1537,28 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
+    progressive = False
     # (component id, quant table, horizontal/vertical sampling factor)
     sof_comps: list[tuple[int, int, int, int]] = []
-    scan_tabs: dict[int, tuple[int, int]] = {}  # id -> (dc, ac) tables
-    scan_pos = None
-    while pos + 4 <= len(payload):
+    coefs: list = []  # per component: int32 (bh_full, bw_full, 64) zigzag
+    geom: list[tuple[int, int, int, int]] = []  # bh_full, bw_full, bh/bw_ceil
+    mcuy = mcux = 0
+    restart_interval = 0
+    nscans = 0
+    zz = _jpeg_zigzag()
+
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
+        nxt = pos + 2 + length
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):
@@ -1250,81 +1579,202 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
                     (ln, code): sym for sym, (code, ln) in sym_code.items()
                 }
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 sequential / SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"only 8-bit precision supported, got {prec}")
             if ncomp not in (1, 3):
                 raise ValueError(
-                    f"only grayscale or 3-component (YCbCr) baseline JPEG "
+                    f"only grayscale or 3-component (YCbCr) JPEG "
                     f"supported, got {ncomp} components"
                 )
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 sof_comps.append((cid, tq, sampling >> 4, sampling & 0x0F))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            # single-component frames are coded non-interleaved: the MCU
+            # is one block and declared sampling does not shape it
+            # (T.81 A.2.2)
+            if ncomp == 1:
+                sof_comps = [(sof_comps[0][0], sof_comps[0][1], 1, 1)]
+            hmax = max(sh for _, _, sh, _ in sof_comps)
+            vmax = max(sv for _, _, _, sv in sof_comps)
+            for cid, _, sh, sv in sof_comps:
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(f"invalid sampling factors {sh}x{sv}")
+                if hmax % sh or vmax % sv:
+                    raise ValueError(
+                        f"non-integer chroma ratio {sh}x{sv} vs "
+                        f"{hmax}x{vmax} not supported (integer-replication "
+                        "upsampling only)"
+                    )
+            mcuy = _jpeg_ceil_div(height, 8 * vmax)
+            mcux = _jpeg_ceil_div(width, 8 * hmax)
+            for cid, _, sh, sv in sof_comps:
+                bh_full, bw_full = mcuy * sv, mcux * sh
+                bh_ceil = _jpeg_ceil_div(_jpeg_ceil_div(height * sv, vmax), 8)
+                bw_ceil = _jpeg_ceil_div(_jpeg_ceil_div(width * sh, hmax), 8)
+                geom.append((bh_full, bw_full, bh_ceil, bw_ceil))
+                coefs.append(np.zeros((bh_full, bw_full, 64), dtype=np.int32))
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                "only baseline sequential (SOF0) JPEG supported; "
-                f"got SOF marker 0xFF{marker:02X} (progressive needs PIL)"
+                "only baseline sequential (SOF0) and progressive (SOF2) "
+                f"JPEG supported; got SOF marker 0xFF{marker:02X}"
             )
         elif marker == 0xDD:  # DRI
-            raise ValueError("restart-interval JPEG streams not supported")
-        elif marker == 0xDA:  # SOS
-            if body[0] != len(sof_comps):
-                raise ValueError(
-                    "scan component count differs from SOF0 (multi-scan "
-                    "sequential JPEG not supported)"
-                )
-            for ci in range(body[0]):
-                cid, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
-                scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
-            scan_pos = pos + 2 + length
-            break
-        pos += 2 + length
-    if width is None or scan_pos is None:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS: decode one scan's entropy data
+            if width is None:
+                raise ValueError("JPEG SOS before SOF")
+            nxt = _decode_jpeg_scan(
+                payload,
+                nxt,
+                body,
+                progressive,
+                sof_comps,
+                qtables,
+                htables,
+                coefs,
+                geom,
+                mcuy,
+                mcux,
+                restart_interval,
+            )
+            nscans += 1
+        pos = nxt
+    if width is None or nscans == 0:
         raise ValueError("JPEG missing SOF0/SOS")
-    missing = [cid for cid, *_ in sof_comps if cid not in scan_tabs]
-    if missing:
-        raise ValueError(
-            f"SOS references unknown component ids (SOF0 declares "
-            f"{[c for c, *_ in sof_comps]}, scan lacks {missing})"
+
+    # dequantize + de-zigzag + IDCT, vectorized over every block at once
+    cmat = _jpeg_dct_matrix()
+    hmax = max(sh for _, _, sh, _ in sof_comps)
+    vmax = max(sv for _, _, _, sv in sof_comps)
+    planes = []
+    for ci, (cid, tq, sh, sv) in enumerate(sof_comps):
+        qt = np.array(qtables[tq], dtype=np.float64)  # zigzag order, as DQT
+        bh, bw = geom[ci][0], geom[ci][1]
+        zb = coefs[ci].astype(np.float64) * qt
+        nat = np.zeros((bh, bw, 64))
+        nat[..., zz] = zb  # scatter zigzag back to natural order
+        nat = nat.reshape(bh, bw, 8, 8)
+        pix = np.einsum("ki,yxkl,lj->yxij", cmat, nat, cmat) + 128.0
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    # bring subsampled planes to full resolution by integer replication
+    # (nearest-neighbor — the baseline upsampler; on the flat-chroma
+    # fixtures it is exact, which keeps the solid round-trip bit-true)
+    for ci, (_, _, sh, sv) in enumerate(sof_comps):
+        fy, fx = vmax // sv, hmax // sh
+        if fy > 1 or fx > 1:
+            planes[ci] = planes[ci].repeat(fy, axis=0).repeat(fx, axis=1)
+    if len(sof_comps) == 1:
+        pix = np.clip(np.rint(planes[0][:height, :width]), 0, 255)
+    else:
+        y = planes[0][:height, :width]
+        cb = planes[1][:height, :width] - 128.0
+        cr = planes[2][:height, :width] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ]
         )
-    for cid, tq, _sh, _sv in sof_comps:
-        dc_id, ac_id = scan_tabs[cid]
+        pix = np.clip(np.rint(rgb), 0, 255)
+    mean = float(pix.mean()) / 255.0 if width * height else 0.0
+    return width, height, None, None, mean  # type: ignore[return-value]
+
+
+def _decode_jpeg_scan(
+    data: bytes,
+    pos: int,
+    hdr: bytes,
+    progressive: bool,
+    sof_comps: list[tuple[int, int, int, int]],
+    qtables: dict[int, list[int]],
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]],
+    coefs: list,
+    geom: list[tuple[int, int, int, int]],
+    mcuy: int,
+    mcux: int,
+    restart_interval: int,
+) -> int:
+    """Decode one scan's entropy-coded data into the per-component
+    zigzag coefficient arrays; returns the offset of the next marker.
+    Dispatches on the T.81 scan type: sequential full-band (SOF0),
+    progressive DC first/refine (interleaved-capable), progressive AC
+    first/refine (single-component, non-interleaved, EOB-run coded —
+    the refinement path mirrors the reference decoder structure in
+    stb_image/libjpeg: correction bits are read for every
+    history-nonzero coefficient passed while advancing a run)."""
+    ns = hdr[0]
+    scomp: list[tuple[int, int, int]] = []  # (frame comp idx, dc id, ac id)
+    known = [c for c, *_ in sof_comps]
+    unknown = [
+        hdr[1 + 2 * i] for i in range(ns) if hdr[1 + 2 * i] not in known
+    ]
+    if unknown:
+        raise ValueError(
+            f"SOS references unknown component ids (SOF declares "
+            f"{known}, scan lacks {unknown})"
+        )
+    for i in range(ns):
+        cid, tabs = hdr[1 + 2 * i], hdr[2 + 2 * i]
+        scomp.append((known.index(cid), tabs >> 4, tabs & 0x0F))
+    ss, se, a = hdr[1 + 2 * ns], hdr[2 + 2 * ns], hdr[3 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+
+    if not progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError(
+                f"invalid sequential scan header Ss={ss} Se={se} "
+                f"Ah={ah} Al={al}"
+            )
+        if ns != len(sof_comps):
+            raise ValueError(
+                "scan component count differs from SOF0 (multi-scan "
+                "sequential JPEG not supported)"
+            )
+    else:
+        if ss == 0 and se != 0:
+            raise ValueError(
+                f"invalid progressive scan: a DC scan (Ss=0) must have "
+                f"Se=0, got spectral range {ss}..{se}"
+            )
+        if ss > 0 and (se < ss or se > 63):
+            raise ValueError(
+                f"invalid progressive scan spectral range {ss}..{se}"
+            )
+        if ss > 0 and ns != 1:
+            raise ValueError(
+                "progressive AC scans must be single-component (T.81 G.1)"
+            )
+        if ah and ah != al + 1:
+            raise ValueError(
+                f"invalid successive approximation Ah={ah} Al={al} "
+                "(each refinement must reduce Al by exactly 1)"
+            )
+        if al > 13:
+            raise ValueError(f"successive approximation Al={al} too large")
+    need_dc = ss == 0 and ah == 0
+    need_ac = se > 0
+    for idx, dc_id, ac_id in scomp:
+        cid, tq = sof_comps[idx][0], sof_comps[idx][1]
         if tq not in qtables:
             raise ValueError(
                 f"component {cid} selects quant table {tq} but no such "
                 f"DQT segment exists (have {sorted(qtables)})"
             )
-        if (0, dc_id) not in htables or (1, ac_id) not in htables:
+        if (need_dc and (0, dc_id) not in htables) or (
+            need_ac and (1, ac_id) not in htables
+        ):
             raise ValueError(
                 f"component {cid} selects Huffman tables dc={dc_id}/"
                 f"ac={ac_id} but no such DHT segment exists"
             )
-    # single-component scans are non-interleaved: the MCU is one block
-    # and the declared sampling factors do not shape it (T.81 A.2.2)
-    if len(sof_comps) == 1:
-        sof_comps = [(sof_comps[0][0], sof_comps[0][1], 1, 1)]
-    hmax = max(sh for _, _, sh, _ in sof_comps)
-    vmax = max(sv for _, _, _, sv in sof_comps)
-    for cid, _, sh, sv in sof_comps:
-        if not (1 <= sh <= 4 and 1 <= sv <= 4):
-            raise ValueError(f"invalid sampling factors {sh}x{sv}")
-        if hmax % sh or vmax % sv:
-            raise ValueError(
-                f"non-integer chroma ratio {sh}x{sv} vs {hmax}x{vmax} "
-                "not supported (integer-replication upsampling only)"
-            )
-    comps = [
-        (qtables[tq], htables[(0, scan_tabs[cid][0])],
-         htables[(1, scan_tabs[cid][1])], sh, sv)
-        for cid, tq, sh, sv in sof_comps
-    ]
-    zz = _jpeg_zigzag()
-    cmat = _jpeg_dct_matrix()
-    dequant_nat = np.zeros(64)
 
-    br = _BitReader(payload, scan_pos)
+    br = _BitReader(data, pos)
+    dc_prev = [0] * len(scomp)
+    eob = [0]
 
     def read_symbol(tab: dict[tuple[int, int], int]) -> int:
         code, ln = 0, 0
@@ -1336,23 +1786,16 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
 
-    # MCU grid spans 8*hmax x 8*vmax pixels; each component ci owns a
-    # plane of (mcu count) x (its own sampling share) blocks
-    mcuy = -(-height // (8 * vmax))
-    mcux = -(-width // (8 * hmax))
-    planes = [
-        np.zeros((mcuy * 8 * sv, mcux * 8 * sh))
-        for _, _, _, sh, sv in comps
-    ]
-    dc_prev = [0] * len(comps)
-
-    def decode_block(ci: int, by: int, bx: int) -> None:
-        qt, dc_tab, ac_tab = comps[ci][:3]
-        coeff_zz = [0] * 64
-        size = read_symbol(dc_tab)
+    def dc_decode(si: int, blk) -> None:
+        _, dc_id, _ = scomp[si]
+        size = read_symbol(htables[(0, dc_id)])
         diff = br.receive_extend(size) if size else 0
-        dc_prev[ci] += diff
-        coeff_zz[0] = dc_prev[ci]
+        dc_prev[si] += diff
+        blk[0] = dc_prev[si] << al
+
+    def seq_block(si: int, blk) -> None:
+        dc_decode(si, blk)
+        ac_tab = htables[(1, scomp[si][2])]
         k = 1
         while k < 64:
             sym = read_symbol(ac_tab)
@@ -1367,66 +1810,143 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, int, float]:
             k += run
             if k > 63:
                 raise ValueError("AC coefficient index overflow")
-            coeff_zz[k] = br.receive_extend(size)
+            blk[k] = br.receive_extend(size)
             k += 1
-        for i, nat in enumerate(zz):
-            dequant_nat[nat] = coeff_zz[i] * qt[i]
-        block = cmat.T @ dequant_nat.reshape(8, 8) @ cmat + 128.0
-        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
 
+    def dc_refine(si: int, blk) -> None:
+        if br.bit():
+            blk[0] = int(blk[0]) | (1 << al)
+
+    def ac_first(si: int, blk) -> None:
+        if eob[0] > 0:
+            eob[0] -= 1
+            return
+        ac_tab = htables[(1, scomp[si][2])]
+        k = ss
+        while k <= se:
+            sym = read_symbol(ac_tab)
+            size, run = sym & 0x0F, sym >> 4
+            if size == 0:
+                if run < 15:  # EOBn: this block done, run-1 more follow
+                    eob[0] = (1 << run) - 1
+                    if run:
+                        eob[0] += br.receive(run)
+                    break
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("AC coefficient index overflow")
+            blk[k] = br.receive_extend(size) << al
+            k += 1
+
+    def ac_refine(si: int, blk) -> None:
+        bitv = 1 << al
+
+        def correct(kk: int) -> None:
+            c = int(blk[kk])
+            if br.bit() and (c & bitv) == 0:
+                blk[kk] = c + (bitv if c > 0 else -bitv)
+
+        if eob[0] > 0:
+            # block fully inside an EOB run: only correction bits for
+            # already-nonzero coefficients appear in the stream
+            eob[0] -= 1
+            for k in range(ss, se + 1):
+                if blk[k]:
+                    correct(k)
+            return
+        ac_tab = htables[(1, scomp[si][2])]
+        k = ss
+        while k <= se:
+            sym = read_symbol(ac_tab)
+            size, run = sym & 0x0F, sym >> 4
+            val = 0
+            if size == 0:
+                if run < 15:  # EOBn: refine the rest, then run-1 blocks
+                    eob[0] = (1 << run) - 1
+                    if run:
+                        eob[0] += br.receive(run)
+                    run = 64
+                # run == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("invalid AC refinement symbol")
+                val = bitv if br.bit() else -bitv
+            while k <= se:
+                kk = k
+                k += 1
+                if blk[kk]:
+                    correct(kk)
+                else:
+                    if run == 0:
+                        if val:
+                            blk[kk] = val
+                        break
+                    run -= 1
+
+    if not progressive:
+        unit = seq_block
+    elif se == 0:
+        unit = dc_refine if ah else dc_decode
+    elif ah == 0:
+        unit = ac_first
+    else:
+        unit = ac_refine
+
+    interleaved = ns > 1
+    if interleaved:
+        n_mcu = mcuy * mcux
+    else:
+        bh_c, bw_c = geom[scomp[0][0]][2], geom[scomp[0][0]][3]
+        n_mcu = bh_c * bw_c
+    rst = 0
     try:
-        for my in range(mcuy):
-            for mx in range(mcux):
-                # T.81 interleaved MCU: per component in SOF order, its
-                # v x h blocks in raster order (4:4:4 degenerates to the
-                # one-block-per-component layout; 4:2:0 to Y Y Y Y Cb
-                # Cr), each component with its own DC predictor
-                for ci, (_, _, _, sh, sv) in enumerate(comps):
+        for mcu in range(n_mcu):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart(rst)
+                rst = (rst + 1) & 7
+                dc_prev[:] = [0] * len(scomp)
+                eob[0] = 0
+            if interleaved:
+                my, mx = divmod(mcu, mcux)
+                for si, (idx, _, _) in enumerate(scomp):
+                    _, _, sh, sv = sof_comps[idx]
                     for byi in range(sv):
                         for bxi in range(sh):
-                            decode_block(
-                                ci, my * sv + byi, mx * sh + bxi
+                            unit(
+                                si,
+                                coefs[idx][my * sv + byi, mx * sh + bxi],
                             )
+            else:
+                by, bx = divmod(mcu, bw_c)
+                unit(0, coefs[scomp[0][0]][by, bx])
     except StopIteration as exc:
         raise ValueError("JPEG entropy stream ended mid-block") from exc
-    # bring subsampled planes to full resolution by integer replication
-    # (nearest-neighbor — the baseline upsampler; on the flat-chroma
-    # fixtures it is exact, which keeps the solid round-trip bit-true)
-    for ci, (_, _, _, sh, sv) in enumerate(comps):
-        fy, fx = vmax // sv, hmax // sh
-        if fy > 1 or fx > 1:
-            planes[ci] = planes[ci].repeat(fy, axis=0).repeat(fx, axis=1)
-    if len(comps) == 1:
-        pix = np.clip(np.rint(planes[0][:height, :width]), 0, 255)
-    else:
-        y = planes[0][:height, :width]
-        cb = planes[1][:height, :width] - 128.0
-        cr = planes[2][:height, :width] - 128.0
-        rgb = np.stack(
-            [
-                y + 1.402 * cr,
-                y - 0.344136 * cb - 0.714136 * cr,
-                y + 1.772 * cb,
-            ]
-        )
-        pix = np.clip(np.rint(rgb), 0, 255)
-    mean = (
-        float(pix.mean()) / 255.0 if width * height else 0.0
-    )
-    return width, height, None, None, mean  # type: ignore[return-value]
+
+    # resume the marker walk at the next real marker (skip pad bytes;
+    # stray RSTs after the final interval would be a stream bug — let
+    # the main loop's TEM/RST arm step over them)
+    p = br.pos
+    while p + 1 < len(data) and (
+        data[p] != 0xFF or data[p + 1] == 0x00
+    ):
+        p += 1
+    return p
 
 
 def decode_media_real(media: DataFrame) -> DataFrame:
-    """REAL decode of wav/bmp/png/jpeg payloads (stdlib+numpy codecs,
-    Arrow-batched; jpeg covers sequential baseline — grayscale, 4:4:4
-    color, and 4:2:0 chroma-subsampled).
+    """REAL decode of wav/bmp/png/jpeg/mp4-metadata payloads
+    (stdlib+numpy codecs, Arrow-batched; jpeg covers sequential
+    baseline AND progressive — grayscale, 4:4:4 color, 4:2:0
+    chroma-subsampled, restart-interval streams).
 
     Output: one row per media item with the container-parsed dimensions
     (width/height for images, sample_rate/n_samples for audio) and
     ``mean_level`` in [0, 1] (mean |PCM16 amplitude| / 32768 for audio,
     mean channel byte / 255 for images). Unsupported formats raise
-    ValueError — mp4 needs pyav and subsampled/progressive JPEG needs
-    PIL; those slot in here as additional format branches."""
+    ValueError — mp4 FRAME pixels need pyav and hierarchical/arithmetic
+    JPEG needs PIL; those slot in here as additional format branches."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

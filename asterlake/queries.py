@@ -1389,20 +1389,20 @@ _REAL_MEDIA_N = 64
     "q_media_decode_real",
     f"""
     SELECT range AS media_id,
-           CASE WHEN range % 6 = 1 THEN 'audio' ELSE 'image' END AS kind,
-           CASE CAST(range % 6 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+           CASE WHEN range % 7 = 1 THEN 'audio' ELSE 'image' END AS kind,
+           CASE CAST(range % 7 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
                 WHEN 2 THEN 'png' ELSE 'jpeg' END AS format,
-           CAST(CASE WHEN range % 6 = 0 THEN 4 + range % 13
-                     WHEN range % 6 = 2 THEN 3 + range % 9
-                     WHEN range % 6 >= 3 THEN 5 + range % 12 END AS INT)
+           CAST(CASE WHEN range % 7 = 0 THEN 4 + range % 13
+                     WHEN range % 7 = 2 THEN 3 + range % 9
+                     WHEN range % 7 >= 3 THEN 5 + range % 12 END AS INT)
              AS width,
-           CAST(CASE WHEN range % 6 = 0 THEN 3 + range % 7
-                     WHEN range % 6 = 2 THEN 2 + range % 6
-                     WHEN range % 6 >= 3 THEN 4 + range % 9 END AS INT)
+           CAST(CASE WHEN range % 7 = 0 THEN 3 + range % 8
+                     WHEN range % 7 = 2 THEN 2 + range % 6
+                     WHEN range % 7 >= 3 THEN 4 + range % 9 END AS INT)
              AS height,
-           CAST(CASE WHEN range % 6 = 1 THEN 8000 + 100 * (range % 7) END
+           CAST(CASE WHEN range % 7 = 1 THEN 8000 + 100 * (range % 9) END
                 AS INT) AS sample_rate,
-           CAST(CASE WHEN range % 6 = 1 THEN 50 + range % 101 END AS BIGINT)
+           CAST(CASE WHEN range % 7 = 1 THEN 50 + range % 101 END AS BIGINT)
              AS n_samples,
            TRUE AS mean_in_unit
     FROM range({_REAL_MEDIA_N})
@@ -1410,39 +1410,53 @@ _REAL_MEDIA_N = 64
 )
 def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL container decode (r6 stdlib wav/bmp codecs + the r7 zlib PNG
-    and baseline-JPEG codecs — grayscale, 4:4:4 color, and since r8 the
-    dominant real-world 4:2:0 chroma-subsampled layout): the media
+    and baseline-JPEG codecs, the r8 4:2:0 chroma-subsampled layout,
+    and now PROGRESSIVE SOF2 JPEG with restart intervals — the full
+    real-world JFIF surface short of arithmetic coding): the media
     table holds actual RIFF/WAVE, BMP, PNG, and JFIF files;
     decode_media(real=True) must parse their HEADERS back out (PNG:
     CRC-checked chunk walk + inflate + all-five-filter scanline
     reconstruction; JPEG: marker walk + Huffman entropy decode + IDCT
-    over general T.81 interleaved MCUs, branching on the SOF0 component
-    count and sampling factors — the jpeg_rgb and jpeg_420 slots ship
-    3-component 4:4:4 and 4:2:0 files under the same 'jpeg' container
-    label, as a real reader sees them). The generator derives each
-    file's dimensions/rate arithmetically from media_id (bmp: 4+id%13 x
-    3+id%7; wav: 50+id%101 samples at 8000+100*(id%7) Hz; png: 3+id%9 x
-    2+id%6; jpeg gray/444/420: 5+id%12 x 4+id%9), writes a genuine
-    container around them, and the decoder's job is to recover the same
-    numbers FROM THE BYTES — the oracle restates the arithmetic, so any
+    over general T.81 interleaved MCUs, branching on the SOF marker,
+    component count and sampling factors — the jpeg_rgb / jpeg_420 /
+    jpeg_prog slots ship 4:4:4, 4:2:0, and progressive-4:2:0-with-RSTn
+    files under the same 'jpeg' container label, as a real reader sees
+    them; the progressive path accumulates coefficients across a
+    5-scan-type script: DC first, two spectral AC bands, DC refine, AC
+    refine). The generator derives each file's dimensions/rate
+    arithmetically from media_id (bmp: 4+id%13 x 3+id%8; wav: 50+id%101
+    samples at 8000+100*(id%9) Hz; png: 3+id%9 x 2+id%6; jpeg
+    gray/444/420/prog: 5+id%12 x 4+id%9), writes a genuine container
+    around them, and the decoder's job is to recover the same numbers
+    FROM THE BYTES — the oracle restates the arithmetic, so any
     header-parse slip (offset, endianness, stride, filter, marker,
-    component layout, MCU geometry) hash-mismatches. ``mean_in_unit``
-    rides the pixel/PCM payload decode as an in-plan bound (mean level
-    strictly inside (0,1) — md5-derived payloads are never
-    silent/black): DuckDB's md5() is VARCHAR-only, so the binary
-    digest-chained sample bytes can't be restated in SQL; the exact
-    mean parity vs independent re-parses is pinned locally
-    (tests/test_multimodal.py round-trip tests for wav/bmp, png, and
-    jpeg — the flat-image corner is bit-exact in all three jpeg
-    pipelines, color conversion and chroma averaging included).
-    sf_dir unused: the media table is generated in-engine."""
+    component layout, MCU geometry, scan script, restart rotation)
+    hash-mismatches. ``mean_in_unit`` rides the pixel/PCM payload
+    decode as an in-plan bound (mean level strictly inside (0,1) —
+    md5-derived payloads are never silent/black): DuckDB's md5() is
+    VARCHAR-only, so the binary digest-chained sample bytes can't be
+    restated in SQL; the exact mean parity vs independent re-parses is
+    pinned locally (tests/test_multimodal.py round-trip tests for
+    wav/bmp, png, and jpeg — progressive decode is pinned bit-equal to
+    the sequential decode of the same pixels, and the flat-image
+    corner is bit-exact in every jpeg pipeline, color conversion and
+    chroma averaging included). sf_dir unused: the media table is
+    generated in-engine."""
     from asterlake.operators.multimodal import decode_media, real_media_table
 
     decoded = decode_media(
         real_media_table(
             spark,
             n=_REAL_MEDIA_N,
-            formats=("bmp", "wav", "png", "jpeg", "jpeg_rgb", "jpeg_420"),
+            formats=(
+                "bmp",
+                "wav",
+                "png",
+                "jpeg",
+                "jpeg_rgb",
+                "jpeg_420",
+                "jpeg_prog",
+            ),
         ),
         real=True,
     )
@@ -6981,12 +6995,13 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     gate on per-doc piece arrays + corpus piece counts
 #     (operators/bpe.py, differential-pinned in test_bpe.py).
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
-    # decode_media's r8 change is DOCSTRING-only (the 4:2:0 codec note);
-    # this query runs the real=False synthetic-stats branch, whose code
-    # is byte-identical to the r6-scored bytes — the changed real=True
-    # dispatch is scored by the promoted q_media_decode_real.
-    "q_media_decode": "docstring-only; real=True branch scored via "
-    "q_media_decode_real",
+    # the r8 codec work (4:2:0, then progressive SOF2 + restart
+    # intervals) lives entirely behind decode_media's real=True
+    # dispatch; this query runs the real=False synthetic-stats branch,
+    # whose code is byte-identical to the r6-scored bytes — the
+    # changed real path is scored by the promoted q_media_decode_real.
+    "q_media_decode": "real=False branch unchanged; real=True scored "
+    "via q_media_decode_real",
     # the r8 change routes the counts build through the shared
     # _flag_qty_counts memo — a plan-level materialization change whose
     # outputs are provably bit-identical (exact-integer counts, argument

@@ -373,10 +373,15 @@ def test_real_media_decode_round_trips_jpeg(spark):
 
 
 def test_jpeg_decoder_rejects_out_of_scope_shapes():
-    """Progressive (SOF2), chroma-subsampled, restart-interval,
-    16-bit-quant, and SOF/SOS-mismatched streams must fail loudly at
-    named branches — the PIL-requiring shapes stay gated, never decode
-    garbage. Each malformed stream is built by surgically rewriting the
+    """Out-of-scope and malformed streams must fail loudly at named
+    branches — never decode garbage. The boundary has moved three
+    times (r7 color, r8 subsampling, now progressive + restart
+    intervals are IN scope), so what this pins today: non-integer
+    chroma ratios, 16-bit quant, hierarchical/arithmetic SOFs,
+    SOF/SOS mismatches, and an SOF2 relabel of a SEQUENTIAL scan
+    (full-band 0..63 is not a legal progressive spectral range —
+    T.81 G.1 — so the relabeled file is malformed, not decodable).
+    Each malformed stream is built by surgically rewriting the
     relevant segment of a valid file."""
     import re
     import struct
@@ -396,10 +401,15 @@ def test_jpeg_decoder_rejects_out_of_scope_shapes():
 
     with _pytest.raises(ValueError, match="not a JPEG payload"):
         _decode_jpeg(b"\x89PNG" + good)
-    # SOF0 -> SOF2: progressive
+    # SOF0 -> SOF2 relabel: progressive is decodable since r8, but the
+    # relabeled file's scan header (Ss=0, Se=63) is illegal under G.1 —
+    # a DC scan must have Se=0 — so it still fails at a named branch
     s, _ = find_seg(0xC0)
-    with _pytest.raises(ValueError, match="progressive"):
+    with _pytest.raises(ValueError, match="progressive scan"):
         _decode_jpeg(good[:s + 1] + b"\xc2" + good[s + 2:])
+    # hierarchical / arithmetic-coded SOFs stay out of scope
+    with _pytest.raises(ValueError, match="SOF marker 0xFFC9"):
+        _decode_jpeg(good[:s + 1] + b"\xc9" + good[s + 2:])
     # 3-component SOF over a 1-component scan: color is decodable since
     # r7, so the boundary moved — the mismatch (a multi-scan sequential
     # file) is what must fail, not the component count itself
@@ -444,11 +454,20 @@ def test_jpeg_decoder_rejects_out_of_scope_shapes():
     assert _decode_jpeg(good[:s] + bytes(body) + good[s + ln:]) == (
         _decode_jpeg(good)
     )
-    # DRI segment injected before SOS
+    # restart intervals are IN scope since r8: an injected DRI whose
+    # interval exceeds the MCU count expects no RSTn at all, so the
+    # stream decodes identically to the unmodified file ...
     sos, _ = find_seg(0xDA)
     dri = struct.pack(">HHH", 0xFFDD, 4, 8)
-    with _pytest.raises(ValueError, match="restart-interval"):
-        _decode_jpeg(good[:sos] + dri + good[sos:])
+    assert _decode_jpeg(good[:sos] + dri + good[sos:]) == _decode_jpeg(good)
+    # ... but a DRI that PROMISES markers the stream lacks fails loudly
+    # (6x5 px = 1 MCU-row of 1-px... 1 MCU grid is 1x1 at 8x8 — use a
+    # wider file so interval 1 demands a marker after the first MCU)
+    wide = _jpeg_bytes(1, 20, 5)
+    wsos = wide.index(b"\xff\xda")
+    dri1 = struct.pack(">HHH", 0xFFDD, 4, 1)
+    with _pytest.raises(ValueError, match="expected JPEG restart marker"):
+        _decode_jpeg(wide[:wsos] + dri1 + wide[wsos:])
     # 16-bit quant table precision (Pq=1)
     q, qln = find_seg(0xDB)
     body = bytearray(good[q:q + qln])
@@ -845,3 +864,135 @@ def test_jpeg_decoder_rejects_missing_tables_and_encoder_rejects_bad_solid():
         _jpeg_bytes(0, 4, 4, solid=128, color=True)
     with _pytest.raises(ValueError, match="scalar solid"):
         _jpeg_bytes(0, 4, 4, solid=(1, 2, 3), color=False)
+
+
+def test_jpeg_progressive_round_trip_equals_sequential():
+    """Progressive (SOF2) decode must reconstruct EXACTLY the pixels of
+    the sequential encoding of the same content: the scan script's
+    successive approximation (DC/AC first at Al=1, refinements to
+    Al=0) re-delivers every quantized coefficient bit, so once the
+    last scan lands the coefficient arrays — and therefore the IDCT,
+    the mean, everything — are identical. Pinned across grayscale,
+    4:4:4, and 4:2:0, with and without restart intervals."""
+    from asterlake.operators.multimodal import _decode_jpeg, _jpeg_bytes
+
+    for color, sub in ((False, "444"), (True, "444"), (True, "420")):
+        for w, h in ((21, 14), (8, 8), (17, 3)):
+            seq = _decode_jpeg(
+                _jpeg_bytes(9, w, h, color=color, subsampling=sub)
+            )
+            for ri in (0, 1, 3):
+                prog = _decode_jpeg(
+                    _jpeg_bytes(
+                        9, w, h,
+                        color=color,
+                        subsampling=sub,
+                        progressive=True,
+                        restart_interval=ri,
+                    )
+                )
+                assert prog == seq, (color, sub, w, h, ri)
+
+
+def test_jpeg_progressive_solid_round_trip_is_exact():
+    """The lossless corner holds in the progressive pipeline too: flat
+    blocks are a lone DC, successive approximation reassembles it
+    bit-for-bit, and flat chroma survives 4:2:0 averaging — so the
+    decoded mean is exact, not just close."""
+    from asterlake.operators.multimodal import _decode_jpeg, _jpeg_bytes
+
+    for w, h in ((1, 1), (16, 16), (11, 9)):
+        assert _decode_jpeg(
+            _jpeg_bytes(0, w, h, solid=77, progressive=True)
+        ) == (w, h, None, None, 77 / 255)
+        assert _decode_jpeg(
+            _jpeg_bytes(
+                0, w, h,
+                solid=(30, 99, 200),
+                color=True,
+                subsampling="420",
+                progressive=True,
+                restart_interval=2,
+            )
+        ) == (w, h, None, None, (30 + 99 + 200) / 3 / 255)
+
+
+def test_jpeg_progressive_stream_structure():
+    """The progressive container really is progressive: SOF2 marker,
+    the full libjpeg-shaped scan script (5 SOS for grayscale — DC
+    first, AC 1..5, AC 6..63, DC refine, AC refine; 11 for color —
+    the AC scans fan out per component), a DRI segment iff a restart
+    interval was asked for, and RSTn markers actually rotating 0..7
+    in the entropy stream."""
+    import re
+
+    from asterlake.operators.multimodal import _jpeg_bytes
+
+    gray = _jpeg_bytes(4, 20, 12, progressive=True)
+    assert b"\xff\xc2" in gray and b"\xff\xc0" not in gray
+    assert gray.count(b"\xff\xda") == 5
+    assert b"\xff\xdd" not in gray
+
+    color = _jpeg_bytes(4, 20, 12, color=True, progressive=True)
+    assert color.count(b"\xff\xda") == 11
+
+    rst = _jpeg_bytes(4, 40, 12, progressive=True, restart_interval=1)
+    assert b"\xff\xdd" in rst
+    # 40x12 gray: 5x2 = 10 MCUs -> interval 1 puts RST0..RST7, RST0
+    # between them in the DC scan; markers rotate modulo 8
+    markers = [m[0] - 0xD0 for m in re.findall(rb"\xff([\xd0-\xd7])", rst)]
+    assert markers, "no restart markers emitted"
+    assert markers[:9] == [i % 8 for i in range(9)]
+
+
+def test_jpeg_sequential_restart_interval_round_trips():
+    """DRI + RSTn in the SEQUENTIAL pipeline: the decode equals the
+    marker-free decode of the same content (restart only re-anchors
+    predictors), and a corrupted marker byte fails loudly at the
+    rotation check."""
+    import pytest as _pytest
+
+    from asterlake.operators.multimodal import _decode_jpeg, _jpeg_bytes
+
+    base = _decode_jpeg(_jpeg_bytes(6, 33, 17, color=True))
+    for ri in (1, 2, 5):
+        data = _jpeg_bytes(6, 33, 17, color=True, restart_interval=ri)
+        assert _decode_jpeg(data) == base, ri
+    # corrupt the first restart marker's low nibble: RST0 -> RST5
+    data = bytearray(_jpeg_bytes(6, 33, 17, color=True, restart_interval=1))
+    i = data.index(b"\xff\xd0", data.index(b"\xff\xda"))
+    data[i + 1] = 0xD5
+    with _pytest.raises(ValueError, match="expected JPEG restart marker"):
+        _decode_jpeg(bytes(data))
+
+
+def test_real_media_decode_round_trips_jpeg_prog(spark):
+    """The progressive branch through the Arrow batch loop: jpeg_prog
+    items ship under container format 'jpeg' (the decoder branches on
+    the SOF2 marker, not the label), dims follow the arithmetic
+    contract, and the mean matches a direct _decode_jpeg of the
+    identical payload bit-for-bit."""
+    import numpy as np
+
+    from asterlake.operators.multimodal import (
+        _decode_jpeg,
+        decode_media,
+        real_media_table,
+    )
+
+    media = real_media_table(spark, n=12, formats=("jpeg_prog", "jpeg"))
+    rows = {r.media_id: r for r in decode_media(media, real=True).collect()}
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        assert (r.format, r.kind) == ("jpeg", "image")
+        assert (r.width, r.height) == (5 + mid % 12, 4 + mid % 9)
+        _, _, _, _, want_mean = _decode_jpeg(payloads[mid])
+        assert np.float32(r.mean_level) == np.float32(want_mean), mid
+    # even ids took the progressive encoder: SOF2 present, and the
+    # 2-MCU restart interval shipped a DRI segment
+    for mid, p in payloads.items():
+        if mid % 2 == 0:
+            assert b"\xff\xc2" in p and b"\xff\xdd" in p, mid
+        else:
+            assert b"\xff\xc0" in p and b"\xff\xdd" not in p, mid
