@@ -6994,6 +6994,15 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     and SQL-replayable via a recursive CTE over (word, step) states);
 #     gate on per-doc piece arrays + corpus piece counts
 #     (operators/bpe.py, differential-pinned in test_bpe.py).
+#   q_quality_logistic — logistic gate over embeddings with
+#     seeded_weights literals (operators/classifier.py; training is a
+#     driver loop, scoring is SQL). CRITICAL oracle shape: gate/top-k
+#     on the LOGIT z (a left-to-right multiply-add fold DuckDB replays
+#     bit-exactly, the q_ann pattern) — NEVER the raw sigmoid double:
+#     Java Math.exp and DuckDB/glibc exp differ in the last ulp on ~4%
+#     of arguments (measured in test_classifier.py), so a sigmoid
+#     column would hash-mismatch. sigmoid is monotone in z, so every
+#     threshold/top-k semantics survives the substitution.
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # the r8 codec work (4:2:0, then progressive SOF2 + restart
     # intervals) lives entirely behind decode_media's real=True
