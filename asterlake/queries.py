@@ -6994,6 +6994,12 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     and SQL-replayable via a recursive CTE over (word, step) states);
 #     gate on per-doc piece arrays + corpus piece counts
 #     (operators/bpe.py, differential-pinned in test_bpe.py).
+#   q_cms_frequencies — count-min point estimates for every true token
+#     over documents, emitted WITH the exact groupBy count and the two
+#     guarantee booleans (est >= exact, est <= exact + ceil(2.72/width
+#     * n)) — the q_sketch_distinct in-plan-bound shape: Spark's
+#     xxhash64 slots are not DuckDB-replayable, but the exact counts
+#     and TRUE booleans are (operators/cms.py, pinned in test_cms.py).
 #   q_quality_logistic — logistic gate over embeddings with
 #     seeded_weights literals (operators/classifier.py; training is a
 #     driver loop, scoring is SQL). CRITICAL oracle shape: gate/top-k
