@@ -226,3 +226,59 @@ def test_grad_plan_shuffles_one_partial_row(spark, labeled):
     assert "partial" in plan.lower()  # map-side combine before the hop
     assert "SinglePartition" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_quality_gate_on_real_documents(spark, sf_dir):
+    """End-to-end training-data-pipeline composition on the REAL
+    documents table: quality_features -> feature_vector ->
+    logistic_train -> gate. The target is a length rule the engineered
+    features determine (n_chars >= median follows from token count x
+    token length), so gradient descent must recover it nearly exactly
+    — pinning that the classifier learns from engineered text
+    features, not just embeddings, with the scale discipline the
+    docstring prescribes (center/scale features to O(1) before GD; the
+    synthetic corpus's lang labels are NOT feature-determined — its
+    stopword ratios are identical across langs — so a language gate
+    would only pin noise)."""
+    from asterlake.operators.classifier import feature_vector
+    from asterlake.operators.textstats import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    median_chars = docs.agg(
+        F.expr("percentile(n_chars, 0.5)")
+    ).collect()[0][0]
+    feats = quality_features(docs).select(
+        "doc_id",
+        (F.col("n_tokens").cast("double") / 64.0).alias("f_tokens"),
+        (F.col("mean_token_len") - 4.5).alias("f_len"),
+        "distinct_ratio",
+        "stopword_ratio",
+    )
+    cols = ["f_tokens", "f_len", "distinct_ratio", "stopword_ratio"]
+    labeled = (
+        feature_vector(feats, cols)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            (F.col("n_chars") >= F.lit(float(median_chars)))
+            .cast("int")
+            .alias("y"),
+            "features",
+        )
+        .persist()
+    )
+    w, hist = logistic_train(
+        labeled, dim=len(cols), vec_col="features", lr=1.0, iters=40
+    )
+    assert hist[-1] < hist[0] * 0.8
+    acc = (
+        logistic_score(labeled, w, vec_col="features")
+        .select(
+            ((F.col("score") >= 0.5).cast("int") == F.col("y"))
+            .cast("int")
+            .alias("ok")
+        )
+        .agg(F.avg("ok"))
+        .collect()[0][0]
+    )
+    assert acc > 0.9, acc
+    labeled.unpersist()

@@ -977,3 +977,80 @@ def test_bloom_state_advances_per_micro_batch(spark, tmp_path):
     )
     assert via_folded == via_rebuilt
     assert set(uid for uid, _ in rows) <= set(via_folded)  # no false negatives
+
+
+def test_cms_state_advances_per_micro_batch(spark, tmp_path):
+    """Incremental count-min maintenance composes into Structured
+    Streaming the same way the Bloom allowlist does (r8): a
+    foreachBatch sink folds each micro-batch's sketch into the
+    persisted state with cms_advance — counters ADD exactly, so the
+    folded state is BIT-IDENTICAL (slot for slot) to a one-shot build
+    over all rows, and point estimates through the folded state equal
+    estimates through the rebuild for every key."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.cms import cms_advance, cms_build, cms_estimate
+
+    depth, width = 4, 128
+    src = str(tmp_path / "ev_cms")
+    os.makedirs(src)
+    rows = [(i * 3 % 17, f"2025-10-12T03:1{i % 10}:00Z") for i in range(48)]
+    _write_events_jsonl(os.path.join(src, "a.jsonl"), rows[:24])
+    _write_events_jsonl(os.path.join(src, "b.jsonl"), rows[24:])
+
+    state_dir = str(tmp_path / "cms_state")
+    latest: list[str] = []
+
+    def fold(batch_df, batch_id):
+        out = f"{state_dir}/v{batch_id}"
+        if latest:
+            prior = batch_df.sparkSession.read.parquet(latest[-1])
+            cms_advance(
+                prior, batch_df, [], "user_id", depth, width
+            ).write.parquet(out)
+        else:
+            cms_build(
+                batch_df, [], "user_id", depth, width
+            ).write.parquet(out)
+        latest.append(out)
+
+    (
+        _events_stream(spark, src, max_files=1)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck_cms"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert len(latest) >= 2  # really folded across micro-batches
+
+    folded = spark.read.parquet(latest[-1])
+    all_keys = spark.createDataFrame(
+        [(uid,) for uid, _ in rows], ["user_id"]
+    )
+    rebuilt = cms_build(all_keys, [], "user_id", depth, width)
+    assert sorted((r.slot, r.cnt) for r in folded.collect()) == sorted(
+        (r.slot, r.cnt) for r in rebuilt.collect()
+    )
+
+    probes = all_keys.distinct()
+    via_folded = {
+        r.user_id: r.estimate
+        for r in cms_estimate(
+            folded, probes, "user_id", None, depth, width
+        ).collect()
+    }
+    via_rebuilt = {
+        r.user_id: r.estimate
+        for r in cms_estimate(
+            rebuilt, probes, "user_id", None, depth, width
+        ).collect()
+    }
+    assert via_folded == via_rebuilt
+    exact = {
+        r.user_id: r.cnt
+        for r in all_keys.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert all(via_folded[k] >= exact[k] for k in exact)
