@@ -31,6 +31,11 @@ deliberately minimal:
   drops every file the conjunctive predicate provably cannot match
   before Spark sees a path — file-level skipping above Spark's own
   row-group skipping, the Delta/Iceberg planning shape on plain parquet.
+  ``set_cols=[...]`` (late r8) additionally records per-file distinct
+  VALUE SETS (capped per file) so ``==``/``in`` predicates on unsorted
+  low-cardinality columns — lang, source, status — prune exactly where
+  every file's [min, max] spans the whole domain and ranges prune
+  nothing: the set-index shape (Iceberg puffin / ClickHouse set index).
 
 Scale shape: a snapshot write is one pass (the caller's plan + observed
 metrics); verify is one scan + scalar aggregate. Versions share nothing
@@ -167,6 +172,47 @@ def collect_file_stats(data_dir: str, cols: list[str]) -> dict:
     return out
 
 
+def collect_file_value_sets(
+    data_dir: str, cols: list[str], set_max: int = 64
+) -> dict:
+    """Per-data-file DISTINCT VALUE SETS for low-cardinality columns —
+    the set-index complement to min/max: an equality or IN predicate on
+    an UNSORTED categorical column (lang, source, status) gets no help
+    from ranges (every file spans the whole domain) but prunes exactly
+    against the file's value set. Reads ONLY the named columns
+    (columnar projection; dictionary-encoded categoricals decode
+    cheaply), never whole files.
+
+    Returns ``{filename: {col: [values] | None}}`` — None when the file
+    holds more than ``set_max`` distinct values (the column is not
+    low-cardinality there; recording an unbounded set would bloat the
+    manifest) or any value fails to encode: an unusable set NEVER
+    prunes, so skipping stays provably safe. NULLs are excluded from
+    the sets (equality and IN never match NULL; the null ops judge by
+    ``null_count`` as before)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(data_dir, name))
+        present = [c for c in cols if c in pf.schema_arrow.names]
+        sets: dict = {}
+        if present:
+            tbl = pf.read(columns=present)
+            for c in present:
+                uniq = pc.unique(tbl.column(c)).drop_null().to_pylist()
+                if len(uniq) > set_max:
+                    sets[c] = None
+                    continue
+                enc = [_stat_encode(v) for v in uniq]
+                sets[c] = None if any(e is None for e in enc) else enc
+        out[name] = sets
+    return out
+
+
 def _lt(a, b) -> bool:
     return _stat_decode(a) < _stat_decode(b)
 
@@ -177,6 +223,8 @@ def write_version(
     sig_cols: list[str] | None = None,
     extra: dict | None = None,
     stats_cols: list[str] | None = None,
+    set_cols: list[str] | None = None,
+    set_max: int = 64,
 ) -> dict:
     """Write ``df`` as the next snapshot version; returns the manifest.
 
@@ -188,8 +236,13 @@ def write_version(
     statistics are harvested from the just-written parquet footers (a
     metadata read, not a second scan) and committed INSIDE the manifest,
     so :func:`scan_version` can plan a pruned file list — the
-    Delta/Iceberg data-skipping shape on plain parquet. The manifest
-    file is the commit: it is written only after the data files land."""
+    Delta/Iceberg data-skipping shape on plain parquet. ``set_cols``
+    additionally records per-file DISTINCT VALUE SETS (capped at
+    ``set_max`` values per file per column; a columnar projection read
+    of just those columns) so equality/IN predicates on unsorted
+    low-cardinality columns prune exactly where min/max cannot — the
+    set-index shape. The manifest file is the commit: it is written
+    only after the data files land."""
     version = (latest_version(root) or 0) + 1
     sig = row_signature(sig_cols if sig_cols is not None else df.columns)
     obs = Observation(f"v{version}-manifest")
@@ -223,11 +276,20 @@ def write_version(
         "sig_encoding": SIG_ENCODING,
         **(extra or {}),
     }
-    if stats_cols:
-        manifest["stats_cols"] = list(stats_cols)
+    if stats_cols or set_cols:
+        manifest["stats_cols"] = list(stats_cols or [])
         manifest["file_stats"] = collect_file_stats(
-            _data_path(root, version), list(stats_cols)
+            _data_path(root, version), list(stats_cols or [])
         )
+    if set_cols:
+        manifest["set_cols"] = list(set_cols)
+        sets = collect_file_value_sets(
+            _data_path(root, version), list(set_cols), set_max
+        )
+        for name, s in sets.items():
+            manifest["file_stats"].setdefault(
+                name, {"n_rows": 0, "cols": {}}
+            )["sets"] = s
     tmp = _manifest_path(root, version) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -255,7 +317,37 @@ def read_version(
     return spark.read.parquet(_data_path(root, version))
 
 
-_SKIP_OPS = {"==", "<", "<=", ">", ">=", "is_null", "not_null"}
+_SKIP_OPS = {"==", "in", "<", "<=", ">", ">=", "is_null", "not_null"}
+
+
+def _set_may_contain(decoded: list, v) -> bool:
+    """Can a file whose recorded distinct set is ``decoded`` hold a row
+    equal to ``v``? True on ANY doubt — in particular whenever the
+    probe's type category differs from a set element's (Spark would
+    cast-compare across types like int-vs-double or date-vs-timestamp,
+    so a naive Python membership test could prune a file that actually
+    matches; same-category compares are exactly Python's ==)."""
+    import datetime
+
+    def cat(x):
+        if isinstance(x, bool):
+            return "other"  # bool==1 conflation: never judge
+        if isinstance(x, (int, float)):
+            return "num"
+        if isinstance(x, str):
+            return "str"
+        if isinstance(x, datetime.datetime):
+            return "ts"
+        if isinstance(x, datetime.date):
+            return "date"
+        return "other"
+
+    cv = cat(v)
+    if cv == "other":
+        return True
+    if any(cat(d) != cv for d in decoded):
+        return True
+    return any(v == d for d in decoded)
 
 
 def _file_may_match(finfo: dict, conditions: list[tuple]) -> bool:
@@ -266,9 +358,19 @@ def _file_may_match(finfo: dict, conditions: list[tuple]) -> bool:
     for cond in conditions:
         op = cond[1] if len(cond) > 1 else None
         col = cond[0]
+        if op is not None and op not in _SKIP_OPS:
+            raise ValueError(f"unsupported skip predicate op {op!r}")
+        # value-set check first: equality/IN against a recorded distinct
+        # set prunes exactly, independent of ranges (None = unusable)
+        vset = (finfo.get("sets") or {}).get(col)
+        if vset is not None and op in ("==", "in"):
+            want = cond[2] if op == "in" else [cond[2]]
+            decoded = [_stat_decode(x) for x in vset]
+            if not any(_set_may_contain(decoded, v) for v in want):
+                return False
         st = finfo.get("cols", {}).get(col)
         if st is None:
-            continue  # no stats for this column: cannot prune on it
+            continue  # no range stats for this column: no range pruning
         n_rows = finfo.get("n_rows", 0)
         nulls = st.get("null_count", 0)
         if op == "is_null":
@@ -279,8 +381,6 @@ def _file_may_match(finfo: dict, conditions: list[tuple]) -> bool:
             if n_rows > 0 and nulls == n_rows:
                 return False
             continue
-        if op not in _SKIP_OPS:
-            raise ValueError(f"unsupported skip predicate op {op!r}")
         # comparison ops: NULL rows never satisfy them, so an all-null
         # file proves empty; otherwise judge against [min, max]
         if n_rows > 0 and nulls == n_rows:
@@ -288,8 +388,12 @@ def _file_may_match(finfo: dict, conditions: list[tuple]) -> bool:
         if st["min"] is None or st["max"] is None:
             continue
         lo, hi = _stat_decode(st["min"]), _stat_decode(st["max"])
-        v = cond[2]
         try:
+            if op == "in":
+                if not any(lo <= v <= hi for v in cond[2]):
+                    return False
+                continue
+            v = cond[2]
             if op == "==" and (v < lo or v > hi):
                 return False
             if op == ">=" and hi < v:
@@ -321,9 +425,10 @@ def scan_version(
     by tests/test_versioned.py against that exact twin).
 
     ``conditions``: ``[("col", op, value), ...]`` with op in
-    ``== < <= > >= is_null not_null`` (the two null ops take no value),
-    combined with AND. Files without stats for a referenced column are
-    always kept.
+    ``== in < <= > >= is_null not_null`` ("in" takes a non-empty list,
+    the two null ops take no value), combined with AND. Files without
+    stats for a referenced column are always kept; ``==``/``in`` prune
+    against recorded value sets (``set_cols``) first, then ranges.
 
     Scale shape: at 100 TB the win is DRIVER-side — a time- or
     key-range query over a snapshot with thousands of files plans a
@@ -358,6 +463,10 @@ def scan_version(
                 df = df.where(c.isNull())
             elif op == "not_null":
                 df = df.where(c.isNotNull())
+            elif op == "in":
+                if not cond[2]:
+                    raise ValueError("'in' condition needs a non-empty list")
+                df = df.where(c.isin(list(cond[2])))
             else:
                 v = F.lit(cond[2])
                 expr = {

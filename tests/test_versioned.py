@@ -373,3 +373,116 @@ def test_collect_file_stats_match_spark_per_file_minmax(spark, tmp_path):
         assert _stat_decode(finfo["cols"]["k"]["max"]) == want.kmax
         assert _stat_decode(finfo["cols"]["label"]["min"]) == want.lmin
         assert _stat_decode(finfo["cols"]["label"]["max"]) == want.lmax
+
+
+def _categorical(spark):
+    """4 files whose lang [min, max] ranges nearly all span the domain
+    (each file pairs one low lang with the lexicographic maximum "zh",
+    so ranges keep almost everything) but whose VALUE SETS differ: the
+    set-index scenario where equality pruning beats range pruning."""
+    low = ["de", "en", "es", "fr"]
+    rows = []
+    for f in range(4):
+        pair = [low[f], "zh"]
+        for i in range(100):
+            rows.append((f * 1000 + i, i, pair[i % 2], float(i)))
+    df = spark.createDataFrame(
+        rows, "id long, k long, lang string, price double"
+    )
+    # partition by file index so each parquet file gets its own pair
+    return df.repartitionByRange(4, "id")
+
+
+def test_value_set_skipping_prunes_where_minmax_cannot(spark, tmp_path):
+    """Equality on an unsorted categorical: every file's [min,max] on
+    lang spans the domain (range stats keep all 4), but the recorded
+    value sets prune to exactly the files holding the value — and the
+    result stays row-for-row equal to the filter twin."""
+    from asterlake.sources.versioned import scan_version
+
+    root = str(tmp_path / "cat")
+    write_version(
+        _categorical(spark), root,
+        stats_cols=["k", "lang"], set_cols=["lang"],
+    )
+    full = read_version(spark, root, 1)
+    assert len(full.inputFiles()) == 4
+
+    # range-only baseline: a second version WITHOUT sets keeps all 4
+    root2 = str(tmp_path / "cat_nosets")
+    write_version(_categorical(spark), root2, stats_cols=["k", "lang"])
+    by_range = scan_version(spark, root2, [("lang", "==", "zh")], version=1)
+    assert len(by_range.inputFiles()) == 4  # min/max can't help here
+
+    # value sets prune: zh lives in exactly 2 of the 4 files
+    by_set = scan_version(spark, root, [("lang", "==", "zh")], version=1)
+    assert len(by_set.inputFiles()) == 2
+    twin = full.where(F.col("lang") == "zh")
+    assert sorted(r.id for r in by_set.collect()) == sorted(
+        r.id for r in twin.collect()
+    )
+
+    # IN list: union of the member files, same row-for-row equality
+    by_in = scan_version(
+        spark, root, [("lang", "in", ["zh", "en"])], version=1
+    )
+    assert len(by_in.inputFiles()) == 3  # en: files 0,4%5->0... zh: 2
+    twin_in = full.where(F.col("lang").isin("zh", "en"))
+    assert sorted(r.id for r in by_in.collect()) == sorted(
+        r.id for r in twin_in.collect()
+    )
+
+    # a value no file holds reads zero files, schema intact
+    ghost = scan_version(spark, root, [("lang", "==", "xx")], version=1)
+    assert ghost.count() == 0
+    assert ghost.schema == full.schema
+
+    # conjunction with a range predicate composes (set AND range prune)
+    both = scan_version(
+        spark, root, [("lang", "==", "zh"), ("k", ">=", 50)], version=1
+    )
+    twin_b = full.where((F.col("lang") == "zh") & (F.col("k") >= 50))
+    assert sorted(r.id for r in both.collect()) == sorted(
+        r.id for r in twin_b.collect()
+    )
+
+
+def test_value_set_cap_and_type_safety_never_misprune(spark, tmp_path):
+    """Over-cap columns record None (never prune); cross-type probes
+    (int equality against a double set) keep the file rather than
+    trusting a Python type-sensitive membership test."""
+    from asterlake.sources.versioned import (
+        collect_file_value_sets,
+        scan_version,
+        _data_path,
+    )
+
+    root = str(tmp_path / "cap")
+    write_version(
+        _categorical(spark), root,
+        set_cols=["lang", "id", "price"], set_max=5,
+    )
+    sets = collect_file_value_sets(_data_path(root, 1), ["id"], set_max=5)
+    assert all(s["id"] is None for s in sets.values())  # 100 ids > cap
+
+    # id: every file over cap -> nothing prunes, query still correct
+    got = scan_version(spark, root, [("id", "==", 2050)], version=1)
+    assert [r.id for r in got.collect()] == [2050]
+    assert len(got.inputFiles()) == 4  # None sets keep everything
+
+    # price (double) probed with a PYTHON INT: type category differs
+    # from nothing — int vs float are the same category, so this DOES
+    # prune correctly via numeric ==; the twin equality is the contract
+    full = read_version(spark, root, 1)
+    by_price = scan_version(spark, root, [("price", "==", 7)], version=1)
+    twin = full.where(F.col("price") == 7)
+    assert sorted(r.id for r in by_price.collect()) == sorted(
+        r.id for r in twin.collect()
+    )
+    assert by_price.count() == 4  # one row per file holds price 7.0
+
+    # empty IN list fails loudly rather than planning nonsense
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        scan_version(spark, root, [("lang", "in", [])], version=1).count()
