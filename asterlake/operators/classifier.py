@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "feature_vector",
     "logistic_score",
+    "logit_margin",
     "logistic_grad",
     "logistic_train",
     "quality_gate",
@@ -77,6 +78,20 @@ def _dot_literal(weights: list[float], vec_col: Column) -> Column:
     )
 
 
+# Loss-clamp contract shared by logistic_grad and replay_train: p is
+# clamped into [_P_EPS, 1 - _P_EPS] before the logs (unclamped, a fully
+# saturated p of exactly 0.0/1.0 makes log() -> -inf, and
+# floor(inf*scale).cast('long') is engine-dependent: Long.MAX non-ANSI,
+# error under ANSI — ADVICE r8). |z| > _Z_CAP short-circuits to the
+# clamp WITHOUT evaluating exp, because Python's math.exp raises
+# OverflowError past ~709 while Java's returns inf — the guard keeps
+# the two paths bit-identical on ill-conditioned data. Inside the caps
+# the clamp is the identity for any p in [_P_EPS, 1-_P_EPS], so
+# well-conditioned training is byte-for-byte unchanged.
+_P_EPS = 1e-12
+_Z_CAP = 700.0
+
+
 def logistic_score(
     df: DataFrame,
     weights: list[float],
@@ -93,6 +108,28 @@ def logistic_score(
     z = _dot_literal(weights, F.col(vec_col))
     return df.withColumn(
         out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    )
+
+
+def logit_margin(
+    df: DataFrame,
+    weights: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "logit",
+) -> DataFrame:
+    """Append the PRE-sigmoid decision margin ``z = w0 + w . x`` — the
+    cross-engine-safe scoring surface: z is a left-to-right literal
+    multiply-add fold any SQL engine restates bit-exactly, while
+    ``exp`` (and therefore the sigmoid) differs between Java's Math.exp
+    and glibc in the last ulp on ~4% of arguments (measured in
+    tests/test_classifier.py). sigmoid is strictly monotone in z, so
+    every threshold/top-k/ranking semantics transfers: gate on
+    ``z >= logit(t)`` instead of ``sigmoid(z) >= t``. Pure projection,
+    no shuffle, no Python."""
+    if len(weights) < 2:
+        raise ValueError("weights must be [bias, w1, ..., wd]")
+    return df.withColumn(
+        out_col, _dot_literal(weights, F.col(vec_col))
     )
 
 
@@ -115,13 +152,24 @@ def logistic_grad(
     is floor-quantized before summing (exact integer aggregation —
     order and partitioning independent); the driver de-quantizes once.
     """
-    p = F.lit(1.0) / (
-        F.lit(1.0) + F.exp(-_dot_literal(weights, F.col(vec_col)))
+    z = _dot_literal(weights, F.col(vec_col))
+    raw_p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # clamp per the module contract (see _P_EPS/_Z_CAP above): the
+    # |z| guards mirror replay_train's OverflowError avoidance and the
+    # greatest/least pair is Python's max/min bit-for-bit on non-NaN
+    p = (
+        F.when(z < F.lit(-_Z_CAP), F.lit(_P_EPS))
+        .when(z > F.lit(_Z_CAP), F.lit(1.0 - _P_EPS))
+        .otherwise(
+            F.least(
+                F.lit(1.0 - _P_EPS), F.greatest(F.lit(_P_EPS), raw_p)
+            )
+        )
     )
     y = F.col(label_col).cast("double")
     resid = (p - y).alias("r")
-    # per-row log-loss, clamped the standard way via log(sigmoid) forms:
-    # -(y*log(p) + (1-y)*log(1-p)); p in (0,1) strictly since exp>0
+    # per-row log-loss; p strictly inside (0,1) after the clamp, so the
+    # logs are always finite and the floor-quantization stays exact
     loss = -(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))
 
     def q(c: Column) -> Column:
@@ -256,7 +304,13 @@ def replay_train(
             for j in range(dim):
                 acc = acc + w[j + 1] * float(x[j])
             z = w[0] + acc
-            p = 1.0 / (1.0 + math.exp(-z))
+            if z < -_Z_CAP:
+                p = _P_EPS
+            elif z > _Z_CAP:
+                p = 1.0 - _P_EPS
+            else:
+                p = 1.0 / (1.0 + math.exp(-z))
+                p = min(1.0 - _P_EPS, max(_P_EPS, p))
             r = p - float(y)
             loss = -(
                 float(y) * math.log(p)

@@ -342,12 +342,25 @@ def _set_may_contain(decoded: list, v) -> bool:
             return "date"
         return "other"
 
+    def is_nan(x) -> bool:
+        return isinstance(x, float) and x != x
+
     cv = cat(v)
     if cv == "other":
         return True
-    if any(cat(d) != cv for d in decoded):
+    # NaN: Spark SQL's equality and IN treat NaN = NaN as a MATCH
+    # (NaN sorts/compares as a normal largest-double value), while
+    # Python's nan == nan is False — judging with Python == would
+    # wrongly prune a file whose set holds NaN for a NaN probe
+    # (ADVICE r8). Spark's NaN-normalized equality is exactly: NaN
+    # matches NaN and nothing else — so a NaN probe keeps the file iff
+    # the set holds a NaN, and a non-NaN probe ignores NaN members.
+    if is_nan(v):
+        return any(is_nan(d) for d in decoded)
+    members = [d for d in decoded if not is_nan(d)]
+    if any(cat(d) != cv for d in members):
         return True
-    return any(v == d for d in decoded)
+    return any(v == d for d in members)
 
 
 def _file_may_match(finfo: dict, conditions: list[tuple]) -> bool:
@@ -388,12 +401,28 @@ def _file_may_match(finfo: dict, conditions: list[tuple]) -> bool:
         if st["min"] is None or st["max"] is None:
             continue
         lo, hi = _stat_decode(st["min"]), _stat_decode(st["max"])
+
+        # NaN disables range judgment entirely (same contract as
+        # _set_may_contain): Spark orders NaN ABOVE +inf and matches
+        # NaN = NaN, while every Python comparison against nan is
+        # False — so `lo <= nan <= hi` would prune a file that holds
+        # the probe, and a file whose recorded max IS NaN has a range
+        # Python cannot bound. Keep the file on any NaN sighting.
+        def _nanish(x) -> bool:
+            return isinstance(x, float) and x != x
+
+        if _nanish(lo) or _nanish(hi):
+            continue
         try:
             if op == "in":
+                if any(_nanish(v) for v in cond[2]):
+                    continue
                 if not any(lo <= v <= hi for v in cond[2]):
                     return False
                 continue
             v = cond[2]
+            if _nanish(v):
+                continue
             if op == "==" and (v < lo or v > hi):
                 return False
             if op == ">=" and hi < v:

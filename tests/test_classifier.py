@@ -282,3 +282,39 @@ def test_quality_gate_on_real_documents(spark, sf_dir):
     )
     assert acc > 0.9, acc
     labeled.unpersist()
+
+
+def test_saturated_features_stay_finite_and_bit_identical(spark):
+    """Ill-conditioned (unscaled) features drive |z| far past the float64
+    exp range. Unclamped, log(p) hits -inf (engine-dependent once
+    floor-quantized) and the Python replay raises OverflowError at
+    math.exp — ADVICE r8. With the shared clamp both paths stay finite
+    AND bit-for-bit identical, including the saturated rows."""
+    schema = StructType(
+        [
+            StructField("y", IntegerType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    # one hugely positive z, one hugely negative, plus normal rows
+    rows = [
+        (0, [1e6] * DIM),  # z >> +700 with positive weights
+        (1, [-1e6] * DIM),  # z << -700: raw math.exp would overflow
+        (1, [0.5] * DIM),
+        (0, [-0.25] * DIM),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    w0 = [0.1] + [0.2] * DIM
+    grad, loss, n = logistic_grad(df, w0, DIM)
+    assert n == 4
+    assert all(math.isfinite(g) for g in grad)
+    assert math.isfinite(loss) and loss > 0.0
+
+    # full training differential on the same ill-conditioned frame
+    w_spark, hist_spark = logistic_train(df, DIM, iters=5, lr=0.1)
+    w_py, hist_py = replay_train(
+        [(y, x) for y, x in rows], DIM, iters=5, lr=0.1
+    )
+    assert w_spark == w_py  # bit-for-bit, saturation included
+    assert hist_spark == hist_py
+    assert all(math.isfinite(v) for v in w_spark + hist_spark)
