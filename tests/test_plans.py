@@ -198,11 +198,13 @@ def test_no_driver_side_actions_in_operator_code():
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
     # the pragma is an exception mechanism, not a loophole — keep it
-    # rare. The five: graph.py convergence scalar, similarity.py
+    # rare. The eight: graph.py convergence scalar, similarity.py
     # kmeans/PCA model partials, pq.py codebook training (r8), bpe.py
-    # one-argmax-pair-per-round (r8) — every one a bounded-model-state
-    # training loop, never data-sized.
-    assert pragmas <= 5, f"too many driver-ok pragmas: {pragmas}"
+    # one-argmax-pair-per-round (r8), classifier.py one-row d+2-scalar
+    # gradient collect (r8), unigram.py seed-vocab + per-EM-round model
+    # collects (r9; both bounded by seed_size — the vocab IS the model)
+    # — every one a bounded-model-state training loop, never data-sized.
+    assert pragmas <= 8, f"too many driver-ok pragmas: {pragmas}"
 
 
 def test_srp_blocked_neighbors_no_quadratic_shape(spark):
