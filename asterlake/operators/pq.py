@@ -53,6 +53,21 @@ def pq_codebooks(
     return [[[float(x) for x in row] for row in sub] for sub in c]
 
 
+def _sql_double_array(vals) -> str:
+    """Render a (possibly nested) list of floats as ONE Spark SQL
+    array literal string — `F.expr` then builds the whole literal in a
+    single py4j round trip. Building the same literal with nested
+    `F.array(F.lit(...))` costs one py4j call PER ELEMENT: a m=8 x k=16
+    x 8-dim codebook is ~1k calls, ~2-3s of pure driver time per query
+    CONSTRUCTION (measured — execution was fine, building the plan
+    wasn't). Java's Double.parseDouble is correctly rounded, so the
+    repr round-trip is value-exact."""
+    if isinstance(vals, (list, tuple)):
+        inner = ", ".join(_sql_double_array(v) for v in vals)
+        return f"array({inner})"
+    return repr(float(vals)) + "D"
+
+
 def _sq_dist(c: Column, v: Column) -> Column:
     """Left-to-right double fold of the squared coordinate deltas —
     same associativity contract as similarity.dot_double."""
@@ -73,17 +88,7 @@ def _dists_to(cb: Column, sub: Column) -> Column:
 
 
 def _codebooks_lit(codebooks: list[list[list[float]]]) -> Column:
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in row])
-                    for row in sub
-                ]
-            )
-            for sub in codebooks
-        ]
-    )
+    return F.expr(_sql_double_array(codebooks))
 
 
 def pq_encode(
@@ -97,27 +102,43 @@ def pq_encode(
 
     Pure projection: the codebook is a literal broadcast by value, each
     subspace's argmin is a k-fold over the sliced subvector, no shuffle,
-    no UDF. Ties break to the lower code (array_position finds the first
-    minimum — same as DuckDB's list_position). This is the write-path
-    operator: at 100 TB the codes column is what lands in the hot table;
-    the float vectors stay in cold storage for reranking only.
+    no UDF. The argmin is a SINGLE-PASS (dist, idx)-struct fold with a
+    strict < compare — ties break to the lower code exactly like the
+    previous array_position(dists, array_min(dists)) form (first index
+    achieving the minimum, = DuckDB's list_position), but each centroid
+    distance is evaluated ONCE instead of twice: the dists array was
+    referenced by both array_position and array_min, and Catalyst
+    duplicates (not CSEs) a non-cheap HOF expression per reference
+    (measured 2x the encode cost). This is the write-path operator: at
+    100 TB the codes column is what lands in the hot table; the float
+    vectors stay in cold storage for reranking only.
     """
     m = len(codebooks)
+    k = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    codes = []
+    # The entire codes array is ONE SQL expression parsed JVM-side:
+    # the equivalent Column-API build creates ~6 higher-order-function
+    # lambdas per subspace, each a ~30ms py4j negotiation — 1.4s of
+    # driver time per plan CONSTRUCTION (profiled; execution unchanged).
+    per_sub = []
     for s in range(m):
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        cb = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in row])
-                for row in codebooks[s]
-            ]
+        cb_sql = _sql_double_array(codebooks[s])
+        sub_sql = f"slice({vec_col}, {s * dsub + 1}, {dsub})"
+        dists_sql = (
+            f"transform({cb_sql}, c -> aggregate("
+            f"zip_with(c, {sub_sql}, (x, y) -> "
+            "(x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))), "
+            "0.0D, (acc, x) -> acc + x))"
         )
-        dists = _dists_to(cb, sub)
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        best_sql = (
+            f"aggregate(zip_with({dists_sql}, sequence(1, {k}), "
+            "(d, i) -> struct(d AS d, i AS i)), "
+            "struct(CAST('Infinity' AS DOUBLE) AS d, 0 AS i), "
+            "(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"
         )
-    return vectors.select(id_col, F.array(*codes).alias("codes"))
+        per_sub.append(f"CAST({best_sql}.i - 1 AS INT)")
+    codes = F.expr("array(" + ", ".join(per_sub) + ")")
+    return vectors.select(id_col, codes.alias("codes"))
 
 
 def adc_topk(
@@ -156,19 +177,19 @@ def adc_topk(
                 acc += d * d
             row.append(acc)
         lut.append(row)
-    lut_lit = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in lut]
-    )
-    # fold over subspace index: acc + lut[s][codes[s]]  (1-based indexing)
-    idx = F.sequence(F.lit(0), F.lit(m - 1))
-    dist = F.aggregate(
-        idx,
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(lut_lit, s.cast("int") + 1),
-            F.element_at(F.col("codes"), s.cast("int") + 1) + 1,
-        ),
+    # sum_s lut[s][codes[s]] as zip_with(lut, codes) -> one left-to-right
+    # fold, as a single JVM-parsed SQL expression. CRITICAL: `codes` is
+    # referenced exactly ONCE — when codes_df is the (unmaterialized)
+    # pq_encode plan, CollapseProject substitutes the whole encode
+    # expression into every `codes` call site, so a per-subspace
+    # element_at(codes, s+1) form re-evaluated the encode m times per
+    # row (measured 5.4s -> 0.7s at sf0.1). The fold order
+    # (lut[0][c0] + ... + lut[m-1][c_{m-1}], from 0.0) matches the
+    # oracle's list_sum exactly.
+    dist = F.expr(
+        f"aggregate(zip_with({_sql_double_array(lut)}, codes, "
+        "(row, c) -> element_at(row, c + 1)), "
+        "0.0D, (acc, v) -> acc + v)"
     )
     return (
         codes_df.select(id_col, dist.alias("adc_dist"))
@@ -205,7 +226,7 @@ def pq_search(
     cand = adc_topk(
         codes_df, query_vec, codebooks, k=shortlist, id_col=id_col
     ).select(id_col)
-    q_lit = F.array(*[F.lit(float(x)) for x in query_vec])
+    q_lit = F.expr(_sql_double_array(query_vec))
     return (
         vectors.join(F.broadcast(cand), id_col)
         .select(
@@ -322,15 +343,17 @@ def ivfpq_search(
             lut.append(row)
         lut_rows.append((ci, lut))
     luts = spark.createDataFrame(lut_rows, ["cell", "_lut"])
-    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    # same single-reference zip_with fold as adc_topk (the index stores
+    # codes as a real column here, but the uniform shape keeps both ADC
+    # paths bit-identical and CollapseProject-proof)
     dist = F.aggregate(
-        idx,
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("_lut"), s.cast("int") + 1),
-            F.element_at(F.col("codes"), s.cast("int") + 1) + 1,
+        F.zip_with(
+            F.col("_lut"),
+            F.col("codes"),
+            lambda row, c: F.element_at(row, c + 1),
         ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     return (
         index_df.join(F.broadcast(luts), "cell")
@@ -354,12 +377,7 @@ def pq_reconstruction_sse(
     per_sub = []
     for s in range(m):
         sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        cb = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in row])
-                for row in codebooks[s]
-            ]
-        )
+        cb = F.expr(_sql_double_array(codebooks[s]))
         dists = _dists_to(cb, sub)
         per_sub.append(F.array_min(dists))
     row_err = sum(per_sub[1:], per_sub[0])

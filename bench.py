@@ -53,6 +53,28 @@ def main() -> None:
         spark.range(8).mapInPandas(lambda it: it, "id long").write.format(
             "noop"
         ).mode("overwrite").save()
+        # warm the percentile rank machinery on SYNTHETIC data that
+        # shares no memo with any declared query (r8 verdict "What's
+        # wrong" #3: q_percentiles_exact recorded 11.6s cold vs
+        # 0.85-1.8s warm steady state — first-execution compilation of
+        # the two-level bucket-rank plan shape landing on whichever
+        # family member runs first; eager memo materialization does NOT
+        # fix it, compiling the plan shape does). Same cost class as
+        # the flagship/mapInPandas warms above: one-time JIT no
+        # steady-state execution pays. Local A/B at sf0.1, quiet box:
+        # family first-runs 26.7s -> 17.6s with this warm in place
+        # (percentiles 4.8 -> 2.9 cold, trimmed_stats 10.5 -> 4.8).
+        from pyspark.sql import functions as _F
+
+        from asterlake.operators.stats import exact_percentiles
+
+        _synth = spark.range(200_000).select(
+            (_F.col("id") % 3).cast("string").alias("g"),
+            (_F.xxhash64("id") % 1000).cast("double").alias("v"),
+        )
+        exact_percentiles(_synth, ["g"], "v", [0.25, 0.5, 0.75]).write.format(
+            "noop"
+        ).mode("overwrite").save()
 
         # Execution order: cheapest-first by the last recorded run
         # (BENCH_FULL.json, committed). Two reasons: (a) C2/janino JIT
@@ -95,15 +117,28 @@ def main() -> None:
         # the equidepth/range-layout pair, builder-pinned below). The
         # residual is the honest one-build-per-table cost.
         #
-        # r8 pre-attribution: five NEW queries this round (local sf0.1
-        # preview, hot box): q_stream_frequent ~2.2s, q_kll_quantile_rollup
-        # ~2.0, q_media_mp4_meta ~1.45, q_theta_set_ops ~1.06,
-        # q_sketch_overlap ~0.68 — ~7.4s of new-query total. The
-        # percentile family's steady state (r7 ask #4) measured 18.2s ->
-        # 17.7s on a ~15%-SLOWER probe in the same preview: the
-        # _flag_qty_counts memo (q_percentiles_exact builds, q_weighted_
-        # median rides) wins ~1s probe-normalized with the release
-        # contract untouched.
+        # r9 notes (each against the artifact it ships with):
+        # - percentile family: the r8 artifact's 25.7s (percentiles
+        #   11.60s) was first-execution attribution, not a plan change
+        #   (verdict-reproduced: 0.85-1.8s steady). Mechanism (a) from
+        #   the verdict's menu is now in the warm block above; the r9
+        #   family total is expected near its r7 15s probe-normalized.
+        # - q_media_mp4_meta (r8 verdict #4, 2.84s recorded vs ~1.45
+        #   preview): deliberate re-timing at sf0.1 measures 2.69s
+        #   first-touch then 1.77/1.70 steady — the recorded 2.84 was
+        #   first-touch (no prior record = ran last, cold block), and
+        #   the ~1.45 preview was a hotter box. Honest steady ~1.7-1.8s;
+        #   with a BENCH_FULL prior it now orders into the warm middle.
+        # - six NEW r9 queries (local sf0.1, warm steady / first):
+        #   q_ann_pq_search ~1.2-1.8 / 3.8 (after the r9 plan fixes:
+        #   single-reference zip_with ADC fold — CollapseProject was
+        #   re-evaluating the encode per subspace — and SQL-string
+        #   literals cutting ~1.4s of py4j plan-construction chatter),
+        #   q_bpe_segment ~3.1-3.4 (Arrow UDF merge loop over ~100k
+        #   whitespace words at sf0.1), q_cms_frequencies ~1.0-1.2,
+        #   q_quality_logistic ~0.23, q_snapshot_scan_pruned ~0.86
+        #   (includes its own snapshot write), q_quality_gate_text
+        #   ~0.83 — ~7-8s of new-query total expected in the artifact.
         #
         # r8 note on q_grouping_sets (r7 verdict ask #6, the one
         # unexplained common-query delta): deliberate warm re-timing at
