@@ -7355,6 +7355,179 @@ def q_quality_gate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unigram-LM model pinned as the tokenizer literal (the _BPE_MERGES
+# pattern): trained ONCE on the sf0.01 word dictionary with
+# operators/unigram.unigram_train (replayed bit-identically by
+# replay_unigram_train — the differential pin in tests/test_unigram.py
+# is what makes this a single model, not two), log-probs 6-decimal-
+# quantized per the literal contract. The probabilities are only
+# COMPARED (summed then >-compared in the Viterbi DP), never emitted,
+# so the parse is engine-stable by the shared fold order.
+_UNIGRAM_MODEL: dict[str, float] = {
+    'a': -2.747479,
+    'al': -4.344804,
+    'at': -4.332615,
+    'b': -3.657246,
+    'batch': -4.301177,
+    'c': -3.623083,
+    'custo': -4.304383,
+    'd': -3.231071,
+    'e': -2.558261,
+    'er': -4.32822,
+    'f': -4.393929,
+    'filte': -4.305455,
+    'g': -2.967468,
+    'h': -4.410458,
+    'hash': -4.290561,
+    'i': -4.368494,
+    'in': -3.650543,
+    'j': -11.14386,
+    'join': -4.272768,
+    'k': -3.661741,
+    'l': -3.638368,
+    'low': -4.321662,
+    'm': -4.354888,
+    'mer': -4.304383,
+    'merge': -4.321662,
+    'n': -11.14386,
+    'o': -11.14386,
+    'olumn': -4.304383,
+    'or': -3.244335,
+    'ow': -4.357143,
+    'p': -4.33703,
+    'par': -3.671928,
+    'q': -4.374218,
+    'r': -3.24582,
+    'ro': -4.366213,
+    'row': -4.294794,
+    's': -3.254026,
+    'scan': -4.302244,
+    'small': -4.310828,
+    'st': -3.681071,
+    't': -2.98277,
+    'ta': -4.332615,
+    'u': -4.33703,
+    'ue': -3.666256,
+    'v': -3.64333,
+    'w': -4.357143,
+    'y': -3.666821,
+}
+_UNIGRAM_MAX_PIECE = 5
+
+
+@query(
+    "q_unigram_segment",
+    None,  # oracle injected below (needs the model literal)
+)
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo ACL 2018) tokenization of
+    the corpus under the pinned model: per-word Viterbi-best
+    decomposition (row-local Arrow UDF, model broadcast by closure),
+    flattened to (doc_id, pos, piece). The oracle replays the DP as a
+    recursive CTE over the DISTINCT word dictionary — forward pass
+    carrying best[]/back[] as list columns per word (strict > with an
+    ascending start scan = the kernel's earliest-start tie contract),
+    then a backtrack unfold — and re-flattens by word/piece position.
+    Same Zipf reduction as training: the DP runs per distinct word,
+    never per token."""
+    from asterlake.operators.unigram import unigram_segment
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_segment(
+        d,
+        _UNIGRAM_MODEL,
+        max_piece_len=_UNIGRAM_MAX_PIECE,
+        text_col="text",
+        out_col="pieces",
+    ).select("doc_id", F.posexplode("pieces").alias("pos", "piece"))
+
+
+def _unigram_oracle() -> str:
+    L = _UNIGRAM_MAX_PIECE
+    items = sorted(_UNIGRAM_MODEL.items())
+    pcs = [piece for piece, _ in items]
+    lps = [lp for _, lp in items]
+    return f"""
+    WITH RECURSIVE
+    m AS (SELECT {pcs!r} AS pcs, {lps!r} AS lps),
+    words0 AS (
+      SELECT doc_id, u.i AS wpos, u.w AS word FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(wl)+1),
+                                     i -> {{'i': i, 'w': wl[i]}})) AS u
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS wl
+              FROM documents)
+      ) WHERE u.w != ''
+    ),
+    dict AS (SELECT DISTINCT word FROM words0),
+    dp AS (
+      SELECT word, 0 AS j, [CAST(0.0 AS DOUBLE)] AS best,
+             CAST([] AS INT[]) AS back
+      FROM dict
+      UNION ALL
+      SELECT word, j + 1 AS j,
+        list_append(best, pick.s) AS best,
+        list_append(back, pick.i) AS back
+      FROM (
+        SELECT word, j, best, back,
+          list_reduce(
+            list_prepend(
+              struct_pack(s := CAST('-Infinity' AS DOUBLE),
+                          i := CAST(0 AS INT)),
+              list_transform(range(greatest(0, j + 1 - {L}), j + 1),
+                i -> struct_pack(
+                  s := best[i + 1] + (CASE
+                    WHEN list_position(pcs,
+                           substring(word, i + 1, j + 1 - i)) > 0
+                      THEN CAST(lps[list_position(pcs,
+                             substring(word, i + 1, j + 1 - i))]
+                           AS DOUBLE)
+                    WHEN j + 1 - i = 1
+                      THEN CAST(list_min(lps) AS DOUBLE) - 10.0
+                    ELSE NULL END),
+                  i := CAST(i AS INT)))),
+            (acc, x) -> CASE WHEN x.s IS NOT NULL AND x.s > acc.s
+                             THEN x ELSE acc END
+          ) AS pick
+        FROM dp, m
+        WHERE j < length(word)
+      )
+    ),
+    bt AS (
+      SELECT word, length(word) AS j, CAST([] AS VARCHAR[]) AS parts,
+             back
+      FROM dp WHERE j = length(word)
+      UNION ALL
+      SELECT word, back[j] AS j,
+        list_prepend(substring(word, back[j] + 1, j - back[j]), parts)
+          AS parts,
+        back
+      FROM bt WHERE j > 0
+    ),
+    segged AS (SELECT word, parts FROM bt WHERE j = 0),
+    pieces AS (
+      SELECT w.doc_id, w.wpos, f.j, f.piece FROM words0 w
+      JOIN (
+        SELECT word, u.j AS j, u.piece AS piece FROM (
+          SELECT word,
+                 unnest(list_transform(range(1, len(parts)+1),
+                                       j -> {{'j': j, 'piece': parts[j]}})) AS u
+          FROM segged)
+      ) f ON w.word = f.word
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY wpos, j) - 1 AS INT) AS pos,
+           piece
+    FROM pieces
+    """
+
+
+QUERIES["q_unigram_segment"] = QueryDef(
+    q_unigram_segment, _unigram_oracle()
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -7399,22 +7572,11 @@ def q_quality_gate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as a recursive CTE, the CMS guarantees as in-plan booleans, and the
 # logistic gate on the LOGIT fold, never the sigmoid.)
 #
-# R10 CANDIDATES (operators landed r9 with local pins only):
-#   q_unigram_segment — unigram-LM (SentencePiece/Kudo ACL 2018) apply
-#     with a PINNED trained model literal (operators/unigram.py;
-#     training is a driver EM loop no SQL engine replays — the shipped
-#     {piece: logprob} table is the tokenizer artifact, the
-#     q_bpe_segment pattern). The Viterbi forward DP is
-#     recursive-CTE-expressible: iterate j = 1..len(word) carrying
-#     best[] and back[] as LIST columns per word (the q_bpe_segment
-#     recursive-state shape), lookup via list_position over parallel
-#     (piece, logp) literal lists, strict > compare with the
-#     earliest-start tie contract, then unfold the backpointers; gate
-#     on (doc_id, pos, piece). Log-prob doubles are driver-derived from
-#     exact integer counts, 6-decimal-quantized per the literal
-#     contract, and only COMPARED (never emitted), so the parse is
-#     engine-stable.
-#   The four deferred q_window_* rows lead the r10 front (see above).
+# R10 FRONT PLAN: q_unigram_segment (DECLARED late r9 with its full
+#   Viterbi-recursive-CTE oracle — see below; local parity green, not
+#   in the frozen 50, so its driver row lands r10) plus the four
+#   deferred q_window_* rows lead the r10 front; the remaining slots
+#   return to freshness rotation over the r7-era rows.
 
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # the r8 codec work (4:2:0, then progressive SOF2 + restart
@@ -7427,6 +7589,12 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # (the r8 percentiles/weighted-median memo exemptions are retired:
     # both rows sit in the r9 front as r6-era promotions, so the memo
     # routing gets its driver re-score this round)
+    # brand-new declaration landed AFTER the r9 front froze at its 50
+    # committed slots; it has never had a driver row to go stale, its
+    # local DuckDB parity is green at sf0.001/0.01, and the R10 FRONT
+    # PLAN above puts it first in line next round
+    "q_unigram_segment": "declared late r9 post-freeze; leads the r10 "
+    "front (local oracle parity green)",
 }
 
 _NEW_R9 = [
