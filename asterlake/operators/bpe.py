@@ -171,11 +171,22 @@ def bpe_segment(
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def seg(texts: pd.Series) -> pd.Series:
+        # Zipf cache: segment each DISTINCT word once per worker, not
+        # once per occurrence — the corpus is tokens-sized but the
+        # vocabulary is tiny (100 TB of text is ~1e5-1e6 distinct
+        # words), so the merge loop runs |vocab| times and every other
+        # token is a dict hit. Purely an evaluation memo: outputs are
+        # byte-identical with or without it.
+        memo: dict[str, list[str]] = {}
         out = []
         for t in texts:
             toks: list[str] = []
             for w in (t or "").split():
-                toks.extend(seg_word(w))
+                pieces = memo.get(w)
+                if pieces is None:
+                    pieces = seg_word(w)
+                    memo[w] = pieces
+                toks.extend(pieces)
             out.append(toks)
         return pd.Series(out)
 

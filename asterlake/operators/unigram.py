@@ -292,11 +292,19 @@ def unigram_segment(
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def seg(texts: pd.Series) -> pd.Series:
+        # Zipf cache (same as bpe_segment): Viterbi each DISTINCT word
+        # once per worker; every other occurrence is a dict hit. Pure
+        # evaluation memo — outputs byte-identical either way.
+        memo: dict[str, list[str]] = {}
         out = []
         for t in texts:
             toks: list[str] = []
             for w in (t or "").split():
-                toks.extend(viterbi_segment(w, lp, mpl))
+                pieces = memo.get(w)
+                if pieces is None:
+                    pieces = viterbi_segment(w, lp, mpl)
+                    memo[w] = pieces
+                toks.extend(pieces)
             out.append(toks)
         return pd.Series(out)
 
