@@ -7528,6 +7528,112 @@ QUERIES["q_unigram_segment"] = QueryDef(
 )
 
 
+@query(
+    "q_cms_join_size",
+    """
+    WITH j AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT exact_join_size, TRUE AS lower_ok, TRUE AS upper_ok FROM j
+    """,
+)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-grade equi-join cardinality from two stored count-min
+    sketches (the CM inner product, min over hash rows) WITHOUT
+    touching either fact — gated in-plan like q_cms_frequencies:
+    xxhash64 slots are not DuckDB-replayable, so the row carries the
+    exact join count plus the two guarantee verdicts the oracle asserts
+    TRUE. ``lower_ok``: the inner product over-counts only (colliding
+    keys add non-negative cross terms), so est >= exact
+    DETERMINISTICALLY. ``upper_ok``: est <= exact +
+    ceil(e * n_a * n_b / width) in exact 272/100 BIGINT arithmetic —
+    the standard CM inner-product band (empirically 5-50x slack at all
+    three test SFs). The joined relations here are sketch-sized
+    (<= depth*width rows), never the facts."""
+    from asterlake.operators.cms import cms_build, cms_join_size
+
+    depth, width = 5, 4096
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = cms_build(o, [], "o_custkey", depth=depth, width=width)
+    b = cms_build(c, [], "c_custkey", depth=depth, width=width)
+    est = cms_join_size(a, b, None, depth=depth, width=width, out="est")
+    exact = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count("*").cast("bigint").alias("exact_join_size"))
+    )
+    sizes = o.agg(F.count("*").cast("bigint").alias("n_a")).crossJoin(
+        c.agg(F.count("*").cast("bigint").alias("n_b"))
+    )
+    bound = F.floor(
+        (F.lit(272).cast("bigint") * F.col("n_a") * F.col("n_b")
+         + F.lit(100 * width - 1).cast("bigint"))
+        / F.lit(100 * width).cast("bigint")
+    ).cast("bigint")
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "exact_join_size",
+            (F.col("est") >= F.col("exact_join_size")).alias("lower_ok"),
+            (F.col("est") <= F.col("exact_join_size") + bound).alias(
+                "upper_ok"
+            ),
+        )
+    )
+
+
+@query(
+    "q_unigram_seed_vocab",
+    """
+    WITH words0 AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents) t
+      WHERE w != '' GROUP BY w
+    ),
+    subs AS (
+      SELECT u.piece AS piece, CAST(SUM(n) AS BIGINT) AS n FROM (
+        SELECT n, unnest(flatten(list_transform(
+                 range(1, length(word) + 1), i ->
+                 list_transform(range(i, least(length(word), i + 4) + 1),
+                                j -> substring(word, i, j - i + 1))))
+               ) AS piece
+        FROM words0
+      ) u GROUP BY u.piece
+    ),
+    ranked AS (
+      SELECT piece, n FROM (
+        SELECT piece, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, piece ASC) AS rk
+        FROM subs
+      ) WHERE rk <= 64
+    )
+    SELECT piece, CAST(MAX(n) AS BIGINT) AS n FROM (
+      SELECT piece, n FROM ranked
+      UNION ALL
+      SELECT piece, n FROM subs WHERE length(piece) = 1
+    ) GROUP BY piece
+    """,
+)
+def q_unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram trainer's candidate-piece seed over the corpus word
+    dictionary: every substring up to length 5, corpus-weighted, top 64
+    by the exact (count DESC, piece ASC) total order UNIONed with all
+    single characters (the coverage floor pruning can never breach).
+    The explode runs over DISTINCT words (the Zipf reduction), the
+    groupBy combines map-side, and the tie order is total, so the seed
+    is engine-exact — the piece of unigram training that IS
+    SQL-expressible (the EM rounds are the driver loop)."""
+    from asterlake.operators.bpe import word_counts
+    from asterlake.operators.unigram import seed_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = word_counts(d, text_col="text")
+    return seed_vocab(wc, max_piece_len=5, seed_size=64)
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -7572,11 +7678,12 @@ QUERIES["q_unigram_segment"] = QueryDef(
 # as a recursive CTE, the CMS guarantees as in-plan booleans, and the
 # logistic gate on the LOGIT fold, never the sigmoid.)
 #
-# R10 FRONT PLAN: q_unigram_segment (DECLARED late r9 with its full
-#   Viterbi-recursive-CTE oracle — see below; local parity green, not
-#   in the frozen 50, so its driver row lands r10) plus the four
-#   deferred q_window_* rows lead the r10 front; the remaining slots
-#   return to freshness rotation over the r7-era rows.
+# R10 FRONT PLAN: the three queries DECLARED late r9 after the front
+#   froze (q_unigram_segment with its full Viterbi-recursive-CTE
+#   oracle, q_cms_join_size, q_unigram_seed_vocab — all local-parity
+#   green, exempt below) plus the four deferred q_window_* rows lead
+#   the r10 front; the remaining slots return to freshness rotation
+#   over the r7-era rows.
 
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # the r8 codec work (4:2:0, then progressive SOF2 + restart
@@ -7595,6 +7702,10 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # PLAN above puts it first in line next round
     "q_unigram_segment": "declared late r9 post-freeze; leads the r10 "
     "front (local oracle parity green)",
+    "q_cms_join_size": "declared late r9 post-freeze; leads the r10 "
+    "front (local oracle parity green)",
+    "q_unigram_seed_vocab": "declared late r9 post-freeze; leads the "
+    "r10 front (local oracle parity green)",
 }
 
 _NEW_R9 = [
