@@ -7634,6 +7634,118 @@ def q_unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seed_vocab(wc, max_piece_len=5, seed_size=64)
 
 
+def _ivfpq_centroids() -> list[list[float]]:
+    """IVF coarse centroids for the IVFADC query, 6-decimal-quantized
+    per the literal contract (adc_dist doubles reach the output, so
+    every literal operand must round-trip exactly on both engines —
+    unlike q_ann_ivf_*, whose centroid literals only feed rank
+    stages)."""
+    from asterlake.operators.similarity import ivf_centroids
+
+    return [
+        [round(float(x), 6) for x in row]
+        for row in ivf_centroids(k=8, dim=64, seed=7)
+    ]
+
+
+@query(
+    "q_ann_ivfpq_search",
+    None,  # oracle injected below (needs centroid/codebook/query literals)
+)
+def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFADC search (Jegou et al. TPAMI 2011, the FAISS layout):
+    build the (cell, codes) index — max-dot coarse assignment, PQ codes
+    of the RESIDUAL v - centroid — then probe the query's 2 best cells
+    by cosine with per-cell driver LUTs (broadcast as a tiny (cell,
+    lut) table) and take ADC top-10. Only probed cells' rows are ever
+    scored (BroadcastHashJoin on the cell id; with a cell-partitioned
+    index the scan itself prunes at 100 TB). The oracle replays
+    assignment, residual encode, cell ranking, and the ADC fold as the
+    same left-to-right double folds — adc_dist is emitted and must
+    hash-match, which is why every literal here is quantized."""
+    from asterlake.operators.pq import ivfpq_index, ivfpq_search
+
+    cb, qv = _pq_model()
+    cents = _ivfpq_centroids()
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = ivfpq_index(e, cents, cb)
+    return ivfpq_search(spark, idx, qv, cents, cb, k=10, nprobe=2)
+
+
+def _ivfpq_oracle() -> str:
+    cb, qv = _pq_model()
+    cents = _ivfpq_centroids()
+    dd = (
+        "list_sum(list_transform(range(1, 65), i -> "
+        "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    code_d = (
+        "list_transform(cb[s+1], c -> "
+        "list_sum(list_transform(range(1, 9), i -> "
+        "(CAST(c[i] AS DOUBLE) - r[s*8 + i]) "
+        "* (CAST(c[i] AS DOUBLE) - r[s*8 + i]))))"
+    )
+    return f"""
+    WITH cents AS (SELECT {cents} AS cl),
+    cbs AS (SELECT {cb} AS cb),
+    qq AS (SELECT {qv} AS qv),
+    assigned AS (
+      SELECT vec_id, embedding,
+        CAST(list_position(scores, list_aggregate(scores, 'max')) - 1
+             AS INT) AS cell
+      FROM (
+        SELECT vec_id, embedding,
+          list_transform(cl, c -> {dd.format(a='c', b='embedding')})
+            AS scores
+        FROM embeddings, cents)
+    ),
+    resid AS (
+      SELECT vec_id, cell,
+        list_transform(range(1, 65), i ->
+          CAST(embedding[i] AS DOUBLE) - CAST(cl[cell + 1][i] AS DOUBLE))
+          AS r
+      FROM assigned, cents
+    ),
+    codes AS (
+      SELECT vec_id, cell,
+        list_transform(range(0, 8), s ->
+          CAST(list_position({code_d}, list_aggregate({code_d}, 'min'))
+               - 1 AS INT)) AS codes
+      FROM resid, cbs
+    ),
+    cellrank AS (
+      SELECT ci - 1 AS cell,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, ci ASC) AS rk FROM (
+        SELECT ci,
+          {dd.format(a='cl[ci]', b='qv')} /
+            (sqrt({dd.format(a='cl[ci]', b='cl[ci]')})
+             * sqrt({dd.format(a='qv', b='qv')})) AS cos
+        FROM range(1, 9) t(ci), cents, qq)
+    ),
+    probed AS (SELECT cell FROM cellrank WHERE rk <= 2),
+    scored AS (
+      SELECT vec_id,
+        list_sum(list_transform(range(0, 8), s ->
+          list_sum(list_transform(range(1, 9), i ->
+            (CAST(cb[s+1][codes[s+1] + 1][i] AS DOUBLE)
+              - (CAST(qv[s*8 + i] AS DOUBLE)
+                 - CAST(cl[cell + 1][s*8 + i] AS DOUBLE)))
+            * (CAST(cb[s+1][codes[s+1] + 1][i] AS DOUBLE)
+              - (CAST(qv[s*8 + i] AS DOUBLE)
+                 - CAST(cl[cell + 1][s*8 + i] AS DOUBLE)))
+          )))) AS adc_dist
+      FROM codes JOIN probed USING (cell), cbs, cents, qq
+    )
+    SELECT vec_id, adc_dist FROM scored
+    ORDER BY adc_dist ASC, vec_id LIMIT 10
+    """
+
+
+QUERIES["q_ann_ivfpq_search"] = QueryDef(
+    q_ann_ivfpq_search, _ivfpq_oracle()
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -7680,7 +7792,8 @@ def q_unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # R10 FRONT PLAN: the three queries DECLARED late r9 after the front
 #   froze (q_unigram_segment with its full Viterbi-recursive-CTE
-#   oracle, q_cms_join_size, q_unigram_seed_vocab — all local-parity
+#   oracle, q_cms_join_size, q_unigram_seed_vocab,
+#   q_ann_ivfpq_search — all local-parity
 #   green, exempt below) plus the four deferred q_window_* rows lead
 #   the r10 front; the remaining slots return to freshness rotation
 #   over the r7-era rows.
@@ -7705,6 +7818,8 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "q_cms_join_size": "declared late r9 post-freeze; leads the r10 "
     "front (local oracle parity green)",
     "q_unigram_seed_vocab": "declared late r9 post-freeze; leads the "
+    "r10 front (local oracle parity green)",
+    "q_ann_ivfpq_search": "declared late r9 post-freeze; leads the "
     "r10 front (local oracle parity green)",
 }
 
