@@ -256,37 +256,52 @@ def ivfpq_index(
     no UDF. At 100 TB this (cell, codes) table IS the hot index:
     ~1 int + m bytes per vector, cell-partitionable, the float vectors
     stay cold."""
-    from asterlake.operators.similarity import dot_double
-
-    c_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
-    )
-    scores = F.transform(c_lit, lambda c: dot_double(c, F.col(vec_col)))
-    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    resid = F.zip_with(
-        F.col(vec_col),
-        F.element_at(c_lit, F.col("cell") + 1),
-        lambda x, y: x.cast("double") - y,
-    )
-    with_resid = vectors.select(
-        id_col, cell.alias("cell"), F.col(vec_col)
-    ).withColumn("_resid", resid)
     m = len(codebooks)
+    k = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    codes = []
+    cl = _sql_double_array(centroids)
+    # SQL-text expressions with LET bindings (the single-element
+    # transform idiom: `transform(array(e), x -> body)[1]` evaluates e
+    # once and lets body reference it as a cheap lambda variable) — the
+    # same two hazards fixed in pq_encode/adc_topk apply here:
+    # element-wise Column literals cost ~1k py4j calls of plan
+    # construction, and CollapseProject re-evaluates a non-cheap
+    # expression per reference (the residual fed all m subspace slices,
+    # and the argmax cell fed the residual). Semantics are unchanged:
+    # first-max assignment, first-min codes, identical fold orders
+    # (the committed oracle replays these exactly).
+    dot = (
+        "aggregate(zip_with(c, {vec}, (x, y) -> "
+        "x * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    ).format(vec=vec_col)
+    cell_expr = (
+        f"element_at(transform(array(transform({cl}, c -> {dot})), "
+        "sc -> CAST(array_position(sc, array_max(sc)) - 1 AS INT)), 1)"
+    )
+    per_sub = []
     for s in range(m):
-        sub = F.slice(F.col("_resid"), s * dsub + 1, dsub)
-        cb = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in row])
-                for row in codebooks[s]
-            ]
+        cb_sql = _sql_double_array(codebooks[s])
+        dists_sql = (
+            f"transform({cb_sql}, c -> aggregate("
+            f"zip_with(c, slice(r, {s * dsub + 1}, {dsub}), "
+            "(x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, x) -> acc + x))"
         )
-        dists = _dists_to(cb, sub)
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        per_sub.append(
+            f"element_at(transform(array({dists_sql}), ds -> "
+            "CAST(array_position(ds, array_min(ds)) - 1 AS INT)), 1)"
         )
-    return with_resid.select(id_col, "cell", F.array(*codes).alias("codes"))
+    codes_expr = (
+        "element_at(transform(array("
+        f"zip_with({vec_col}, element_at({cl}, cell + 1), "
+        "(x, y) -> CAST(x AS DOUBLE) - y)), "
+        f"r -> array({', '.join(per_sub)})), 1)"
+    )
+    return (
+        vectors.select(id_col, vec_col, F.expr(cell_expr).alias("cell"))
+        .withColumn("codes", F.expr(codes_expr))
+        .select(id_col, "cell", "codes")
+    )
 
 
 def ivfpq_search(
