@@ -1054,3 +1054,73 @@ def test_cms_state_advances_per_micro_batch(spark, tmp_path):
         .collect()
     }
     assert all(via_folded[k] >= exact[k] for k in exact)
+
+
+def test_tokenizers_and_quality_gate_compose_into_streaming(spark, tmp_path):
+    """The r9 tokenizer apply operators and the logistic gate are pure
+    row-local projections (Arrow UDF / literal folds), so they apply
+    UNCHANGED to a streaming DataFrame — the shape a corpus-ingest
+    micro-batch pipeline runs: segment each arriving document, gate it
+    on engineered quality features. Pin: draining the streamed pipeline
+    over multiple micro-batches equals the batch run row-for-row."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.bpe import bpe_segment
+    from asterlake.operators.classifier import feature_vector, logit_margin
+    from asterlake.operators.textstats import quality_features
+    from asterlake.operators.unigram import unigram_segment
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    texts = [
+        "the small table joins a fast key",
+        "slow scan slow scan slow scan",
+        "value part hash merge window sort",
+        "a a a the the line",
+    ]
+    for fi in range(2):  # two files -> two micro-batches
+        with open(os.path.join(src, f"{fi}.jsonl"), "w") as f:
+            for i, t in enumerate(texts):
+                f.write(_json.dumps({"doc_id": fi * 10 + i, "text": t}) + "\n")
+
+    merges = [("th", "e"), ("t", "h"), ("a", "</w>")]
+    model = {"the": -1.5, "s": -2.0, "a": -1.0, "lo": -2.5, "w": -3.0}
+    weights = [-0.5, 1.0, -2.0, 0.05, -1.0, 1.0]
+    fcols = [
+        "distinct_ratio", "stopword_ratio", "mean_token_len",
+        "punct_ratio", "quality_score",
+    ]
+
+    def pipe(df):
+        seg1 = bpe_segment(df, merges, text_col="text", out_col="bpe")
+        seg2 = unigram_segment(
+            seg1, model, max_piece_len=3, text_col="text", out_col="uni"
+        )
+        feats = feature_vector(
+            quality_features(seg2.select("doc_id", "text")), fcols
+        )
+        scored = logit_margin(feats, weights, vec_col="features")
+        return (
+            seg2.select("doc_id", "bpe", "uni")
+            .join(scored.select("doc_id", "logit"), "doc_id")
+            .select(
+                "doc_id",
+                F.array_join("bpe", "|").alias("bpe"),
+                F.array_join("uni", "|").alias("uni"),
+                (F.col("logit") >= 0.0).alias("kept"),
+            )
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    _drain(pipe(stream), str(tmp_path / "ck_tok"), "tok_stream")
+    got = sorted(tuple(r) for r in spark.table("tok_stream").collect())
+    batch = spark.read.schema("doc_id long, text string").json(src)
+    want = sorted(tuple(r) for r in pipe(batch).collect())
+    assert got == want
+    assert len(got) == 8
