@@ -37,6 +37,18 @@ def main() -> None:
         app_name="asterlake-bench",
         extra_conf={
             "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
+            # the generated-class cache defaults to 100 entries; a
+            # 150+-query session evicts the percentile family's LARGE
+            # generated classes long before the family runs, so every
+            # family member re-pays a multi-second janino compile that
+            # an isolated (or back-to-back) run never sees — measured
+            # in-session 9-15s vs 2-6s isolated at identical plans.
+            # Sizing the cache to the workload is the same class of
+            # fix as the warm block: one-time compilation is not a
+            # steady-state cost, and a real cluster running a diverse
+            # query mix sizes this cache the same way. STATIC conf:
+            # must be set at session build.
+            "spark.sql.codegen.cache.maxEntries": "5000",
         },
     )
     try:
@@ -75,6 +87,16 @@ def main() -> None:
         exact_percentiles(_synth, ["g"], "v", [0.25, 0.5, 0.75]).write.format(
             "noop"
         ).mode("overwrite").save()
+        # ... and the WEIGHTED variant: weight= routes through a
+        # different rank-plan shape, i.e. a different generated class —
+        # unwarmed, its first execution (q_weighted_median) paid the
+        # same one-time compile the unweighted warm had just removed
+        # from the rest of the family (traced: 14.5s first, 1.4s on the
+        # immediate retry, every other family member 2-5s).
+        exact_percentiles(
+            _synth.withColumn("w", (_F.col("v") % 7 + 1).cast("double")),
+            ["g"], "v", [0.5], weight="w",
+        ).write.format("noop").mode("overwrite").save()
 
         # Execution order: cheapest-first by the last recorded run
         # (BENCH_FULL.json, committed). Two reasons: (a) C2/janino JIT
@@ -117,28 +139,51 @@ def main() -> None:
         # the equidepth/range-layout pair, builder-pinned below). The
         # residual is the honest one-build-per-table cost.
         #
-        # r9 notes (each against the artifact it ships with):
-        # - percentile family: the r8 artifact's 25.7s (percentiles
-        #   11.60s) was first-execution attribution, not a plan change
-        #   (verdict-reproduced: 0.85-1.8s steady). Mechanism (a) from
-        #   the verdict's menu is now in the warm block above; the r9
-        #   family total is expected near its r7 15s probe-normalized.
+        # r9 notes (each against the BENCH_FULL this repo ships, a
+        # clean-box run with probe 1.51):
+        # - percentile family, the r8 verdict's "What's wrong" #3: the
+        #   recorded 25.7s family (percentiles 11.60s) had TWO causes,
+        #   both now addressed and both visible in the artifact.
+        #   (1) Structural: the generated-class cache (default 100
+        #   entries) was being thrashed by the 150+-query session —
+        #   every family member re-paid a multi-second compile that an
+        #   isolated run never sees; the maxEntries=5000 session conf
+        #   above cut the family's first-touch sum ~50s -> ~20-26s
+        #   across repeated full runs (traced per-query). The two warm
+        #   blocks (unweighted + weighted rank shapes) cover the first
+        #   compile itself. The shipped artifact records percentiles
+        #   1.94, weighted_median 1.37, sketch_distinct 2.27, equidepth
+        #   4.15, range_layout 2.94.
+        #   (2) Residual and HONESTLY UNRESOLVED: a one-time 6-25s cost
+        #   lands on one or two family members per run at a
+        #   run-dependent position (observed across four full runs:
+        #   trimmed_stats 28.5/13.3/4.0, weighted_median 14.5/8.4)
+        #   and is NOT removed by any warm; immediate re-times are
+        #   1.1-2.4s. Riders are caught by the suspect-retry net;
+        #   BUILDERS are retry-exempt by design, so mechanism (b) from
+        #   the verdict's menu now records each builder's warm re-time
+        #   ALONGSIDE the cold number (builder_retime_sec in the
+        #   payload) — the shipped artifact shows trimmed_stats 13.27
+        #   cold / 2.41 re-time rather than claiming steady state in
+        #   prose. Root-causing the bimodal build slot (persist/GC
+        #   contention is the suspect) is an explicit r10 item.
         # - q_media_mp4_meta (r8 verdict #4, 2.84s recorded vs ~1.45
         #   preview): deliberate re-timing at sf0.1 measures 2.69s
         #   first-touch then 1.77/1.70 steady — the recorded 2.84 was
-        #   first-touch (no prior record = ran last, cold block), and
-        #   the ~1.45 preview was a hotter box. Honest steady ~1.7-1.8s;
-        #   with a BENCH_FULL prior it now orders into the warm middle.
-        # - six NEW r9 queries (local sf0.1, warm steady / first):
-        #   q_ann_pq_search ~1.2-1.8 / 3.8 (after the r9 plan fixes:
+        #   first-touch (no prior record = ran last, cold block). The
+        #   shipped artifact records 1.29s with a warm-middle slot.
+        # - the TEN new r9 queries sum to 9.7s in the shipped artifact:
+        #   q_ann_ivfpq_search 1.69, q_cms_join_size 1.47,
+        #   q_snapshot_scan_pruned 1.35 (includes its own snapshot
+        #   write), q_ann_pq_search 1.18 (after the r9 plan fixes:
         #   single-reference zip_with ADC fold — CollapseProject was
-        #   re-evaluating the encode per subspace — and SQL-string
-        #   literals cutting ~1.4s of py4j plan-construction chatter),
-        #   q_bpe_segment ~3.1-3.4 (Arrow UDF merge loop over ~100k
-        #   whitespace words at sf0.1), q_cms_frequencies ~1.0-1.2,
-        #   q_quality_logistic ~0.23, q_snapshot_scan_pruned ~0.86
-        #   (includes its own snapshot write), q_quality_gate_text
-        #   ~0.83 — ~7-8s of new-query total expected in the artifact.
+        #   re-evaluating the encode per subspace — plus SQL-string
+        #   literals cutting ~1.4s of py4j plan-construction chatter;
+        #   12s -> ~1.2s), q_unigram_segment 1.10, q_quality_gate_text
+        #   0.76, q_bpe_segment 0.71 (the Zipf distinct-word memo: the
+        #   merge loop runs per VOCABULARY entry, 3.4s -> 0.7s),
+        #   q_cms_frequencies 0.66, q_unigram_seed_vocab 0.51,
+        #   q_quality_logistic 0.29.
         #
         # r8 note on q_grouping_sets (r7 verdict ask #6, the one
         # unexplained common-query delta): deliberate warm re-timing at
@@ -173,12 +218,20 @@ def main() -> None:
             if bi > ri:
                 order.insert(ri, order.pop(bi))
 
+        trace = os.environ.get("SPARK_GRAFT_BENCH_TRACE") == "1"
+
         def run_one(name: str) -> float:
             t0 = time.perf_counter()
             QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            return round(time.perf_counter() - t0, 4)
+            sec = round(time.perf_counter() - t0, 4)
+            if trace:
+                # live per-query timing on stderr (diagnosis aid: which
+                # session position a cost lands on; stdout stays the
+                # single JSON line)
+                print(f"[trace] {name}: {sec}", file=sys.stderr, flush=True)
+            return sec
 
         # Box-speed probe: the warmed flagship plan is a fixed workload,
         # so its median time is a pure box/JVM-speed sample. Recorded at
@@ -252,6 +305,20 @@ def main() -> None:
         for name in sorted(suspects, key=lambda n: -timings[n])[:12]:
             timings[name] = min(timings[name], run_one(name))
 
+        # Builders are exempt from the suspect-retry net (a retry would
+        # record the rider-side memo hit), which also means a one-off
+        # box/GC spike landing on a builder is recorded RAW with no
+        # visible attribution (r8 verdict "What's wrong" #3; observed
+        # again r9: q_trimmed_stats 4.0s <-> 28.5s across back-to-back
+        # runs with identical code). Mechanism (b) from that verdict's
+        # menu: each declared builder gets ONE warm re-time recorded
+        # ALONGSIDE (never replacing) its cold number, so readers can
+        # separate "the build got slower" from "the box hiccuped on
+        # this slot" without trusting prose.
+        builder_retime = {
+            name: run_one(name) for name in sorted(_builders)
+        }
+
         probe_end = probe()
         total = round(sum(timings.values()), 4)
         payload = {
@@ -266,6 +333,9 @@ def main() -> None:
             "probe_sec_start": probe_start,
             "probe_sec_end": probe_end,
             "probe_sec": round((probe_start + probe_end) / 2, 4),
+            # warm re-times for the retry-exempt memo builders — the
+            # steady-state companion to their recorded cold numbers
+            "builder_retime_sec": builder_retime,
         }
     finally:
         spark.stop()
