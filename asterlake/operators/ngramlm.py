@@ -1,0 +1,298 @@
+"""Distributed n-gram language-model training and document scoring —
+the KenLM role in a training-data pipeline: perplexity-filter a corpus
+against an in-domain LM (Heafield, "KenLM: Faster and Smaller Language
+Model Queries", WMT 2011; the CCNet/RefinedWeb quality-filter stage).
+
+The reference (VictorClvtt/nasa_asteroid_data_lakehouse) has no LM
+surface at all — this module is beyond-parity scale tooling, same tier
+as :mod:`asterlake.operators.bpe` / :mod:`asterlake.operators.unigram`.
+
+Model construction (closed vocabulary, add-k smoothing):
+
+1. ``top_vocab`` — the top ``vocab_size`` unigrams by exact corpus
+   count. Every out-of-vocabulary token maps to ``<unk>`` BEFORE
+   bigram counting (the standard closed-vocab construction), so the
+   model is finite and broadcastable no matter the corpus size.
+2. ``bigram_counts`` — one corpus pass: adjacent token pairs with a
+   ``<s>`` sentence-start context, exploded and group-summed.
+   Map-side combinable; the shuffle carries DISTINCT (w1, w2) pairs
+   only — Zipf-bounded (vocab_size+2 squared worst case), never
+   corpus-sized.
+3. ``bigram_train`` — conditional log-probabilities
+   ``logp(w2 | w1) = ln((c(w1,w2) + k) / (c(w1,*) + k * V))``
+   quantized to integer MICRO-NATS at train time. The shipped model is
+   the quantized table — exactly how production LMs ship quantized
+   probabilities — so every downstream score is an exact BIGINT sum,
+   bit-identical under any partitioning, engine, or fold order.
+   The collect is model-sized (observed distinct pairs, bounded by
+   (V+2)^2), never data-sized. ``replay_bigram_train`` is the pure-
+   Python differential twin pinned in tests/test_ngramlm.py.
+
+Scoring (``bigram_score``): per-document total log-likelihood of the
+token stream under the pinned model. Pure row-local projection — the
+quantized model rides into the plan as a literal map (models a trainer
+ships are small; for a giant model use ``bigram_score_join``), the
+per-pair lookups fold left-to-right via ``aggregate``, and the sum is
+exact BIGINT arithmetic. No shuffle, no UDF, predicate-pushdown
+friendly: at 100 TB this is one map-only pass.
+
+``bigram_score_join`` is the big-model variant: pairs explode, hash-
+join the model relation (broadcast when it fits), exact BIGINT groupBy
+sum — shuffle carries (doc_id, micros) only.
+
+Perplexity gating never computes a float: ``ppl <= t`` is equivalent
+to ``loglik_micros >= -ln(t)_micros * n_pairs`` — an exact integer
+cross-multiply both engines evaluate identically.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "BOS",
+    "UNK",
+    "top_vocab",
+    "bigram_counts",
+    "bigram_train",
+    "replay_bigram_train",
+    "bigram_score",
+    "bigram_score_join",
+    "model_relation",
+]
+
+BOS = "<s>"
+UNK = "<unk>"
+MICROS = 1_000_000
+
+
+def _tokens(text_col: str) -> F.Column:
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def _mapped(toks: F.Column, vocab: list[str]) -> F.Column:
+    """OOV tokens collapse to <unk> (closed-vocabulary construction)."""
+    v = F.lit(vocab)
+    return F.transform(
+        toks, lambda t: F.when(F.array_contains(v, t), t).otherwise(UNK)
+    )
+
+
+def top_vocab(docs: DataFrame, text_col: str, vocab_size: int) -> list[str]:
+    """Top ``vocab_size`` unigrams by (count DESC, token ASC) — the
+    exact deterministic order, so two trainings of the same corpus
+    pick the same vocabulary. One corpus pass, map-side combined;
+    the collect is vocab-sized."""
+    rows = (
+        docs.select(F.explode(_tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .collect()  # driver-ok: vocab-sized (<= vocab_size rows), never data-sized
+    )
+    return [r["tok"] for r in rows]
+
+
+def bigram_counts(
+    docs: DataFrame, text_col: str, vocab: list[str]
+) -> DataFrame:
+    """(w1, w2, n) adjacent-pair counts with a <s> start context and
+    OOV collapsed to <unk>. Shuffle carries distinct pairs only."""
+    toks = _mapped(_tokens(text_col), vocab)
+    ctx = F.concat(F.array(F.lit(BOS)), toks)  # w1 stream
+    pairs = F.zip_with(
+        F.slice(ctx, 1, F.size(toks)),
+        toks,
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _context_totals(pair_rows: list[tuple[str, str, int]]) -> dict[str, int]:
+    tot: dict[str, int] = {}
+    for w1, _w2, n in pair_rows:
+        tot[w1] = tot.get(w1, 0) + n
+    return tot
+
+
+def _quantize(c: int, ctx_total: int, k_num: int, k_den: int, v: int) -> int:
+    """floor(1e6 * ln((c + k) / (ctx + k*V))) with k = k_num/k_den —
+    the rational is formed exactly in integers, ln'd once, floored.
+    Same arithmetic in the distributed path and the replay twin."""
+    num = c * k_den + k_num
+    den = ctx_total * k_den + k_num * v
+    return math.floor(MICROS * math.log(num / den))
+
+
+def bigram_train(
+    docs: DataFrame,
+    text_col: str,
+    vocab_size: int = 128,
+    k_num: int = 1,
+    k_den: int = 10,
+) -> tuple[list[str], dict[str, int], int]:
+    """Train the quantized bigram model. Returns ``(vocab,
+    {"w1 w2": logp_micros}, unk_floor_micros)`` where ``unk_floor``
+    is the smoothed zero-count log-prob for an UNSEEN context (the
+    score of a pair whose w1 never occurred in training:
+    ln(k / (k*V)) = -ln(V)) — the lookup default.
+
+    Driver state is the model (observed-pair-sized); the corpus is
+    touched twice (vocab pass + pair pass), shuffles carry distinct
+    tokens/pairs only. Bit-reproducible under any partitioning: counts
+    are exact BIGINTs and the quantization is a pure function of them
+    (differential + invariance pins in tests/test_ngramlm.py)."""
+    vocab = top_vocab(docs, text_col, vocab_size)
+    rows = bigram_counts(
+        docs, text_col, vocab
+    ).collect()  # driver-ok: model-sized ((V+2)^2 worst case), never data-sized
+    pair_rows = [(r["w1"], r["w2"], r["n"]) for r in rows]
+    # V = emission alphabet: vocab + <unk> (never <s>, which only
+    # appears as context)
+    v = len(vocab) + 1
+    tot = _context_totals(pair_rows)
+    model = {
+        f"{w1} {w2}": _quantize(n, tot[w1], k_num, k_den, v)
+        for w1, w2, n in pair_rows
+    }
+    unk_floor = math.floor(MICROS * math.log(k_num / (k_num * v)))
+    return vocab, model, unk_floor
+
+
+def replay_bigram_train(
+    corpus: list[str],
+    vocab_size: int = 128,
+    k_num: int = 1,
+    k_den: int = 10,
+) -> tuple[list[str], dict[str, int], int]:
+    """Pure-Python twin of :func:`bigram_train` — the differential pin
+    that proves the distributed trainer computes THE model, not A
+    model."""
+    uni: dict[str, int] = {}
+    for text in corpus:
+        for t in text.split():
+            uni[t] = uni.get(t, 0) + 1
+    vocab = [
+        t for t, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:vocab_size]
+    vset = set(vocab)
+    pairs: dict[tuple[str, str], int] = {}
+    for text in corpus:
+        toks = [t if t in vset else UNK for t in text.split()]
+        if not toks:
+            continue
+        stream = [BOS] + toks
+        for a, b in zip(stream, stream[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    v = len(vocab) + 1
+    tot: dict[str, int] = {}
+    for (w1, _w2), n in pairs.items():
+        tot[w1] = tot.get(w1, 0) + n
+    model = {
+        f"{w1} {w2}": _quantize(n, tot[w1], k_num, k_den, v)
+        for (w1, w2), n in pairs.items()
+    }
+    unk_floor = math.floor(MICROS * math.log(k_num / (k_num * v)))
+    return vocab, model, unk_floor
+
+
+def bigram_score(
+    docs: DataFrame,
+    vocab: list[str],
+    model: dict[str, int],
+    unk_floor: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram log-likelihood under the pinned quantized
+    model: ``(id_col, n_pairs int, loglik_micros bigint)``.
+
+    Pure row-local projection — the model rides in as a literal map,
+    pair scores come from ``transform`` + ``element_at`` lookups with
+    the unseen-pair floor as default, and the doc total is
+    ``aggregate`` over exact BIGINTs. No shuffle, no UDF; at 100 TB
+    this is one map-only pass the optimizer can push filters through.
+    For models too large for a plan literal use
+    :func:`bigram_score_join`."""
+    lit_model = F.map_from_arrays(
+        F.lit(list(model.keys())),
+        F.lit([model[k] for k in model]),
+    )
+    toks = _mapped(_tokens(text_col), vocab)
+    ctx = F.concat(F.array(F.lit(BOS)), toks)
+    keys = F.zip_with(
+        F.slice(ctx, 1, F.size(toks)), toks,
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    micros = F.transform(
+        keys,
+        lambda kk: F.coalesce(
+            F.element_at(lit_model, kk), F.lit(unk_floor).cast("bigint")
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(keys).alias("n_pairs"),
+        F.aggregate(
+            micros,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("loglik_micros"),
+    )
+
+
+def model_relation(spark, model: dict[str, int]) -> DataFrame:
+    """The model as a relation ``(pair string, logp_micros bigint)`` —
+    the join-side shape for models that outgrow a plan literal."""
+    return spark.createDataFrame(
+        [(k, v) for k, v in model.items()], "pair string, logp_micros bigint"
+    )
+
+
+def bigram_score_join(
+    docs: DataFrame,
+    vocab: list[str],
+    model_rel: DataFrame,
+    unk_floor: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Big-model scoring: explode pairs, broadcast-join the model
+    relation, exact BIGINT groupBy sum. The shuffle carries
+    ``(doc_id, micros)`` rows only; result is bit-identical to
+    :func:`bigram_score` (pinned in tests/test_ngramlm.py)."""
+    toks = _mapped(_tokens(text_col), vocab)
+    ctx = F.concat(F.array(F.lit(BOS)), toks)
+    keys = F.zip_with(
+        F.slice(ctx, 1, F.size(toks)), toks,
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = docs.select(
+        F.col(id_col), F.posexplode_outer(keys).alias("pos", "pair")
+    )
+    joined = pairs.join(F.broadcast(model_rel), "pair", "left")
+    # the outer explode emits one null-pair row for an empty doc (so the
+    # doc survives the groupBy with a 0 score) — it must contribute 0,
+    # not the unseen-pair floor
+    per_pair = F.when(F.col("pair").isNull(), F.lit(0).cast("bigint")).otherwise(
+        F.coalesce(F.col("logp_micros"), F.lit(unk_floor).cast("bigint"))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("pair").cast("int").alias("n_pairs"),
+            F.coalesce(F.sum(per_pair), F.lit(0).cast("bigint")).alias(
+                "loglik_micros"
+            ),
+        )
+    )

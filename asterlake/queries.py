@@ -7747,6 +7747,368 @@ QUERIES["q_ann_ivfpq_search"] = QueryDef(
 
 
 # ---------------------------------------------------------------------------
+# Bigram-LM perplexity filter + corpus-composition queries (r9, post-freeze
+# declarations -> r10 front per the plan above)
+
+# Bigram LM pinned as the scorer literal (the _BPE_MERGES /
+# _UNIGRAM_MODEL pattern): trained ONCE on the sf0.01 corpus with
+# operators/ngramlm.bigram_train (vocab_size=16, add-k k=1/10; the
+# distributed trainer is bit-identically replayed by
+# replay_bigram_train — the differential pin in tests/test_ngramlm.py),
+# conditional log-probs quantized to integer MICRO-NATS at train time.
+# A document score is therefore an exact BIGINT sum — engine-,
+# partitioning- and fold-order-independent by construction, and the
+# perplexity gate is an integer cross-multiply, never a float compare.
+_BIGRAM_VOCAB: list[str] = [
+    'join', 'hash', 'row', 'batch', 'scan', 'column', 'customer', 'filter',
+    'small', 'merge', 'slow', 'order', 'vector', 'line', 'data', 'table',
+]
+_BIGRAM_MODEL: dict[str, int] = {
+    '<s> <unk>': -833049, '<s> batch': -3217283, '<s> column': -3268314,
+    '<s> customer': -3078170, '<s> data': -3439184, '<s> filter': -3268314,
+    '<s> hash': -3322091, '<s> join': -3322091, '<s> line': -3439184,
+    '<s> merge': -3168730, '<s> order': -3571828, '<s> row': -3168730,
+    '<s> scan': -3439184, '<s> slow': -3439184, '<s> small': -3905467,
+    '<s> table': -3168730, '<s> vector': -3571828, '<unk> <unk>': -790866,
+    '<unk> batch': -3333770, '<unk> column': -3369184,
+    '<unk> customer': -3491755, '<unk> data': -3446607,
+    '<unk> filter': -3317662, '<unk> hash': -3374002,
+    '<unk> join': -3331453, '<unk> line': -3395976,
+    '<unk> merge': -3371590, '<unk> order': -3338420,
+    '<unk> row': -3376420, '<unk> scan': -3366784, '<unk> slow': -3366784,
+    '<unk> small': -3441427, '<unk> table': -3322238,
+    '<unk> vector': -3400925, 'batch <unk>': -772631,
+    'batch batch': -3778032, 'batch column': -3358449,
+    'batch customer': -3358449, 'batch data': -3241012,
+    'batch filter': -3298007, 'batch hash': -3422779,
+    'batch join': -3604437, 'batch line': -3422779,
+    'batch merge': -3456566, 'batch order': -3390097,
+    'batch row': -3161182, 'batch scan': -3087257, 'batch slow': -3604437,
+    'batch small': -3269104, 'batch table': -3565369,
+    'batch vector': -3491535, 'column <unk>': -769894,
+    'column batch': -3481733, 'column column': -3555567,
+    'column customer': -3481733, 'column data': -3203886,
+    'column filter': -3380295, 'column hash': -3594635,
+    'column join': -3259302, 'column line': -3126126,
+    'column merge': -3177289, 'column order': -3380295,
+    'column row': -3412978, 'column scan': -3481733,
+    'column slow': -3288205, 'column small': -3978424,
+    'column table': -3380295, 'column vector': -3412978,
+    'customer <unk>': -809269, 'customer batch': -3485011,
+    'customer column': -3680948, 'customer customer': -3485011,
+    'customer data': -3450043, 'customer filter': -3597913,
+    'customer hash': -3416256, 'customer join': -3011899,
+    'customer line': -3383573, 'customer merge': -3262580,
+    'customer order': -3485011, 'customer row': -3485011,
+    'customer scan': -3450043, 'customer slow': -3180566,
+    'customer small': -3207164, 'customer table': -3383573,
+    'customer vector': -3080733, 'data <unk>': -825605,
+    'data batch': -3354800, 'data column': -3323152,
+    'data customer': -3076000, 'data data': -3178391,
+    'data filter': -3233807, 'data hash': -3292475, 'data join': -3151794,
+    'data line': -3696431, 'data merge': -3456239, 'data order': -3569140,
+    'data row': -3178391, 'data scan': -3387483, 'data slow': -3151794,
+    'data small': -3652176, 'data table': -3456239,
+    'data vector': -3742735, 'filter <unk>': -758648,
+    'filter batch': -3687472, 'filter column': -3527771,
+    'filter customer': -3877616, 'filter data': -3241012,
+    'filter filter': -3527771, 'filter hash': -3040845,
+    'filter join': -3327771, 'filter line': -3687472,
+    'filter merge': -3135928, 'filter order': -4112610,
+    'filter row': -3135928, 'filter scan': -3111297,
+    'filter slow': -3527771, 'filter small': -3040845,
+    'filter table': -4048485, 'filter vector': -3298007,
+    'hash <unk>': -764052, 'hash batch': -3246416, 'hash column': -3428184,
+    'hash customer': -3219092, 'hash data': -3395501,
+    'hash filter': -3737131, 'hash hash': -3246416, 'hash join': -3496939,
+    'hash line': -3274508, 'hash merge': -3533175, 'hash order': -3363853,
+    'hash row': -3737131, 'hash scan': -3363853, 'hash slow': -3274508,
+    'hash small': -3650497, 'hash table': -3533175,
+    'hash vector': -3141333, 'join <unk>': -819372, 'join batch': -3241476,
+    'join column': -3484355, 'join customer': -3484355,
+    'join data': -3188971, 'join filter': -3355560, 'join hash': -3484355,
+    'join join': -3672881, 'join line': -3325796, 'join merge': -3325796,
+    'join order': -3325796, 'join row': -3139085, 'join scan': -3296892,
+    'join slow': -3355560, 'join small': -3484355, 'join table': -3484355,
+    'join vector': -3163717, 'line <unk>': -810341, 'line batch': -3262711,
+    'line column': -3323152, 'line customer': -3051960,
+    'line data': -3151794, 'line filter': -3151794, 'line hash': -3456239,
+    'line join': -3292475, 'line line': -3125886, 'line merge': -3652176,
+    'line order': -3609796, 'line row': -3387483, 'line scan': -3609796,
+    'line slow': -3178391, 'line small': -3456239, 'line table': -3742735,
+    'line vector': -3696431, 'merge <unk>': -806516,
+    'merge batch': -3477346, 'merge column': -3097107,
+    'merge customer': -3097107, 'merge data': -3513582,
+    'merge filter': -3673283, 'merge hash': -3097107,
+    'merge join': -3442377, 'merge line': -3513582,
+    'merge merge': -3513582, 'merge order': -3026656,
+    'merge row': -3283818, 'merge scan': -3477346, 'merge slow': -3673283,
+    'merge small': -3283818, 'merge table': -3254914,
+    'merge vector': -3812396, 'order <unk>': -760925,
+    'order batch': -3458482, 'order column': -3180634,
+    'order customer': -3294718, 'order data': -3207958,
+    'order filter': -3294718, 'order hash': -3793531,
+    'order join': -3458482, 'order line': -3236050,
+    'order merge': -3571383, 'order order': -3458482,
+    'order row': -3423513, 'order scan': -3389726, 'order slow': -3654418,
+    'order small': -3180634, 'order table': -3423513,
+    'order vector': -3654418, 'row <unk>': -790257, 'row batch': -3340693,
+    'row column': -3226609, 'row customer': -3076703, 'row data': -3403018,
+    'row filter': -3890538, 'row hash': -3371370, 'row join': -3744649,
+    'row line': -3403018, 'row merge': -3226609, 'row order': -3310929,
+    'row row': -3310929, 'row scan': -3371370, 'row slow': -3282025,
+    'row small': -3310929, 'row table': -3790953, 'row vector': -3310929,
+    'scan <unk>': -807122, 'scan batch': -3359532, 'scan column': -3328855,
+    'scan customer': -3112380, 'scan data': -3492618,
+    'scan filter': -3299090, 'scan hash': -3732810, 'scan join': -3566453,
+    'scan line': -3423863, 'scan merge': -3566453, 'scan order': -3188174,
+    'scan row': -3270187, 'scan scan': -3423863, 'scan slow': -3528854,
+    'scan small': -3423863, 'scan table': -3112380,
+    'scan vector': -3214771, 'slow <unk>': -753896, 'slow batch': -3224622,
+    'slow column': -3342058, 'slow customer': -3342058,
+    'slow data': -3170700, 'slow filter': -3588047, 'slow hash': -3170700,
+    'slow join': -3281617, 'slow line': -3715337, 'slow merge': -3761641,
+    'slow order': -3761641, 'slow row': -3475145, 'slow scan': -3671082,
+    'slow slow': -3440176, 'slow small': -3047391, 'slow table': -3170700,
+    'slow vector': -3861226, 'small <unk>': -789648,
+    'small batch': -3475145, 'small column': -3511381,
+    'small customer': -3224622, 'small data': -3715337,
+    'small filter': -3170700, 'small hash': -3406389,
+    'small join': -3119538, 'small line': -3810195,
+    'small merge': -3715337, 'small order': -3671082,
+    'small row': -3342058, 'small scan': -3311381, 'small slow': -3252713,
+    'small small': -3144792, 'small table': -3440176,
+    'small vector': -3119538, 'table <unk>': -839687,
+    'table batch': -3242749, 'table column': -3134827,
+    'table customer': -3301416, 'table data': -3618738,
+    'table filter': -3465180, 'table hash': -2927668,
+    'table join': -3160735, 'table line': -3109573,
+    'table merge': -3037427, 'table order': -3465180,
+    'table row': -3751677, 'table scan': -3242749, 'table slow': -3905038,
+    'table small': -3332094, 'table table': -3751677,
+    'table vector': -3539014, 'vector <unk>': -776340,
+    'vector batch': -3461836, 'vector column': -3702028,
+    'vector customer': -3461836, 'vector data': -3901694,
+    'vector filter': -3360398, 'vector hash': -3426868,
+    'vector join': -3211313, 'vector line': -3393081,
+    'vector merge': -3498072, 'vector order': -3298073,
+    'vector row': -3426868, 'vector scan': -3360398,
+    'vector slow': -3461836, 'vector small': -2988724,
+    'vector table': -3461836, 'vector vector': -3131484,
+}
+_BIGRAM_UNK = -2833214  # unseen-pair floor: floor(1e6 * ln(1/V))
+_BIGRAM_GATE = -2210000  # micro-nats/pair admission floor (corpus median)
+
+
+@query(
+    "q_bigram_loglik",
+    None,  # oracle injected below (needs the model literal)
+)
+def q_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram log-likelihood under the pinned quantized
+    LM plus the perplexity admission gate (the KenLM/CCNet quality-
+    filter stage; Heafield WMT'11, Wenzek et al. LREC'20). Pure
+    row-local projection: the model rides in as a literal map, pair
+    scores fold left-to-right, the doc total is exact BIGINT — one
+    map-only corpus pass at 100 TB, no shuffle, no UDF. The gate
+    ``ppl <= e^2.21`` is evaluated as ``loglik_micros >= gate *
+    n_pairs`` — integer arithmetic both engines replay exactly."""
+    from asterlake.operators.ngramlm import bigram_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_score(d, _BIGRAM_VOCAB, _BIGRAM_MODEL, _BIGRAM_UNK).select(
+        "doc_id",
+        "n_pairs",
+        "loglik_micros",
+        (
+            F.col("loglik_micros")
+            >= F.lit(_BIGRAM_GATE).cast("bigint") * F.col("n_pairs")
+        ).alias("kept"),
+    )
+
+
+def _bigram_oracle() -> str:
+    mk = list(sorted(_BIGRAM_MODEL))
+    mv = [_BIGRAM_MODEL[k] for k in mk]
+    return f"""
+    WITH m AS (SELECT {mk!r} AS mk, {mv!r} AS mv,
+                      {_BIGRAM_VOCAB!r} AS voc),
+    t AS (SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             s -> s != '') AS tk
+          FROM documents),
+    mp AS (SELECT doc_id,
+                  list_transform(tk, s ->
+                    CASE WHEN list_contains(voc, s) THEN s
+                         ELSE '<unk>' END) AS tk
+           FROM t, m),
+    ks AS (SELECT doc_id,
+                  list_transform(range(1, len(tk) + 1), i ->
+                    concat(CASE WHEN i = 1 THEN '<s>' ELSE tk[i - 1] END,
+                           ' ', tk[i])) AS ks
+           FROM mp)
+    SELECT doc_id,
+           CAST(len(ks) AS INT) AS n_pairs,
+           CAST(coalesce(list_sum(list_transform(ks, kk ->
+                  coalesce(mv[list_position(mk, kk)],
+                           {_BIGRAM_UNK}))), 0) AS BIGINT)
+             AS loglik_micros,
+           CAST(coalesce(list_sum(list_transform(ks, kk ->
+                  coalesce(mv[list_position(mk, kk)],
+                           {_BIGRAM_UNK}))), 0) AS BIGINT)
+             >= {_BIGRAM_GATE} * CAST(len(ks) AS BIGINT) AS kept
+    FROM ks, m
+    """
+
+
+QUERIES["q_bigram_loglik"] = QueryDef(q_bigram_loglik, _bigram_oracle())
+
+
+@query(
+    "q_domain_caps",
+    """
+    SELECT doc_id, source, lang FROM (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY doc_id) AS rk
+      FROM documents) WHERE rk <= 10
+    """,
+)
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (the per-host cap every web-scale
+    pipeline applies before dedup): at most 10 docs per source in
+    deterministic ingest order — lowest doc_id wins, never an engine
+    hash, so the survivor set is THE survivor set. One shuffle on the
+    domain key; a pathological mega-domain is exactly the skew AQE's
+    partition splitting handles."""
+    from asterlake.operators.mixture import domain_caps
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return domain_caps(d, domain_col="source", cap=10, order_col="doc_id")
+
+
+# Mixture targets pinned as literals (a modeling decision, not data):
+# parts-per-million shares for the up-weighted domains; everything else
+# gets the default. Exact-integer end to end.
+_MIX_TARGETS: dict[str, int] = {
+    "src0": 200000, "src1": 150000, "src2": 100000, "src3": 50000,
+}
+_MIX_DEFAULT_PPM = 31250
+
+
+def _mix_weights_sql() -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_TARGETS.items())
+    )
+    return f"""
+    WITH b AS (
+      SELECT source AS domain,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               s -> s != ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS HUGEINT) AS t FROM b),
+    w AS (
+      SELECT domain, n_docs, n_tokens,
+             CAST(CASE domain {case} ELSE {_MIX_DEFAULT_PPM} END
+                  AS INT) AS share_ppm
+      FROM b)
+    SELECT domain, n_docs, n_tokens, share_ppm,
+           CAST((CAST(share_ppm AS HUGEINT) * t)
+                // CAST(n_tokens AS HUGEINT) AS BIGINT) AS factor_ppm
+    FROM w, tot
+    """
+
+
+@query("q_mixture_weights", None)  # oracle injected below
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture re-weighting (the Gopher/DoReMi composition
+    stage): per-domain repetition factor toward pinned target shares,
+    ``factor = share * total_tokens / domain_tokens`` in exact
+    integer arithmetic — the multiply routes through DECIMAL(38,0)
+    because share_ppm * total_tokens overflows BIGINT at 100 TB, and
+    the division is integral ``div`` (DuckDB: HUGEINT ``//``), never
+    a rounded decimal quotient. One map-side-combined pass; the
+    shuffle carries one row per domain."""
+    from asterlake.operators.mixture import mixture_weights, token_budget
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_weights(
+        token_budget(d, domain_col="source", text_col="text"),
+        _MIX_TARGETS,
+        default_ppm=_MIX_DEFAULT_PPM,
+    )
+
+
+QUERIES["q_mixture_weights"] = QueryDef(q_mixture_weights, _mix_weights_sql())
+
+
+def _mix_apply_sql() -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_TARGETS.items())
+    )
+    return f"""
+    WITH b AS (
+      SELECT source AS domain,
+             CAST(SUM(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               s -> s != ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS HUGEINT) AS t FROM b),
+    w AS (
+      SELECT domain,
+             CAST((CAST(CASE domain {case}
+                        ELSE {_MIX_DEFAULT_PPM} END AS HUGEINT) * t)
+                  // CAST(n_tokens AS HUGEINT) AS BIGINT) AS factor_ppm
+      FROM b, tot),
+    per AS (
+      SELECT d.source,
+             (factor_ppm // 1000000)
+             + CASE WHEN (d.doc_id * 48271) % 1000000
+                         < factor_ppm % 1000000
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN w ON d.source = w.domain)
+    SELECT source, CAST(SUM(n_copies) AS BIGINT) AS n_out
+    FROM per GROUP BY source HAVING SUM(n_copies) > 0
+    """
+
+
+@query("q_mixture_apply", None)  # oracle injected below
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the re-weighted corpus WITHOUT randomness and count
+    the result per domain: doc i repeats floor(factor) times plus one
+    more iff (i * 48271) % 1e6 < frac_ppm — fixed-point arithmetic any
+    engine replays bit-identically (no RNG, no engine hash), so the
+    sampled corpus is THE corpus. The factor table broadcast-joins;
+    the explode emits copy_id for downstream packing. 100-TB shape:
+    one broadcast join + one explode, shuffle only for the final
+    per-domain count."""
+    from asterlake.operators.mixture import (
+        apply_mixture,
+        mixture_weights,
+        token_budget,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = mixture_weights(
+        token_budget(d, domain_col="source", text_col="text"),
+        _MIX_TARGETS,
+        default_ppm=_MIX_DEFAULT_PPM,
+    )
+    return (
+        apply_mixture(d, w, domain_col="source", id_col="doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_out"))
+    )
+
+
+QUERIES["q_mixture_apply"] = QueryDef(q_mixture_apply, _mix_apply_sql())
+
+
+# ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
 # The correctness driver walks QUERIES in declaration order under a finite
@@ -7790,13 +8152,14 @@ QUERIES["q_ann_ivfpq_search"] = QueryDef(
 # as a recursive CTE, the CMS guarantees as in-plan booleans, and the
 # logistic gate on the LOGIT fold, never the sigmoid.)
 #
-# R10 FRONT PLAN: the three queries DECLARED late r9 after the front
-#   froze (q_unigram_segment with its full Viterbi-recursive-CTE
-#   oracle, q_cms_join_size, q_unigram_seed_vocab,
-#   q_ann_ivfpq_search — all local-parity
-#   green, exempt below) plus the four deferred q_window_* rows lead
-#   the r10 front; the remaining slots return to freshness rotation
-#   over the r7-era rows.
+# R10 FRONT PLAN: the queries DECLARED late r9 after the front froze
+#   (q_unigram_segment with its full Viterbi-recursive-CTE oracle,
+#   q_cms_join_size, q_unigram_seed_vocab, q_ann_ivfpq_search, and the
+#   bigram-LM / corpus-composition family q_bigram_loglik,
+#   q_domain_caps, q_mixture_weights, q_mixture_apply — all
+#   local-parity green, exempt below) plus the four deferred
+#   q_window_* rows lead the r10 front; the remaining slots return to
+#   freshness rotation over the r7-era rows.
 
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # the r8 codec work (4:2:0, then progressive SOF2 + restart
@@ -7821,6 +8184,14 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "r10 front (local oracle parity green)",
     "q_ann_ivfpq_search": "declared late r9 post-freeze; leads the "
     "r10 front (local oracle parity green)",
+    "q_bigram_loglik": "declared late r9 post-freeze; leads the r10 "
+    "front (local oracle parity green)",
+    "q_domain_caps": "declared late r9 post-freeze; leads the r10 "
+    "front (local oracle parity green)",
+    "q_mixture_weights": "declared late r9 post-freeze; leads the r10 "
+    "front (local oracle parity green)",
+    "q_mixture_apply": "declared late r9 post-freeze; leads the r10 "
+    "front (local oracle parity green)",
 }
 
 _NEW_R9 = [

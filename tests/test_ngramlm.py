@@ -1,0 +1,177 @@
+"""Bigram LM training + scoring (operators/ngramlm.py): bit-for-bit
+differential against the pure-Python replay trainer, partitioning
+invariance, literal-fold vs broadcast-join scoring equality, and the
+exact-integer perplexity gate."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from asterlake.operators.ngramlm import (
+    BOS,
+    MICROS,
+    UNK,
+    bigram_counts,
+    bigram_score,
+    bigram_score_join,
+    bigram_train,
+    model_relation,
+    replay_bigram_train,
+    top_vocab,
+)
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog",
+    "the cat saw the dog",
+    "dogs and cats and logs",
+    "",
+    "   ",
+    "zebra quokka xylophone",  # rare tokens -> OOV at small vocab
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id bigint, text string"
+    )
+
+
+def ref_score(
+    text: str, vocab: list[str], model: dict[str, int], unk: int
+) -> tuple[int, int]:
+    vset = set(vocab)
+    toks = [t if t in vset else UNK for t in text.split()]
+    stream = [BOS] + toks
+    micros = [
+        model.get(f"{a} {b}", unk) for a, b in zip(stream, stream[1:])
+    ]
+    return len(micros), sum(micros)
+
+
+def test_train_matches_pure_python_replay(spark):
+    d = _docs(spark)
+    got = bigram_train(d, "text", vocab_size=8, k_num=1, k_den=10)
+    want = replay_bigram_train(CORPUS, vocab_size=8, k_num=1, k_den=10)
+    assert got == want
+
+
+def test_train_invariant_under_repartitioning(spark):
+    d = _docs(spark)
+    one = bigram_train(d.coalesce(1), "text", vocab_size=8)
+    many = bigram_train(d.repartition(13), "text", vocab_size=8)
+    assert one == many
+
+
+def test_vocab_is_count_then_lexicographic(spark):
+    d = _docs(spark)
+    vocab = top_vocab(d, "text", 4)
+    # 'the' 6x, 'and' 3x, then cat/dog/on/sat at 3/3/2/2 ... exact order
+    uni: dict[str, int] = {}
+    for t in CORPUS:
+        for w in t.split():
+            uni[w] = uni.get(w, 0) + 1
+    want = [
+        t for t, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:4]
+    assert vocab == want
+
+
+def test_counts_collapse_oov_and_add_bos(spark):
+    d = _docs(spark)
+    vocab = ["the", "cat", "dog"]
+    rows = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in bigram_counts(d, "text", vocab).collect()
+    }
+    # every non-empty doc contributes exactly one <s>-context pair
+    n_bos = sum(n for (w1, _), n in rows.items() if w1 == BOS)
+    assert n_bos == sum(1 for t in CORPUS if t.split())
+    # 'zebra quokka xylophone' -> (<s>,<unk>) (<unk>,<unk>) (<unk>,<unk>)
+    assert rows[(UNK, UNK)] >= 2
+    assert all(w1 != "" and w2 != "" for (w1, w2) in rows)
+
+
+def test_score_matches_reference_per_doc(spark):
+    d = _docs(spark)
+    vocab, model, unk = bigram_train(d, "text", vocab_size=8)
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["loglik_micros"])
+        for r in bigram_score(d, vocab, model, unk).collect()
+    }
+    for i, text in enumerate(CORPUS):
+        assert got[i] == ref_score(text, vocab, model, unk), (i, text)
+
+
+def test_score_empty_doc_is_zero(spark):
+    d = _docs(spark)
+    vocab, model, unk = bigram_train(d, "text", vocab_size=8)
+    got = {r["doc_id"]: r for r in bigram_score(d, vocab, model, unk).collect()}
+    assert (got[5]["n_pairs"], got[5]["loglik_micros"]) == (0, 0)
+    assert (got[6]["n_pairs"], got[6]["loglik_micros"]) == (0, 0)
+
+
+def test_join_variant_bit_identical_to_literal_fold(spark):
+    d = _docs(spark)
+    vocab, model, unk = bigram_train(d, "text", vocab_size=8)
+    lit = {
+        r["doc_id"]: (r["n_pairs"], r["loglik_micros"])
+        for r in bigram_score(d, vocab, model, unk).collect()
+    }
+    rel = model_relation(spark, model)
+    jn = {
+        r["doc_id"]: (r["n_pairs"], r["loglik_micros"])
+        for r in bigram_score_join(d, vocab, rel, unk).collect()
+    }
+    assert lit == jn
+
+
+def test_quantization_is_floor_micros_of_log(spark):
+    d = _docs(spark)
+    vocab, model, unk = bigram_train(d, "text", vocab_size=8, k_num=1, k_den=10)
+    rows = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in bigram_counts(d, "text", vocab).collect()
+    }
+    tot: dict[str, int] = {}
+    for (w1, _), n in rows.items():
+        tot[w1] = tot.get(w1, 0) + n
+    v = len(vocab) + 1
+    for (w1, w2), n in rows.items():
+        want = math.floor(
+            MICROS * math.log((n * 10 + 1) / (tot[w1] * 10 + v))
+        )
+        assert model[f"{w1} {w2}"] == want
+    assert unk == math.floor(MICROS * math.log(1 / v))
+    # probabilities, so every entry is negative
+    assert all(m < 0 for m in model.values())
+
+
+def test_perplexity_gate_is_exact_cross_multiply(spark):
+    d = _docs(spark)
+    vocab, model, unk = bigram_train(d, "text", vocab_size=8)
+    # pick a threshold strictly between two observed mean log-probs so
+    # the gate provably separates (no fixed magic number: the corpus is
+    # tiny and <unk>-bigrams are IN the model, so even an all-OOV doc
+    # scores like an in-domain one)
+    means = sorted(
+        ll // n  # micro-nats per pair (loglik is already micros)
+        for n, ll in (
+            ref_score(t, vocab, model, unk) for t in CORPUS if t.split()
+        )
+    )
+    lo, hi = means[0], means[-1]
+    assert lo < hi
+    thr = (lo + hi) // 2
+    scored = bigram_score(d, vocab, model, unk).withColumn(
+        "kept",
+        F.col("loglik_micros") >= F.lit(thr) * F.col("n_pairs"),
+    )
+    kept = {r["doc_id"]: r["kept"] for r in scored.collect()}
+    for i, text in enumerate(CORPUS):
+        n, ll = ref_score(text, vocab, model, unk)
+        assert kept[i] == (ll >= thr * n), (i, text)
+    assert any(kept.values()) and not all(kept.values())

@@ -198,13 +198,15 @@ def test_no_driver_side_actions_in_operator_code():
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
     # the pragma is an exception mechanism, not a loophole — keep it
-    # rare. The eight: graph.py convergence scalar, similarity.py
+    # rare. The ten: graph.py convergence scalar, similarity.py
     # kmeans/PCA model partials, pq.py codebook training (r8), bpe.py
     # one-argmax-pair-per-round (r8), classifier.py one-row d+2-scalar
     # gradient collect (r8), unigram.py seed-vocab + per-EM-round model
-    # collects (r9; both bounded by seed_size — the vocab IS the model)
+    # collects (r9; both bounded by seed_size — the vocab IS the model),
+    # ngramlm.py vocab + bigram-model collects (r9; vocab_size and
+    # (V+2)^2 bounded — the collect IS the trained model)
     # — every one a bounded-model-state training loop, never data-sized.
-    assert pragmas <= 8, f"too many driver-ok pragmas: {pragmas}"
+    assert pragmas <= 10, f"too many driver-ok pragmas: {pragmas}"
 
 
 def test_srp_blocked_neighbors_no_quadratic_shape(spark):
@@ -529,3 +531,41 @@ def test_sketch_rollup_merge_all_broadcast_and_partial_merged(spark):
     assert tree.count("ObjectHashAggregate") == 8
     assert plan.count("partial_hll_sketch_agg") >= 2
     assert plan.count("partial_hll_union_agg") >= 2
+
+
+def test_bigram_loglik_is_shuffle_free_projection(spark):
+    """q_bigram_loglik at 100 TB: the pinned-model scorer is ONE
+    map-only pass — the literal map lookup + BIGINT fold must plan as
+    a pure projection over the parquet scan (no Exchange, no join, no
+    Python), reading only the two columns the score needs."""
+    plan = _plan(spark, "q_bigram_loglik")
+    assert not has_node(plan, "Exchange")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    scan = scan_for(plan, "documents")
+    assert set(scan.read_columns) == {"doc_id", "text"}
+
+
+def test_domain_caps_single_exchange_on_domain(spark):
+    """q_domain_caps: the per-domain rank is ONE hash exchange on the
+    domain key feeding a streaming window — no join, no second
+    shuffle, and the scan reads only the projected columns."""
+    plan = _plan(spark, "q_domain_caps")
+    assert node_count(plan, "Exchange") == 1
+    keys = shuffle_keys(plan)
+    assert keys and all("source" in k for k in keys), keys
+    assert not has_node(plan, "SortMergeJoin")
+    scan = scan_for(plan, "documents")
+    assert set(scan.read_columns) == {"doc_id", "source", "lang"}
+
+
+def test_mixture_apply_broadcasts_factors_never_sorts_fact(spark):
+    """q_mixture_apply: the factor table (one row per domain) must
+    reach the corpus as a broadcast — the fact never shuffles for the
+    join; the only exchanges are the domain-sized aggregations (token
+    budget + final count), never a SortMergeJoin of the corpus."""
+    plan = _plan(spark, "q_mixture_apply")
+    assert has_node(plan, "BroadcastHashJoin")
+    assert not has_node(plan, "SortMergeJoin")
+    assert not has_node(plan, "CartesianProduct")
+    assert has_node(plan, "Generate")  # the copy_id explode
