@@ -8109,6 +8109,145 @@ QUERIES["q_mixture_apply"] = QueryDef(q_mixture_apply, _mix_apply_sql())
 
 
 # ---------------------------------------------------------------------------
+# Recursive CTEs (Spark 4.1 WITH RECURSIVE — the last big ANSI-SQL
+# surface gap; both queries are replayed by DuckDB's recursive CTE with
+# only dialect-level edits, so the recursion itself is oracle-gated)
+
+
+@query(
+    "q_recursive_month_spine",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ),
+    spine(m) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+      FROM spine JOIN bounds ON m < hi
+    ),
+    per AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT spine.m AS month,
+           COALESCE(per.n_urgent, CAST(0 AS BIGINT)) AS n_urgent
+    FROM spine LEFT JOIN per ON spine.m = per.m
+    """,
+)
+def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill in PURE SQL via Spark 4.1's WITH
+    RECURSIVE: generate every month between the orders table's min and
+    max order date (including months with no qualifying rows — the
+    gap-fill shape timeseries.gap_fill_locf solves with sequence()+
+    explode, here in the ANSI-recursive idiom), left-join per-month
+    1-URGENT counts. The recursion is a one-row-per-level monotone
+    date walk (~80 levels, under the 100-level session limit) — driver
+    state is one DATE row per level, data-independent; the scan work
+    is the single grouped aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "rspine_orders"
+    )
+    return spark.sql("""
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) AS lo,
+                 CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) AS hi
+          FROM rspine_orders
+        ),
+        spine(m) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT add_months(m, 1) FROM spine JOIN bounds ON m < hi
+        ),
+        per AS (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+                 CAST(COUNT(*) AS BIGINT) AS n_urgent
+          FROM rspine_orders WHERE o_orderpriority = '1-URGENT'
+          GROUP BY 1
+        )
+        SELECT spine.m AS month,
+               COALESCE(per.n_urgent, CAST(0 AS BIGINT)) AS n_urgent
+        FROM spine LEFT JOIN per ON spine.m = per.m
+    """)
+
+
+def _bigram_values(dialect: str) -> str:
+    rows = ", ".join(
+        f"('{k.split(' ')[0]}', '{k.split(' ')[1]}', {v})"
+        for k, v in sorted(_BIGRAM_MODEL.items())
+    )
+    if dialect == "spark":
+        return f"VALUES {rows} AS m(w1, w2, lp)"
+    return f"(VALUES {rows}) m(w1, w2, lp)"
+
+
+@query(
+    "q_bigram_greedy_decode",
+    None,  # oracle injected below (needs the model literal)
+)
+def q_bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy LM decoding as a recursive CTE: walk 12 steps from <s>
+    under the pinned bigram model, at each step taking the highest-
+    probability continuation of the current token ((lp DESC, w2 ASC)
+    total order, so ties cannot diverge between engines). The argmax
+    table is ONE window over the model literal (aggregation is not
+    allowed inside a recursive term — hoisting it out is the correct
+    shape anyway: the per-context best is computed once, the walk is
+    12 one-row joins); the cumulative score is an exact BIGINT sum of
+    quantized micro-nats. Data-independent driver work — the query
+    demonstrates the iterative-SQL surface the engine now has."""
+    return spark.sql(f"""
+        WITH RECURSIVE best AS (
+          SELECT w1, w2, lp FROM (
+            SELECT w1, w2, lp,
+                   ROW_NUMBER() OVER (PARTITION BY w1
+                                      ORDER BY lp DESC, w2 ASC) AS rk
+            FROM {_bigram_values("spark")}
+          ) WHERE rk = 1
+        ),
+        walk(step, token, cum_micros) AS (
+          SELECT CAST(0 AS INT), '<s>', CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT w.step + 1, b.w2, w.cum_micros + CAST(b.lp AS BIGINT)
+          FROM walk w JOIN best b ON b.w1 = w.token
+          WHERE w.step < 12
+        )
+        SELECT step, token, cum_micros FROM walk WHERE step > 0
+    """)
+
+
+def _greedy_decode_oracle() -> str:
+    return f"""
+    WITH RECURSIVE best AS (
+      SELECT w1, w2, lp FROM (
+        SELECT w1, w2, lp,
+               ROW_NUMBER() OVER (PARTITION BY w1
+                                  ORDER BY lp DESC, w2 ASC) AS rk
+        FROM {_bigram_values("duck")}
+      ) WHERE rk = 1
+    ),
+    walk(step, token, cum_micros) AS (
+      SELECT CAST(0 AS INT), '<s>', CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT CAST(w.step + 1 AS INT), b.w2,
+             CAST(w.cum_micros + b.lp AS BIGINT)
+      FROM walk w JOIN best b ON b.w1 = w.token
+      WHERE w.step < 12
+    )
+    SELECT step, token, cum_micros FROM walk WHERE step > 0
+    """
+
+
+QUERIES["q_bigram_greedy_decode"] = QueryDef(
+    q_bigram_greedy_decode, _greedy_decode_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
 # The correctness driver walks QUERIES in declaration order under a finite
@@ -8192,6 +8331,10 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "front (local oracle parity green)",
     "q_mixture_apply": "declared late r9 post-freeze; leads the r10 "
     "front (local oracle parity green)",
+    "q_recursive_month_spine": "declared late r9 post-freeze; leads "
+    "the r10 front (local oracle parity green)",
+    "q_bigram_greedy_decode": "declared late r9 post-freeze; leads "
+    "the r10 front (local oracle parity green)",
 }
 
 _NEW_R9 = [
