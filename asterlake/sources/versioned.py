@@ -36,6 +36,11 @@ deliberately minimal:
   low-cardinality columns — lang, source, status — prune exactly where
   every file's [min, max] spans the whole domain and ranges prune
   nothing: the set-index shape (Iceberg puffin / ClickHouse set index).
+  ``bloom_cols=[...]`` (r9) covers the remaining case — equality/IN on
+  HIGH-cardinality columns (ids, urls, digests) where the set cap
+  overflows: a fixed-size per-file Bloom bitmap (kept in the manifest,
+  zero file I/O at planning) proves absence with no false negatives at
+  any cardinality, so the same provably-safe-skip contract holds.
 
 Scale shape: a snapshot write is one pass (the caller's plan + observed
 metrics); verify is one scan + scalar aggregate. Versions share nothing
@@ -213,6 +218,130 @@ def collect_file_value_sets(
     return out
 
 
+BLOOM_BITS = 1024
+BLOOM_K = 4
+
+
+def _bloom_canonical(v) -> tuple[str, bytes] | None:
+    """(kind, canonical bytes) for bloom hashing, or None when the value
+    cannot be judged safely. The canonical form must make every pair of
+    values Spark's ``==`` would MATCH hash identically — in particular
+    int 150 vs double 150.0 (Spark cast-compares numeric widths), so
+    numbers canonicalize through exact Fraction reduction. bool, NaN,
+    inf, and unknown types return None: a None on the WRITE side makes
+    the whole file-column bloom unusable (absence is unprovable), a
+    None on the PROBE side keeps the file."""
+    import datetime
+    import decimal
+    from fractions import Fraction
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, decimal.Decimal)):
+        try:
+            f = Fraction(v)  # exact for int/float/Decimal; raises on nan/inf
+        except (ValueError, OverflowError, decimal.InvalidOperation):
+            return None
+        return ("num", f"{f.numerator}/{f.denominator}".encode())
+    if isinstance(v, str):
+        return ("str", v.encode("utf-8"))
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.isoformat().encode())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat().encode())
+    return None
+
+
+def _bloom_positions(payload: bytes, bits: int, k: int) -> list[int]:
+    """Kirsch-Mitzenmacher double hashing over an md5 of the canonical
+    bytes — pure Python on both the write and probe side, so the two
+    sides cannot drift (no engine hash involved)."""
+    import hashlib
+
+    d = hashlib.md5(payload).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1  # odd: full-period stepping
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
+def collect_file_blooms(
+    data_dir: str,
+    cols: list[str],
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> dict:
+    """Per-data-file BLOOM FILTERS for high-cardinality columns — the
+    equality-probe complement to value sets: where a column's distinct
+    count overflows the set cap (ids, urls, digests), a fixed-size
+    bitmap still proves "this file cannot hold v" with no false
+    negatives, at ``bits`` bits per file per column regardless of
+    cardinality (the Iceberg-puffin / Parquet-bloom shape, kept in the
+    manifest so planning needs no file I/O). Columnar projection read
+    of just the named columns.
+
+    Returns ``{filename: {col: {"kind", "bitmap"(hex)} | None}}`` —
+    None when any non-null value fails to canonicalize (bool columns,
+    NaN/inf members): one unhashable member makes absence unprovable,
+    and an unusable bloom NEVER prunes. NULLs are excluded (equality
+    and IN never match NULL)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(data_dir, name))
+        present = [c for c in cols if c in pf.schema_arrow.names]
+        blooms: dict = {}
+        if present:
+            tbl = pf.read(columns=present)
+            for c in present:
+                uniq = pc.unique(tbl.column(c)).drop_null().to_pylist()
+                bitmap = 0
+                kind = None
+                ok = True
+                for v in uniq:
+                    enc = _bloom_canonical(v)
+                    if enc is None or (kind is not None and enc[0] != kind):
+                        ok = False
+                        break
+                    kind = enc[0]
+                    for p in _bloom_positions(enc[1], bits, k):
+                        bitmap |= 1 << p
+                blooms[c] = (
+                    {
+                        "kind": kind or "empty",
+                        "bitmap": f"{bitmap:0{bits // 4}x}",
+                    }
+                    if ok
+                    else None
+                )
+        out[name] = blooms
+    return out
+
+
+def _bloom_may_contain(bloom: dict | None, v, bits: int, k: int) -> bool:
+    """Can a file whose recorded bloom is ``bloom`` hold a row equal to
+    ``v``? True on ANY doubt: unusable bloom, unhashable probe (bool/
+    NaN/inf — Spark matches NaN = NaN, Python cannot judge it), or a
+    probe kind differing from the column's recorded kind (Spark would
+    cast-compare across categories the canonical encoding keeps
+    separate, e.g. date vs timestamp)."""
+    if bloom is None:
+        return True
+    enc = _bloom_canonical(v)
+    if enc is None:
+        return True
+    kind, payload = enc
+    if bloom["kind"] == "empty":
+        return False  # no non-null values at all: equality cannot match
+    if kind != bloom["kind"]:
+        return True
+    bitmap = int(bloom["bitmap"], 16)
+    return all(bitmap >> p & 1 for p in _bloom_positions(payload, bits, k))
+
+
 def _lt(a, b) -> bool:
     return _stat_decode(a) < _stat_decode(b)
 
@@ -225,6 +354,9 @@ def write_version(
     stats_cols: list[str] | None = None,
     set_cols: list[str] | None = None,
     set_max: int = 64,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS,
+    bloom_k: int = BLOOM_K,
 ) -> dict:
     """Write ``df`` as the next snapshot version; returns the manifest.
 
@@ -241,8 +373,12 @@ def write_version(
     ``set_max`` values per file per column; a columnar projection read
     of just those columns) so equality/IN predicates on unsorted
     low-cardinality columns prune exactly where min/max cannot — the
-    set-index shape. The manifest file is the commit: it is written
-    only after the data files land."""
+    set-index shape. ``bloom_cols`` records a fixed-size per-file
+    BLOOM bitmap per column (``bloom_bits`` bits, ``bloom_k`` probes)
+    for equality/IN pruning on HIGH-cardinality columns where the set
+    cap overflows — bounded manifest growth at any cardinality, no
+    false negatives, so pruning stays provably safe. The manifest file
+    is the commit: it is written only after the data files land."""
     version = (latest_version(root) or 0) + 1
     sig = row_signature(sig_cols if sig_cols is not None else df.columns)
     obs = Observation(f"v{version}-manifest")
@@ -276,7 +412,7 @@ def write_version(
         "sig_encoding": SIG_ENCODING,
         **(extra or {}),
     }
-    if stats_cols or set_cols:
+    if stats_cols or set_cols or bloom_cols:
         manifest["stats_cols"] = list(stats_cols or [])
         manifest["file_stats"] = collect_file_stats(
             _data_path(root, version), list(stats_cols or [])
@@ -290,6 +426,17 @@ def write_version(
             manifest["file_stats"].setdefault(
                 name, {"n_rows": 0, "cols": {}}
             )["sets"] = s
+    if bloom_cols:
+        manifest["bloom_cols"] = list(bloom_cols)
+        manifest["bloom_bits"] = int(bloom_bits)
+        manifest["bloom_k"] = int(bloom_k)
+        blooms = collect_file_blooms(
+            _data_path(root, version), list(bloom_cols), bloom_bits, bloom_k
+        )
+        for name, b in blooms.items():
+            manifest["file_stats"].setdefault(
+                name, {"n_rows": 0, "cols": {}}
+            )["blooms"] = b
     tmp = _manifest_path(root, version) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -363,7 +510,12 @@ def _set_may_contain(decoded: list, v) -> bool:
     return any(v == d for d in members)
 
 
-def _file_may_match(finfo: dict, conditions: list[tuple]) -> bool:
+def _file_may_match(
+    finfo: dict,
+    conditions: list[tuple],
+    bloom_bits: int = BLOOM_BITS,
+    bloom_k: int = BLOOM_K,
+) -> bool:
     """Can a file possibly hold a row satisfying the CONJUNCTION of
     ``conditions``, judging only by its manifest stats? Returns True on
     any doubt (missing column stats, unencodable value) — pruning must
@@ -380,6 +532,19 @@ def _file_may_match(finfo: dict, conditions: list[tuple]) -> bool:
             want = cond[2] if op == "in" else [cond[2]]
             decoded = [_stat_decode(x) for x in vset]
             if not any(_set_may_contain(decoded, v) for v in want):
+                return False
+        # bloom check next: equality/IN against a per-file bitmap —
+        # the high-cardinality complement (no false negatives, so a
+        # miss on every probe value proves the file empty for this
+        # conjunct). "blooms" may be absent or the per-column entry
+        # None; both keep the file.
+        blm = (finfo.get("blooms") or {}).get(col)
+        if blm is not None and op in ("==", "in"):
+            want = cond[2] if op == "in" else [cond[2]]
+            if not any(
+                _bloom_may_contain(blm, v, bloom_bits, bloom_k)
+                for v in want
+            ):
                 return False
         st = finfo.get("cols", {}).get(col)
         if st is None:
@@ -457,7 +622,9 @@ def scan_version(
     ``== in < <= > >= is_null not_null`` ("in" takes a non-empty list,
     the two null ops take no value), combined with AND. Files without
     stats for a referenced column are always kept; ``==``/``in`` prune
-    against recorded value sets (``set_cols``) first, then ranges.
+    against recorded value sets (``set_cols``) first, then per-file
+    Bloom bitmaps (``bloom_cols``, the high-cardinality complement),
+    then ranges.
 
     Scale shape: at 100 TB the win is DRIVER-side — a time- or
     key-range query over a snapshot with thousands of files plans a
@@ -481,7 +648,12 @@ def scan_version(
     kept = [
         os.path.join(data_dir, name)
         for name, finfo in sorted(file_stats.items())
-        if _file_may_match(finfo, conditions)
+        if _file_may_match(
+            finfo,
+            conditions,
+            manifest.get("bloom_bits", BLOOM_BITS),
+            manifest.get("bloom_k", BLOOM_K),
+        )
     ]
 
     def apply_conditions(df: DataFrame) -> DataFrame:

@@ -535,3 +535,139 @@ def test_value_set_nan_probe_never_prunes(spark, tmp_path):
     by_plain = scan_version(spark, root, [("v", "==", 2.0)], version=1)
     assert len(by_plain.inputFiles()) == 1
     assert [r.id for r in by_plain.collect()] == [1]
+
+
+def _high_card(spark):
+    """4 files of disjoint high-cardinality string keys (120 distinct
+    per file — past the 64-value set cap, so the set index records
+    None) whose [min, max] ranges all overlap: the bloom-index scenario
+    where neither ranges nor value sets can prune an equality probe."""
+    rows = []
+    for f in range(4):
+        for i in range(120):
+            # urls interleave lexicographically across files -> every
+            # file's [min, max] range spans every probe
+            rows.append((f * 1000 + i, f"https://host{i % 60}.example/{f}/{i}"))
+    df = spark.createDataFrame(rows, "id long, url string")
+    return df.repartitionByRange(4, "id")
+
+
+def test_bloom_skipping_prunes_high_cardinality_equality(spark, tmp_path):
+    """Equality on a high-cardinality unsorted column: ranges keep all
+    4 files (interleaved lexicographic spans) and the set index records
+    None (120 distinct > 64 cap), but the per-file bloom bitmap prunes
+    to exactly the files that can hold the probe — and the result stays
+    row-for-row equal to the filter twin (false positives only ever
+    KEEP files; the re-applied filter removes their rows)."""
+    from asterlake.sources.versioned import read_manifest, scan_version
+
+    root = str(tmp_path / "hc")
+    write_version(
+        _high_card(spark), root,
+        stats_cols=["url"], set_cols=["url"], bloom_cols=["url"],
+    )
+    full = read_version(spark, root, 1)
+    assert len(full.inputFiles()) == 4
+
+    man = read_manifest(root, 1)
+    for finfo in man["file_stats"].values():
+        assert finfo["sets"]["url"] is None  # cap overflowed: sets unusable
+        assert finfo["blooms"]["url"] is not None  # blooms stay bounded
+
+    probe = "https://host7.example/2/7"  # lives only in file 2
+    by_bloom = scan_version(spark, root, [("url", "==", probe)], version=1)
+    # no false negatives: the match is found; pruning is real (fp rate
+    # at 120 keys in 1024 bits / 4 probes is ~0.6%, so ~always 1 file)
+    assert 1 <= len(by_bloom.inputFiles()) <= 2
+    twin = full.where(F.col("url") == probe)
+    assert sorted(r.id for r in by_bloom.collect()) == sorted(
+        r.id for r in twin.collect()
+    )
+
+    # IN list spanning two files: union of the candidate files
+    probes = [probe, "https://host3.example/0/3"]
+    by_in = scan_version(spark, root, [("url", "in", probes)], version=1)
+    assert 2 <= len(by_in.inputFiles()) <= 3
+    twin_in = full.where(F.col("url").isin(probes))
+    assert sorted(r.id for r in by_in.collect()) == sorted(
+        r.id for r in twin_in.collect()
+    )
+
+    # a key no file holds: with overwhelming probability all 4 bitmaps
+    # miss -> zero files, schema intact (keep the assert fp-tolerant)
+    ghost = scan_version(
+        spark, root, [("url", "==", "https://nowhere.example/x")], version=1
+    )
+    assert ghost.count() == 0
+    assert ghost.schema == full.schema
+
+
+def test_bloom_numeric_width_and_type_safety_never_misprune(spark, tmp_path):
+    """The canonical-encoding contract: an int probe against a DOUBLE
+    column must hash to the double's bloom positions (Spark's == casts
+    across numeric widths — Fraction reduction makes 150 and 150.0 one
+    key); cross-category probes, bool columns, and NaN members always
+    keep the file."""
+    from asterlake.sources.versioned import (
+        _bloom_canonical,
+        collect_file_blooms,
+        scan_version,
+    )
+
+    # int 150 and double 150.0 canonicalize identically; 0.1 is exact
+    assert _bloom_canonical(150) == _bloom_canonical(150.0)
+    assert _bloom_canonical(0.1) == _bloom_canonical(0.1)
+    assert _bloom_canonical(float("nan")) is None
+    assert _bloom_canonical(float("inf")) is None
+    assert _bloom_canonical(True) is None
+
+    root = str(tmp_path / "num")
+    df = spark.createDataFrame(
+        [(i, float(i) / 2) for i in range(200)], "id long, price double"
+    ).repartitionByRange(4, "id")
+    write_version(df, root, stats_cols=["id"], bloom_cols=["price"])
+    full = read_version(spark, root, 1)
+
+    # integer-typed probe of a double member: 40.0 is in file 0 only;
+    # probing with int 40 must NOT prune that file away
+    by_int = scan_version(spark, root, [("price", "==", 40)], version=1)
+    twin = full.where(F.col("price") == 40)
+    assert sorted(r.id for r in by_int.collect()) == sorted(
+        r.id for r in twin.collect()
+    )
+    assert twin.count() == 1 and by_int.count() == 1
+
+    # NaN-poisoned column: one NaN member makes the file's bloom
+    # unusable (None) rather than silently wrong — nothing prunes
+    root2 = str(tmp_path / "nan")
+    df2 = spark.createDataFrame(
+        [(0, float("nan")), (1, 2.0), (2, 3.0), (3, 4.0)],
+        "id long, v double",
+    ).coalesce(1)
+    write_version(df2, root2, bloom_cols=["v"])
+    blooms = collect_file_blooms(
+        str(tmp_path / "nan" / "v=1"), ["v"]
+    )
+    assert all(b["v"] is None for b in blooms.values())
+    by_v = scan_version(spark, root2, [("v", "==", 2.0)], version=1)
+    assert len(by_v.inputFiles()) == 1 and by_v.count() == 1
+
+
+def test_bloom_empty_and_all_null_files_prune_for_equality(spark, tmp_path):
+    """A file whose bloomed column is entirely NULL records an 'empty'
+    bloom — equality/IN provably cannot match it, so it prunes; the
+    null ops still route through null_count as before."""
+    from asterlake.sources.versioned import scan_version
+
+    root = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(i, None if i < 100 else f"k{i}") for i in range(200)],
+        "id long, key string",
+    ).repartitionByRange(2, "id")
+    write_version(df, root, stats_cols=["key"], bloom_cols=["key"])
+    full = read_version(spark, root, 1)
+    assert len(full.inputFiles()) == 2
+
+    hit = scan_version(spark, root, [("key", "==", "k150")], version=1)
+    assert len(hit.inputFiles()) == 1  # the all-null file pruned
+    assert [r.id for r in hit.collect()] == [150]
