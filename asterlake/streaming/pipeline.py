@@ -264,6 +264,63 @@ def running_user_counts(events: DataFrame, id_col: str = "user_id") -> DataFrame
     )
 
 
+_DOMAIN_CAP_OUTPUT = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("admit_seq", LongType()),
+    ]
+)
+_DOMAIN_CAP_STATE = StructType([StructField("n", LongType())])
+
+
+def stream_domain_caps(
+    docs: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+) -> DataFrame:
+    """Streaming per-domain admission cap — the stateful twin of
+    operators/mixture.domain_caps for an UNBOUNDED ingest: admit the
+    first ``cap`` documents per domain in ARRIVAL order (the honest
+    streaming contract — a batch cap can pick the globally lowest id,
+    a stream cannot know the future; within a micro-batch ties break
+    by ascending id, so the admitted set is deterministic GIVEN the
+    micro-batch sequence and survives checkpoint restarts). State is
+    ONE counter per domain — bounded by the domain universe no matter
+    how many documents arrive; emitted rows carry admit_seq so
+    downstream sees a dense per-domain admission order."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        ids: list[int] = []
+        for p in pdfs:
+            ids.extend(int(x) for x in p[id_col].tolist())
+        ids.sort()  # deterministic within the micro-batch
+        take = ids[: max(0, cap - n)]
+        if take:
+            state.update((n + len(take),))
+            yield pd.DataFrame(
+                {
+                    "source": [key[0]] * len(take),
+                    "doc_id": take,
+                    "admit_seq": list(range(n, n + len(take))),
+                }
+            )
+
+    return docs.groupBy(domain_col).applyInPandasWithState(
+        update,
+        outputStructType=_DOMAIN_CAP_OUTPUT,
+        stateStructType=_DOMAIN_CAP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _SESSION_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),

@@ -1199,3 +1199,83 @@ def test_bigram_gate_and_mixture_compose_into_streaming(spark, tmp_path):
     for _, srcv, *_ in got:
         by_src[srcv] = by_src.get(srcv, 0) + 1
     assert by_src.get("a", 0) > by_src.get("b", 0)
+
+
+def test_stream_domain_caps_admits_first_cap_per_domain(spark, tmp_path):
+    """Stateful streaming admission cap: across micro-batches each
+    domain admits exactly its first `cap` arrivals (batch order, then
+    ascending doc_id within a batch — deterministic given the file
+    sequence), the counter state survives between batches AND across a
+    checkpoint restart, and admit_seq is dense per domain."""
+    import json as _json
+
+    from asterlake.streaming.pipeline import stream_domain_caps
+
+    src = str(tmp_path / "capdocs")
+    os.makedirs(src)
+    batches = [
+        [(4, "a"), (1, "a"), (10, "b")],
+        [(2, "a"), (11, "b"), (12, "b")],
+    ]
+    for fi, rows in enumerate(batches):
+        path = os.path.join(src, f"{fi:02d}.jsonl")
+        with open(path, "w") as f:
+            for doc_id, dom in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "source": dom}) + "\n")
+        # FileStreamSource orders batches by modification time — pin it,
+        # or same-ms writes arrive in arbitrary order
+        os.utime(path, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    def ref_admitted(batch_seq):
+        n: dict[str, int] = {}
+        out = []
+        for rows in batch_seq:
+            by_dom: dict[str, list[int]] = {}
+            for doc_id, dom in rows:
+                by_dom.setdefault(dom, []).append(doc_id)
+            for dom, ids in by_dom.items():
+                for i in sorted(ids)[: max(0, 3 - n.get(dom, 0))]:
+                    out.append((dom, i, n.get(dom, 0)))
+                    n[dom] = n.get(dom, 0) + 1
+        return sorted(out)
+
+    schema = "doc_id long, source string"
+    ck = str(tmp_path / "ck_cap")
+    out = str(tmp_path / "cap_out")
+
+    def drain():
+        # memory sinks refuse checkpoint recovery; foreachBatch is the
+        # fault-tolerant sink shape for update-mode stateful queries
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        (
+            stream_domain_caps(stream, cap=3)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == ref_admitted(batches)
+    # domain a admitted 3 of its 4 arrivals; b admitted all 3
+    assert sum(1 for d, *_ in got if d == "a") == 3
+
+    # restart from the same checkpoint with one more file: the counters
+    # resume (a and b are full at 3, so only the new domain c admits)
+    p3 = os.path.join(src, "02.jsonl")
+    with open(p3, "w") as f:
+        for doc_id, dom in [(3, "a"), (13, "b"), (20, "c")]:
+            f.write(_json.dumps({"doc_id": doc_id, "source": dom}) + "\n")
+    os.utime(p3, (1_700_000_002, 1_700_000_002))
+    drain()
+    got2 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got2 == sorted(got + [("c", 20, 0)])
