@@ -8251,6 +8251,47 @@ QUERIES["q_bigram_greedy_decode"] = QueryDef(
 )
 
 
+@query(
+    "q_snapshot_scan_bloom",
+    """
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE source = 'src7' AND n_chars >= 100
+    """,
+)
+def q_snapshot_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BLOOM-index data-skipping read (the r9 third index
+    tier): snapshot the documents slice range-partitioned BY SOURCE so
+    each file holds a few domains, harvest a per-file Bloom bitmap on
+    source at write time, then scan through the predicate planner — the
+    equality probe prunes whole files from the bitmaps alone (no false
+    negatives, so pruning is provably safe; false positives only KEEP
+    files and the re-applied filter removes their rows), and the result
+    must equal the oracle's plain filter row-for-row."""
+    import os
+    import tempfile
+
+    from asterlake.sources.versioned import scan_version, write_version
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    workdir = tempfile.mkdtemp(prefix="asterlake-bloomscan-")
+    root = os.path.join(workdir, "documents")
+    write_version(
+        d.repartitionByRange(8, "source", "doc_id"),
+        root,
+        stats_cols=["n_chars"],
+        bloom_cols=["source"],
+    )
+    return scan_version(
+        spark,
+        root,
+        [("source", "==", "src7"), ("n_chars", ">=", 100)],
+        version=1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -8338,6 +8379,8 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "q_recursive_month_spine": "declared late r9 post-freeze; leads "
     "the r10 front (local oracle parity green)",
     "q_bigram_greedy_decode": "declared late r9 post-freeze; leads "
+    "the r10 front (local oracle parity green)",
+    "q_snapshot_scan_bloom": "declared late r9 post-freeze; leads "
     "the r10 front (local oracle parity green)",
 }
 
