@@ -8292,6 +8292,38 @@ def q_snapshot_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_compression_signal",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS raw_len,
+           TRUE AS comp_pos,
+           TRUE AS comp_bounded
+    FROM documents
+    """,
+)
+def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate compressibility signal (the CCNet/RefinedWeb low-entropy
+    filter) gated IN-PLAN (the q_sketch_distinct shape: DuckDB has no
+    deflate, so the row carries the exact byte length the oracle
+    restates plus the two hard-bound verdicts it asserts TRUE —
+    comp_len positive for non-empty input and within zlib's stored-
+    block worst case raw + 5*ceil(raw/16383) + 6). The ratio itself is
+    differentially pinned against direct Python zlib in
+    tests/test_compress.py. Arrow-batched mapInPandas, row-local: one
+    map-only corpus pass at 100 TB, no shuffle."""
+    from asterlake.operators.compress import compression_signal, deflate_bound
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = compression_signal(d)
+    return sig.select(
+        "doc_id",
+        "raw_len",
+        ((F.col("comp_len") > 0) | (F.col("raw_len") == 0)).alias("comp_pos"),
+        (F.col("comp_len") <= deflate_bound("raw_len")).alias("comp_bounded"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -8381,6 +8413,8 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "q_bigram_greedy_decode": "declared late r9 post-freeze; leads "
     "the r10 front (local oracle parity green)",
     "q_snapshot_scan_bloom": "declared late r9 post-freeze; leads "
+    "the r10 front (local oracle parity green)",
+    "q_compression_signal": "declared late r9 post-freeze; leads "
     "the r10 front (local oracle parity green)",
 }
 
