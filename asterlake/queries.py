@@ -8324,6 +8324,57 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cdc_shared_chunks",
+    None,  # oracle injected below (shares the fold expression)
+)
+def q_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared content via content-defined chunking (the
+    LBFS/rsync/gear layout — boundaries move WITH the content, so a
+    span shared at DIFFERENT positions in two documents still yields
+    identical chunk fingerprints, which fixed windows cannot do):
+    chunk every document with the rolling-hash boundary rule, then
+    group chunk fingerprints corpus-wide and keep those appearing in
+    more than one document — the partial-overlap/boilerplate detector.
+    Chunking is row-local (one higher-order expression per document,
+    no UDF); the only shuffle carries (hash, n_tokens) integer pairs —
+    map-side combined, never text. Fingerprints are exact int64
+    polynomial folds, bit-identical cross-engine."""
+    from asterlake.operators.chunking import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(d, window=4, divisor=8, target=3)
+    return (
+        ch.groupBy("chunk_hash", "n_tokens")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _cdc_shared_oracle() -> str:
+    from asterlake.operators.chunking import cdc_oracle_sql
+
+    return f"""
+    WITH ch AS (
+      SELECT doc_id, u.h AS chunk_hash, u.n AS n_tokens
+      FROM (SELECT doc_id, unnest({cdc_oracle_sql()}) AS u FROM documents)
+    )
+    SELECT chunk_hash, n_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM ch GROUP BY chunk_hash, n_tokens
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """
+
+
+QUERIES["q_cdc_shared_chunks"] = QueryDef(
+    q_cdc_shared_chunks, _cdc_shared_oracle()
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -8415,6 +8466,8 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "q_snapshot_scan_bloom": "declared late r9 post-freeze; leads "
     "the r10 front (local oracle parity green)",
     "q_compression_signal": "declared late r9 post-freeze; leads "
+    "the r10 front (local oracle parity green)",
+    "q_cdc_shared_chunks": "declared late r9 post-freeze; leads "
     "the r10 front (local oracle parity green)",
 }
 
