@@ -662,7 +662,7 @@ def real_media_table(
     fmts = tuple(formats)
     unknown = set(fmts) - {
         "bmp", "wav", "png", "jpeg", "jpeg_rgb", "jpeg_420", "jpeg_prog",
-        "mp4",
+        "mp4", "gif",
     }
     if unknown:
         raise ValueError(f"no real encoder for formats {sorted(unknown)}")
@@ -712,6 +712,20 @@ def real_media_table(
                         "sample_rate": None,
                         "n_frames": None,
                         "format": "png",
+                    }
+                elif fmt == "gif":
+                    # moduli coprime with the cycle lengths in use (11/7/4
+                    # vs 2/4/5/7... the wav-rate reasoning); frames
+                    # alternate interlaced/sequential inside the writer
+                    w, h = 4 + mid % 11, 3 + mid % 7
+                    nf = 1 + mid % 4
+                    payload = _gif_bytes(mid, w, h, nf)
+                    kind, meta = "image", {
+                        "width": w,
+                        "height": h,
+                        "sample_rate": None,
+                        "n_frames": nf,
+                        "format": "gif",
                     }
                 elif fmt == "mp4":
                     # moduli pairwise coprime with every cycle length in
@@ -764,6 +778,278 @@ def real_media_table(
             yield pd.DataFrame(rows)
 
     return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+# --- GIF (stdlib LZW; GIF89a multi-frame, optional interlace) ----------
+# cite: reference has no media handling at all (src/etl/* carry only
+# asteroid JSON) — this is the beyond-parity multimodal family.
+
+_GIF_COLORS = 16  # 4-bit palette -> LZW min code size 4
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_palette(seed: int) -> list[tuple[int, int, int]]:
+    return [
+        (
+            (seed * 31 + i * 37) % 256,
+            (seed * 17 + i * 59) % 256,
+            (seed * 23 + i * 83) % 256,
+        )
+        for i in range(_GIF_COLORS)
+    ]
+
+
+def _gif_interlace_rows(h: int) -> list[int]:
+    """Row emission order of an interlaced GIF (4-pass schedule)."""
+    return [
+        y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)
+    ]
+
+
+def _gif_lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """GIF-flavor LZW: variable code width (mcs+1 .. 12, LSB-first bit
+    packing), CLEAR emitted first, EOI last; width bumps when the
+    just-assigned code reaches 2^width (the decoder mirrors one step
+    later — see _gif_lzw_decode)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = mcs + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    w: tuple[int, ...] = ()
+    for px in indices:
+        wk = w + (px,)
+        if wk in table:
+            w = wk
+            continue
+        put(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # table full: emit CLEAR, restart (defensive; tiny inputs
+            put(clear)  # never reach this)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = (px,)
+    if w:
+        put(table[w])
+    put(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int) -> list[int]:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    acc = nbits = pos = 0
+    prev: list[int] | None = None
+    out: list[int] = []
+
+    def read() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("gif: LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read()
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table) or not table[code]:
+                raise ValueError(f"gif: bad first code {code}")
+            entry = table[code]
+        elif code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"gif: code {code} beyond table")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError(
+                f"gif: {len(out)} pixels decoded, {n_expected} expected"
+            )
+    if len(out) != n_expected:
+        raise ValueError(
+            f"gif: {len(out)} pixels decoded, {n_expected} expected"
+        )
+    return out
+
+
+def _gif_frame_indices(
+    seed: int, w: int, h: int, frame: int
+) -> list[int]:
+    return [
+        (seed + x * 7 + y * 13 + frame * 29) % _GIF_COLORS
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def _gif_bytes(seed: int, w: int, h: int, n_frames: int = 1) -> bytes:
+    """A genuine GIF89a: logical screen descriptor, 16-entry global
+    color table, per-frame graphic-control extension + image
+    descriptor + LZW-compressed indices (frames where (seed+f) is even
+    ship INTERLACED — rows emitted in the 4-pass schedule), trailer.
+    Everything deterministic in (seed, w, h, n_frames)."""
+    import struct as _s
+
+    out = bytearray(b"GIF89a")
+    # GCT present, color resolution 8 bits (7), GCT size 2^(3+1)=16
+    out += _s.pack("<HHBBB", w, h, 0x80 | 0x70 | 0x03, 0, 0)
+    for r, g, b in _gif_palette(seed):
+        out += bytes((r, g, b))
+    mcs = 4
+    for f in range(n_frames):
+        interlaced = (seed + f) % 2 == 0
+        # graphic control extension (fixed 4-byte block, 4/100s delay)
+        out += bytes((0x21, 0xF9, 0x04, 0x00, 0x04, 0x00, 0x00, 0x00))
+        out += bytes((0x2C,)) + _s.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0x00
+        )
+        idx = _gif_frame_indices(seed, w, h, f)
+        if interlaced:
+            rows = [idx[y * w : (y + 1) * w] for y in range(h)]
+            idx = [
+                px for y in _gif_interlace_rows(h) for px in rows[y]
+            ]
+        lzw = _gif_lzw_encode(idx, mcs)
+        out += bytes((mcs,))
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out += bytes((len(blk),)) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Real GIF decode: header + logical screen descriptor, global/local
+    color tables, extension skipping, per-frame LZW decompression with
+    de-interlacing, exact pixel-count verification, palette mapping.
+    Returns (width, height, None-rate slot, n_frames, mean RGB channel
+    level in [0, 1] over ALL frames). Fails loudly on truncation, bad
+    codes, short frames, or a missing trailer."""
+    import struct as _s
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"gif: bad magic {payload[:6]!r}")
+    w, h, packed, _bg, _ar = _s.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct: list[tuple[int, int, int]] | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = [
+            tuple(payload[pos + 3 * i : pos + 3 * i + 3])
+            for i in range(n)
+        ]
+        pos += 3 * n
+    n_frames = 0
+    total = 0
+    n_px = 0
+    saw_trailer = False
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:
+            saw_trailer = True
+            break
+        if b0 == 0x21:  # extension: label, then sub-blocks until 0
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("gif: truncated extension")
+                if payload[pos] == 0:
+                    break
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b0:02x}")
+        left, top, fw, fh, fpk = _s.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if left + fw > w or top + fh > h:
+            raise ValueError("gif: frame exceeds logical screen")
+        pal = gct
+        if fpk & 0x80:  # local color table
+            n = 2 << (fpk & 0x07)
+            pal = [
+                tuple(payload[pos + 3 * i : pos + 3 * i + 3])
+                for i in range(n)
+            ]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("gif: no color table in scope")
+        if pos >= len(payload):
+            raise ValueError("gif: truncated before min code size")
+        mcs = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("gif: truncated inside sub-blocks")
+            if payload[pos] == 0:
+                break
+            ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("gif: truncated sub-block")
+            lzw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), mcs, fw * fh)
+        if fpk & 0x40:  # interlaced: emitted rows follow the 4-pass order
+            rows = [idx[y * fw : (y + 1) * fw] for y in range(fh)]
+            ordered: list[list[int]] = [[]] * fh
+            for src_i, y in enumerate(_gif_interlace_rows(fh)):
+                ordered[y] = rows[src_i]
+            idx = [px for row in ordered for px in row]
+        for px in idx:
+            if px >= len(pal):
+                raise ValueError(f"gif: index {px} beyond palette")
+            r, g, b = pal[px]
+            total += r + g + b
+        n_px += fw * fh
+        n_frames += 1
+    if not saw_trailer:
+        raise ValueError("gif: missing trailer")
+    if n_frames == 0:
+        raise ValueError("gif: no image frames")
+    return w, h, None, n_frames, total / (255.0 * 3.0 * n_px)
 
 
 def _decode_wav(payload: bytes) -> tuple[int, int, int, int, float]:
@@ -1939,7 +2225,9 @@ def decode_media_real(media: DataFrame) -> DataFrame:
     """REAL decode of wav/bmp/png/jpeg/mp4-metadata payloads
     (stdlib+numpy codecs, Arrow-batched; jpeg covers sequential
     baseline AND progressive — grayscale, 4:4:4 color, 4:2:0
-    chroma-subsampled, restart-interval streams).
+    chroma-subsampled, restart-interval streams; gif covers GIF89a
+    multi-frame LZW incl. interlaced frames and the 4-pass
+    de-interlace).
 
     Output: one row per media item with the container-parsed dimensions
     (width/height for images, sample_rate/n_samples for audio) and
@@ -1966,6 +2254,8 @@ def decode_media_real(media: DataFrame) -> DataFrame:
                     w, h, rate, ns, mean = _decode_jpeg(payload)
                 elif fmt == "mp4":
                     w, h, rate, ns, mean = _decode_mp4(payload)
+                elif fmt == "gif":
+                    w, h, rate, ns, mean = _decode_gif(payload)
                 else:
                     raise ValueError(
                         f"unsupported format {fmt!r}: real decode handles "

@@ -8375,6 +8375,56 @@ QUERIES["q_cdc_shared_chunks"] = QueryDef(
 )
 
 
+_GIF_MEDIA_N = 48
+
+
+@query(
+    "q_media_gif_anim",
+    f"""
+    SELECT range AS media_id, 'image' AS kind, 'gif' AS format,
+           CAST(4 + range % 11 AS INT) AS width,
+           CAST(3 + range % 7 AS INT) AS height,
+           CAST(1 + range % 4 AS BIGINT) AS n_frames,
+           TRUE AS mean_in_unit
+    FROM range({_GIF_MEDIA_N})
+    """,
+)
+def q_media_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF89a decode (r9, the multi-frame LZW container): the
+    media table holds genuine GIFs — logical screen descriptor, global
+    color table, per-frame graphic-control extension + image
+    descriptor + variable-code-width LZW pixel data, with alternate
+    frames INTERLACED (the 4-pass row schedule the decoder must
+    un-permute) — and decode_media(real=True) must recover the
+    dimensions and the frame count FROM THE BYTES (exact per-frame
+    pixel-count verification, palette-mapped). The generator derives
+    every field arithmetically from media_id (w=4+id%11, h=3+id%7,
+    frames=1+id%4), so the oracle restates them and any LZW/sub-block/
+    extension-walk slip hash-mismatches. ``mean_in_unit`` bounds the
+    palette-mapped mean channel level (seeded palettes are never
+    all-black/all-white); exact mean parity vs an independent
+    re-derivation from the generator formula is pinned in
+    tests/test_multimodal.py. sf_dir unused: generated in-engine."""
+    from asterlake.operators.multimodal import decode_media, real_media_table
+
+    decoded = decode_media(
+        real_media_table(spark, n=_GIF_MEDIA_N, formats=("gif",)),
+        real=True,
+    )
+    return decoded.select(
+        "media_id",
+        "kind",
+        "format",
+        "width",
+        "height",
+        F.col("n_samples").cast("bigint").alias("n_frames"),
+        (
+            (F.col("mean_level") > F.lit(0.0))
+            & (F.col("mean_level") < F.lit(1.0))
+        ).alias("mean_in_unit"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -8469,6 +8519,17 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "the r10 front (local oracle parity green)",
     "q_cdc_shared_chunks": "declared late r9 post-freeze; leads "
     "the r10 front (local oracle parity green)",
+    "q_media_gif_anim": "declared late r9 post-freeze; leads the r10 "
+    "front (local oracle parity green)",
+    # the r9 gif codec adds a new format BRANCH to real_media_table /
+    # decode_media_real; neither query's pinned format cycle contains
+    # "gif", so behavior on every input they score is unchanged — the
+    # NEW branch is scored by q_media_gif_anim (r10 front)
+    "q_media_decode_real": "r9 gif branch is dead code for this "
+    "query's pinned format cycle; the new path is scored by "
+    "q_media_gif_anim",
+    "q_media_mp4_meta": "r9 gif branch is dead code for this query's "
+    "mp4-only cycle; the new path is scored by q_media_gif_anim",
 }
 
 _NEW_R9 = [
