@@ -8425,6 +8425,43 @@ def q_media_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DENYLIST = ["an", "scan", "ta", "table", "le", "the"]
+
+
+@query(
+    "q_denylist_scan",
+    f"""
+    WITH pats AS (SELECT unnest({_DENYLIST!r}) AS pattern)
+    SELECT doc_id, pattern,
+           CAST(len(list_filter(
+             range(1, length(text) - length(pattern) + 2),
+             i -> substring(text, i, length(pattern)) = pattern))
+           AS BIGINT) AS n_matches
+    FROM documents, pats
+    WHERE length(text) >= length(pattern)
+      AND len(list_filter(
+            range(1, length(text) - length(pattern) + 2),
+            i -> substring(text, i, length(pattern)) = pattern)) > 0
+    """,
+)
+def q_denylist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern denylist scan via Aho-Corasick (1975) — the
+    scalable form of the compliance/PII keyword pass: ALL patterns
+    matched in ONE O(len) automaton walk per document (an alternation
+    regex degrades superlinearly with pattern count; at a 10k-pattern
+    denylist the automaton is the only viable shape). The automaton is
+    built once on the driver (pattern-sized, a model artifact) and
+    rides into the Arrow-batched scan by closure; row-local, no
+    shuffle. Counts use end-position semantics (every occurrence of
+    every pattern, overlaps included — the deliberately overlapping
+    pattern set exercises the failure links), which the oracle
+    restates as a substring position scan."""
+    from asterlake.operators.matcher import ac_match_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return ac_match_counts(d, _DENYLIST)
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -8520,6 +8557,8 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "q_cdc_shared_chunks": "declared late r9 post-freeze; leads "
     "the r10 front (local oracle parity green)",
     "q_media_gif_anim": "declared late r9 post-freeze; leads the r10 "
+    "front (local oracle parity green)",
+    "q_denylist_scan": "declared late r9 post-freeze; leads the r10 "
     "front (local oracle parity green)",
     # the r9 gif codec adds a new format BRANCH to real_media_table /
     # decode_media_real; neither query's pinned format cycle contains
