@@ -140,33 +140,40 @@ def main() -> None:
         # residual is the honest one-build-per-table cost.
         #
         # r9 FINAL-ARTIFACT notes (the BENCH_FULL this repo ships: the
-        # end-of-round clean-box run, probe 1.77, 162 queries, 153.9s
-        # total = 0.95 s/query):
-        # - percentile family total 14.47s (percentiles 1.89 cold/1.20
-        #   re-time, weighted_median 1.37, trimmed_stats 3.83/2.58,
-        #   sketch_distinct 2.48, equidepth 3.45/1.82, range_layout
-        #   2.41) — at the r7-era 15s level the r8 verdict asked for,
+        # end-of-round clean-box run, probe 1.55, 167 queries, 148.8s
+        # total = 0.89 s/query — the lowest per-query cost on record):
+        # - percentile family total 15.3s (percentiles 2.13 cold/1.09
+        #   re-time, weighted_median 1.57, trimmed_stats 3.70/2.00,
+        #   sketch_distinct 2.59, equidepth 3.42/1.61, range_layout
+        #   1.89) — at the r7-era 15s level the r8 verdict asked for,
         #   with every builder's warm re-time recorded alongside
         #   (builder_retime_sec).
-        # - the SIX late-r9 queries sum to 6.5s: q_bigram_greedy_decode
-        #   2.98 (12 recursive-CTE levels x ~0.2s per-level job launch
-        #   — data-INDEPENDENT iteration overhead, steady 2.3-2.9s),
-        #   q_bigram_loglik 1.94 (one map-only corpus pass, 306-entry
-        #   literal-map fold), q_recursive_month_spine 0.58 (after the
-        #   carry-hi-in-the-walk-row fix: referencing the bounds CTE
-        #   from the recursive term re-evaluated its orders aggregate
-        #   EVERY level — 13.8s measured, 80 scans; carried through it
-        #   is one scan), q_mixture_apply 0.45, q_mixture_weights 0.30,
-        #   q_domain_caps 0.22.
+        # - the ELEVEN late-r9 queries sum to 9.9s:
+        #   q_bigram_greedy_decode 2.59 (12 recursive-CTE levels x
+        #   ~0.2s per-level job launch — data-INDEPENDENT iteration
+        #   overhead, steady 2.3-2.9s), q_bigram_loglik 2.01 (one
+        #   map-only corpus pass, 306-entry literal-map fold),
+        #   q_cdc_shared_chunks 1.88 (token hashes hoisted into a
+        #   let-bound int array: the naive per-position re-hash
+        #   measured ~3x slower), q_media_gif_anim 0.59,
+        #   q_recursive_month_spine 0.55 (after the carry-hi-in-the-
+        #   walk-row fix: referencing the bounds CTE from the
+        #   recursive term re-evaluated its orders aggregate EVERY
+        #   level — 13.8s measured, 80 scans; carried through it is
+        #   one scan), q_mixture_apply 0.47, q_mixture_weights 0.44,
+        #   q_snapshot_scan_pruned-style q_snapshot_scan_bloom 0.40
+        #   (includes its own snapshot write), q_denylist_scan 0.40
+        #   (Aho-Corasick walk, 0.55 steady standalone),
+        #   q_compression_signal 0.37, q_domain_caps 0.17.
         # - sticky-slot evidence for the r10 bimodal-build item: in the
         #   middle r9 full run q_ann_pq_search recorded 4.49s cold AND
         #   >=4.5s on its immediate retry at one session position,
-        #   while standalone and both other full runs sit at 1.2-1.7s —
+        #   while standalone and the other full runs sit at 1.2-1.7s —
         #   the contamination is the SLOT's heap (neighbors'
         #   ContextCleaner-eligible blocks), not the plan. The retry
         #   net and the builder re-times now System.gc() before
-        #   measuring (see _release_blocks), which put pq back at 1.16
-        #   in the shipped run.
+        #   measuring (see _release_blocks), which keeps pq at its
+        #   1.2-1.7s steady level in the shipped run (1.17 recorded).
         #
         # r9 mid-round notes (against the mid-round artifact, probe
         # 1.51; kept for the round's narrative):
