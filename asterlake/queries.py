@@ -8506,14 +8506,19 @@ def q_denylist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as a recursive CTE, the CMS guarantees as in-plan booleans, and the
 # logistic gate on the LOGIT fold, never the sigmoid.)
 #
-# R10 FRONT PLAN: the queries DECLARED late r9 after the front froze
-#   (q_unigram_segment with its full Viterbi-recursive-CTE oracle,
-#   q_cms_join_size, q_unigram_seed_vocab, q_ann_ivfpq_search, and the
+# R10 FRONT PLAN: the FIFTEEN queries DECLARED late r9 after the front
+#   froze — q_unigram_segment (full Viterbi-recursive-CTE oracle),
+#   q_cms_join_size, q_unigram_seed_vocab, q_ann_ivfpq_search; the
 #   bigram-LM / corpus-composition family q_bigram_loglik,
-#   q_domain_caps, q_mixture_weights, q_mixture_apply — all
-#   local-parity green, exempt below) plus the four deferred
-#   q_window_* rows lead the r10 front; the remaining slots return to
-#   freshness rotation over the r7-era rows.
+#   q_domain_caps, q_mixture_weights, q_mixture_apply; the recursive-
+#   CTE pair q_recursive_month_spine, q_bigram_greedy_decode; and the
+#   late-late additions q_snapshot_scan_bloom, q_compression_signal,
+#   q_cdc_shared_chunks, q_media_gif_anim, q_denylist_scan — all
+#   local-parity green at sf0.001/0.01, exempt below — plus the four
+#   deferred q_window_* rows lead the r10 front (19 slots); ALSO due:
+#   q_media_decode_real + q_media_mp4_meta (r9 gif-branch exemptions —
+#   re-score them so no exemption outlives one round). The remaining
+#   ~29 slots return to freshness rotation over the r7-era rows.
 
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # the r8 codec work (4:2:0, then progressive SOF2 + restart
