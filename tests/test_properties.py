@@ -1749,3 +1749,142 @@ def test_file_skip_decision_never_drops_a_matching_file(rows, conds):
     kept = _file_may_match(finfo, conds)
     if any_match:
         assert kept  # pruning must NEVER drop a file holding a match
+
+
+# -- r9: bigram LM trainer on arbitrary corpora -------------------------------
+
+_word = st.sampled_from(["a", "b", "ab", "the", "zz", "q1"])
+_doc_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=st.lists(_doc_text, min_size=1, max_size=12))
+def test_bigram_train_matches_replay_on_random_corpora(spark, corpus):
+    """The distributed trainer IS the pure-Python replay for arbitrary
+    corpora — empty docs, whitespace runs, single-word vocab included —
+    and scoring folds reproduce the reference per doc."""
+    from asterlake.operators.ngramlm import (
+        bigram_score,
+        bigram_train,
+        replay_bigram_train,
+    )
+    from tests.test_ngramlm import ref_score
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id bigint, text string"
+    )
+    got = bigram_train(df, "text", vocab_size=4, k_num=1, k_den=10)
+    want = replay_bigram_train(corpus, vocab_size=4, k_num=1, k_den=10)
+    assert got == want
+    vocab, model, unk = got
+    scored = {
+        r["doc_id"]: (r["n_pairs"], r["loglik_micros"])
+        for r in bigram_score(df, vocab, model, unk).collect()
+    }
+    for i, t in enumerate(corpus):
+        assert scored[i] == ref_score(t, vocab, model, unk)
+
+
+# -- r9: mixture materialization replay ---------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    factors=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(0, 3_000_000),
+        min_size=1,
+        max_size=3,
+    ),
+    n_docs=st.integers(1, 25),
+)
+def test_apply_mixture_replays_for_arbitrary_factors(spark, factors, n_docs):
+    """Copy counts equal the pure-integer replay for ANY factor table —
+    the zero, sub-unit, exact-unit, and multi-copy regimes all fall out
+    of the same fixed-point arithmetic."""
+    from asterlake.operators.mixture import FRAC_P, PPM, apply_mixture
+
+    doms = sorted(factors)
+    docs = spark.createDataFrame(
+        [(i, doms[i % len(doms)]) for i in range(n_docs)],
+        "doc_id bigint, source string",
+    )
+    w = spark.createDataFrame(
+        [(d, f) for d, f in factors.items()], "domain string, factor_ppm bigint"
+    )
+    by_doc: dict[int, int] = {}
+    for r in apply_mixture(docs, w).collect():
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + 1
+    for i in range(n_docs):
+        f = factors[doms[i % len(doms)]]
+        whole, frac = divmod(f, PPM)
+        want = whole + (1 if (i * FRAC_P) % PPM < frac else 0)
+        assert by_doc.get(i, 0) == want, (i, f)
+
+
+# -- r9: content-defined chunking vs a pure-Python chunker --------------------
+
+
+def _py_cdc(text: str, window: int, divisor: int, target: int):
+    mod, tb, wb = 1_000_000_007, 31, 131
+    toks = text.split(" ")
+    th = []
+    for t in toks:
+        acc = 0
+        for ch in t:
+            acc = (acc * tb + ord(ch)) % mod
+        th.append(acc)
+    bounds = []
+    for i in range(1, len(th) + 1):
+        wh = 0
+        for hv in th[max(0, i - window) : i]:
+            wh = (wh * wb + hv) % mod
+        if i == len(th) or (i >= window and wh % divisor == target):
+            bounds.append(i)
+    out, prev = [], 0
+    for b in bounds:
+        h = 0
+        for hv in th[prev:b]:
+            h = (h * wb + hv) % mod
+        out.append((h, b - prev))
+        prev = b
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_doc_text, min_size=1, max_size=8),
+    divisor=st.sampled_from([2, 4, 8]),
+)
+def test_cdc_chunks_match_python_chunker(spark, texts, divisor):
+    """Boundaries and fingerprints equal an independent pure-Python
+    chunker (not the DuckDB restatement — a third implementation) for
+    arbitrary word-salad documents at several divisors."""
+    from asterlake.operators.chunking import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got: dict[int, list] = {}
+    for r in cdc_chunks(df, window=2, divisor=divisor, target=1).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_hash"], r["n_tokens"])
+        )
+    for i, t in enumerate(texts):
+        want = [
+            (k, h, n)
+            for k, (h, n) in enumerate(_py_cdc(t, 2, divisor, 1))
+        ]
+        assert sorted(got.get(i, [])) == want, (i, t)
