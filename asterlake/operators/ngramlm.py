@@ -70,7 +70,11 @@ MICROS = 1_000_000
 
 
 def _tokens(text_col: str) -> F.Column:
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text tokenizes to the EMPTY stream (n_pairs=0, score=0),
+    # never NULL — a NULL array would propagate through zip_with/
+    # aggregate to NULL scores while the SQL oracles coalesce to 0
+    # (ADVICE r9 parity hazard)
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     return F.filter(toks, lambda t: t != "")
 
 
@@ -142,9 +146,12 @@ def bigram_train(
     k_den: int = 10,
 ) -> tuple[list[str], dict[str, int], int]:
     """Train the quantized bigram model. Returns ``(vocab,
-    {"w1 w2": logp_micros}, unk_floor_micros)`` where ``unk_floor``
-    is the smoothed zero-count log-prob for an UNSEEN context (the
-    score of a pair whose w1 never occurred in training:
+    {"w1 w2": logp_micros}, unk_floor_micros)``. The table is the
+    FULL add-k model: every (observed context, emission) pair incl.
+    zero counts — so per-context probabilities normalize and unseen-
+    under-observed-context lookups score the true add-k value
+    (ADVICE r9). ``unk_floor`` is the smoothed log-prob for an UNSEEN
+    context (a pair whose w1 never occurred in training:
     ln(k / (k*V)) = -ln(V)) — the lookup default.
 
     Driver state is the model (observed-pair-sized); the corpus is
@@ -161,12 +168,34 @@ def bigram_train(
     # appears as context)
     v = len(vocab) + 1
     tot = _context_totals(pair_rows)
-    model = {
-        f"{w1} {w2}": _quantize(n, tot[w1], k_num, k_den, v)
-        for w1, w2, n in pair_rows
-    }
+    model = _full_table(pair_rows, tot, vocab, k_num, k_den, v)
     unk_floor = math.floor(MICROS * math.log(k_num / (k_num * v)))
     return vocab, model, unk_floor
+
+
+def _full_table(
+    pair_rows,
+    tot: dict[str, int],
+    vocab: list[str],
+    k_num: int,
+    k_den: int,
+    v: int,
+) -> dict[str, int]:
+    """Materialize EVERY (observed context, emission) add-k score —
+    including zero-count pairs — so lookups for an unseen w2 under an
+    OBSERVED w1 return the true add-k value ln(k / (c(w1,*) + kV)),
+    not the unseen-context floor (ADVICE r9). Bounded by
+    (V+2) x (V+1) entries; the <s> context appears only when observed.
+    Only genuinely unseen CONTEXTS fall to the unk_floor default."""
+    counts = {(w1, w2): n for w1, w2, n in pair_rows}
+    emissions = list(vocab) + [UNK]
+    return {
+        f"{w1} {w2}": _quantize(
+            counts.get((w1, w2), 0), ctx_total, k_num, k_den, v
+        )
+        for w1, ctx_total in sorted(tot.items())
+        for w2 in emissions
+    }
 
 
 def replay_bigram_train(
@@ -198,10 +227,10 @@ def replay_bigram_train(
     tot: dict[str, int] = {}
     for (w1, _w2), n in pairs.items():
         tot[w1] = tot.get(w1, 0) + n
-    model = {
-        f"{w1} {w2}": _quantize(n, tot[w1], k_num, k_den, v)
-        for (w1, w2), n in pairs.items()
-    }
+    model = _full_table(
+        [(w1, w2, n) for (w1, w2), n in pairs.items()],
+        tot, vocab, k_num, k_den, v,
+    )
     unk_floor = math.floor(MICROS * math.log(k_num / (k_num * v)))
     return vocab, model, unk_floor
 

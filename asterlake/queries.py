@@ -7263,7 +7263,9 @@ def q_snapshot_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts pinned in tests/test_versioned.py), and the result must
     equal the oracle's plain filter row-for-row because pruning is a
     planning optimization, never a semantics change."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from asterlake.sources.versioned import scan_version, write_version
@@ -7272,8 +7274,11 @@ def q_snapshot_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars"
     )
     # mkdtemp (not TemporaryDirectory): the returned DataFrame reads the
-    # snapshot lazily — the driver collects after this function returns
+    # snapshot lazily — the driver collects after this function returns;
+    # atexit reclaims it so repeated bench/retry runs don't accumulate
+    # orphaned snapshot dirs (ADVICE r9, the q_stream_quarantine pattern)
     workdir = tempfile.mkdtemp(prefix="asterlake-snapscan-")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     root = os.path.join(workdir, "documents")
     write_version(
         d.repartitionByRange(8, "doc_id"),
@@ -7934,7 +7939,11 @@ def _bigram_oracle() -> str:
     WITH m AS (SELECT {mk!r} AS mk, {mv!r} AS mv,
                       {_BIGRAM_VOCAB!r} AS voc),
     t AS (SELECT doc_id,
-                 list_filter(string_split_regex(trim(text), '\\s+'),
+                 -- coalesce: NULL text is the EMPTY stream on both
+                 -- engines (n_pairs=0, loglik=0), matching
+                 -- ngramlm._tokens (ADVICE r9)
+                 list_filter(string_split_regex(trim(coalesce(text, '')),
+                                                '\\s+'),
                              s -> s != '') AS tk
           FROM documents),
     mp AS (SELECT doc_id,
@@ -8268,7 +8277,9 @@ def q_snapshot_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives, so pruning is provably safe; false positives only KEEP
     files and the re-applied filter removes their rows), and the result
     must equal the oracle's plain filter row-for-row."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from asterlake.sources.versioned import scan_version, write_version
@@ -8276,7 +8287,10 @@ def q_snapshot_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "n_chars"
     )
+    # lazily-read snapshot: mkdtemp + atexit reclaim, so repeated
+    # bench/retry runs don't accumulate orphaned dirs (ADVICE r9)
     workdir = tempfile.mkdtemp(prefix="asterlake-bloomscan-")
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     root = os.path.join(workdir, "documents")
     write_version(
         d.repartitionByRange(8, "source", "doc_id"),

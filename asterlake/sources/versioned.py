@@ -109,7 +109,8 @@ def _stat_encode(v):
     if isinstance(v, (int, float, str)):
         return v
     if isinstance(v, datetime.datetime):
-        return {"_t": "ts", "v": v.isoformat()}
+        # store the instant-canonical (naive UTC) form — see _ts_instant
+        return {"_t": "ts", "v": _ts_instant(v).isoformat()}
     if isinstance(v, datetime.date):
         return {"_t": "date", "v": v.isoformat()}
     return None
@@ -120,7 +121,9 @@ def _stat_decode(v):
 
     if isinstance(v, dict) and "_t" in v:
         if v["_t"] == "ts":
-            return datetime.datetime.fromisoformat(v["v"])
+            # normalize on decode too: manifests written before the
+            # instant-canonical encoding may carry aware isoformats
+            return _ts_instant(datetime.datetime.fromisoformat(v["v"]))
         if v["_t"] == "date":
             return datetime.date.fromisoformat(v["v"])
         raise ValueError(f"unknown stat type tag {v['_t']!r}")
@@ -222,6 +225,23 @@ BLOOM_BITS = 1024
 BLOOM_K = 4
 
 
+def _ts_instant(v):
+    """Canonicalize a datetime to its INSTANT as a naive-UTC value.
+    Parquet timestamps read back tz-aware (TIMESTAMP isAdjustedToUTC)
+    or naive depending on writer metadata, while Spark's TimestampType
+    is instant-based — so an aware '2024-01-01T00:00:00+00:00' and a
+    naive '2024-01-01T00:00:00' of the same instant must judge EQUAL
+    everywhere the skipper compares or hashes them, or pruning drops
+    rows the filter would keep (ADVICE r9, medium). Non-datetimes pass
+    through unchanged; datetime.datetime is checked before its
+    datetime.date superclass everywhere this is used."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def _bloom_canonical(v) -> tuple[str, bytes] | None:
     """(kind, canonical bytes) for bloom hashing, or None when the value
     cannot be judged safely. The canonical form must make every pair of
@@ -246,7 +266,10 @@ def _bloom_canonical(v) -> tuple[str, bytes] | None:
     if isinstance(v, str):
         return ("str", v.encode("utf-8"))
     if isinstance(v, datetime.datetime):
-        return ("ts", v.isoformat().encode())
+        # instant-canonical: naive and aware datetimes of the same
+        # instant MUST hash identically, or the probe side returns a
+        # false negative and wrongly prunes a file (ADVICE r9)
+        return ("ts", _ts_instant(v).isoformat().encode())
     if isinstance(v, datetime.date):
         return ("date", v.isoformat().encode())
     return None
@@ -507,6 +530,13 @@ def _set_may_contain(decoded: list, v) -> bool:
     members = [d for d in decoded if not is_nan(d)]
     if any(cat(d) != cv for d in members):
         return True
+    # instant-canonical timestamps: naive vs aware datetimes of the same
+    # instant compare False under Python == but MATCH under Spark ==, so
+    # normalize both sides before judging (ADVICE r9 — same false-prune
+    # class as the bloom hash)
+    if cv == "ts":
+        v = _ts_instant(v)
+        members = [_ts_instant(d) for d in members]
     return any(v == d for d in members)
 
 
@@ -582,10 +612,12 @@ def _file_may_match(
             if op == "in":
                 if any(_nanish(v) for v in cond[2]):
                     continue
-                if not any(lo <= v <= hi for v in cond[2]):
+                # _ts_instant: aware probes vs naive-UTC decoded bounds
+                # would raise (kept-file, but pruning lost) — normalize
+                if not any(lo <= _ts_instant(v) <= hi for v in cond[2]):
                     return False
                 continue
-            v = cond[2]
+            v = _ts_instant(cond[2])
             if _nanish(v):
                 continue
             if op == "==" and (v < lo or v > hi):

@@ -264,13 +264,6 @@ def running_user_counts(events: DataFrame, id_col: str = "user_id") -> DataFrame
     )
 
 
-_DOMAIN_CAP_OUTPUT = StructType(
-    [
-        StructField("source", StringType()),
-        StructField("doc_id", LongType()),
-        StructField("admit_seq", LongType()),
-    ]
-)
 _DOMAIN_CAP_STATE = StructType([StructField("n", LongType())])
 
 
@@ -289,7 +282,16 @@ def stream_domain_caps(
     micro-batch sequence and survives checkpoint restarts). State is
     ONE counter per domain — bounded by the domain universe no matter
     how many documents arrive; emitted rows carry admit_seq so
-    downstream sees a dense per-domain admission order."""
+    downstream sees a dense per-domain admission order. The output
+    schema is built FROM domain_col/id_col, so non-default column
+    names come back under their own names (ADVICE r9)."""
+    output_schema = StructType(
+        [
+            StructField(domain_col, StringType()),
+            StructField(id_col, LongType()),
+            StructField("admit_seq", LongType()),
+        ]
+    )
 
     def update(
         key: tuple[Any, ...],
@@ -306,15 +308,15 @@ def stream_domain_caps(
             state.update((n + len(take),))
             yield pd.DataFrame(
                 {
-                    "source": [key[0]] * len(take),
-                    "doc_id": take,
+                    domain_col: [key[0]] * len(take),
+                    id_col: take,
                     "admit_seq": list(range(n, n + len(take))),
                 }
             )
 
     return docs.groupBy(domain_col).applyInPandasWithState(
         update,
-        outputStructType=_DOMAIN_CAP_OUTPUT,
+        outputStructType=output_schema,
         stateStructType=_DOMAIN_CAP_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -175,3 +175,57 @@ def test_perplexity_gate_is_exact_cross_multiply(spark):
         n, ll = ref_score(text, vocab, model, unk)
         assert kept[i] == (ll >= thr * n), (i, text)
     assert any(kept.values()) and not all(kept.values())
+
+
+def test_model_is_full_addk_table(spark):
+    """ADVICE r9: every (observed context, emission) pair is in the
+    table — including ZERO-count pairs, at the true add-k score
+    ln(k / (c(w1,*) + kV)) — so per-context probabilities normalize
+    and only genuinely unseen CONTEXTS fall to the unk_floor."""
+    d = _docs(spark)
+    vocab, model, unk = bigram_train(d, "text", vocab_size=8, k_num=1, k_den=10)
+    rows = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in bigram_counts(d, "text", vocab).collect()
+    }
+    tot: dict[str, int] = {}
+    for (w1, _), n in rows.items():
+        tot[w1] = tot.get(w1, 0) + n
+    v = len(vocab) + 1
+    emissions = list(vocab) + [UNK]
+    # exactly contexts x emissions, nothing more, nothing less
+    assert set(model) == {
+        f"{w1} {w2}" for w1 in tot for w2 in emissions
+    }
+    # a zero-count pair under an observed context scores add-k, not unk
+    zero_pairs = [
+        (w1, w2) for w1 in tot for w2 in emissions if (w1, w2) not in rows
+    ]
+    assert zero_pairs, "corpus too dense for the zero-count pin"
+    for w1, w2 in zero_pairs:
+        want = math.floor(MICROS * math.log(1 / (tot[w1] * 10 + v)))
+        assert model[f"{w1} {w2}"] == want, (w1, w2)
+    # per-context probabilities normalize (to quantization tolerance:
+    # each of the v entries is floored by < 1 micro-nat)
+    for w1, t in tot.items():
+        s = sum(
+            math.exp(model[f"{w1} {w2}"] / MICROS) for w2 in emissions
+        )
+        assert 1 - v * 2e-6 <= s <= 1 + 1e-9, (w1, s)
+
+
+def test_score_null_text_is_zero(spark):
+    """ADVICE r9: NULL text tokenizes to the empty stream on the Spark
+    side (n_pairs=0, loglik=0), matching the SQL oracles' coalesce —
+    in both the literal-fold and the broadcast-join scorer."""
+    d = spark.createDataFrame(
+        [(0, "the cat"), (1, None)], "doc_id bigint, text string"
+    )
+    vocab, model, unk = bigram_train(d, "text", vocab_size=4)
+    for scored in (
+        bigram_score(d, vocab, model, unk),
+        bigram_score_join(d, vocab, model_relation(spark, model), unk),
+    ):
+        got = {r["doc_id"]: r for r in scored.collect()}
+        assert (got[1]["n_pairs"], got[1]["loglik_micros"]) == (0, 0)
+        assert got[0]["n_pairs"] == 2

@@ -1279,3 +1279,33 @@ def test_stream_domain_caps_admits_first_cap_per_domain(spark, tmp_path):
     drain()
     got2 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got2 == sorted(got + [("c", 20, 0)])
+
+
+def test_stream_domain_caps_honors_custom_column_names(spark, tmp_path):
+    """ADVICE r9: the output schema is built FROM domain_col/id_col —
+    non-default names come back under their own names, not hard-coded
+    'source'/'doc_id'."""
+    import json as _json
+
+    from asterlake.streaming.pipeline import stream_domain_caps
+
+    src = str(tmp_path / "namedocs")
+    os.makedirs(src)
+    with open(os.path.join(src, "00.jsonl"), "w") as f:
+        for i, host in [(3, "x"), (1, "x"), (2, "x"), (9, "y")]:
+            f.write(_json.dumps({"id": i, "host": host}) + "\n")
+
+    got: list = []
+    stream = spark.readStream.schema("id long, host string").json(src)
+    q = (
+        stream_domain_caps(stream, domain_col="host", id_col="id", cap=2)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _eid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got and list(got[0].asDict()) == ["host", "id", "admit_seq"]
+    assert sorted((r["host"], r["id"], r["admit_seq"]) for r in got) == [
+        ("x", 1, 0), ("x", 2, 1), ("y", 9, 0)
+    ]

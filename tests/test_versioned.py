@@ -671,3 +671,100 @@ def test_bloom_empty_and_all_null_files_prune_for_equality(spark, tmp_path):
     hit = scan_version(spark, root, [("key", "==", "k150")], version=1)
     assert len(hit.inputFiles()) == 1  # the all-null file pruned
     assert [r.id for r in hit.collect()] == [150]
+
+
+def test_ts_instant_canonical_aware_vs_naive():
+    """ADVICE r9 (medium): a tz-aware datetime and the naive datetime
+    of the SAME instant must judge equal everywhere the skipper hashes
+    or compares — bloom canonical bytes, set membership — or a probe
+    falsely prunes a file that holds the value."""
+    from datetime import datetime, timedelta, timezone
+
+    from asterlake.sources.versioned import (
+        _bloom_canonical,
+        _set_may_contain,
+        _stat_decode,
+        _stat_encode,
+    )
+
+    naive = datetime(2024, 1, 1, 0, 0, 0)
+    aware = datetime(2024, 1, 1, 0, 0, 0, tzinfo=timezone.utc)
+    offset = datetime(
+        2024, 1, 1, 5, 30, tzinfo=timezone(timedelta(hours=5, minutes=30))
+    )  # same instant as naive/aware, rendered in +05:30
+    assert _bloom_canonical(naive) == _bloom_canonical(aware)
+    assert _bloom_canonical(naive) == _bloom_canonical(offset)
+    # a genuinely different instant still hashes differently
+    assert _bloom_canonical(naive) != _bloom_canonical(
+        datetime(2024, 1, 1, 0, 0, 1, tzinfo=timezone.utc)
+    )
+    # set membership: aware member, naive probe (and vice versa) match
+    assert _set_may_contain([aware], naive)
+    assert _set_may_contain([naive], aware)
+    assert _set_may_contain([offset], naive)
+    assert not _set_may_contain([aware], naive + timedelta(seconds=1))
+    # encode/decode round-trips to the instant-canonical naive form
+    assert _stat_decode(_stat_encode(aware)) == naive
+    assert _stat_decode(_stat_encode(offset)) == naive
+    # pre-fix manifests carrying aware isoformats decode canonical too
+    assert _stat_decode({"_t": "ts", "v": "2024-01-01T00:00:00+00:00"}) == naive
+
+
+def test_scan_version_timestamp_probe_tz_safe(spark, tmp_path):
+    """End-to-end: snapshot a timestamp column written as
+    TIMESTAMP_MICROS (isAdjustedToUTC -> pyarrow reads the stats back
+    TZ-AWARE), then probe with NAIVE datetimes through every index tier
+    (range, set, bloom). No false prune: the scan equals the filter
+    twin row-for-row, and pruning still works across files."""
+    from datetime import datetime
+
+    from asterlake.sources.versioned import scan_version
+
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(hours=F.col("id").cast("int"))
+            ).alias("ts"),
+        )
+        root = str(tmp_path / "tsed")
+        write_version(
+            df.repartitionByRange(4, "doc_id"),
+            root,
+            stats_cols=["ts"],
+            set_cols=["ts"],
+            bloom_cols=["ts"],
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+
+    man = read_manifest(root, 1)
+    # the harvested stats really are instant-canonical (no tz suffix)
+    for finfo in man["file_stats"].values():
+        enc = finfo["cols"]["ts"]["min"]
+        assert enc["_t"] == "ts" and "+" not in enc["v"], enc
+
+    full = read_version(spark, root, 1)
+    assert len(full.inputFiles()) == 4
+    probe = datetime(2024, 1, 3, 7, 0, 0)  # hour 55: in exactly one file
+    for conds in (
+        [("ts", "==", probe)],
+        [("ts", "in", [probe])],
+        [("ts", ">=", probe), ("ts", "<=", probe)],
+    ):
+        got = scan_version(spark, root, conds, version=1)
+        # the match is FOUND (no false negative) and pruning is real
+        assert len(got.inputFiles()) == 1, conds
+        assert [r.doc_id for r in got.collect()] == [55], conds
+    ghost = scan_version(
+        spark, root, [("ts", "==", datetime(2030, 1, 1))], version=1
+    )
+    assert ghost.count() == 0 and len(ghost.inputFiles()) == 0
