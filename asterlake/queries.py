@@ -8477,6 +8477,119 @@ def q_denylist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ExactSubstr suffix-array-tier dedup (r10): corpus-wide repeated
+# substrings at every alignment (Lee et al. ACL 2022) — the dedup tier
+# span_dedup's fixed grid and cdc_chunks' content-defined chunks miss
+# ---------------------------------------------------------------------------
+_SUBSTR_K = 12  # ExactSubstr window: >=12-token repeats are boilerplate
+
+
+def _substr_windows_duck(k: int) -> str:
+    """Shared oracle CTE prologue: tokens + 0-based window table. The
+    oracle groups on the raw window TEXT (DuckDB pays no shuffle), so
+    driver parity also differentially pins the Spark side's md5-digest
+    keying against text equality on real data every round."""
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(
+                          trim(coalesce(text, '')), '\\s+'),
+                          s -> s != '') AS tk
+               FROM documents),
+    w AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                 array_to_string(list_slice(tk, i, i + {k - 1}), ' ') AS win
+          FROM t, unnest(range(1, len(tk) - {k - 2})) AS u(i))
+    """
+
+
+@query(
+    "q_dedup_substrings",
+    _substr_windows_duck(_SUBSTR_K)
+    + f"""
+    , d AS (SELECT doc_id, pos FROM (
+              SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS n
+              FROM w)
+            WHERE n >= 2),
+    g AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) IS NULL
+                        OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos)
+                             > {_SUBSTR_K}
+                      THEN 1 ELSE 0 END AS ni
+          FROM d),
+    i AS (SELECT doc_id, pos,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS grp
+          FROM g)
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS start_tok,
+           CAST(max(pos) + {_SUBSTR_K} AS INT) AS end_tok,
+           CAST(max(pos) + {_SUBSTR_K} - min(pos) AS INT) AS span_tokens
+    FROM i GROUP BY doc_id, grp
+    """,
+)
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal corpus-duplicated substring spans (>= 12 tokens, any
+    alignment, any two occurrences — the ExactSubstr suffix-array
+    semantics of Lee et al. 2022). Sorted-k-mer anchoring instead of a
+    suffix array: every window ships as a (16-byte digest, doc, pos)
+    triple — NEVER window text — through one digest-partitioned
+    duplicate flag, then coverage-touching duplicated windows merge
+    into maximal spans with one doc-keyed gaps-and-islands pass. At
+    100 TB the shuffle is ~24 bytes x windows; the text-keyed
+    formulation the oracle runs is the non-starter a suffix array
+    exists to avoid. Differential twin vs a brute-force oracle in
+    tests/test_substrings.py."""
+    from asterlake.operators.substrings import repeated_substring_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return repeated_substring_spans(d, _SUBSTR_K)
+
+
+@query(
+    "q_scrub_substrings",
+    _substr_windows_duck(_SUBSTR_K)
+    + f"""
+    , r AS (SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY win) AS n,
+                   row_number() OVER (PARTITION BY win
+                                      ORDER BY doc_id, pos) AS rn
+            FROM w),
+    cov AS (SELECT DISTINCT doc_id, pos + u.j AS ti
+            FROM r, unnest(range(0, {_SUBSTR_K})) AS u(j)
+            WHERE n >= 2 AND rn >= 2),
+    pt AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS ti, tk[u.i] AS tok
+           FROM t, unnest(range(1, len(tk) + 1)) AS u(i)),
+    keep AS (SELECT pt.doc_id, pt.ti, pt.tok
+             FROM pt LEFT JOIN cov
+               ON pt.doc_id = cov.doc_id AND pt.ti = cov.ti
+             WHERE cov.ti IS NULL),
+    kc AS (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(tok, ' ' ORDER BY ti) AS text_clean
+           FROM keep GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(tk) AS INT) AS n_tokens,
+           CAST(len(tk) - coalesce(kc.n_kept, 0) AS INT) AS n_scrubbed,
+           coalesce(kc.text_clean, '') AS text_clean
+    FROM t LEFT JOIN kc USING (doc_id)
+    """,
+)
+def q_scrub_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr scrubbing with the corpus-FIRST survivor: for every
+    duplicated >= 12-token window the min-(doc, pos) occurrence keeps
+    its tokens, every later occurrence's covered tokens are dropped,
+    and documents rebuild from their surviving tokens — "remove all
+    but one copy" at window granularity, deterministic (ranks order by
+    (doc, pos), never an engine hash). Fully-scrubbed documents come
+    back with empty text rather than vanishing. Brute-force
+    differential in tests/test_substrings.py."""
+    from asterlake.operators.substrings import scrub_repeated_substrings
+
+    d = load_table(spark, sf_dir, "documents")
+    return scrub_repeated_substrings(d, _SUBSTR_K)
+
+
+# ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
 # The correctness driver walks QUERIES in declaration order under a finite
@@ -8494,157 +8607,117 @@ def q_denylist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # turns the suite red until the front is re-frozen, so the freeze is
 # provably no older than the last operator commit (r6 verdict ask #6).
 #
-# Round-9 front (exactly 50):
-#   1. The SIX new r9 queries — the four R9 CANDIDATES, now declared
-#      (q_ann_pq_search, q_bpe_segment, q_cms_frequencies,
-#      q_quality_logistic — r8 verdict ask #3), plus
-#      q_snapshot_scan_pruned (the scan_version data-skipping read
-#      path end-to-end — r8 verdict ask #6; the r9-repaired value-set
-#      index rides the same write) and q_quality_gate_text (the
-#      classifier composed onto engineered text features — ask #7).
-#   2. 44 of the 48 r6-era rows (the oldest block). After this round
-#      no driver row predates r7 EXCEPT the documented tail: the four
-#      deferred rows are the q_window_* family (q_window_frames /
-#      q_window_navigation / q_window_range_frames /
-#      q_window_event_gaps) — pure built-in window surface untouched
-#      since r1, a quadruply-redundant family (each exercises the same
-#      Window machinery with different frame specs), the lowest-risk
-#      residue in the r6 block. They lead the r10 front.
-#   No touched-promotion slots were needed: the only r9 operator edits
-#   (classifier.py clamp + logit_margin, versioned.py NaN guards +
-#   set-index fixture repair) propagate to q_quality_logistic and
-#   q_snapshot_scan_pruned, both already in the front as NEW rows.
-# (The r8 "R9 CANDIDATES" block resolved: all four shapes landed above
-# as declared queries with the worked-out oracles — codebook/weight
-# literals 6-decimal-quantized per the literal contract, the BPE apply
-# as a recursive CTE, the CMS guarantees as in-plan booleans, and the
-# logistic gate on the LOGIT fold, never the sigmoid.)
+# The r9 front plan executed verbatim in round 10 (see the r10 lists
+# below): all 15 late-r9 post-freeze declarations, the 4 deferred
+# q_window_* r6 rows, and the 2 media-exemption re-scores sit in the
+# first 50, plus this round's 5 touched/new queries; the balance is
+# name-ascending freshness rotation over the r7-era rows.
 #
-# R10 FRONT PLAN: the FIFTEEN queries DECLARED late r9 after the front
-#   froze — q_unigram_segment (full Viterbi-recursive-CTE oracle),
-#   q_cms_join_size, q_unigram_seed_vocab, q_ann_ivfpq_search; the
-#   bigram-LM / corpus-composition family q_bigram_loglik,
-#   q_domain_caps, q_mixture_weights, q_mixture_apply; the recursive-
-#   CTE pair q_recursive_month_spine, q_bigram_greedy_decode; and the
-#   late-late additions q_snapshot_scan_bloom, q_compression_signal,
-#   q_cdc_shared_chunks, q_media_gif_anim, q_denylist_scan — all
-#   local-parity green at sf0.001/0.01, exempt below — plus the four
-#   deferred q_window_* rows lead the r10 front (19 slots); ALSO due:
-#   q_media_decode_real + q_media_mp4_meta (r9 gif-branch exemptions —
-#   re-score them so no exemption outlives one round). The remaining
-#   ~29 slots return to freshness rotation over the r7-era rows.
+# R11 FRONT PLAN: the 22 r7-era rows that did not fit this round
+#   (q_scd2_intervals, q_schema_drift_union, q_session_window,
+#   q_sketch_rollup_merge, q_small_quantity_revenue, q_split_assign,
+#   q_split_leakage_safe, the q_stream_* seven, q_table_profile,
+#   q_text_redact, q_training_mix, q_udaf_iqr, q_udf_vector_norm,
+#   q_variant_extract, q_weighted_sample, q_zorder_stats) lead the
+#   r11 front, then freshness rotation over the r8-era rows; plus
+#   whatever round-11 touches or declares (freeze AFTER the round's
+#   last operator commit, via rotation.suggest_front).
 
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
-    # the r8 codec work (4:2:0, then progressive SOF2 + restart
-    # intervals) lives entirely behind decode_media's real=True
-    # dispatch; this query runs the real=False synthetic-stats branch,
-    # whose code is byte-identical to the r6-scored bytes — the
-    # changed real path is scored by the promoted q_media_decode_real.
+    # the r8 codec work (4:2:0, progressive SOF2 + restart intervals)
+    # and the r9 gif codec live entirely behind decode_media's
+    # real=True dispatch; this query runs the real=False
+    # synthetic-stats branch, byte-identical to the r6-scored bytes —
+    # the real paths are scored by q_media_decode_real (r10 front) and
+    # q_media_gif_anim (r10 front)
     "q_media_decode": "real=False branch unchanged; real=True scored "
-    "via q_media_decode_real",
-    # (the r8 percentiles/weighted-median memo exemptions are retired:
-    # both rows sit in the r9 front as r6-era promotions, so the memo
-    # routing gets its driver re-score this round)
-    # brand-new declaration landed AFTER the r9 front froze at its 50
-    # committed slots; it has never had a driver row to go stale, its
-    # local DuckDB parity is green at sf0.001/0.01, and the R10 FRONT
-    # PLAN above puts it first in line next round
-    "q_unigram_segment": "declared late r9 post-freeze; leads the r10 "
-    "front (local oracle parity green)",
-    "q_cms_join_size": "declared late r9 post-freeze; leads the r10 "
-    "front (local oracle parity green)",
-    "q_unigram_seed_vocab": "declared late r9 post-freeze; leads the "
-    "r10 front (local oracle parity green)",
-    "q_ann_ivfpq_search": "declared late r9 post-freeze; leads the "
-    "r10 front (local oracle parity green)",
-    "q_bigram_loglik": "declared late r9 post-freeze; leads the r10 "
-    "front (local oracle parity green)",
-    "q_domain_caps": "declared late r9 post-freeze; leads the r10 "
-    "front (local oracle parity green)",
-    "q_mixture_weights": "declared late r9 post-freeze; leads the r10 "
-    "front (local oracle parity green)",
-    "q_mixture_apply": "declared late r9 post-freeze; leads the r10 "
-    "front (local oracle parity green)",
-    "q_recursive_month_spine": "declared late r9 post-freeze; leads "
-    "the r10 front (local oracle parity green)",
-    "q_bigram_greedy_decode": "declared late r9 post-freeze; leads "
-    "the r10 front (local oracle parity green)",
-    "q_snapshot_scan_bloom": "declared late r9 post-freeze; leads "
-    "the r10 front (local oracle parity green)",
-    "q_compression_signal": "declared late r9 post-freeze; leads "
-    "the r10 front (local oracle parity green)",
-    "q_cdc_shared_chunks": "declared late r9 post-freeze; leads "
-    "the r10 front (local oracle parity green)",
-    "q_media_gif_anim": "declared late r9 post-freeze; leads the r10 "
-    "front (local oracle parity green)",
-    "q_denylist_scan": "declared late r9 post-freeze; leads the r10 "
-    "front (local oracle parity green)",
-    # the r9 gif codec adds a new format BRANCH to real_media_table /
-    # decode_media_real; neither query's pinned format cycle contains
-    # "gif", so behavior on every input they score is unchanged — the
-    # NEW branch is scored by q_media_gif_anim (r10 front)
-    "q_media_decode_real": "r9 gif branch is dead code for this "
-    "query's pinned format cycle; the new path is scored by "
-    "q_media_gif_anim",
-    "q_media_mp4_meta": "r9 gif branch is dead code for this query's "
-    "mp4-only cycle; the new path is scored by q_media_gif_anim",
+    "via q_media_decode_real, gif via q_media_gif_anim (both r10 "
+    "front)",
 }
 
-_NEW_R9 = [
-    "q_ann_pq_search",  # NEW r9: PQ encode + ADC shortlist + exact rerank
-    "q_bpe_segment",  # NEW r9: pinned-merge BPE apply, recursive-CTE oracle
-    "q_cms_frequencies",  # NEW r9: count-min estimates, in-plan-bound gate
-    "q_quality_logistic",  # NEW r9: logistic gate on the logit fold
-    "q_snapshot_scan_pruned",  # NEW r9: scan_version file-skipping read
-    "q_quality_gate_text",  # NEW r9: classifier-on-text composed gate
+# Round-10 front (exactly 50), frozen per the R10 FRONT PLAN above and
+# re-derived mechanically (rotation.suggest_front at freeze time):
+#   1. The FIVE queries TOUCHED this round: q_bigram_loglik (NULL-text
+#      coalesce in ngramlm._tokens + oracle, full add-k table — ADVICE
+#      r9), q_snapshot_scan_pruned / q_snapshot_scan_bloom (versioned
+#      tz-instant canonicalization ADVICE r9 medium + atexit workdir
+#      reclaim), and the two NEW r10 declarations q_dedup_substrings /
+#      q_scrub_substrings (the ExactSubstr suffix-array dedup tier —
+#      r9 verdict ask #2).
+#   2. The remaining THIRTEEN late-r9 post-freeze declarations (their
+#      first driver signal — r9 verdict ask #1).
+#   3. The four deferred q_window_* rows (last scored r6 — the
+#      documented tail, due now).
+#   4. The two r9 media exemptions re-scored (q_media_decode_real,
+#      q_media_mp4_meta) so no exemption outlives one round — carried
+#      by hand per suggest_front's documented limitation (the gif
+#      branch landed BEFORE the r9 correctness commit, so the diff
+#      cannot see it).
+#   5. 26 of the 48 r7-era rows (longest-unverified freshness
+#      rotation, name-ascending for a stable order); the remaining 22
+#      r7 rows lead the r11 front.
+_TOUCHED_R10 = [
+    "q_bigram_loglik",
+    "q_dedup_substrings",
+    "q_scrub_substrings",
+    "q_snapshot_scan_bloom",
+    "q_snapshot_scan_pruned",
 ]
-_STALE_R6 = [
-    "q_asof_click_error",
-    "q_bm25_search",
-    "q_cdc_apply",
-    "q_cohort_retention",
-    "q_corpus_survivors",
-    "q_correlated_subqueries",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash_pairs",
-    "q_embedding_srp_neighbors",
-    "q_ewma_value",
-    "q_funnel_conversion",
-    "q_fuzzy_name_pairs",
-    "q_gapfill_locf",
-    "q_grouped_map_deltas",
-    "q_histogram_prices",
-    "q_hybrid_search",
-    "q_incremental_agg_merge",
-    "q_json_extract",
-    "q_media_decode",
-    "q_media_features",
-    "q_media_frames",
-    "q_media_resize",
-    "q_min_cost_supplier",
-    "q_minhash_jaccard_estimate",
-    "q_percentiles_exact",
-    "q_range_join_clicks_before_error",
-    "q_salted_join_top_customers",
-    "q_sample_stratified",
-    "q_sessionization",
-    "q_set_ops_all",
-    "q_shipping_priority",
-    "q_sketch_distinct",
-    "q_stream_quarantine",
-    "q_table_checksum",
-    "q_text_repetition",
-    "q_tfidf_top_terms",
-    "q_trimmed_stats",
-    "q_twap_value",
-    "q_udtf_sentences",
-    "q_unpivot_measures",
-    "q_waiting_supplier_orders",
-    "q_weighted_median",
+_LATE_R9 = [
+    "q_ann_ivfpq_search",
+    "q_bigram_greedy_decode",
+    "q_cdc_shared_chunks",
+    "q_cms_join_size",
+    "q_compression_signal",
+    "q_denylist_scan",
+    "q_domain_caps",
+    "q_media_gif_anim",
+    "q_mixture_apply",
+    "q_mixture_weights",
+    "q_recursive_month_spine",
+    "q_unigram_seed_vocab",
+    "q_unigram_segment",
 ]
-_FRONT = _NEW_R9 + _STALE_R6
+_DEFERRED_R6 = [
+    "q_window_event_gaps",
+    "q_window_frames",
+    "q_window_navigation",
+    "q_window_range_frames",
+]
+_MEDIA_RESCORE = [
+    "q_media_decode_real",
+    "q_media_mp4_meta",
+]
+_STALE_R7 = [
+    "q_ann_int8_topk",
+    "q_ann_topk_bruteforce",
+    "q_anomaly_outliers",
+    "q_chunk_documents",
+    "q_collocations_lift",
+    "q_contamination_scores",
+    "q_decayed_engagement",
+    "q_dedup_containment",
+    "q_dedup_incremental",
+    "q_dedup_ngram_prefix",
+    "q_dedup_normalized",
+    "q_dedup_spans",
+    "q_dedup_survivors",
+    "q_doc_rarity",
+    "q_embedding_centroids",
+    "q_embedding_dup_clusters",
+    "q_embedding_normalize",
+    "q_frequent_tokens",
+    "q_histogram_equidepth",
+    "q_kmeans_step",
+    "q_pack_sequences",
+    "q_pagerank_copurchase",
+    "q_posexplode_tokens",
+    "q_quarantine_expectations",
+    "q_quota_sample",
+    "q_range_layout_stats",
+]
+_FRONT = _TOUCHED_R10 + _LATE_R9 + _DEFERRED_R6 + _MEDIA_RESCORE + _STALE_R7
+
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 assert len(set(_FRONT)) == len(_FRONT), "duplicate in ordering front block"
 # exactly the 50-query budget: nothing in the front can age out this round
