@@ -60,6 +60,7 @@ __all__ = [
     "bigram_train",
     "replay_bigram_train",
     "bigram_score",
+    "bigram_score_cols",
     "bigram_score_join",
     "model_relation",
 ]
@@ -253,6 +254,26 @@ def bigram_score(
     this is one map-only pass the optimizer can push filters through.
     For models too large for a plan literal use
     :func:`bigram_score_join`."""
+    n_pairs, loglik = bigram_score_cols(vocab, model, unk_floor, text_col)
+    return docs.select(
+        F.col(id_col),
+        n_pairs.alias("n_pairs"),
+        loglik.alias("loglik_micros"),
+    )
+
+
+def bigram_score_cols(
+    vocab: list[str],
+    model: dict[str, int],
+    unk_floor: int,
+    text_col: str = "text",
+) -> tuple[F.Column, F.Column]:
+    """``(n_pairs, loglik_micros)`` as composable COLUMNS — the same
+    row-local literal-map fold :func:`bigram_score` projects, for
+    pipelines that need the score alongside other columns (e.g. the
+    streaming curation chain). ``n_pairs`` equals the document's token
+    count (every token scores once against its left context, <s>
+    included), so it doubles as the packing token count downstream."""
     lit_model = F.map_from_arrays(
         F.lit(list(model.keys())),
         F.lit([model[k] for k in model]),
@@ -269,14 +290,11 @@ def bigram_score(
             F.element_at(lit_model, kk), F.lit(unk_floor).cast("bigint")
         ),
     )
-    return docs.select(
-        F.col(id_col),
-        F.size(keys).alias("n_pairs"),
+    return (
+        F.size(keys),
         F.aggregate(
-            micros,
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("loglik_micros"),
+            micros, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ),
     )
 
 

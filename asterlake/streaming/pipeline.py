@@ -825,3 +825,338 @@ def running_counts_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end streaming corpus curation: gate -> caps -> mixture -> packing
+# ---------------------------------------------------------------------------
+
+_US_PACK_STATE = StructType([StructField("tok_total", LongType())])
+
+
+def stream_curation_admit(
+    docs: DataFrame,
+    vocab: list[str],
+    model: dict[str, int],
+    unk_floor: int,
+    gate_micros: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = 10,
+) -> DataFrame:
+    """Curation-chain stage 1: the bigram perplexity GATE (stateless,
+    row-local — the pinned quantized model rides in as a literal map,
+    the admission test is the exact integer cross-multiply
+    ``loglik_micros >= gate_micros * n_tokens``) composed with the
+    stateful per-domain admission CAP (first ``cap`` gated docs per
+    domain in arrival order, ties by ascending id within a micro-batch
+    — the honest streaming contract, a stream cannot know the future).
+
+    Emits ``(domain_col, id_col, n_tokens long, admit_seq long)`` in
+    update mode; ``n_tokens`` (== the scorer's n_pairs: every token
+    scores once against its left context) rides through as the payload
+    the packing stage needs. State is one counter per domain."""
+    from asterlake.operators.ngramlm import bigram_score_cols
+
+    n_pairs, loglik = bigram_score_cols(vocab, model, unk_floor, text_col)
+    gated = (
+        docs.select(
+            F.col(domain_col),
+            F.col(id_col),
+            n_pairs.cast("long").alias("n_tokens"),
+            loglik.alias("_ll"),
+        )
+        .where(
+            F.col("_ll")
+            >= F.lit(int(gate_micros)).cast("bigint") * F.col("n_tokens")
+        )
+        .drop("_ll")
+    )
+    out_schema = StructType(
+        [
+            StructField(domain_col, StringType()),
+            StructField(id_col, LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("admit_seq", LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        rows: list[tuple[int, int]] = []
+        for p in pdfs:
+            rows.extend(
+                (int(i), int(t))
+                for i, t in zip(p[id_col].tolist(), p["n_tokens"].tolist())
+            )
+        rows.sort()  # deterministic within the micro-batch
+        take = rows[: max(0, cap - n)]
+        if take:
+            state.update((n + len(take),))
+            yield pd.DataFrame(
+                {
+                    domain_col: [key[0]] * len(take),
+                    id_col: [i for i, _ in take],
+                    "n_tokens": [t for _, t in take],
+                    "admit_seq": list(range(n, n + len(take))),
+                }
+            )
+
+    return gated.groupBy(domain_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_DOMAIN_CAP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_mixture_expand(
+    admitted: DataFrame,
+    factor_ppm: dict[str, int],
+    default_ppm: int = 1_000_000,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curation-chain stage 2a: deterministic mixture materialization
+    on a stream — the STATELESS twin of operators/mixture.apply_mixture
+    with the factor table as a pinned literal map instead of a join
+    side (mixture targets are a modeling decision; on an unbounded
+    stream the factors must be a shipped artifact, not something
+    derived from data the stream hasn't seen). Identical keep
+    arithmetic: doc ``i`` appears ``floor(f/1e6)`` times plus one iff
+    ``(i * 48271) % 1e6 < f % 1e6`` — the exact fixed-point decision
+    from mixture.py (FRAC_P/PPM imported, never restated), no RNG, no
+    engine hash. Adds ``copy_id int``."""
+    from asterlake.operators.mixture import FRAC_P, PPM
+
+    fmap = F.map_from_arrays(
+        F.lit(list(factor_ppm.keys())),
+        F.lit([int(v) for v in factor_ppm.values()]),
+    )
+    f = F.coalesce(
+        F.element_at(fmap, F.col(domain_col)),
+        F.lit(int(default_ppm)),
+    ).cast("bigint")
+    whole = F.expr(f"CAST({'_f'} div {PPM} AS INT)")
+    frac = F.col("_f") % F.lit(PPM)
+    keep_extra = (
+        F.col(id_col).cast("bigint") * F.lit(FRAC_P)
+    ) % F.lit(PPM) < frac
+    n_copies = whole + F.when(keep_extra, 1).otherwise(0)
+    return (
+        admitted.withColumn("_f", f)
+        .where(n_copies > 0)
+        .withColumn(
+            "copy_id",
+            F.explode(F.sequence(F.lit(0), (n_copies - 1).cast("int"))),
+        )
+        .drop("_f")
+    )
+
+
+def stream_pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Curation-chain stage 2b: streaming concat-and-chunk packing.
+    Documents hash into ``n_buckets`` deterministic buckets (the SAME
+    md5 bucket assignment batch pack_sequences uses, so a doc lands in
+    the same bucket on either path); each bucket is an independent
+    token stream with ONE stateful counter — arriving docs take the
+    next ``n_tokens`` slots in (id, copy) order within the micro-batch.
+
+    Offsets are BUCKET-LOCAL: a stream cannot know other buckets'
+    future totals, so there is no global bucket_prefix — pack identity
+    downstream is the PAIR (bucket, pack_id), one writer per bucket
+    (exactly how a continuously-ingesting trainer shards its output).
+    With ``n_buckets=1`` and monotone-id arrival the drained stream is
+    bit-identical to batch ``pack_sequences`` (pinned in
+    tests/test_streaming.py). State: one long per bucket.
+
+    Output: ``(bucket int, id, copy_id int, n_tokens long, offset,
+    pack_id, pack_offset, end_pack_id long)`` with the same
+    slot/straddle semantics as the batch operator."""
+    from asterlake.operators.sampling import hash_bucket
+
+    keyed = docs.select(
+        hash_bucket(F.col(id_col), n_buckets).alias("bucket"),
+        F.col(id_col),
+        F.col(copy_col).cast("int").alias(copy_col),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    out_schema = StructType(
+        [
+            StructField("bucket", IntegerType()),
+            StructField(id_col, LongType()),
+            StructField(copy_col, IntegerType()),
+            StructField("n_tokens", LongType()),
+            StructField("offset", LongType()),
+            StructField("pack_id", LongType()),
+            StructField("pack_offset", LongType()),
+            StructField("end_pack_id", LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        rows: list[tuple[int, int, int]] = []
+        for p in pdfs:
+            rows.extend(
+                (int(i), int(c), int(t))
+                for i, c, t in zip(
+                    p[id_col].tolist(),
+                    p[copy_col].tolist(),
+                    p["n_tokens"].tolist(),
+                )
+            )
+        if not rows:
+            return
+        rows.sort()  # (id, copy) order within the micro-batch
+        offs, cur = [], total
+        for _i, _c, t in rows:
+            offs.append(cur)
+            cur += t
+        state.update((cur,))
+        yield pd.DataFrame(
+            {
+                "bucket": [int(key[0])] * len(rows),
+                id_col: [i for i, _, _ in rows],
+                copy_col: [c for _, c, _ in rows],
+                "n_tokens": [t for _, _, t in rows],
+                "offset": offs,
+                "pack_id": [o // budget for o in offs],
+                "pack_offset": [o % budget for o in offs],
+                "end_pack_id": [
+                    (o + max(t - 1, 0)) // budget
+                    for o, (_, _, t) in zip(offs, rows)
+                ],
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_US_PACK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_curation_chain(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    workdir: str,
+    vocab: list[str],
+    model: dict[str, int],
+    unk_floor: int,
+    gate_micros: int,
+    factor_ppm: dict[str, int],
+    default_ppm: int = 1_000_000,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = 10,
+    budget: int = 2048,
+    n_buckets: int = 4,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The FULL streaming curation pipeline, end to end: perplexity
+    gate -> per-domain caps -> deterministic mixture -> concat-and-
+    chunk packing — the shape a continuously-ingesting corpus pipeline
+    actually runs (r9 verdict ask #6), wired as TWO checkpointed
+    availableNow queries joined by a parquet handoff:
+
+    - stage 1 (stateful on the DOMAIN key): gate + caps, foreachBatch-
+      appended to ``workdir/admitted``;
+    - stage 2 (stateful on the BUCKET key): reads the handoff as a
+      stream, expands the pinned mixture, packs, and appends to
+      ``workdir/packed``.
+
+    Two stages because Spark supports one arbitrary-stateful operator
+    per streaming query (applyInPandasWithState cannot chain); the
+    parquet handoff is exactly the landing-zone layering a production
+    ingest uses, and each stage keeps its own checkpoint so a restart
+    resumes BOTH states (pinned in tests/test_streaming.py). Sinks are
+    append-by-micro-batch: at-least-once on a mid-batch crash — the
+    same contract as every foreachBatch file sink here; dedupe on
+    (id, copy_id) downstream if the sink must be exactly-once.
+
+    Drains whatever is in ``source_dir`` and returns the packed result
+    read back as a batch DataFrame (empty-schema-correct when nothing
+    passes the gate)."""
+    import os
+
+    admitted_dir = os.path.join(workdir, "admitted")
+    packed_dir = os.path.join(workdir, "packed")
+
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.json(source_dir)
+    stage1 = stream_curation_admit(
+        src, vocab, model, unk_floor, gate_micros,
+        domain_col=domain_col, id_col=id_col, text_col=text_col, cap=cap,
+    )
+    q1 = (
+        stage1.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _eid: df.write.mode("append").parquet(admitted_dir)
+        )
+        .option("checkpointLocation", os.path.join(workdir, "ck_admit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+
+    admit_schema = (
+        f"{domain_col} string, {id_col} long, n_tokens long, admit_seq long"
+    )
+    if not os.path.isdir(admitted_dir):
+        # nothing passed the gate in any batch: hand an empty frame on
+        os.makedirs(admitted_dir)
+        spark.createDataFrame([], admit_schema).write.mode(
+            "append"
+        ).parquet(admitted_dir)
+    adm = spark.readStream.schema(admit_schema).parquet(admitted_dir)
+    mixed = stream_mixture_expand(
+        adm, factor_ppm, default_ppm, domain_col=domain_col, id_col=id_col
+    )
+    packed = stream_pack_sequences(
+        mixed, budget=budget, n_buckets=n_buckets, id_col=id_col
+    )
+    q2 = (
+        packed.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _eid: df.write.mode("append").parquet(packed_dir)
+        )
+        .option("checkpointLocation", os.path.join(workdir, "ck_pack"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    packed_schema = (
+        f"bucket int, {id_col} long, copy_id int, n_tokens long,"
+        " offset long, pack_id long, pack_offset long, end_pack_id long"
+    )
+    if not os.path.isdir(packed_dir):
+        os.makedirs(packed_dir)
+        spark.createDataFrame([], packed_schema).write.mode(
+            "append"
+        ).parquet(packed_dir)
+    return spark.read.schema(packed_schema).parquet(packed_dir)

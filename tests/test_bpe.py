@@ -16,6 +16,10 @@ from asterlake.operators.bpe import (
 )
 
 
+# BPE trainer differential — excluded from the -m "not slow" inner loop (r9 verdict ask #3)
+pytestmark = pytest.mark.slow
+
+
 def ref_train(wc: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
     """Reference BPE (Sennrich et al.): max-count pair per round,
     lexicographic tiebreak, greedy leftmost-first replace, stop when the

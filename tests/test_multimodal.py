@@ -22,6 +22,10 @@ from asterlake.operators.multimodal import (
 )
 
 
+# codec round-trip differentials — excluded from the -m "not slow" inner loop (r9 verdict ask #3)
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     return synthetic_media(spark, n=30).cache()

@@ -11,6 +11,9 @@ import pytest
 from asterlake.queries import QUERIES
 from tests.oracle_utils import assert_matches_oracle, duck_connection
 
+# the all-declared-queries DuckDB parity sweep (~2.5 min) — excluded from the -m "not slow" inner loop (r9 verdict ask #3)
+pytestmark = pytest.mark.slow
+
 PARITY_SF_DIR = os.environ.get("ASTERLAKE_PARITY_SF_DIR", "/root/testdata/sf0.01")
 
 

@@ -15,6 +15,8 @@ junk numeric strings, multi-date maps).
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -23,6 +25,9 @@ from asterlake.operators.flatten import flatten_feed
 from asterlake.operators.star import build_star
 from asterlake.schemas import BRONZE_FEED_SCHEMA
 from tests.fixtures_neows import _approach, _asteroid
+
+# hypothesis property sweeps (~6 min) — excluded from the -m "not slow" inner loop (r9 verdict ask #3)
+pytestmark = pytest.mark.slow
 
 # -- strategies --------------------------------------------------------------
 

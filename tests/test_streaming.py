@@ -22,6 +22,9 @@ from asterlake.streaming.pipeline import (
 )
 from tests.fixtures_neows import N_ASTEROID_ROWS, feed_document
 
+# streaming drains + checkpoint restarts (~1.2 min) — excluded from the -m "not slow" inner loop (r9 verdict ask #3)
+pytestmark = pytest.mark.slow
+
 BATCH_TIME = datetime(2025, 10, 12, 1, 30, 0)
 
 
@@ -1309,3 +1312,199 @@ def test_stream_domain_caps_honors_custom_column_names(spark, tmp_path):
     assert sorted((r["host"], r["id"], r["admit_seq"]) for r in got) == [
         ("x", 1, 0), ("x", 2, 1), ("y", 9, 0)
     ]
+
+
+# ---------------------------------------------------------------------------
+# End-to-end streaming curation chain (r10): gate -> caps -> mixture -> pack
+# ---------------------------------------------------------------------------
+
+# pinned gate model: all-'a' documents score -100 micro-nats/pair, any
+# OOV pair falls to the -1e6 floor -> gate at -500000 separates exactly
+_CUR_VOCAB = ["a"]
+_CUR_MODEL = {"<s> a": -100, "a a": -100}
+_CUR_UNK = -1_000_000
+_CUR_GATE = -500_000
+_CUR_FACTORS = {"big": 2_500_000, "off": 0}  # x2.5, dropped, default x1
+_CUR_CAP = 2
+_CUR_BUDGET = 5
+_CUR_BUCKETS = 2
+
+
+def _cur_bucket(i: int, n: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n
+
+
+def _cur_replay(batches, prior_admits=None, prior_totals=None):
+    """Pure-Python replay of the chain given the micro-batch sequence:
+    gate (pinned model fold), per-domain arrival-order caps, pinned
+    mixture expansion, per-bucket arrival-order packing. Returns
+    (packed rows set, cap counters, bucket token totals) so a restart
+    continues from the returned state."""
+    n_admitted = dict(prior_admits or {})
+    totals = dict(prior_totals or {})
+    packed = []
+    for rows in batches:
+        # stage 1: gate + caps (ties by id inside a batch)
+        admitted = []
+        by_dom: dict[str, list[tuple[int, int]]] = {}
+        for doc_id, dom, text in rows:
+            toks = (text or "").split()
+            stream = ["<s>"] + toks
+            ll = sum(
+                _CUR_MODEL.get(f"{x} {y}", _CUR_UNK)
+                for x, y in zip(stream, stream[1:])
+            )
+            if ll >= _CUR_GATE * len(toks):
+                by_dom.setdefault(dom, []).append((doc_id, len(toks)))
+        for dom, ids in by_dom.items():
+            room = max(0, _CUR_CAP - n_admitted.get(dom, 0))
+            take = sorted(ids)[:room]
+            n_admitted[dom] = n_admitted.get(dom, 0) + len(take)
+            admitted.extend((dom, i, t) for i, t in take)
+        # stage 2 (single drain batch per run): mixture + pack
+        expanded = []
+        for dom, i, t in admitted:
+            f = _CUR_FACTORS.get(dom, 1_000_000)
+            n_copies = f // 1_000_000 + (
+                1 if (i * 48271) % 1_000_000 < f % 1_000_000 else 0
+            )
+            expanded.extend((i, c, t) for c in range(n_copies))
+        by_bucket: dict[int, list[tuple[int, int, int]]] = {}
+        for i, c, t in expanded:
+            by_bucket.setdefault(_cur_bucket(i, _CUR_BUCKETS), []).append(
+                (i, c, t)
+            )
+        for b, rs in by_bucket.items():
+            cur = totals.get(b, 0)
+            for i, c, t in sorted(rs):
+                packed.append(
+                    (
+                        b, i, c, t, cur,
+                        cur // _CUR_BUDGET,
+                        cur % _CUR_BUDGET,
+                        (cur + max(t - 1, 0)) // _CUR_BUDGET,
+                    )
+                )
+                cur += t
+            totals[b] = cur
+    return packed, n_admitted, totals
+
+
+def _cur_write_batch(src, fi, rows):
+    path = os.path.join(src, f"{fi:02d}.jsonl")
+    with open(path, "w") as f:
+        for doc_id, dom, text in rows:
+            f.write(
+                json.dumps({"doc_id": doc_id, "source": dom, "text": text})
+                + "\n"
+            )
+    os.utime(path, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+
+def test_stream_curation_chain_matches_replay_and_restarts(spark, tmp_path):
+    """The full chain drained over a pinned micro-batch sequence equals
+    the pure-Python replay row-for-row; a SECOND run with new source
+    files and the same workdir resumes BOTH stateful stages (cap
+    counters and bucket token totals) from their checkpoints."""
+    from asterlake.streaming.pipeline import stream_curation_chain
+
+    src = str(tmp_path / "curdocs")
+    os.makedirs(src)
+    work = str(tmp_path / "curwork")
+    batches1 = [
+        # doc 3 gated out ('b' -> unk floor); src0 over cap across batches
+        [(4, "src0", "a a a a"), (1, "src0", "a a a"), (3, "big", "b b b")],
+        [(2, "src0", "a a a a a a a"), (5, "big", "a a"), (6, "off", "a a")],
+    ]
+    for fi, rows in enumerate(batches1):
+        _cur_write_batch(src, fi, rows)
+
+    def run():
+        return stream_curation_chain(
+            spark, src, "doc_id long, source string, text string", work,
+            _CUR_VOCAB, _CUR_MODEL, _CUR_UNK, _CUR_GATE, _CUR_FACTORS,
+            cap=_CUR_CAP, budget=_CUR_BUDGET, n_buckets=_CUR_BUCKETS,
+            max_files_per_trigger=1,
+        )
+
+    got1 = sorted(tuple(r) for r in run().collect())
+    want1, admits, totals = _cur_replay(batches1)
+    assert got1 == sorted(want1)
+    # the gate and the cap really bit: doc 3 gone, src0 kept 2 of 3,
+    # 'off' domain zeroed by its 0-ppm factor, 'big' doc duplicated
+    ids = [r[1] for r in got1]
+    assert 3 not in ids and 6 not in ids
+    assert sorted(set(ids)) == [1, 4, 5]
+    assert ids.count(5) >= 2  # factor 2.5e6 -> at least 2 copies
+
+    # restart: two more files, same workdir -> checkpoints resume state
+    batches2 = [
+        [(7, "src0", "a a"), (8, "new", "a a a a")],
+        [(9, "new", "a"), (10, "new", "a a")],
+    ]
+    for fi, rows in enumerate(batches2, start=len(batches1)):
+        _cur_write_batch(src, fi, rows)
+    got2 = sorted(tuple(r) for r in run().collect())
+    want_new, admits, totals = _cur_replay(batches2, admits, totals)
+    assert got2 == sorted(want1 + want_new)
+    ids2 = [r[1] for r in got2]
+    assert 7 not in ids2  # src0 cap already exhausted before the restart
+    # 'new' admits 8 (batch 3) then 9 (batch 4, lowest id); 10 caps out
+    assert 9 in ids2 and 10 not in ids2 and ids2.count(8) == 1
+    # packing resumed, not restarted: offsets in each bucket are dense
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for r in got2:
+        by_bucket.setdefault(r[0], []).append((r[4], r[3]))
+    for b, offs in by_bucket.items():
+        offs.sort()
+        assert offs[0][0] == 0
+        for (o1, t1), (o2, _) in zip(offs, offs[1:]):
+            assert o2 == o1 + t1, (b, offs)
+
+
+def test_stream_pack_single_bucket_matches_batch_pack(spark, tmp_path):
+    """With n_buckets=1 and monotone-id arrival the drained streaming
+    packer is bit-identical to batch pack_sequences (bucket_prefix = 0,
+    identical (id) order) — the drained-stream == batch pin."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.packing import pack_sequences
+    from asterlake.streaming.pipeline import stream_pack_sequences
+
+    src = str(tmp_path / "packdocs")
+    os.makedirs(src)
+    rows = [(i, (i * 7) % 11 + 1) for i in range(20)]  # (id, n_tokens)
+    for fi in range(4):  # monotone ids across files
+        path = os.path.join(src, f"{fi:02d}.jsonl")
+        with open(path, "w") as f:
+            for i, t in rows[fi * 5 : (fi + 1) * 5]:
+                f.write(json.dumps({"doc_id": i, "copy_id": 0, "n_tokens": t}) + "\n")
+        os.utime(path, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    got: list = []
+    stream = spark.readStream.schema(
+        "doc_id long, copy_id int, n_tokens long"
+    ).option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        stream_pack_sequences(stream, budget=16, n_buckets=1)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _eid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = {
+        r["doc_id"]: (r["offset"], r["pack_id"], r["pack_offset"], r["end_pack_id"])
+        for r in got
+    }
+    batch = pack_sequences(
+        spark.createDataFrame(rows, "doc_id long, n_tokens long"),
+        F.col("n_tokens"), budget=16, n_buckets=1,
+    )
+    batch_out = {
+        r["doc_id"]: (r["offset"], r["pack_id"], r["pack_offset"], r["end_pack_id"])
+        for r in batch.collect()
+    }
+    assert stream_out == batch_out

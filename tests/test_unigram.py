@@ -18,6 +18,10 @@ from asterlake.operators.unigram import (
     viterbi_segment,
 )
 
+# unigram-LM trainer differential — excluded from the -m "not slow" inner loop (r9 verdict ask #3)
+pytestmark = pytest.mark.slow
+
+
 WORDS = [
     ("lower", 40), ("lowest", 25), ("newer", 30), ("newest", 18),
     ("wider", 12), ("widest", 9), ("low", 55), ("new", 61),
