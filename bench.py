@@ -97,6 +97,43 @@ def main() -> None:
             _synth.withColumn("w", (_F.col("v") % 7 + 1).cast("double")),
             ["g"], "v", [0.5], weight="w",
         ).write.format("noop").mode("overwrite").save()
+        # ... and the BAND-BROADCAST-REAGGREGATE shape those percentile
+        # bands feed (r9 verdict ask #4: the warm block covered the rank
+        # shapes but not the aggregate -> groups-sized-band broadcast ->
+        # count_if/decimal-sum reaggregate that q_trimmed_stats LEADS —
+        # its driver cold recorded 10.75s vs 3.09s retime). Same
+        # synthetic frame, no memo shared with any declared query.
+        _bands = exact_percentiles(_synth, ["g"], "v", [0.05, 0.95])
+        (
+            _synth.join(_F.broadcast(_bands), "g")
+            .groupBy("g", "p05", "p95")
+            .agg(
+                _F.count_if(_F.col("v") < _F.col("p05")).alias("nb"),
+                _F.count_if(_F.col("v") > _F.col("p95")).alias("na"),
+                _F.sum(
+                    _F.when(
+                        _F.col("v").between(_F.col("p05"), _F.col("p95")),
+                        _F.col("v").cast("decimal(18,2)"),
+                    ).otherwise(_F.lit(0).cast("decimal(18,2)"))
+                ).alias("s"),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        # ... and the PageRank iteration classes (r9 verdict ask #5:
+        # 6.00 -> 9.23s driver with an UNCHANGED audited plan; builder
+        # session 7.70s). A 2-round run on a synthetic 200-edge graph
+        # compiles the per-round join/sum generated classes and the
+        # localCheckpoint machinery once, outside any timed region —
+        # the same one-time-JIT cost class as the warms above.
+        from asterlake.operators.graph import pagerank_fixed_point
+
+        _edges = spark.range(200).select(
+            (_F.col("id") % 40).alias("src"),
+            ((_F.col("id") * 7 + 3) % 40).alias("dst"),
+        )
+        pagerank_fixed_point(_edges, iters=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
         # Execution order: cheapest-first by the last recorded run
         # (BENCH_FULL.json, committed). Two reasons: (a) C2/janino JIT
@@ -366,8 +403,15 @@ def main() -> None:
         # separate "the build got slower" from "the box hiccuped on
         # this slot" without trusting prose.
         _release_blocks()  # retimes measure builds, not neighbors' heap
+        # q_pagerank_copurchase joins the retime list (r9 verdict ask
+        # #5): NOT a memo builder — it stays inside the suspect-retry
+        # net — but its 5-round loop shows the same cold-attribution
+        # scatter (9.23s driver / 7.70s builder / unchanged plan), so
+        # the artifact records its steady state alongside the cold
+        # number instead of leaving the gap to prose.
         builder_retime = {
-            name: run_one(name) for name in sorted(_builders)
+            name: run_one(name)
+            for name in sorted(_builders | {"q_pagerank_copurchase"})
         }
 
         probe_end = probe()
