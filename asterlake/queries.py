@@ -8590,6 +8590,151 @@ def q_scrub_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Composed batch curation pipeline (r10): gate -> caps -> mixture -> pack
+# in ONE plan — the batch twin of streaming/pipeline.stream_curation_chain
+# ---------------------------------------------------------------------------
+
+# pinned mixture factors (a modeling decision, not data): src0 x2.5,
+# src1 dropped, everything else x1 — exercises whole-copy explode,
+# fractional keep, and zeroing in one table. Bounded < 4e6 ppm so
+# copy_id fits the x4 unit encoding below.
+_CURATION_FACTORS: dict[str, int] = {"src0": 2_500_000, "src1": 0}
+_CURATION_CAP = 20
+_CURATION_BUDGET = 256
+_CURATION_BUCKETS = 8
+
+
+def _curation_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    mk = list(sorted(_BIGRAM_MODEL))
+    mv = [_BIGRAM_MODEL[k] for k in mk]
+    bucket = duck_hash_bucket_sql("unit_id", _CURATION_BUCKETS)
+    return f"""
+    WITH m AS (SELECT {mk!r} AS mk, {mv!r} AS mv,
+                      {_BIGRAM_VOCAB!r} AS voc),
+    t AS (SELECT doc_id, source,
+                 list_filter(string_split_regex(trim(coalesce(text, '')),
+                                                '\\s+'),
+                             s -> s != '') AS tk
+          FROM documents),
+    mp AS (SELECT doc_id, source,
+                  list_transform(tk, s ->
+                    CASE WHEN list_contains(voc, s) THEN s
+                         ELSE '<unk>' END) AS tk
+           FROM t, m),
+    sc AS (SELECT doc_id, source,
+                  CAST(len(tk) AS BIGINT) AS n_tokens,
+                  CAST(coalesce(list_sum(list_transform(
+                         list_transform(range(1, len(tk) + 1), i ->
+                           concat(CASE WHEN i = 1 THEN '<s>'
+                                       ELSE tk[i - 1] END, ' ', tk[i])),
+                         kk -> coalesce(mv[list_position(mk, kk)],
+                                        {_BIGRAM_UNK}))), 0) AS BIGINT)
+                    AS ll
+           FROM mp, m),
+    g AS (SELECT * FROM sc
+          WHERE ll >= {_BIGRAM_GATE} * n_tokens),
+    c AS (SELECT doc_id, source, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY doc_id) AS rk
+            FROM g) WHERE rk <= {_CURATION_CAP}),
+    f AS (SELECT *,
+                 CASE source WHEN 'src0' THEN 2500000
+                             WHEN 'src1' THEN 0
+                             ELSE 1000000 END AS fac
+          FROM c),
+    x AS (SELECT doc_id, n_tokens, CAST(u.c AS INT) AS copy_id
+          FROM f, unnest(range(0,
+                 fac // 1000000
+                 + CASE WHEN (doc_id * 48271) % 1000000 < fac % 1000000
+                        THEN 1 ELSE 0 END)) AS u(c)),
+    un AS (SELECT doc_id, copy_id, n_tokens,
+                  doc_id * 4 + copy_id AS unit_id
+           FROM x),
+    b AS (SELECT *, {bucket} AS bucket FROM un),
+    w AS (SELECT doc_id, copy_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY bucket, unit_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) - n_tokens
+                      AS BIGINT) AS "offset"
+          FROM b)
+    SELECT doc_id, copy_id, n_tokens, "offset",
+           "offset" // {_CURATION_BUDGET} AS pack_id,
+           "offset" % {_CURATION_BUDGET} AS pack_offset,
+           ("offset" + GREATEST(n_tokens - 1, 0)) // {_CURATION_BUDGET}
+             AS end_pack_id
+    FROM w
+    """
+
+
+@query("q_curation_pipeline", _curation_oracle())
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL batch curation pipeline in ONE composed plan: bigram
+    perplexity gate (pinned quantized model, row-local literal-map
+    fold) -> per-domain caps (one domain-keyed window) -> deterministic
+    mixture materialization (pinned factors, the exact fixed-point keep
+    arithmetic of operators/mixture — src0 x2.5, src1 dropped, default
+    x1) -> concat-and-chunk packing (two-phase distributed prefix sum,
+    never a single-partition global window). The mixture stage is
+    streaming/pipeline.stream_mixture_expand applied to a batch frame —
+    the SAME code both the batch and streaming chains run, so driver
+    parity here also vouches for the streaming twin's arithmetic.
+
+    Every stage is exact-integer, so the composition is hash-gateable
+    end to end; at 100 TB the plan is one corpus scan into a domain-
+    keyed window, a literal-map projection, and the bucketed prefix
+    sum — no data-sized collect anywhere. Units encode as
+    ``doc_id * 4 + copy_id`` (factors pinned < 4e6 ppm) so packing
+    buckets by a single integer key."""
+    from asterlake.operators.mixture import domain_caps
+    from asterlake.operators.ngramlm import bigram_score_cols
+    from asterlake.operators.packing import pack_sequences
+    from asterlake.streaming.pipeline import stream_mixture_expand
+
+    assert all(v < 4 * 1_000_000 for v in _CURATION_FACTORS.values())
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_pairs, loglik = bigram_score_cols(
+        _BIGRAM_VOCAB, _BIGRAM_MODEL, _BIGRAM_UNK
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        n_pairs.cast("long").alias("n_tokens"),
+        loglik.alias("_ll"),
+    )
+    gated = scored.where(
+        F.col("_ll") >= F.lit(_BIGRAM_GATE).cast("bigint") * F.col("n_tokens")
+    ).drop("_ll")
+    capped = domain_caps(
+        gated, domain_col="source", cap=_CURATION_CAP, order_col="doc_id"
+    )
+    mixed = stream_mixture_expand(capped, _CURATION_FACTORS)
+    units = mixed.select(
+        (F.col("doc_id") * 4 + F.col("copy_id")).alias("unit_id"),
+        "n_tokens",
+    )
+    packed = pack_sequences(
+        units,
+        F.col("n_tokens"),
+        budget=_CURATION_BUDGET,
+        n_buckets=_CURATION_BUCKETS,
+        id_col="unit_id",
+    )
+    return packed.select(
+        F.expr("unit_id div 4").alias("doc_id"),
+        (F.col("unit_id") % 4).cast("int").alias("copy_id"),
+        "n_tokens",
+        "offset",
+        "pack_id",
+        "pack_offset",
+        "end_pack_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
 # The correctness driver walks QUERIES in declaration order under a finite
@@ -8613,8 +8758,9 @@ def q_scrub_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first 50, plus this round's 5 touched/new queries; the balance is
 # name-ascending freshness rotation over the r7-era rows.
 #
-# R11 FRONT PLAN: the 22 r7-era rows that did not fit this round
-#   (q_scd2_intervals, q_schema_drift_union, q_session_window,
+# R11 FRONT PLAN: the 23 r7-era rows that did not fit this round
+#   (q_range_layout_stats, q_scd2_intervals, q_schema_drift_union,
+#   q_session_window,
 #   q_sketch_rollup_merge, q_small_quantity_revenue, q_split_assign,
 #   q_split_leakage_safe, the q_stream_* seven, q_table_profile,
 #   q_text_redact, q_training_mix, q_udaf_iqr, q_udf_vector_norm,
@@ -8653,9 +8799,11 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
 #      by hand per suggest_front's documented limitation (the gif
 #      branch landed BEFORE the r9 correctness commit, so the diff
 #      cannot see it).
-#   5. 26 of the 48 r7-era rows (longest-unverified freshness
-#      rotation, name-ascending for a stable order); the remaining 22
-#      r7 rows lead the r11 front.
+#   5. q_curation_pipeline, declared mid-round before the freeze (the
+#      composed gate->caps->mixture->pack batch pipeline).
+#   6. 25 of the 48 r7-era rows (longest-unverified freshness
+#      rotation, name-ascending for a stable order); the remaining 23
+#      r7 rows (q_range_layout_stats onward) lead the r11 front.
 _TOUCHED_R10 = [
     "q_bigram_loglik",
     "q_dedup_substrings",
@@ -8714,9 +8862,16 @@ _STALE_R7 = [
     "q_posexplode_tokens",
     "q_quarantine_expectations",
     "q_quota_sample",
-    "q_range_layout_stats",
 ]
-_FRONT = _TOUCHED_R10 + _LATE_R9 + _DEFERRED_R6 + _MEDIA_RESCORE + _STALE_R7
+_NEW_R10 = [
+    # declared mid-round BEFORE the freeze (the late-declaration lesson
+    # from r9): the composed batch curation pipeline
+    "q_curation_pipeline",
+]
+_FRONT = (
+    _TOUCHED_R10 + _NEW_R10 + _LATE_R9 + _DEFERRED_R6 + _MEDIA_RESCORE
+    + _STALE_R7
+)
 
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 assert len(set(_FRONT)) == len(_FRONT), "duplicate in ordering front block"
