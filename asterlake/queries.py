@@ -8716,6 +8716,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") * 4 + F.col("copy_id")).alias("unit_id"),
         "n_tokens",
     )
+    # materialize the curated units before packing: pack_sequences
+    # consumes its input TWICE (intra-bucket prefix window + the
+    # bucket-totals aggregate), and without pinning, each branch
+    # re-runs the gate + caps + mixture over the full corpus — the
+    # batch form of the landing zone the streaming chain makes
+    # explicit with its parquet handoff. localCheckpoint is
+    # distributed (executor-local blocks, 3-column curated rows),
+    # never a driver collect.
+    units = units.localCheckpoint(eager=True)
     packed = pack_sequences(
         units,
         F.col("n_tokens"),

@@ -569,3 +569,57 @@ def test_mixture_apply_broadcasts_factors_never_sorts_fact(spark):
     assert not has_node(plan, "SortMergeJoin")
     assert not has_node(plan, "CartesianProduct")
     assert has_node(plan, "Generate")  # the copy_id explode
+
+
+def test_dedup_substrings_digest_shuffle_never_text(spark):
+    """q_dedup_substrings at 100 TB: exactly TWO exchanges — the
+    digest-partitioned duplicate flag and the doc-keyed island merge
+    (the final groupBy reuses the doc partitioning) — no join, no
+    Python, and the scan reads only (doc_id, text). The shuffle keys
+    are the digest and the doc id; window TEXT is never a shuffle
+    key (the non-starter a suffix array exists to avoid)."""
+    plan = _plan(spark, "q_dedup_substrings")
+    assert node_count(plan, "Exchange") == 2
+    assert not has_node(plan, "SortMergeJoin")
+    assert not has_node(plan, "BroadcastHashJoin")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    keys = shuffle_keys(plan)
+    assert len(keys) == 2, keys
+    assert any("dig" in k for k in keys), keys
+    assert any("doc_id" in k for k in keys), keys
+    assert not any("win" in k or "text" in k for k in keys), keys
+    scan = scan_for(plan, "documents")
+    assert set(scan.read_columns) == {"doc_id", "text"}
+
+
+def test_scrub_substrings_no_python_and_pruned_scans(spark):
+    """q_scrub_substrings: pure built-ins (rank windows + anti-join +
+    rebuild agg) — no Python evaluation anywhere, and every one of the
+    three documents scans (windows, token positions, n_tokens) reads
+    only (doc_id, text)."""
+    from asterlake.plans.inspect import scans
+
+    plan = _plan(spark, "q_scrub_substrings")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    assert not has_node(plan, "CartesianProduct")
+    doc_scans = [s for s in scans(plan) if "documents" in s.location]
+    assert doc_scans
+    for s in doc_scans:
+        assert set(s.read_columns) == {"doc_id", "text"}, s
+
+
+def test_curation_pipeline_packs_from_pinned_units(spark):
+    """q_curation_pipeline: the curated-units landing zone is pinned
+    (localCheckpoint) before packing, so the packing plan's two
+    consumers read the checkpointed rows — the gate + caps + mixture
+    upstream runs ONCE, never once per pack_sequences branch (without
+    the pin the plan held two full documents scans, each with its own
+    gate/cap window chain)."""
+    plan = _plan(spark, "q_curation_pipeline")
+    # upstream pinned: no parquet scan survives into the packed plan
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:400]
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "CartesianProduct")

@@ -1893,3 +1893,68 @@ def test_cdc_chunks_match_python_chunker(spark, texts, divisor):
             for k, (h, n) in enumerate(_py_cdc(t, 2, divisor, 1))
         ]
         assert sorted(got.get(i, [])) == want, (i, t)
+
+
+# --------------------------------------------------------------------------
+# r10 family: ExactSubstr repeated-substring dedup (operators/substrings.py)
+# --------------------------------------------------------------------------
+
+def _py_repeated_spans(texts: list[str], k: int) -> list[tuple]:
+    """Independent brute-force twin: duplicated k-windows by literal
+    text, coverage-merged maximal islands per doc."""
+    from collections import Counter
+
+    wins = []
+    for d, t in enumerate(texts):
+        toks = (t or "").split()
+        for p in range(max(len(toks) - k + 1, 0)):
+            wins.append((" ".join(toks[p : p + k]), d, p))
+    cnt = Counter(w for w, _, _ in wins)
+    duppos: dict[int, list[int]] = {}
+    for w, d, p in wins:
+        if cnt[w] >= 2:
+            duppos.setdefault(d, []).append(p)
+    spans = []
+    for d, ps in sorted(duppos.items()):
+        ps.sort()
+        a = b = ps[0]
+        for p in ps[1:]:
+            if p <= b + k:
+                b = p
+            else:
+                spans.append((d, a, b + k, b + k - a))
+                a = b = p
+        spans.append((d, a, b + k, b + k - a))
+    return sorted(spans)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_repeated_substring_spans_match_bruteforce(spark, texts, k):
+    """Maximal corpus-duplicated spans equal the brute-force twin for
+    arbitrary tiny-alphabet corpora (tiny alphabet = dense collisions:
+    within-doc repeats, cross-doc repeats, overlapping runs all arise
+    naturally) at two window sizes."""
+    from asterlake.operators.substrings import repeated_substring_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["span_tokens"])
+        for r in repeated_substring_spans(df, k).collect()
+    )
+    assert got == _py_repeated_spans(texts, k)
