@@ -8744,6 +8744,110 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance-weighted data selection (r10; Xie et al. NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+# Importance-ratio table pinned as the scorer literal (the _BIGRAM_MODEL
+# pattern): trained ONCE on the sf0.01 corpus with operators/dsir.
+# dsir_train (target = lang='en' documents, raw = the whole corpus,
+# 256 hashed-bigram buckets, add-k k=1/2; the distributed trainer is
+# bit-identically replayed by replay_dsir_train — the differential pin
+# in tests/test_dsir.py), log ratios quantized to integer MICRO-NATS.
+# A document weight is therefore an exact BIGINT sum, and the selection
+# gate is an integer cross-multiply — never a float compare.
+_DSIR_BUCKETS = 256
+_DSIR_RATIOS: dict[int, int] = dict(enumerate([
+    831376, 18269, -20177, -80651, 25374, -82245, -28485, -9517, 132223,
+    118426, 6742, 121515, 95233, -106894, -32117, -70377, 116722, 165478,
+    -23938, -162975, 71854, 23453, 31848, -51348, -27286, 90265, -103865,
+    34371, -46880, -34791, -254078, -219323, -44749, -9177, -37662,
+    -267236, -10014, -11803, 15890, -318794, 175767, -87160, -29763,
+    -75641, -122406, -123225, -93330, 56926, 164897, 84161, -2057, 47437,
+    494904, 92138, 41441, -127303, 8873, -87809, -342744, -39947, -110930,
+    108753, 172130, -93145, 35636, -291628, -319196, -337441, 42918,
+    54530, -154441, 122021, 147039, -221774, -65551, -239457, -15922,
+    -35996, -63740, 146739, -127600, -121525, 71470, 196601, 70054,
+    202407, 69236, 145501, -71492, 75050, -603709, -221774, -47608, 59032,
+    -82380, 148485, -23316, 53671, -72794, 42918, 186547, 148774, -88681,
+    -157752, 22544, 163981, 127339, -74333, -103409, 96925, 119034, -8929,
+    -36488, 109241, 165880, -23614, 38345, 208545, 45979, 18965, -53310,
+    147039, 231060, -9824, -67248, 94961, -317247, -15922, -126655,
+    -138025, 69236, -14376, 172130, 77033, -55927, 36038, 1028, 42918,
+    89119, 12117, -69877, 65756, 305, 97707, -61697, -121903, -160942,
+    -18863, 56591, -126300, 80600, -52511, -138025, -58007, -157752,
+    831376, -68307, -40463, -30468, 25751, 44351, -24951, 73368, 831376,
+    -72448, 6130, 250902, -203723, 95304, 74768, 69236, -108803, -55927,
+    -93426, 135274, -8222, -127881, -267236, 180158, 16707, 243589, 36632,
+    167385, 99656, -3819, -26352, 29029, 831376, 24284, -21983, 79960,
+    -174146, 106812, 2327, -279285, -121819, -136438, 54530, 42918,
+    -267236, -770, -54762, 191881, -4192, 307521, 64726, 85430, 64381,
+    -5284, -194033, 222312, 831376, -543989, 66920, 85430, -43355,
+    -106894, -38780, 45208, -93830, -232450, 22918, 11143, 22269, 23453,
+    78265, 81716, -185942, -182305, -106894, -160111, 7776, 112253, 14615,
+    -39697, 155226, 228883, 17865, -7357, 59032, 26525, 151358, 116722,
+    25986, 79960, 195387, 19108, 831376, -368589, -79591, -110667,
+    -152826, -82380, 5469, 13820, -143287
+]))
+_DSIR_THRESHOLD = 1000  # micro-nats per gram: keeps ~36% of the corpus
+
+
+def _dsir_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    mv = [_DSIR_RATIOS[b] for b in range(_DSIR_BUCKETS)]
+    bucket = duck_hash_bucket_sql("gm", _DSIR_BUCKETS)
+    return f"""
+    WITH m AS (SELECT {mv!r} AS mv),
+    t AS (SELECT doc_id,
+                 list_filter(string_split_regex(trim(coalesce(text, '')),
+                                                '\\s+'),
+                             s -> s != '') AS tk
+          FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(tk), 1)), i ->
+                   concat(tk[i], ' ', tk[i + 1])) AS gms
+          FROM t),
+    w AS (SELECT doc_id,
+                 CAST(len(gms) AS INT) AS n_grams,
+                 CAST(coalesce(list_sum(list_transform(gms, gm ->
+                        mv[({bucket}) + 1])), 0) AS BIGINT)
+                   AS weight_micros
+          FROM g, m)
+    SELECT doc_id, n_grams, weight_micros,
+           weight_micros >= {_DSIR_THRESHOLD} * CAST(n_grams AS BIGINT)
+             AS kept
+    FROM w
+    """
+
+
+@query("q_dsir_select", _dsir_oracle())
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. NeurIPS 2023): per-document
+    importance weight under the pinned hashed-bigram log-ratio table
+    (target = in-domain slice, raw = whole corpus) plus the selection
+    gate — the "make the raw crawl look like the target domain" stage
+    of a pre-training pipeline. Pure row-local projection: grams hash
+    through the engine-portable md5 bucket, the full 256-entry
+    quantized table rides in as a literal map, the weight is an exact
+    BIGINT fold, and the gate is the integer cross-multiply
+    ``weight_micros >= thr * n_grams``. One map-only corpus pass at
+    100 TB — no shuffle, no UDF (plan-pinned)."""
+    from asterlake.operators.dsir import dsir_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(d, _DSIR_RATIOS, buckets=_DSIR_BUCKETS)
+    return w.select(
+        "doc_id",
+        "n_grams",
+        "weight_micros",
+        (
+            F.col("weight_micros")
+            >= F.lit(_DSIR_THRESHOLD).cast("bigint") * F.col("n_grams")
+        ).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
 # The correctness driver walks QUERIES in declaration order under a finite
@@ -8767,9 +8871,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first 50, plus this round's 5 touched/new queries; the balance is
 # name-ascending freshness rotation over the r7-era rows.
 #
-# R11 FRONT PLAN: the 23 r7-era rows that did not fit this round
-#   (q_range_layout_stats, q_scd2_intervals, q_schema_drift_union,
-#   q_session_window,
+# R11 FRONT PLAN: the 24 r7-era rows that did not fit this round
+#   (q_quota_sample, q_range_layout_stats, q_scd2_intervals,
+#   q_schema_drift_union, q_session_window,
 #   q_sketch_rollup_merge, q_small_quantity_revenue, q_split_assign,
 #   q_split_leakage_safe, the q_stream_* seven, q_table_profile,
 #   q_text_redact, q_training_mix, q_udaf_iqr, q_udf_vector_norm,
@@ -8808,11 +8912,13 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
 #      by hand per suggest_front's documented limitation (the gif
 #      branch landed BEFORE the r9 correctness commit, so the diff
 #      cannot see it).
-#   5. q_curation_pipeline, declared mid-round before the freeze (the
-#      composed gate->caps->mixture->pack batch pipeline).
-#   6. 25 of the 48 r7-era rows (longest-unverified freshness
-#      rotation, name-ascending for a stable order); the remaining 23
-#      r7 rows (q_range_layout_stats onward) lead the r11 front.
+#   5. q_curation_pipeline + q_dsir_select, declared mid-round before
+#      the freeze (the composed gate->caps->mixture->pack batch
+#      pipeline; DSIR importance selection).
+#   6. 24 of the 48 r7-era rows (longest-unverified freshness
+#      rotation, name-ascending for a stable order); the remaining 24
+#      r7 rows (q_quota_sample, q_range_layout_stats onward) lead the
+#      r11 front.
 _TOUCHED_R10 = [
     "q_bigram_loglik",
     "q_dedup_substrings",
@@ -8870,12 +8976,12 @@ _STALE_R7 = [
     "q_pagerank_copurchase",
     "q_posexplode_tokens",
     "q_quarantine_expectations",
-    "q_quota_sample",
 ]
 _NEW_R10 = [
     # declared mid-round BEFORE the freeze (the late-declaration lesson
-    # from r9): the composed batch curation pipeline
+    # from r9): the composed batch curation pipeline + DSIR selection
     "q_curation_pipeline",
+    "q_dsir_select",
 ]
 _FRONT = (
     _TOUCHED_R10 + _NEW_R10 + _LATE_R9 + _DEFERRED_R6 + _MEDIA_RESCORE

@@ -623,3 +623,16 @@ def test_curation_pipeline_packs_from_pinned_units(spark):
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:400]
     assert not has_node(plan, "BatchEvalPython")
     assert not has_node(plan, "CartesianProduct")
+
+
+def test_dsir_select_is_shuffle_free_projection(spark):
+    """q_dsir_select at 100 TB: the pinned-table scorer is ONE map-only
+    pass — gram hashing + the literal-map fold plan as a pure
+    projection over the parquet scan (no Exchange, no join, no
+    Python), reading only (doc_id, text)."""
+    plan = _plan(spark, "q_dsir_select")
+    assert not has_node(plan, "Exchange")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    scan = scan_for(plan, "documents")
+    assert set(scan.read_columns) == {"doc_id", "text"}
