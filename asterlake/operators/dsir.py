@@ -48,6 +48,7 @@ __all__ = [
     "dsir_train",
     "replay_dsir_train",
     "dsir_weights",
+    "dsir_weight_cols",
 ]
 
 MICROS = 1_000_000
@@ -178,18 +179,34 @@ def dsir_weights(
     inside one higher-order expression, the sum is exact BIGINT. No
     shuffle, no UDF; gate downstream with the integer cross-multiply
     ``weight_micros >= thr_micros * n_grams``."""
+    n_grams, weight = dsir_weight_cols(ratio_micros, buckets, text_col)
+    return docs.select(
+        F.col(id_col),
+        n_grams.alias("n_grams"),
+        weight.alias("weight_micros"),
+    )
+
+
+def dsir_weight_cols(
+    ratio_micros: dict[int, int],
+    buckets: int = 256,
+    text_col: str = "text",
+) -> tuple[F.Column, F.Column]:
+    """``(n_grams, weight_micros)`` as composable COLUMNS — the same
+    row-local fold :func:`dsir_weights` projects, for pipelines that
+    gate on several signals in one projection (the
+    ngramlm.bigram_score_cols pattern)."""
     assert set(ratio_micros) == set(range(buckets)), "full table required"
     lit_map = F.map_from_arrays(
         F.lit(list(range(buckets))),
         F.lit([int(ratio_micros[b]) for b in range(buckets)]),
     )
     bks = _gram_buckets(text_col, buckets)
-    return docs.select(
-        F.col(id_col),
-        F.size(bks).alias("n_grams"),
+    return (
+        F.size(bks),
         F.aggregate(
             F.transform(bks, lambda b: F.element_at(lit_map, b).cast("bigint")),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
-        ).alias("weight_micros"),
+        ),
     )

@@ -8848,6 +8848,112 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-signal quality ensemble (r10): the FineWeb/RefinedWeb-style gate
+# stack — several independent cheap signals vote, a hard length
+# prefilter applies first
+# ---------------------------------------------------------------------------
+
+
+def _ensemble_oracle() -> str:
+    from asterlake.operators.sampling import duck_hash_bucket_sql
+
+    mk = list(sorted(_BIGRAM_MODEL))
+    mv = [_BIGRAM_MODEL[k] for k in mk]
+    dv = [_DSIR_RATIOS[b] for b in range(_DSIR_BUCKETS)]
+    bucket = duck_hash_bucket_sql("gm", _DSIR_BUCKETS)
+    return f"""
+    WITH m AS (SELECT {mk!r} AS mk, {mv!r} AS mv,
+                      {_BIGRAM_VOCAB!r} AS voc, {dv!r} AS dv),
+    t AS (SELECT doc_id,
+                 list_filter(string_split_regex(trim(coalesce(text, '')),
+                                                '\\s+'),
+                             s -> s != '') AS tk
+          FROM documents),
+    mp AS (SELECT doc_id, tk,
+                  list_transform(tk, s ->
+                    CASE WHEN list_contains(voc, s) THEN s
+                         ELSE '<unk>' END) AS mtk
+           FROM t, m),
+    sc AS (SELECT doc_id,
+                  CAST(len(tk) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+                  CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_grams,
+                  CAST(coalesce(list_sum(list_transform(
+                         list_transform(range(1, len(mtk) + 1), i ->
+                           concat(CASE WHEN i = 1 THEN '<s>'
+                                       ELSE mtk[i - 1] END, ' ', mtk[i])),
+                         kk -> coalesce(mv[list_position(mk, kk)],
+                                        {_BIGRAM_UNK}))), 0) AS BIGINT)
+                    AS ll,
+                  CAST(coalesce(list_sum(list_transform(
+                         list_transform(range(1, greatest(len(tk), 1)),
+                           i -> concat(tk[i], ' ', tk[i + 1])),
+                         gm -> dv[({bucket}) + 1])), 0) AS BIGINT)
+                    AS dw
+           FROM mp, m)
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           ll >= {_BIGRAM_GATE} * n_tokens AS ppl_ok,
+           dw >= {_DSIR_THRESHOLD} * n_grams AS dsir_ok,
+           2 * n_distinct >= n_tokens AS lex_ok,
+           n_tokens >= 5 AS len_ok,
+           n_tokens >= 5 AND
+             ((CASE WHEN ll >= {_BIGRAM_GATE} * n_tokens
+                    THEN 1 ELSE 0 END)
+              + (CASE WHEN dw >= {_DSIR_THRESHOLD} * n_grams
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN 2 * n_distinct >= n_tokens THEN 1 ELSE 0 END))
+             >= 2 AS kept
+    FROM sc
+    """
+
+
+@query("q_quality_ensemble", _ensemble_oracle())
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality gate, the FineWeb/RefinedWeb stack shape:
+    a hard length prefilter plus a 2-of-3 vote over three INDEPENDENT
+    cheap signals — bigram-LM perplexity (pinned quantized model),
+    DSIR importance weight (pinned hashed-bigram ratio table), and
+    lexical diversity (2 * distinct >= total, an exact integer
+    compare). Every signal is a row-local column expression
+    (ngramlm.bigram_score_cols + dsir.dsir_weight_cols + two sizes),
+    so the WHOLE ensemble is ONE shuffle-free projection over one
+    pruned scan — the plan a 100 TB quality pass must have: signals
+    compose in the projection, never as joins of per-signal tables.
+    All gates are integer cross-multiplies; empty docs fail len_ok."""
+    from asterlake.operators.dsir import dsir_weight_cols
+    from asterlake.operators.ngramlm import bigram_score_cols
+
+    d = load_table(spark, sf_dir, "documents")
+    n_pairs, ll = bigram_score_cols(_BIGRAM_VOCAB, _BIGRAM_MODEL, _BIGRAM_UNK)
+    n_grams, dw = dsir_weight_cols(_DSIR_RATIOS, _DSIR_BUCKETS)
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    n_tokens = n_pairs.cast("bigint")  # every token scores once vs its context
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    ppl_ok = ll >= F.lit(_BIGRAM_GATE).cast("bigint") * n_tokens
+    dsir_ok = dw >= (
+        F.lit(_DSIR_THRESHOLD).cast("bigint") * n_grams.cast("bigint")
+    )
+    lex_ok = F.lit(2).cast("bigint") * n_distinct >= n_tokens
+    len_ok = n_tokens >= 5
+    votes = (
+        ppl_ok.cast("int") + dsir_ok.cast("int") + lex_ok.cast("int")
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        ppl_ok.alias("ppl_ok"),
+        dsir_ok.alias("dsir_ok"),
+        lex_ok.alias("lex_ok"),
+        len_ok.alias("len_ok"),
+        (len_ok & (votes >= 2)).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
 # The correctness driver walks QUERIES in declaration order under a finite
@@ -8871,9 +8977,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first 50, plus this round's 5 touched/new queries; the balance is
 # name-ascending freshness rotation over the r7-era rows.
 #
-# R11 FRONT PLAN: the 24 r7-era rows that did not fit this round
-#   (q_quota_sample, q_range_layout_stats, q_scd2_intervals,
-#   q_schema_drift_union, q_session_window,
+# R11 FRONT PLAN: the 25 r7-era rows that did not fit this round
+#   (q_quarantine_expectations, q_quota_sample, q_range_layout_stats,
+#   q_scd2_intervals, q_schema_drift_union, q_session_window,
 #   q_sketch_rollup_merge, q_small_quantity_revenue, q_split_assign,
 #   q_split_leakage_safe, the q_stream_* seven, q_table_profile,
 #   q_text_redact, q_training_mix, q_udaf_iqr, q_udf_vector_norm,
@@ -8912,13 +9018,14 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
 #      by hand per suggest_front's documented limitation (the gif
 #      branch landed BEFORE the r9 correctness commit, so the diff
 #      cannot see it).
-#   5. q_curation_pipeline + q_dsir_select, declared mid-round before
-#      the freeze (the composed gate->caps->mixture->pack batch
-#      pipeline; DSIR importance selection).
-#   6. 24 of the 48 r7-era rows (longest-unverified freshness
-#      rotation, name-ascending for a stable order); the remaining 24
-#      r7 rows (q_quota_sample, q_range_layout_stats onward) lead the
-#      r11 front.
+#   5. q_curation_pipeline + q_dsir_select + q_quality_ensemble,
+#      declared mid-round before the freeze (the composed
+#      gate->caps->mixture->pack batch pipeline; DSIR importance
+#      selection; the FineWeb-style multi-signal vote).
+#   6. 23 of the 48 r7-era rows (longest-unverified freshness
+#      rotation, name-ascending for a stable order); the remaining 25
+#      r7 rows (q_quarantine_expectations, q_quota_sample,
+#      q_range_layout_stats onward) lead the r11 front.
 _TOUCHED_R10 = [
     "q_bigram_loglik",
     "q_dedup_substrings",
@@ -8975,13 +9082,13 @@ _STALE_R7 = [
     "q_pack_sequences",
     "q_pagerank_copurchase",
     "q_posexplode_tokens",
-    "q_quarantine_expectations",
 ]
 _NEW_R10 = [
     # declared mid-round BEFORE the freeze (the late-declaration lesson
     # from r9): the composed batch curation pipeline + DSIR selection
     "q_curation_pipeline",
     "q_dsir_select",
+    "q_quality_ensemble",
 ]
 _FRONT = (
     _TOUCHED_R10 + _NEW_R10 + _LATE_R9 + _DEFERRED_R6 + _MEDIA_RESCORE

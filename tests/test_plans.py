@@ -636,3 +636,21 @@ def test_dsir_select_is_shuffle_free_projection(spark):
     assert not has_node(plan, "ArrowEvalPython")
     scan = scan_for(plan, "documents")
     assert set(scan.read_columns) == {"doc_id", "text"}
+
+
+def test_quality_ensemble_single_projection_no_shuffle(spark):
+    """q_quality_ensemble at 100 TB: the whole multi-signal vote
+    (bigram ppl + DSIR weight + lexical diversity + length) is ONE
+    shuffle-free projection over one pruned scan — signals compose in
+    the projection, never as joins of per-signal tables."""
+    from asterlake.plans.inspect import scans
+
+    plan = _plan(spark, "q_quality_ensemble")
+    assert not has_node(plan, "Exchange")
+    assert not has_node(plan, "BroadcastHashJoin")
+    assert not has_node(plan, "SortMergeJoin")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    doc_scans = [s for s in scans(plan) if "documents" in s.location]
+    assert len(doc_scans) == 1
+    assert set(doc_scans[0].read_columns) == {"doc_id", "text"}
