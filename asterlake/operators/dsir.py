@@ -127,14 +127,10 @@ def dsir_train(
     bit-reproducible under any partitioning (exact BIGINT counts in,
     pure function out — differential twin: :func:`replay_dsir_train`,
     pinned in tests/test_dsir.py)."""
-    tgt = {
-        r["bucket"]: r["n"]
-        for r in hashed_gram_counts(target, text_col, buckets).collect()
-    }  # driver-ok: <= buckets rows
-    rw = {
-        r["bucket"]: r["n"]
-        for r in hashed_gram_counts(raw, text_col, buckets).collect()
-    }  # driver-ok: <= buckets rows
+    t_rows = hashed_gram_counts(target, text_col, buckets).collect()  # driver-ok: <= buckets rows, the collect IS the model
+    r_rows = hashed_gram_counts(raw, text_col, buckets).collect()  # driver-ok: <= buckets rows, the collect IS the model
+    tgt = {r["bucket"]: r["n"] for r in t_rows}
+    rw = {r["bucket"]: r["n"] for r in r_rows}
     return _ratio_table(tgt, rw, buckets, k_num, k_den)
 
 
