@@ -1958,3 +1958,55 @@ def test_repeated_substring_spans_match_bruteforce(spark, texts, k):
         for r in repeated_substring_spans(df, k).collect()
     )
     assert got == _py_repeated_spans(texts, k)
+
+
+# --------------------------------------------------------------------------
+# r10 family: DSIR importance weighting (operators/dsir.py)
+# --------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=st.lists(_doc_text, min_size=1, max_size=8),
+    raw=st.lists(_doc_text, min_size=1, max_size=10),
+)
+def test_dsir_train_and_weights_match_replay_on_random_corpora(
+    spark, target, raw
+):
+    """The distributed trainer equals the pure-Python replay (md5
+    bucketing byte-for-byte) on arbitrary word-salad corpora, and the
+    literal-array scorer equals a reference fold of that table —
+    covering empty docs, all-OOV buckets, and shared grams."""
+    import hashlib
+
+    from asterlake.operators.dsir import (
+        dsir_train,
+        dsir_weights,
+        replay_dsir_train,
+    )
+
+    B = 32
+    t_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(target)], "doc_id bigint, text string"
+    )
+    r_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(raw)], "doc_id bigint, text string"
+    )
+    got = dsir_train(t_df, r_df, buckets=B)
+    assert got == replay_dsir_train(target, raw, buckets=B)
+    w = {
+        r["doc_id"]: (r["n_grams"], r["weight_micros"])
+        for r in dsir_weights(r_df, got, buckets=B).collect()
+    }
+    for i, t in enumerate(raw):
+        toks = (t or "").split()
+        gs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want = sum(
+            got[int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B]
+            for g in gs
+        )
+        assert w[i] == (len(gs), want), (i, t)
