@@ -1508,3 +1508,93 @@ def test_stream_pack_single_bucket_matches_batch_pack(spark, tmp_path):
         for r in batch.collect()
     }
     assert stream_out == batch_out
+
+
+def test_quality_ensemble_gate_is_stream_composable(spark, tmp_path):
+    """The multi-signal ensemble is a stateless row-local projection,
+    so it composes UNCHANGED into micro-batches: the drained stream of
+    ensemble verdicts equals the batch query row-for-row (the same
+    one-code-path pin the mixture gate carries)."""
+    import json as _json
+
+    from asterlake.queries import QUERIES
+
+    SF = "/root/testdata/sf0.001"
+    batch = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in QUERIES["q_quality_ensemble"].spark(spark, SF).collect()
+    }
+
+    # replay the documents table as a 3-micro-batch file stream and
+    # apply the same column expressions (via the operator helpers the
+    # query composes)
+    import pyspark.sql.functions as F
+
+    from asterlake.operators.dsir import dsir_weight_cols
+    from asterlake.operators.ngramlm import bigram_score_cols
+    from asterlake.queries import (
+        _BIGRAM_GATE,
+        _BIGRAM_MODEL,
+        _BIGRAM_UNK,
+        _BIGRAM_VOCAB,
+        _DSIR_BUCKETS,
+        _DSIR_RATIOS,
+        _DSIR_THRESHOLD,
+    )
+
+    rows = (
+        spark.read.parquet(SF + "/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    src = str(tmp_path / "qedocs")
+    os.makedirs(src)
+    for fi in range(3):
+        path = os.path.join(src, f"{fi:02d}.jsonl")
+        with open(path, "w") as f:
+            for r in rows[fi::3]:
+                f.write(
+                    _json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                    + "\n"
+                )
+        os.utime(path, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    n_pairs, ll = bigram_score_cols(_BIGRAM_VOCAB, _BIGRAM_MODEL, _BIGRAM_UNK)
+    n_grams, dw = dsir_weight_cols(_DSIR_RATIOS, _DSIR_BUCKETS)
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    n_tokens = n_pairs.cast("bigint")
+    ppl_ok = ll >= F.lit(_BIGRAM_GATE).cast("bigint") * n_tokens
+    dsir_ok = dw >= F.lit(_DSIR_THRESHOLD).cast("bigint") * n_grams.cast("bigint")
+    lex_ok = (
+        F.lit(2).cast("bigint") * F.size(F.array_distinct(toks)).cast("bigint")
+        >= n_tokens
+    )
+    len_ok = n_tokens >= 5
+    votes = ppl_ok.cast("int") + dsir_ok.cast("int") + lex_ok.cast("int")
+
+    got: list = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select(
+            "doc_id",
+            n_tokens.cast("int").alias("n_tokens"),
+            ppl_ok.alias("ppl_ok"),
+            dsir_ok.alias("dsir_ok"),
+            lex_ok.alias("lex_ok"),
+            len_ok.alias("len_ok"),
+            (len_ok & (votes >= 2)).alias("kept"),
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _eid: got.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert {r["doc_id"]: tuple(r)[1:] for r in got} == batch
