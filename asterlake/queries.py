@@ -8953,6 +8953,68 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pack_manifest",
+    _pack_oracle().rstrip()[: _pack_oracle().rstrip().rindex("SELECT")]
+    + """
+    , p AS (SELECT doc_id, n_tokens, "offset",
+                   "offset" // 512 AS pack_id,
+                   ("offset" + GREATEST(n_tokens - 1, 0)) // 512
+                     AS end_pack_id
+            FROM w)
+    SELECT CAST(u.pk AS BIGINT) AS pack_id, doc_id,
+           CAST(GREATEST("offset", u.pk * 512) - u.pk * 512 AS BIGINT)
+             AS start_in_pack,
+           CAST(LEAST("offset" + n_tokens, (u.pk + 1) * 512)
+                - GREATEST("offset", u.pk * 512) AS BIGINT)
+             AS n_tokens_in_pack
+    FROM p, unnest(range(pack_id, end_pack_id + 1)) AS u(pk)
+    WHERE LEAST("offset" + n_tokens, (u.pk + 1) * 512)
+          - GREATEST("offset", u.pk * 512) > 0
+    """,
+)
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERSE packing index: for every 512-token training sequence,
+    the documents whose tokens land in it, with the in-pack offset and
+    token count — straddling documents appear once per pack they
+    touch. This is the provenance manifest a trainer needs to audit
+    any sequence (decontamination forensics, attribution, replay):
+    "which documents is sequence X made of?" answered by one indexed
+    lookup instead of a corpus rescan.
+
+    Derived from pack_sequences' output by exploding each document
+    over ``sequence(pack_id, end_pack_id)`` and intersecting global
+    token ranges — exact int64 arithmetic, at most
+    ``n_tokens/budget + 1`` rows per document (linear, row-local
+    explode; no shuffle beyond the packing prefix sum itself)."""
+    from asterlake.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        d, F.size(F.split(F.col("text"), " ")), budget=512, n_buckets=16
+    )
+    pk = F.explode(
+        F.sequence(F.col("pack_id"), F.col("end_pack_id"))
+    ).alias("pack_id_x")
+    x = packed.select("doc_id", "n_tokens", "offset", pk)
+    lo = F.greatest(F.col("offset"), F.col("pack_id_x") * 512)
+    hi = F.least(
+        F.col("offset") + F.col("n_tokens"),
+        (F.col("pack_id_x") + 1) * 512,
+    )
+    return (
+        x.select(
+            F.col("pack_id_x").cast("bigint").alias("pack_id"),
+            "doc_id",
+            (lo - F.col("pack_id_x") * 512)
+            .cast("bigint")
+            .alias("start_in_pack"),
+            (hi - lo).cast("bigint").alias("n_tokens_in_pack"),
+        )
+        .where(F.col("n_tokens_in_pack") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -8977,9 +9039,10 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first 50, plus this round's 5 touched/new queries; the balance is
 # name-ascending freshness rotation over the r7-era rows.
 #
-# R11 FRONT PLAN: the 25 r7-era rows that did not fit this round
-#   (q_quarantine_expectations, q_quota_sample, q_range_layout_stats,
-#   q_scd2_intervals, q_schema_drift_union, q_session_window,
+# R11 FRONT PLAN: the 26 r7-era rows that did not fit this round
+#   (q_posexplode_tokens, q_quarantine_expectations, q_quota_sample,
+#   q_range_layout_stats, q_scd2_intervals, q_schema_drift_union,
+#   q_session_window,
 #   q_sketch_rollup_merge, q_small_quantity_revenue, q_split_assign,
 #   q_split_leakage_safe, the q_stream_* seven, q_table_profile,
 #   q_text_redact, q_training_mix, q_udaf_iqr, q_udf_vector_norm,
@@ -9018,14 +9081,16 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
 #      by hand per suggest_front's documented limitation (the gif
 #      branch landed BEFORE the r9 correctness commit, so the diff
 #      cannot see it).
-#   5. q_curation_pipeline + q_dsir_select + q_quality_ensemble,
-#      declared mid-round before the freeze (the composed
-#      gate->caps->mixture->pack batch pipeline; DSIR importance
-#      selection; the FineWeb-style multi-signal vote).
-#   6. 23 of the 48 r7-era rows (longest-unverified freshness
-#      rotation, name-ascending for a stable order); the remaining 25
-#      r7 rows (q_quarantine_expectations, q_quota_sample,
-#      q_range_layout_stats onward) lead the r11 front.
+#   5. q_curation_pipeline + q_dsir_select + q_quality_ensemble +
+#      q_pack_manifest, declared mid-round before the freeze (the
+#      composed gate->caps->mixture->pack batch pipeline; DSIR
+#      importance selection; the FineWeb-style multi-signal vote; the
+#      inverse pack->documents provenance index).
+#   6. 22 of the 48 r7-era rows (longest-unverified freshness
+#      rotation, name-ascending for a stable order); the remaining 26
+#      r7 rows (q_posexplode_tokens, q_quarantine_expectations,
+#      q_quota_sample, q_range_layout_stats onward) lead the r11
+#      front.
 _TOUCHED_R10 = [
     "q_bigram_loglik",
     "q_dedup_substrings",
@@ -9081,7 +9146,6 @@ _STALE_R7 = [
     "q_kmeans_step",
     "q_pack_sequences",
     "q_pagerank_copurchase",
-    "q_posexplode_tokens",
 ]
 _NEW_R10 = [
     # declared mid-round BEFORE the freeze (the late-declaration lesson
@@ -9089,6 +9153,7 @@ _NEW_R10 = [
     "q_curation_pipeline",
     "q_dsir_select",
     "q_quality_ensemble",
+    "q_pack_manifest",
 ]
 _FRONT = (
     _TOUCHED_R10 + _NEW_R10 + _LATE_R9 + _DEFERRED_R6 + _MEDIA_RESCORE

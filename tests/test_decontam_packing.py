@@ -95,3 +95,34 @@ def test_packing_has_no_global_single_partition_window(spark, docs):
     detail = plan
     assert detail.count("SinglePartition") <= 1
     assert has_node(plan, "BroadcastExchange")  # bucket-prefix join side
+
+
+def test_pack_manifest_partitions_every_document_and_pack(spark):
+    """q_pack_manifest invariants: per-document in-pack counts sum to
+    the document's token count (nothing lost at straddles), every pack
+    except the last is exactly full, and in-pack ranges tile each pack
+    without overlap."""
+    from asterlake.queries import QUERIES
+
+    SF = "/root/testdata/sf0.001"
+    rows = QUERIES["q_pack_manifest"].spark(spark, SF).collect()
+    docs = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in spark.read.parquet(SF + "/documents.parquet").collect()
+    }
+    by_doc: dict[int, int] = {}
+    by_pack: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["n_tokens_in_pack"]
+        by_pack.setdefault(r["pack_id"], []).append(
+            (r["start_in_pack"], r["n_tokens_in_pack"])
+        )
+    assert by_doc == {d: n for d, n in docs.items() if n > 0}
+    last = max(by_pack)
+    for p, spans in by_pack.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (s1, n1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 == s1 + n1, (p, spans)
+        total = sum(n for _, n in spans)
+        assert total == 512 or (p == last and 0 < total <= 512), (p, total)
