@@ -155,11 +155,20 @@ def bigram_train(
     context (a pair whose w1 never occurred in training:
     ln(k / (k*V)) = -ln(V)) — the lookup default.
 
-    Driver state is the model (observed-pair-sized); the corpus is
-    touched twice (vocab pass + pair pass), shuffles carry distinct
-    tokens/pairs only. Bit-reproducible under any partitioning: counts
-    are exact BIGINTs and the quantization is a pure function of them
-    (differential + invariance pins in tests/test_ngramlm.py)."""
+    SIZE CLASS (ADVICE r10): densifying makes the trained table
+    (observed contexts) x (V+1) entries — O(V^2), ~17k at the default
+    ``vocab_size=128``, but a few-thousand-word vocab means a
+    multi-million-entry driver dict, plan-literal map
+    (:func:`bigram_score`) and :func:`model_relation`. Large-vocab
+    callers should keep ``vocab_size`` in the hundreds or score via
+    :func:`bigram_score_join` against a SPARSE counts relation instead
+    of this dense literal table.
+
+    The corpus is touched twice (vocab pass + pair pass), shuffles
+    carry distinct tokens/pairs only. Bit-reproducible under any
+    partitioning: counts are exact BIGINTs and the quantization is a
+    pure function of them (differential + invariance pins in
+    tests/test_ngramlm.py)."""
     vocab = top_vocab(docs, text_col, vocab_size)
     rows = bigram_counts(
         docs, text_col, vocab

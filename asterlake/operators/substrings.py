@@ -22,10 +22,13 @@ its L-token windows is corpus-duplicated, so
    — ROW-LOCAL, the token array bound once per document (the
    CollapseProject re-tokenization pitfall documented at
    dedup.word_shingles);
-2. a single hash-partitioned window count flags duplicated digests —
-   the shuffle carries (16-byte digest, doc, pos) triples, NEVER
-   window text (at 100 TB the windows are ~L x corpus size; text-keyed
-   shuffles are the non-starter a suffix array exists to avoid);
+2. a map-side-combined groupBy count flags duplicated digests, joined
+   back to the window table (semi-join) — the shuffles carry (16-byte
+   digest, doc, pos) triples and (digest, count) pairs, NEVER window
+   text (at 100 TB the windows are ~L x corpus size; text-keyed
+   shuffles are the non-starter a suffix array exists to avoid), and
+   a hot boilerplate digest combines to one partial row per map
+   partition instead of flooding a single window partition;
 3. per-document gaps-and-islands over the duplicated positions merges
    coverage-touching duplicated windows (next start within L of the
    previous) into MAXIMAL spans: a merged run of starts [a..b] covers
@@ -106,17 +109,24 @@ def repeated_substring_spans(
     occurs >= 2 times in the corpus (Lee et al. 2022 semantics; any
     two occurrences count, same-document repeats included).
 
-    Two shuffles total: digest-partitioned duplicate flag (int triples,
-    never text), then doc-keyed island merge of duplicated positions.
+    Duplicate detection is a groupBy-count + semi-join, NOT a
+    ``count(*) OVER (PARTITION BY dig)`` window (ADVICE r10): a hot
+    boilerplate digest would shuffle every one of its occurrences into
+    a single window partition — the groupBy is map-side combinable (the
+    hot key contributes ONE combined row per map partition to the count
+    shuffle) and the semi-join's probe-side skew is AQE-splittable,
+    which a window partition never is. Three exchanges total (count
+    partials, probe repartition, doc-keyed island merge) — every one
+    carrying int triples / (digest, count) pairs, never text.
     """
     win = substring_windows(docs, min_tokens, id_col, text_col)
-    dup = (
-        win.withColumn(
-            "_n", F.count("*").over(Window.partitionBy("dig"))
-        )
+    dup_digests = (
+        win.groupBy("dig")
+        .agg(F.count("*").alias("_n"))
         .where(F.col("_n") >= 2)
-        .select(id_col, "pos")
+        .select("dig")
     )
+    dup = win.join(dup_digests, "dig", "left_semi").select(id_col, "pos")
     # gaps-and-islands by token COVERAGE: window [p, p+L) and the next
     # start q merge iff q <= p + L (their covered regions touch or
     # overlap — all windows share length L, so the previous start is
@@ -170,17 +180,32 @@ def scrub_repeated_substrings(
     tokens). Deterministic: ranks order by (doc, pos), never an engine
     hash or partition order.
 
-    Shuffles: digest-partitioned rank, doc-keyed covered-position
-    distinct, doc-keyed anti-join + rebuild — all (id, int) payloads
-    except the final token rebuild, which is doc-local text."""
+    The canonical-occurrence pick is a groupBy min(struct(doc, pos)) +
+    join, not a digest-partitioned row_number window (ADVICE r10, same
+    hot-digest rationale as :func:`repeated_substring_spans`): the
+    min-struct aggregate combines map-side, so a boilerplate digest
+    with millions of occurrences ships one partial row per map
+    partition instead of concentrating every occurrence in one window
+    partition, and the probe-side join skew is AQE-splittable.
+
+    Shuffles: digest count/min partials + probe repartition, doc-keyed
+    covered-position distinct, doc-keyed anti-join + rebuild — all
+    (id, int) payloads except the final token rebuild, which is
+    doc-local text."""
     win = substring_windows(docs, min_tokens, id_col, text_col)
-    both = F.count("*").over(Window.partitionBy("dig"))
-    rank = F.row_number().over(
-        Window.partitionBy("dig").orderBy(id_col, "pos")
+    firsts = (
+        win.groupBy("dig")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        )
+        .where(F.col("_n") >= 2)
+        .select("dig", "_first")
     )
     later = (
-        win.select(F.col(id_col), F.col("pos"), both.alias("_n"), rank.alias("_rn"))
-        .where((F.col("_n") >= 2) & (F.col("_rn") >= 2))
+        win.join(firsts, "dig")
+        .where(F.struct(F.col(id_col), F.col("pos")) != F.col("_first"))
+        .select(id_col, "pos")
     )
     covered = later.select(
         F.col(id_col),

@@ -3782,7 +3782,14 @@ def _pack_oracle() -> str:
     return f"""
     WITH t AS (
       SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             -- NULL-safe tokenization (the engine-wide convention:
+             -- ngramlm/dsir/substrings) — NULL text is ZERO tokens on
+             -- both engines; bare len(string_split(...)) would yield
+             -- NULL here vs Spark's -1 and corrupt every later offset
+             -- (ADVICE r10)
+             CAST(len(list_filter(string_split_regex(
+                    trim(coalesce(text, '')), '\\s+'), s -> s != ''))
+                  AS BIGINT) AS n_tokens,
              {bucket} AS bucket
       FROM documents
     ), w AS (
@@ -3804,6 +3811,20 @@ def _pack_oracle() -> str:
     """
 
 
+def _ns_token_count() -> F.Column:
+    """NULL-safe whitespace token count over ``text`` — the engine-wide
+    tokenizer convention (ngramlm/dsir/substrings): NULL text is ZERO
+    tokens, never the -1 that bare ``size(split(NULL, ' '))`` yields
+    (ADVICE r10: a -1 n_tokens would corrupt every downstream packing
+    offset while the DuckDB oracle said NULL)."""
+    return F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+
+
 @query("q_pack_sequences", _pack_oracle())
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk packing of the corpus into 512-token
@@ -3815,9 +3836,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asterlake.operators.packing import pack_sequences
 
     d = load_table(spark, sf_dir, "documents")
-    return pack_sequences(
-        d, F.size(F.split(F.col("text"), " ")), budget=512, n_buckets=16
-    )
+    return pack_sequences(d, _ns_token_count(), budget=512, n_buckets=16)
 
 
 # ===========================================================================
@@ -8991,7 +9010,7 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     packed = pack_sequences(
-        d, F.size(F.split(F.col("text"), " ")), budget=512, n_buckets=16
+        d, _ns_token_count(), budget=512, n_buckets=16
     )
     pk = F.explode(
         F.sequence(F.col("pack_id"), F.col("end_pack_id"))

@@ -242,6 +242,25 @@ def _ts_instant(v):
     return v
 
 
+def _probe_instant(v):
+    """Canonicalize a PROBE value to naive UTC under the FILTER's own
+    semantics (ADVICE r10): PySpark converts a naive datetime literal
+    through ``time.mktime`` — the PYTHON PROCESS's local timezone, not
+    the session timezone and not UTC (TimestampType.toInternal) — so
+    the pruning comparison against the manifest's naive-UTC bounds must
+    localize a naive probe the same way or prune and filter diverge
+    whenever the process tz is not UTC. ``astimezone()`` on a naive
+    datetime applies exactly that process-local rule. Aware datetimes
+    are their own instant; everything else passes through."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is None:
+        return (
+            v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        )
+    return _ts_instant(v)
+
+
 def _bloom_canonical(v) -> tuple[str, bytes] | None:
     """(kind, canonical bytes) for bloom hashing, or None when the value
     cannot be judged safely. The canonical form must make every pair of
@@ -658,6 +677,17 @@ def scan_version(
     Bloom bitmaps (``bloom_cols``, the high-cardinality complement),
     then ranges.
 
+    Timezone contract (ADVICE r10): a NAIVE datetime probe value means
+    wall time in the PYTHON PROCESS's local timezone — that is how
+    PySpark itself converts the same literal inside ``.filter``
+    (``TimestampType.toInternal`` -> ``time.mktime``; neither UTC nor
+    the session timezone) — so pruning localizes naive probes via the
+    identical process-local rule before comparing against the
+    manifest's naive-UTC bounds. On a UTC box that is the identity; a
+    non-UTC process now prunes and filters consistently instead of
+    silently false-pruning files whose rows the filter would keep.
+    Pass tz-AWARE datetimes to be independent of the process tz.
+
     Scale shape: at 100 TB the win is DRIVER-side — a time- or
     key-range query over a snapshot with thousands of files plans a
     file list proportional to the range, before any footer I/O or task
@@ -677,12 +707,33 @@ def scan_version(
             "write it with stats_cols=[...] to enable skipping"
         )
     data_dir = _data_path(root, version)
+    # prune with FILTER-SEMANTICS probe values: PySpark reads a naive
+    # datetime literal in the PROCESS-local timezone (see the timezone
+    # contract above), so the pruning comparison against the manifest's
+    # naive-UTC bounds localizes naive probes through the same rule
+    # (ADVICE r10 — assuming UTC here would false-prune on a non-UTC
+    # box while the filter kept the rows). The ORIGINAL values still
+    # feed apply_conditions below: Spark applies its own conversion.
+    prune_conditions = [
+        (
+            cond
+            if len(cond) < 3
+            else (
+                cond[0],
+                cond[1],
+                [_probe_instant(x) for x in cond[2]]
+                if cond[1] == "in"
+                else _probe_instant(cond[2]),
+            )
+        )
+        for cond in conditions
+    ]
     kept = [
         os.path.join(data_dir, name)
         for name, finfo in sorted(file_stats.items())
         if _file_may_match(
             finfo,
-            conditions,
+            prune_conditions,
             manifest.get("bloom_bits", BLOOM_BITS),
             manifest.get("bloom_k", BLOOM_K),
         )

@@ -1092,9 +1092,14 @@ def stream_curation_chain(
     parquet handoff is exactly the landing-zone layering a production
     ingest uses, and each stage keeps its own checkpoint so a restart
     resumes BOTH states (pinned in tests/test_streaming.py). Sinks are
-    append-by-micro-batch: at-least-once on a mid-batch crash — the
-    same contract as every foreachBatch file sink here; dedupe on
-    (id, copy_id) downstream if the sink must be exactly-once.
+    EXACTLY-ONCE effective (ADVICE r10): each micro-batch overwrites
+    its own ``batch=<epoch_id>`` subdirectory, so a foreachBatch retry
+    after a mid-batch crash replaces its partial output instead of
+    appending a duplicate — which matters doubly here, because stage 2
+    packs whatever stage 1 landed: a duplicated admitted row would not
+    just repeat, it would permanently shift every later bucket-local
+    packing offset. The idempotent-epoch-dir pattern is the standard
+    file-sink answer to foreachBatch's at-least-once contract.
 
     Drains whatever is in ``source_dir`` and returns the packed result
     read back as a batch DataFrame (empty-schema-correct when nothing
@@ -1112,11 +1117,20 @@ def stream_curation_chain(
         src, vocab, model, unk_floor, gate_micros,
         domain_col=domain_col, id_col=id_col, text_col=text_col, cap=cap,
     )
+    def _epoch_sink(target_dir):
+        # idempotent per-epoch landing: a retried epoch OVERWRITES its
+        # own batch=<eid> subdir (exactly-once effective), never appends
+        # a second copy into a shared directory (ADVICE r10)
+        def write(df, eid):
+            df.write.mode("overwrite").parquet(
+                os.path.join(target_dir, f"batch={eid}")
+            )
+
+        return write
+
     q1 = (
         stage1.writeStream.outputMode("update")
-        .foreachBatch(
-            lambda df, _eid: df.write.mode("append").parquet(admitted_dir)
-        )
+        .foreachBatch(_epoch_sink(admitted_dir))
         .option("checkpointLocation", os.path.join(workdir, "ck_admit"))
         .trigger(availableNow=True)
         .start()
@@ -1132,7 +1146,14 @@ def stream_curation_chain(
         spark.createDataFrame([], admit_schema).write.mode(
             "append"
         ).parquet(admitted_dir)
-    adm = spark.readStream.schema(admit_schema).parquet(admitted_dir)
+    adm = (
+        spark.readStream.schema(admit_schema)
+        # the handoff nests one batch=<eid> subdir per stage-1 epoch;
+        # recursive lookup reads them as plain files (batch is NOT a
+        # partition column of the admitted schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(admitted_dir)
+    )
     mixed = stream_mixture_expand(
         adm, factor_ppm, default_ppm, domain_col=domain_col, id_col=id_col
     )
@@ -1141,9 +1162,7 @@ def stream_curation_chain(
     )
     q2 = (
         packed.writeStream.outputMode("update")
-        .foreachBatch(
-            lambda df, _eid: df.write.mode("append").parquet(packed_dir)
-        )
+        .foreachBatch(_epoch_sink(packed_dir))
         .option("checkpointLocation", os.path.join(workdir, "ck_pack"))
         .trigger(availableNow=True)
         .start()
@@ -1159,4 +1178,8 @@ def stream_curation_chain(
         spark.createDataFrame([], packed_schema).write.mode(
             "append"
         ).parquet(packed_dir)
-    return spark.read.schema(packed_schema).parquet(packed_dir)
+    return (
+        spark.read.schema(packed_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(packed_dir)
+    )

@@ -574,25 +574,44 @@ def test_mixture_apply_broadcasts_factors_never_sorts_fact(spark):
 
 
 def test_dedup_substrings_digest_shuffle_never_text(spark):
-    """q_dedup_substrings at 100 TB: exactly TWO exchanges — the
-    digest-partitioned duplicate flag and the doc-keyed island merge
-    (the final groupBy reuses the doc partitioning) — no join, no
-    Python, and the scan reads only (doc_id, text). The shuffle keys
-    are the digest and the doc id; window TEXT is never a shuffle
-    key (the non-starter a suffix array exists to avoid)."""
+    """q_dedup_substrings at 100 TB: the duplicate flag is a map-side-
+    combinable groupBy-count + semi-join (ADVICE r10 — a hot
+    boilerplate digest contributes ONE combined partial row per map
+    partition to the count shuffle, and the probe-side join skew is
+    AQE-splittable, which the previous count-over-dig-window partition
+    never was). Exactly TWO shuffle exchanges at this SF — the digest
+    count partials and the doc-keyed island merge (the dup-digest
+    table broadcasts into the semi-join; at SMJ scale the probe
+    repartition is the AQE-splittable third) — the final groupBy
+    reuses the doc partitioning, no Python, the scan reads only
+    (doc_id, text), and window TEXT is never a shuffle key (the
+    non-starter a suffix array exists to avoid)."""
     plan = _plan(spark, "q_dedup_substrings")
     assert node_count(plan, "Exchange") == 2
     assert not has_node(plan, "SortMergeJoin")
-    assert not has_node(plan, "BroadcastHashJoin")
+    assert not has_node(plan, "CartesianProduct")
     assert not has_node(plan, "BatchEvalPython")
     assert not has_node(plan, "ArrowEvalPython")
+    # no count-over-digest window survives anywhere: the only Window
+    # nodes are the doc-keyed island lag/sum pair
+    assert "windowspecdefinition(dig" not in plan
     keys = shuffle_keys(plan)
     assert len(keys) == 2, keys
     assert any("dig" in k for k in keys), keys
     assert any("doc_id" in k for k in keys), keys
     assert not any("win" in k or "text" in k for k in keys), keys
-    scan = scan_for(plan, "documents")
-    assert set(scan.read_columns) == {"doc_id", "text"}
+    # the dup-digest aggregate is a second (equally pruned) documents
+    # scan — the deliberate trade for map-side combine: two column-
+    # pruned passes beat one pass that floods a window partition
+    from asterlake.plans.inspect import scans
+
+    doc_scans = [s for s in scans(plan) if "documents" in s.location]
+    assert len(doc_scans) == 2, [s.location for s in scans(plan)]
+    # probe side reads (doc_id, text); the count side prunes further,
+    # to text alone — neither ever reads a third column
+    for s in doc_scans:
+        assert set(s.read_columns) <= {"doc_id", "text"}, s
+    assert any(set(s.read_columns) == {"text"} for s in doc_scans)
 
 
 def test_scrub_substrings_no_python_and_pruned_scans(spark):

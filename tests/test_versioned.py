@@ -768,3 +768,70 @@ def test_scan_version_timestamp_probe_tz_safe(spark, tmp_path):
         spark, root, [("ts", "==", datetime(2030, 1, 1))], version=1
     )
     assert ghost.count() == 0 and len(ghost.inputFiles()) == 0
+
+
+def test_scan_version_non_utc_process_naive_probe(spark, tmp_path):
+    """ADVICE r10: a NAIVE probe denotes wall time in the PYTHON
+    PROCESS's local timezone — that is how PySpark's own filter
+    converts the literal (TimestampType.toInternal -> time.mktime; NOT
+    the session tz, NOT UTC) — so under a non-UTC process tz the
+    pruner must localize it the same way before comparing against the
+    manifest's naive-UTC bounds; assuming UTC would false-prune the
+    file whose rows the filter keeps. Tokyo process tz: naive
+    2024-01-03 11:00 JST == hour 50 UTC; the scan equals its filter
+    twin row-for-row and still prunes to one file."""
+    import os as _os
+    import time as _time
+    from datetime import datetime
+
+    from asterlake.sources.versioned import scan_version
+
+    df = spark.range(0, 96).select(
+        F.col("id").alias("doc_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=F.col("id").cast("int"))
+        ).alias("ts"),
+    )
+    root = str(tmp_path / "tzproc")
+    old_ott = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )  # INT96 carries no parquet min/max stats: range tier needs these
+    try:
+        write_version(
+            df.repartitionByRange(4, "doc_id"),
+            root,
+            stats_cols=["ts"],
+            set_cols=["ts"],
+            bloom_cols=["ts"],
+        )
+    finally:
+        if old_ott is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", old_ott)
+    old_tz = _os.environ.get("TZ")
+    try:
+        _os.environ["TZ"] = "Asia/Tokyo"
+        _time.tzset()
+        # hour 50 UTC == 2024-01-03 02:00 UTC == 2024-01-03 11:00 JST
+        probe = datetime(2024, 1, 3, 11, 0, 0)
+        twin = read_version(spark, root, 1).where(F.col("ts") == probe)
+        twin_ids = [r.doc_id for r in twin.collect()]
+        assert twin_ids == [50]  # the filter semantics pruning must match
+        for conds in (
+            [("ts", "==", probe)],
+            [("ts", "in", [probe])],
+            [("ts", ">=", probe), ("ts", "<=", probe)],
+        ):
+            got = scan_version(spark, root, conds, version=1)
+            assert [r.doc_id for r in got.collect()] == twin_ids, conds
+            # and pruning is REAL, not prune-nothing: one file kept
+            assert len(got.inputFiles()) == 1, conds
+    finally:
+        if old_tz is None:
+            _os.environ.pop("TZ", None)
+        else:
+            _os.environ["TZ"] = old_tz
+        _time.tzset()
