@@ -131,18 +131,14 @@ def ivf_centroids(k: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]
     return [[float(x) for x in row] for row in c]
 
 
-def ivf_assign(
-    vectors: DataFrame,
-    centroids: list[list[float]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (IVF cell).
-
-    The codebook is a literal array-of-arrays — broadcast by value inside
-    the plan; assignment is a pure projection (argmax over k fold-dots),
-    no shuffle, no UDF. Ties break to the lower centroid id.
-    """
+def centroid_argmax(
+    centroids: list[list[float]], vec_col: str = "embedding"
+) -> Column:
+    """Max-dot centroid index for ``vec_col`` against a LITERAL codebook
+    — a pure projection column (argmax over k fold-dots), no shuffle, no
+    UDF; ties break to the lower centroid id. With unit-norm centroids
+    max-dot == max-cosine. The assignment expression shared by
+    :func:`ivf_assign` and :func:`semantic_dedup`'s blocking key."""
     c_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
     )
@@ -155,11 +151,24 @@ def ivf_assign(
         ),
     )
     # argmax via array_position(max); first match => lowest id on ties
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (IVF cell).
+
+    The codebook is a literal array-of-arrays — broadcast by value inside
+    the plan; assignment is a pure projection (argmax over k fold-dots),
+    no shuffle, no UDF. Ties break to the lower centroid id.
+    """
     return vectors.select(
         id_col,
-        (F.array_position(scores, F.array_max(scores)) - 1)
-        .cast("int")
-        .alias("centroid_id"),
+        centroid_argmax(centroids, vec_col).alias("centroid_id"),
     )
 
 
@@ -758,3 +767,80 @@ def topk_int8(
         id_col, score.alias("score_i8")
     )
     return scored.orderBy(F.col("score_i8").desc(), id_col).limit(k)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_rows: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): remove SEMANTIC
+    duplicates — documents whose embeddings nearly coincide even when
+    they share no n-grams (paraphrases, translations, templated
+    rewrites), the one duplicate class every lexical tier
+    (MinHash/SimHash/n-gram/ExactSubstr) is blind to.
+
+    The paper's recipe, composed from this engine's own blocks:
+
+    1. cluster the embedding space with k-means (codebook from
+       :func:`kmeans_fit` or any fixed unit-norm literal);
+    2. within each cluster only, find pairs with cosine >=
+       ``threshold`` (:func:`blocked_neighbor_pairs` with the
+       :func:`centroid_argmax` assignment as the blocking key — the
+       codebook is a plan literal, so blocking adds NO join);
+    3. close the pairs into semantic-duplicate groups
+       (``graph.duplicate_clusters``) and keep ONE deterministic
+       survivor per group — the min-id member (the engine-wide
+       survivor rule; the paper keeps a per-group representative too,
+       its choice of which is explicitly reported as near-noise).
+
+    Returns ``(id_col, centroid_id int, sem_cluster, is_survivor
+    boolean)`` — one row per input vector; singletons are their own
+    surviving cluster.
+
+    Cross-CLUSTER near-duplicates are invisible by design (the paper's
+    trade): a pair straddling a k-means boundary never meets. More
+    clusters = cheaper and stricter; fewer = costlier and more
+    complete.
+
+    Scale (100 TB of embeddings): assignment is a map-only projection;
+    pair generation explodes O(cell_size^2) WITHIN cells only, so size
+    k with the corpus (the paper runs ~100k clusters at web scale) to
+    keep cells bounded, and/or cap degenerate cells with
+    ``max_block_rows`` (deterministic survivor set, documented recall
+    trade). The closure is the iterative min-label fixpoint — one
+    (node, long) shuffle per round on the DUPLICATE PAIRS only, never
+    the corpus."""
+    from asterlake.operators.graph import duplicate_clusters
+
+    pairs = blocked_neighbor_pairs(
+        vectors,
+        centroid_argmax(centroids, vec_col),
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_block_rows=max_block_rows,
+    ).select("vec_a", "vec_b")
+    clusters = duplicate_clusters(
+        pairs,
+        vectors,
+        pair_a="vec_a",
+        pair_b="vec_b",
+        doc_id=id_col,
+        max_iter=max_iter,
+    )
+    assigned = vectors.select(
+        F.col(id_col),
+        centroid_argmax(centroids, vec_col).alias("centroid_id"),
+    )
+    return assigned.join(clusters, id_col).select(
+        id_col,
+        "centroid_id",
+        F.col("cluster").alias("sem_cluster"),
+        (F.col(id_col) == F.col("cluster")).alias("is_survivor"),
+    )

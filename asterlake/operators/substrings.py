@@ -58,6 +58,8 @@ __all__ = [
     "substring_windows",
     "repeated_substring_spans",
     "scrub_repeated_substrings",
+    "substring_digest_index",
+    "substring_index_matches",
 ]
 
 
@@ -127,11 +129,19 @@ def repeated_substring_spans(
         .select("dig")
     )
     dup = win.join(dup_digests, "dig", "left_semi").select(id_col, "pos")
-    # gaps-and-islands by token COVERAGE: window [p, p+L) and the next
-    # start q merge iff q <= p + L (their covered regions touch or
-    # overlap — all windows share length L, so the previous start is
-    # the running coverage frontier); a merged run [a..b] of starts
-    # covers the contiguous tokens [a, b+L)
+    return _maximal_spans(dup, min_tokens, id_col)
+
+
+def _maximal_spans(
+    flagged: DataFrame, min_tokens: int, id_col: str
+) -> DataFrame:
+    """Merge flagged window starts ``(id_col, pos)`` into MAXIMAL covered
+    spans — gaps-and-islands by token COVERAGE: window [p, p+L) and the
+    next start q merge iff q <= p + L (their covered regions touch or
+    overlap — all windows share length L, so the previous start is the
+    running coverage frontier); a merged run [a..b] of starts covers the
+    contiguous tokens [a, b+L). One doc-keyed shuffle of (id, int)
+    pairs; the final groupBy reuses the doc partitioning."""
     w = Window.partitionBy(id_col).orderBy("pos")
     new_island = F.when(
         F.lag("pos").over(w).isNull()
@@ -144,7 +154,7 @@ def repeated_substring_spans(
         .alias("_grp")
     )
     return (
-        dup.select(F.col(id_col), F.col("pos"), grp)
+        flagged.select(F.col(id_col), F.col("pos"), grp)
         .groupBy(id_col, "_grp")
         .agg(
             F.min("pos").alias("start_tok"),
@@ -255,4 +265,64 @@ def scrub_repeated_substrings(
             .alias("n_scrubbed"),
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
+    )
+
+
+def substring_digest_index(
+    docs: DataFrame,
+    min_tokens: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Persistable corpus window-digest INDEX: the DISTINCT 16-byte md5
+    digests of every ``min_tokens``-token window in ``docs`` — one
+    string column ``dig``. The production ingest shape (r10 verdict ask
+    #3, the ``minhash_band_table`` layout for the ExactSubstr tier):
+    write it once for the standing corpus, append each admitted batch's
+    digests, and screen every NEW batch against it with
+    :func:`substring_index_matches` — the corpus is never re-windowed
+    per ingest and new documents are never compared against each other.
+    ~16 bytes x distinct windows: no text, no positions, no doc ids."""
+    return (
+        substring_windows(docs, min_tokens, id_col, text_col)
+        .select("dig")
+        .distinct()
+    )
+
+
+def substring_index_matches(
+    new_docs: DataFrame,
+    index: DataFrame,
+    min_tokens: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ExactSubstr screening: which NEW documents contain a
+    >= ``min_tokens``-token substring already present in the corpus
+    index — the triage row a quarantine/scrub decision needs, without
+    ever comparing new-vs-new (same-batch repeats do NOT flag; they are
+    next batch's problem, after this batch's digests append to the
+    index). ``index`` is the ``dig`` relation from
+    :func:`substring_digest_index` (freshly built or read back from its
+    parquet landing).
+
+    Per flagged new document: ``n_spans`` (maximal index-covered spans,
+    merged by the same coverage islands as
+    :func:`repeated_substring_spans`), ``dup_tokens`` (total tokens
+    covered), ``max_span_tokens`` (longest single span) — unflagged
+    documents are absent.
+
+    Scale: the new batch is orders of magnitude smaller than the index,
+    so the semi-join on ``dig`` broadcasts the BATCH side's windows
+    under AQE while the index streams map-side; shuffles carry (digest)
+    and (id, int) rows only, never text."""
+    win = substring_windows(new_docs, min_tokens, id_col, text_col)
+    hits = win.join(index.select("dig"), "dig", "left_semi").select(
+        id_col, "pos"
+    )
+    spans = _maximal_spans(hits, min_tokens, id_col)
+    return spans.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+        F.max("span_tokens").cast("int").alias("max_span_tokens"),
     )

@@ -4045,6 +4045,69 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.join(sizes, "cluster").select("vec_id", "cluster", "n_members")
 
 
+@query(
+    "q_dedup_semantic",
+    None,  # oracle injected below (needs the codebook literal)
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): SEMANTIC deduplication — the one
+    duplicate class every lexical tier misses (paraphrases/rewrites
+    that share no n-grams). K-means-cell blocking (the fixed unit-norm
+    codebook as a plan literal, so blocking is a pure projection —
+    no join), within-cell cosine >= 0.4 pairs, min-label closure,
+    min-id survivor per semantic group. The oracle replays the
+    identical codebook argmax digit-for-digit and re-walks the pair
+    graph with a recursive CTE. The kmeans_fit-trained-codebook
+    composition is differentially pinned vs a brute-force numpy twin
+    in tests/test_similarity.py."""
+    from asterlake.operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, _ivf_codebook(), 0.4)
+
+
+QUERIES["q_dedup_semantic"] = QueryDef(
+    q_dedup_semantic,
+    f"""
+    WITH RECURSIVE cb AS (SELECT {_ivf_codebook()} AS cents),
+    a AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(scores, list_aggregate(scores, 'max')) - 1
+                  AS INT) AS centroid_id
+      FROM (
+        SELECT vec_id, embedding,
+               list_transform(cents, c ->
+                 list_sum(list_transform(range(1, len(embedding)+1),
+                   i -> c[i] * CAST(embedding[i] AS DOUBLE)))) AS scores
+        FROM embeddings, cb)
+    ),
+    pairs AS (
+      SELECT x.vec_id AS va, y.vec_id AS vb
+      FROM a x JOIN a y
+        ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+      WHERE {_duck_cosine('x.embedding', 'y.embedding')} >= 0.4
+    ),
+    edges AS (
+      SELECT va AS s, vb AS d FROM pairs
+      UNION ALL
+      SELECT vb AS s, va AS d FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.d, w.comp FROM walk w JOIN edges e ON e.s = w.node
+    ),
+    comp AS (
+      SELECT node AS vec_id, MIN(comp) AS sem_cluster
+      FROM walk GROUP BY node
+    )
+    SELECT a.vec_id, a.centroid_id, c.sem_cluster,
+           (a.vec_id = c.sem_cluster) AS is_survivor
+    FROM a JOIN comp c USING (vec_id)
+    """,
+)
+
+
 # ===========================================================================
 # Beyond-parity: RAG chunking (operators/chunking.py)
 # ===========================================================================
@@ -8608,6 +8671,59 @@ def q_scrub_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_repeated_substrings(d, _SUBSTR_K)
 
 
+@query(
+    "q_dedup_substrings_incremental",
+    _substr_windows_duck(_SUBSTR_K)
+    + f"""
+    , nw AS (SELECT doc_id, pos FROM w
+             WHERE doc_id % 10 = 0
+               AND win IN (SELECT win FROM w WHERE doc_id % 10 <> 0)),
+    g AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) IS NULL
+                        OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos)
+                             > {_SUBSTR_K}
+                      THEN 1 ELSE 0 END AS ni
+          FROM nw),
+    i AS (SELECT doc_id, pos,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS grp
+          FROM g),
+    s AS (SELECT doc_id,
+                 max(pos) + {_SUBSTR_K} - min(pos) AS span
+          FROM i GROUP BY doc_id, grp)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span) AS BIGINT) AS dup_tokens,
+           CAST(max(span) AS INT) AS max_span_tokens
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_dedup_substrings_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental new-batch-vs-corpus ExactSubstr screening (r10
+    verdict ask #3 — the daily-ingest shape for the repeated-substring
+    tier, mirroring q_dedup_incremental's MinHash split): a NEW batch
+    (every 10th doc) screened against the standing corpus's persisted
+    window-digest INDEX (the other 90%) — never new-vs-new, the corpus
+    never re-windowed per ingest. Per flagged new doc: maximal
+    index-covered span count, covered tokens, longest span. The oracle
+    shares the window-text CTE (semi-join on raw window TEXT), so
+    driver parity keeps differentially pinning the md5-digest keying
+    on real data."""
+    from asterlake.operators.substrings import (
+        substring_digest_index,
+        substring_index_matches,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    idx = substring_digest_index(
+        d.filter(F.col("doc_id") % 10 != 0), _SUBSTR_K
+    )
+    return substring_index_matches(new, idx, _SUBSTR_K)
+
+
 # ---------------------------------------------------------------------------
 # Composed batch curation pipeline (r10): gate -> caps -> mixture -> pack
 # in ONE plan — the batch twin of streaming/pipeline.stream_curation_chain
@@ -9052,23 +9168,17 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # turns the suite red until the front is re-frozen, so the freeze is
 # provably no older than the last operator commit (r6 verdict ask #6).
 #
-# The r9 front plan executed verbatim in round 10 (see the r10 lists
-# below): all 15 late-r9 post-freeze declarations, the 4 deferred
-# q_window_* r6 rows, and the 2 media-exemption re-scores sit in the
-# first 50, plus this round's 5 touched/new queries; the balance is
-# name-ascending freshness rotation over the r7-era rows.
+# The r10 front plan executed verbatim in round 11 (see the r11 lists
+# below): the 26 r7-era rows lead, the balance is r8-era name-
+# ascending freshness rotation plus this round's touched/new queries.
+# Frozen via rotation.suggest_front and kept in sync at every
+# mid-round declaration (the late-declaration lesson from r9).
 #
-# R11 FRONT PLAN: the 26 r7-era rows that did not fit this round
-#   (q_posexplode_tokens, q_quarantine_expectations, q_quota_sample,
-#   q_range_layout_stats, q_scd2_intervals, q_schema_drift_union,
-#   q_session_window,
-#   q_sketch_rollup_merge, q_small_quantity_revenue, q_split_assign,
-#   q_split_leakage_safe, the q_stream_* seven, q_table_profile,
-#   q_text_redact, q_training_mix, q_udaf_iqr, q_udf_vector_norm,
-#   q_variant_extract, q_weighted_sample, q_zorder_stats) lead the
-#   r11 front, then freshness rotation over the r8-era rows; plus
-#   whatever round-11 touches or declares (freeze AFTER the round's
-#   last operator commit, via rotation.suggest_front).
+# R12 FRONT PLAN: the 37 remaining r8-era rows (alphabetically from
+#   q_dedup_survivors onward — whatever suggest_front ranks after this
+#   round's driver file lands) lead the r12 front, then the oldest r9
+#   rows; plus whatever round-12 touches or declares (freeze AFTER the
+#   round's last operator commit, via rotation.suggest_front).
 
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # the r8 codec work (4:2:0, progressive SOF2 + restart intervals)
@@ -9082,101 +9192,84 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "front)",
 }
 
-# Round-10 front (exactly 50), frozen per the R10 FRONT PLAN above and
-# re-derived mechanically (rotation.suggest_front at freeze time):
-#   1. The FIVE queries TOUCHED this round: q_bigram_loglik (NULL-text
-#      coalesce in ngramlm._tokens + oracle, full add-k table — ADVICE
-#      r9), q_snapshot_scan_pruned / q_snapshot_scan_bloom (versioned
-#      tz-instant canonicalization ADVICE r9 medium + atexit workdir
-#      reclaim), and the two NEW r10 declarations q_dedup_substrings /
-#      q_scrub_substrings (the ExactSubstr suffix-array dedup tier —
-#      r9 verdict ask #2).
-#   2. The remaining THIRTEEN late-r9 post-freeze declarations (their
-#      first driver signal — r9 verdict ask #1).
-#   3. The four deferred q_window_* rows (last scored r6 — the
-#      documented tail, due now).
-#   4. The two r9 media exemptions re-scored (q_media_decode_real,
-#      q_media_mp4_meta) so no exemption outlives one round — carried
-#      by hand per suggest_front's documented limitation (the gif
-#      branch landed BEFORE the r9 correctness commit, so the diff
-#      cannot see it).
-#   5. q_curation_pipeline + q_dsir_select + q_quality_ensemble +
-#      q_pack_manifest, declared mid-round before the freeze (the
-#      composed gate->caps->mixture->pack batch pipeline; DSIR
-#      importance selection; the FineWeb-style multi-signal vote; the
-#      inverse pack->documents provenance index).
-#   6. 22 of the 48 r7-era rows (longest-unverified freshness
-#      rotation, name-ascending for a stable order); the remaining 26
-#      r7 rows (q_posexplode_tokens, q_quarantine_expectations,
-#      q_quota_sample, q_range_layout_stats onward) lead the r11
-#      front.
-_TOUCHED_R10 = [
-    "q_bigram_loglik",
+# Round-11 front (exactly 50), frozen per the R11 FRONT PLAN the r10
+# verdict prescribed and re-derived mechanically (rotation.suggest_front
+# at freeze time): the new declaration first, the queries the r11
+# ADVICE fixes and the similarity refactor touched, the 26 r7-era rows
+# the r10 front could not fit (verdict ask #1), then r8-era
+# name-ascending freshness rotation to the budget.
+_TOUCHED_R11 = [
+    # the similarity refactor (centroid_argmax shared by ivf_assign and
+    # the new semantic_dedup), the NULL-safe pack tokenizer (ADVICE
+    # r10), the substrings groupBy+semi-join skew fix (ADVICE r10), and
+    # the snapshot probe-tz canonicalization (ADVICE r10)
+    "q_ann_ivf_assign",
+    "q_ann_ivf_search",
+    "q_ann_ivfpq_search",
+    "q_ann_pq_search",
     "q_dedup_substrings",
+    "q_kmeans_step",
+    "q_pack_manifest",
+    "q_pack_sequences",
     "q_scrub_substrings",
     "q_snapshot_scan_bloom",
     "q_snapshot_scan_pruned",
 ]
-_LATE_R9 = [
-    "q_ann_ivfpq_search",
-    "q_bigram_greedy_decode",
-    "q_cdc_shared_chunks",
-    "q_cms_join_size",
-    "q_compression_signal",
-    "q_denylist_scan",
-    "q_domain_caps",
-    "q_media_gif_anim",
-    "q_mixture_apply",
-    "q_mixture_weights",
-    "q_recursive_month_spine",
-    "q_unigram_seed_vocab",
-    "q_unigram_segment",
-]
-_DEFERRED_R6 = [
-    "q_window_event_gaps",
-    "q_window_frames",
-    "q_window_navigation",
-    "q_window_range_frames",
-]
-_MEDIA_RESCORE = [
-    "q_media_decode_real",
-    "q_media_mp4_meta",
+_NEW_R11 = [
+    # declared mid-round BEFORE the freeze: SemDeDup semantic dedup
+    # (r10 verdict ask #2 — kmeans-cell blocking + cosine prune +
+    # min-label closure) and incremental new-batch-vs-corpus
+    # ExactSubstr screening (ask #3 — persisted window-digest index,
+    # never new-vs-new)
+    "q_dedup_semantic",
+    "q_dedup_substrings_incremental",
 ]
 _STALE_R7 = [
-    "q_ann_int8_topk",
-    "q_ann_topk_bruteforce",
-    "q_anomaly_outliers",
-    "q_chunk_documents",
-    "q_collocations_lift",
-    "q_contamination_scores",
-    "q_decayed_engagement",
-    "q_dedup_containment",
-    "q_dedup_incremental",
-    "q_dedup_ngram_prefix",
-    "q_dedup_normalized",
-    "q_dedup_spans",
-    "q_dedup_survivors",
-    "q_doc_rarity",
-    "q_embedding_centroids",
-    "q_embedding_dup_clusters",
-    "q_embedding_normalize",
-    "q_frequent_tokens",
-    "q_histogram_equidepth",
-    "q_kmeans_step",
-    "q_pack_sequences",
-    "q_pagerank_copurchase",
+    # the 26 r7-era rows the R10 front could not fit — the r11 lead
+    # block the r10 verdict prescribed (ask #1)
+    "q_posexplode_tokens",
+    "q_quarantine_expectations",
+    "q_quota_sample",
+    "q_range_layout_stats",
+    "q_scd2_intervals",
+    "q_schema_drift_union",
+    "q_session_window",
+    "q_sketch_rollup_merge",
+    "q_small_quantity_revenue",
+    "q_split_assign",
+    "q_split_leakage_safe",
+    "q_stream_dedup",
+    "q_stream_ewma",
+    "q_stream_interval_join",
+    "q_stream_session_window",
+    "q_stream_stateful_counts",
+    "q_stream_static_join",
+    "q_stream_windowed_counts",
+    "q_table_profile",
+    "q_text_redact",
+    "q_training_mix",
+    "q_udaf_iqr",
+    "q_udf_vector_norm",
+    "q_variant_extract",
+    "q_weighted_sample",
+    "q_zorder_stats",
 ]
-_NEW_R10 = [
-    # declared mid-round BEFORE the freeze (the late-declaration lesson
-    # from r9): the composed batch curation pipeline + DSIR selection
-    "q_curation_pipeline",
-    "q_dsir_select",
-    "q_quality_ensemble",
-    "q_pack_manifest",
+_STALE_R8 = [
+    # r8-era freshness rotation (name-ascending), filling the budget
+    "flagship_revenue_by_nation",
+    "q_ann_srp_buckets",
+    "q_array_agg_sorted",
+    "q_array_functions",
+    "q_bloom_semi_join",
+    "q_conditional_agg",
+    "q_count_distinct",
+    "q_cube_revenue",
+    "q_date_arithmetic",
+    "q_dedup_exact",
+    "q_dedup_latest_order",
 ]
 _FRONT = (
-    _TOUCHED_R10 + _NEW_R10 + _LATE_R9 + _DEFERRED_R6 + _MEDIA_RESCORE
-    + _STALE_R7
+    _NEW_R11 + _TOUCHED_R11 + _STALE_R7 + _STALE_R8
 )
 
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))

@@ -409,9 +409,16 @@ def main() -> None:
         # scatter (9.23s driver / 7.70s builder / unchanged plan), so
         # the artifact records its steady state alongside the cold
         # number instead of leaving the gap to prose.
+        # q_dedup_ngram_prefix joins r11 (r10 verdict ask #5): the one
+        # >1s r10 regression (2.45 -> 3.71s) with UNTOUCHED code and no
+        # recorded steady state — one retime row settles scatter-vs-
+        # plan permanently.
         builder_retime = {
             name: run_one(name)
-            for name in sorted(_builders | {"q_pagerank_copurchase"})
+            for name in sorted(
+                _builders
+                | {"q_pagerank_copurchase", "q_dedup_ngram_prefix"}
+            )
         }
 
         probe_end = probe()

@@ -675,3 +675,37 @@ def test_quality_ensemble_single_projection_no_shuffle(spark):
     doc_scans = [s for s in scans(plan) if "documents" in s.location]
     assert len(doc_scans) == 1
     assert set(doc_scans[0].read_columns) == {"doc_id", "text"}
+
+
+def test_dedup_semantic_cell_blocked_never_all_pairs(spark):
+    """q_dedup_semantic at 100 TB: pair generation is an equi-join on
+    the k-means CELL key (the codebook argmax is a plan literal — a
+    pure projection, no assignment join), never a cartesian or a
+    nested-loop product; cell keys are the only pair-stage shuffle
+    keys, raw embeddings never key a shuffle; no Python anywhere. The
+    min-label closure's iterations land as a checkpointed RDD."""
+    plan = _plan(spark, "q_dedup_semantic")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BroadcastNestedLoopJoin")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    keys = shuffle_keys(plan)
+    assert not any("embedding" in k for k in keys), keys
+
+
+def test_dedup_substrings_incremental_digest_join_never_text(spark):
+    """q_dedup_substrings_incremental at 100 TB: the batch screens
+    against the digest INDEX via a semi-join on dig (never text, never
+    positions from the index side), no Python, scans pruned to
+    (doc_id, text); island merge + rollup key only on the doc id."""
+    plan = _plan(spark, "q_dedup_substrings_incremental")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    keys = shuffle_keys(plan)
+    assert not any("win" in k or "text" in k for k in keys), keys
+    from asterlake.plans.inspect import scans
+
+    for s in scans(plan):
+        if "documents" in s.location:
+            assert set(s.read_columns) <= {"doc_id", "text"}, s

@@ -294,3 +294,78 @@ def test_cosine_zero_vector_is_null_not_crash(spark):
     }
     assert rows[1] is None
     assert rows[2] == 1.0
+
+
+def test_semantic_dedup_matches_bruteforce_within_cluster(spark, vectors):
+    """SemDeDup differential: the operator (literal-codebook blocking +
+    blocked pairs + min-label closure) must reproduce a brute-force
+    numpy twin — assign every vector to its max-dot centroid, scan ALL
+    within-cluster pairs, union-find components, min-id survivor —
+    on a kmeans_fit-TRAINED codebook (the full training+dedup
+    composition, not just the seeded demo codebook)."""
+    import numpy as np
+
+    from asterlake.operators.similarity import kmeans_fit, semantic_dedup
+
+    small = vectors.filter("vec_id < 200")
+    cents = kmeans_fit(small, k=6, dim=64, iters=3, seed=11)
+    got = {
+        r.vec_id: (r.centroid_id, r.sem_cluster, r.is_survivor)
+        for r in semantic_dedup(small, cents, 0.35).collect()
+    }
+
+    rows = sorted(
+        (r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+        for r in small.collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    C = np.asarray(cents, dtype=np.float64)
+    assign = (X @ C.T).argmax(axis=1)  # ties->lower id, argmax matches
+    norms = np.linalg.norm(X, axis=1)
+
+    parent = {i: i for i in ids}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if assign[i] != assign[j]:
+                continue
+            cos = (X[i] @ X[j]) / (norms[i] * norms[j])
+            if cos >= 0.35:
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {
+        ids[i]: (int(assign[i]), find(ids[i]), find(ids[i]) == ids[i])
+        for i in range(n)
+    }
+    assert got == want
+    # the run is non-degenerate: at least one real semantic-dup group
+    assert any(not surv for _, _, surv in got.values())
+
+
+def test_semantic_dedup_is_partitioning_invariant(spark, vectors):
+    """Same output under a different input partitioning — no engine
+    hash or partition order leaks into clusters or survivors."""
+    from asterlake.operators.similarity import ivf_centroids, semantic_dedup
+
+    cents = ivf_centroids(k=8, dim=64, seed=7)
+    small = vectors.filter("vec_id < 300")
+    a = {
+        tuple(r)
+        for r in semantic_dedup(small, cents, 0.4).collect()
+    }
+    b = {
+        tuple(r)
+        for r in semantic_dedup(
+            small.repartition(7, "vec_id"), cents, 0.4
+        ).collect()
+    }
+    assert a == b and len(a) == 300

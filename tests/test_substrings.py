@@ -184,3 +184,113 @@ def test_no_duplicates_means_no_spans_and_identity_scrub(spark):
         for r in scrub_repeated_substrings(d, 3).collect()
     }
     assert got == {0: (0, "a b c d e f"), 1: (0, "g h i j k l")}
+
+
+def ref_index_matches(new_corpus, index_corpus, k):
+    """Brute-force twin of substring_index_matches: new-doc windows that
+    TEXT-match any index window, coverage islands, per-doc rollup."""
+    idx = {w for w, _, _ in ref_windows(index_corpus, k)}
+    hitpos: dict[int, list[int]] = {}
+    for w, d, p in ref_windows(new_corpus, k):
+        if w in idx:
+            hitpos.setdefault(d, []).append(p)
+    out = {}
+    for d, ps in hitpos.items():
+        ps.sort()
+        spans = []
+        a = b = ps[0]
+        for p in ps[1:]:
+            if p <= b + k:
+                b = p
+            else:
+                spans.append(b + k - a)
+                a = b = p
+        spans.append(b + k - a)
+        out[d] = (len(spans), sum(spans), max(spans))
+    return out
+
+
+def test_index_matches_bruteforce_and_never_new_vs_new(spark):
+    """Incremental screening differential: flagged docs/spans equal the
+    brute-force text twin, and a repeat CONFINED to the new batch never
+    flags (the never-new-vs-new contract — those digests only match
+    after they land in the index)."""
+    from asterlake.operators.substrings import (
+        substring_digest_index,
+        substring_index_matches,
+    )
+
+    index_corpus = [
+        (100, "alpha beta gamma delta epsilon zeta corpus tail"),
+        (101, "one two three four five six seven"),
+        (102, None),
+    ]
+    new_corpus = [
+        # shares the 6-token boilerplate with index doc 100
+        (0, "pre alpha beta gamma delta epsilon zeta post"),
+        # shares a 4-token run with index doc 101, shifted
+        (1, "zzz one two three four yyy"),
+        # repeats WITHIN the new batch only: must NOT flag
+        (2, "new batch only block new batch only block"),
+        (3, "new batch only block here too"),
+        (4, "nothing shared at all in this one"),
+        (5, ""),
+    ]
+    idx_df = spark.createDataFrame(index_corpus, "doc_id long, text string")
+    new_df = spark.createDataFrame(new_corpus, "doc_id long, text string")
+    index = substring_digest_index(idx_df, K)
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens, r.max_span_tokens)
+        for r in substring_index_matches(new_df, index, K).collect()
+    }
+    want = ref_index_matches(new_corpus, index_corpus, K)
+    assert got == want
+    assert 0 in got and 1 in got          # real cross-corpus hits flag
+    assert 2 not in got and 3 not in got  # new-vs-new never flags
+    assert 4 not in got and 5 not in got
+
+
+def test_index_matches_partitioning_invariant_and_appendable(spark):
+    """Same result when the index is round-tripped through parquet and
+    the batch is repartitioned — the persistable-index contract; and
+    appending the flagged batch's digests makes the batch's own repeats
+    visible to the NEXT batch (the ingest loop)."""
+    from asterlake.operators.substrings import (
+        substring_digest_index,
+        substring_index_matches,
+    )
+
+    idx_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta corpus tail")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(0, "pre alpha beta gamma delta epsilon zeta post"),
+         (1, "repeat me now repeat me now")],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    substring_digest_index(idx_docs, K).write.mode("overwrite").parquet(d)
+    persisted = spark.read.parquet(d)
+    a = {tuple(r) for r in substring_index_matches(batch, persisted, K).collect()}
+    b = {
+        tuple(r)
+        for r in substring_index_matches(
+            batch.repartition(5, "doc_id"), persisted, K
+        ).collect()
+    }
+    assert a == b and len(a) == 1  # only doc 0; doc 1's repeat is internal
+    # append the batch digests; the NEXT batch sharing doc 1's phrase hits
+    from asterlake.operators.substrings import substring_windows  # noqa: F401
+
+    substring_digest_index(batch, K).write.mode("append").parquet(d)
+    nxt = spark.createDataFrame(
+        # contains the 4-token window "repeat me now repeat" of batch doc 1
+        [(10, "zz repeat me now repeat qq")], "doc_id long, text string"
+    )
+    got = substring_index_matches(
+        nxt, spark.read.parquet(d), K
+    ).collect()
+    assert [(r.doc_id, r.n_spans) for r in got] == [(10, 1)]
