@@ -63,6 +63,7 @@ __all__ = [
     "bigram_score_cols",
     "bigram_score_join",
     "model_relation",
+    "segment_quality_scrub",
 ]
 
 BOS = "<s>"
@@ -351,4 +352,115 @@ def bigram_score_join(
                 "loglik_micros"
             ),
         )
+    )
+
+
+def segment_quality_scrub(
+    docs: DataFrame,
+    vocab: list[str],
+    model: dict[str, int],
+    unk_floor: int,
+    gate_micros: int,
+    segment_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style PARTIAL-document quality filtering (Wenzek et al.
+    2020): instead of admitting or dropping whole documents, segment
+    each one into fixed ``segment_tokens``-token blocks, score every
+    block with the pinned bigram LM, drop the blocks failing the
+    per-token perplexity gate (``loglik_micros >= gate_micros *
+    n_tokens`` — the engine-wide exact cross-multiply, no division),
+    and reassemble the document from its surviving blocks in order.
+    A mostly-good document keeps its good parts where the whole-doc
+    gate would discard everything; boilerplate/garbled blocks vanish
+    from otherwise-clean documents.
+
+    Returns ``(id_col, n_segments int, n_kept int, dropped_tokens int,
+    text_clean string)`` — one row per input document (empty/NULL text
+    yields 0/0/0/'' rather than vanishing: the whole operator is a
+    projection, total over rows by construction).
+
+    Scale: the ENTIRE pipeline — tokenize once, segment, per-block
+    literal-map fold, gate, reassemble — is ONE shuffle-free row-local
+    projection (the q_quality_ensemble discipline): no explode, no
+    join, no window, no Python. The token array and the scored-segment
+    array are each bound once (1-element transform wrappers), so
+    CollapseProject cannot re-tokenize or re-score per consumer."""
+    if segment_tokens <= 0:
+        raise ValueError("segment_tokens must be positive")
+    seg = int(segment_tokens)
+    lit_model = F.map_from_arrays(
+        F.lit(list(model.keys())),
+        F.lit([model[k] for k in model]),
+    )
+    v = F.lit(list(vocab))
+    gate = F.lit(int(gate_micros)).cast("bigint")
+    floor = F.lit(int(unk_floor)).cast("bigint")
+
+    def seg_loglik(st: F.Column) -> F.Column:
+        mapped = F.transform(
+            st, lambda t: F.when(F.array_contains(v, t), t).otherwise(UNK)
+        )
+        ctx = F.concat(F.array(F.lit(BOS)), mapped)
+        keys = F.zip_with(
+            F.slice(ctx, 1, F.size(mapped)),
+            mapped,
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        micros = F.transform(
+            keys, lambda kk: F.coalesce(F.element_at(lit_model, kk), floor)
+        )
+        return F.aggregate(
+            micros, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        )
+
+    def body(toks: F.Column) -> F.Column:
+        nsegs = F.ceil(F.size(toks) / F.lit(seg)).cast("int")
+        segs = F.when(
+            nsegs >= 1,
+            F.transform(
+                F.sequence(F.lit(0), nsegs - 1),
+                lambda i: F.slice(toks, i * seg + 1, seg),
+            ),
+        ).otherwise(F.array().cast("array<array<string>>"))
+        scored = F.transform(
+            segs,
+            lambda st: F.struct(
+                st.alias("toks"),
+                F.size(st).cast("bigint").alias("n"),
+                seg_loglik(st).alias("ll"),
+            ),
+        )
+        kept = F.filter(scored, lambda s: s["ll"] >= gate * s["n"])
+        return F.struct(
+            F.size(scored).cast("int").alias("n_segments"),
+            F.size(kept).cast("int").alias("n_kept"),
+            (
+                F.size(toks)
+                - F.aggregate(
+                    kept,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, s: acc + s["n"],
+                ).cast("int")
+            )
+            .cast("int")
+            .alias("dropped_tokens"),
+            F.array_join(
+                F.flatten(F.transform(kept, lambda s: s["toks"])), " "
+            ).alias("out"),
+        )
+
+    # toks bound ONCE, the scored/kept arrays bound once inside body —
+    # referencing _tokens() twice would re-tokenize per consumer after
+    # CollapseProject (the word_shingles pitfall)
+    res = F.element_at(
+        F.transform(F.array(_tokens(text_col)), body), 1
+    ).alias("_r")
+    return docs.select(F.col(id_col), res).select(
+        id_col,
+        F.col("_r.n_segments").alias("n_segments"),
+        F.col("_r.n_kept").alias("n_kept"),
+        F.col("_r.dropped_tokens").alias("dropped_tokens"),
+        F.col("_r.out").alias("text_clean"),
     )

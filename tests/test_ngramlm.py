@@ -229,3 +229,74 @@ def test_score_null_text_is_zero(spark):
         got = {r["doc_id"]: r for r in scored.collect()}
         assert (got[1]["n_pairs"], got[1]["loglik_micros"]) == (0, 0)
         assert got[0]["n_pairs"] == 2
+
+
+def _replay_segment_scrub(corpus, vocab, model, unk_floor, gate, seg):
+    """Pure-Python twin of segment_quality_scrub."""
+    out = {}
+    for i, text in enumerate(corpus):
+        toks = (text or "").split()
+        segs = [toks[j : j + seg] for j in range(0, len(toks), seg)]
+        kept, dropped = [], 0
+        for st in segs:
+            mapped = [t if t in vocab else "<unk>" for t in st]
+            ctx = ["<s>"] + mapped
+            ll = sum(
+                model.get(f"{a} {b}", unk_floor)
+                for a, b in zip(ctx[: len(mapped)], mapped)
+            )
+            if ll >= gate * len(st):
+                kept.append(st)
+            else:
+                dropped += len(st)
+        out[i] = (
+            len(segs),
+            len(kept),
+            dropped,
+            " ".join(t for st in kept for t in st),
+        )
+    return out
+
+
+def test_segment_scrub_matches_pure_python_replay(spark):
+    """Segment-level CCNet scrub differential: per-doc segment counts,
+    kept counts, dropped tokens and the reassembled text all equal the
+    pure-Python twin, on a TRAINED model — and the fixture exercises
+    both directions (some segments kept, some dropped, whole docs
+    emptied, empty docs kept as empty rows)."""
+    from asterlake.operators.ngramlm import bigram_train, segment_quality_scrub
+
+    vocab, model, unk = bigram_train(_docs(spark), "text", vocab_size=8)
+    seg, gate = 4, -2_500_000
+    got = {
+        r.doc_id: (r.n_segments, r.n_kept, r.dropped_tokens, r.text_clean)
+        for r in segment_quality_scrub(
+            _docs(spark), vocab, model, unk, gate, seg
+        ).collect()
+    }
+    want = _replay_segment_scrub(CORPUS, vocab, model, unk, gate, seg)
+    assert got == want
+    assert len(got) == len(CORPUS)  # total over rows: nothing vanishes
+    kinds = {(v[0] > 0, v[1] > 0) for v in got.values()}
+    assert (True, True) in kinds     # something kept
+    assert (True, False) in kinds or any(
+        v[0] > v[1] > 0 for v in got.values()
+    )  # something dropped
+    assert got[5][0] == 0 and got[5][3] == ""  # empty doc -> 0 segs, ''
+
+
+def test_segment_scrub_is_projection_only(spark):
+    """The whole segment pipeline must stay ONE shuffle-free row-local
+    projection: no Exchange, no Generate (explode), no join, no
+    Python."""
+    from asterlake.operators.ngramlm import bigram_train, segment_quality_scrub
+    from asterlake.plans.inspect import has_node, node_count, plan_string
+
+    vocab, model, unk = bigram_train(_docs(spark), "text", vocab_size=8)
+    plan = plan_string(
+        segment_quality_scrub(_docs(spark), vocab, model, unk, -2_500_000, 4)
+    )
+    assert node_count(plan, "Exchange") == 0
+    assert not has_node(plan, "Generate")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")

@@ -709,3 +709,41 @@ def test_dedup_substrings_incremental_digest_join_never_text(spark):
     for s in scans(plan):
         if "documents" in s.location:
             assert set(s.read_columns) <= {"doc_id", "text"}, s
+
+
+def test_dedup_semantic_incremental_cell_join_shape(spark):
+    """q_dedup_semantic_incremental at 100 TB: ONE cell equi-join
+    (assignment is the literal-codebook projection on both sides — no
+    assignment join), no cartesian/nested-loop, no Python, and the
+    best-match pick is a map-side-combinable max(struct) aggregate —
+    never a per-vector window over the hit table."""
+    plan = _plan(spark, "q_dedup_semantic_incremental")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BroadcastNestedLoopJoin")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    assert not has_node(plan, "Window")
+    assert "partial_max" in plan and "partial_count" in plan
+    keys = shuffle_keys(plan)
+    assert not any("embedding" in k for k in keys), keys
+
+
+def test_segment_quality_scrub_single_projection_no_shuffle(spark):
+    """q_segment_quality_scrub at 100 TB: the whole segment pipeline —
+    tokenize, 32-token blocks, per-block LM fold, gate, reassembly —
+    is ONE shuffle-free row-local projection over one (doc_id, text)
+    pruned scan: no Exchange, no Generate, no join, no Python (the
+    q_quality_ensemble discipline applied to PARTIAL-document
+    filtering)."""
+    from asterlake.plans.inspect import scans
+
+    plan = _plan(spark, "q_segment_quality_scrub")
+    assert not has_node(plan, "Exchange")
+    assert not has_node(plan, "Generate")
+    assert not has_node(plan, "BroadcastHashJoin")
+    assert not has_node(plan, "SortMergeJoin")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    doc_scans = [s for s in scans(plan) if "documents" in s.location]
+    assert len(doc_scans) == 1
+    assert set(doc_scans[0].read_columns) == {"doc_id", "text"}

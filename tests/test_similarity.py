@@ -369,3 +369,79 @@ def test_semantic_dedup_is_partitioning_invariant(spark, vectors):
         ).collect()
     }
     assert a == b and len(a) == 300
+
+
+def test_semantic_index_matches_bruteforce_and_never_new_vs_new(spark, vectors):
+    """Incremental SemDeDup differential: flagged set, candidate counts,
+    best match and best cosine equal a brute-force numpy twin computed
+    within cells only; new-vs-new pairs never flag."""
+    import numpy as np
+
+    from asterlake.operators.similarity import (
+        ivf_centroids,
+        semantic_assign_index,
+        semantic_index_matches,
+    )
+
+    cents = ivf_centroids(k=8, dim=64, seed=7)
+    allv = vectors.filter("vec_id < 300")
+    new = allv.filter("vec_id % 10 = 0")
+    idxd = allv.filter("vec_id % 10 != 0")
+    index = semantic_assign_index(idxd, cents)
+    got = {
+        r.vec_id: (r.n_candidates, r.best_match, round(r.best_cosine, 9))
+        for r in semantic_index_matches(new, index, cents, 0.35).collect()
+    }
+
+    rows = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in allv.collect()}
+    C = np.asarray(cents, dtype=np.float64)
+    assign = {i: int((v @ C.T).argmax()) for i, v in rows.items()}
+    want = {}
+    for ni, nv in rows.items():
+        if ni % 10 != 0:
+            continue
+        cands = []
+        for ii, iv in rows.items():
+            if ii % 10 == 0 or assign[ii] != assign[ni]:
+                continue
+            cos = (nv @ iv) / (np.linalg.norm(nv) * np.linalg.norm(iv))
+            if cos >= 0.35:
+                cands.append((cos, ii))
+        if cands:
+            bc = max(c for c, _ in cands)
+            bm = min(i for c, i in cands if c == bc)
+            want[ni] = (len(cands), bm, round(bc, 9))
+    assert got == want
+    assert want, "fixture must produce at least one flagged vector"
+
+
+def test_semantic_index_partitioned_landing_round_trip(spark, vectors):
+    """The persistable-index contract: cell-partitioned parquet landing
+    round-trips (partition column type included) and screening results
+    are identical to the fresh in-memory index."""
+    import tempfile
+
+    from asterlake.operators.similarity import (
+        ivf_centroids,
+        semantic_assign_index,
+        semantic_index_matches,
+    )
+
+    cents = ivf_centroids(k=8, dim=64, seed=7)
+    allv = vectors.filter("vec_id < 200")
+    new = allv.filter("vec_id % 10 = 0")
+    idxd = allv.filter("vec_id % 10 != 0")
+    d = tempfile.mkdtemp()
+    semantic_assign_index(idxd, cents).write.partitionBy(
+        "centroid_id"
+    ).mode("overwrite").parquet(d)
+    persisted = spark.read.parquet(d).select(
+        "vec_id", F.col("centroid_id").cast("int").alias("centroid_id"),
+        "embedding",
+    )
+    a = {tuple(r) for r in semantic_index_matches(
+        new, semantic_assign_index(idxd, cents), cents, 0.35).collect()}
+    b = {tuple(r) for r in semantic_index_matches(
+        new, persisted, cents, 0.35).collect()}
+    assert a == b and a

@@ -1598,3 +1598,70 @@ def test_quality_ensemble_gate_is_stream_composable(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert {r["doc_id"]: tuple(r)[1:] for r in got} == batch
+
+
+def _ss_write_batch(src, fi, rows):
+    path = os.path.join(src, f"{fi:02d}.jsonl")
+    with open(path, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    os.utime(path, (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+
+@pytest.mark.slow
+def test_stream_substring_screen_flags_across_batches_and_restarts(
+    spark, tmp_path
+):
+    """The streaming ExactSubstr ingest loop: a document repeating an
+    EARLIER micro-batch's content flags on arrival; same-batch repeats
+    do not flag (never new-vs-new); a restart with new files resumes
+    from the checkpoint and screens against the index the first run
+    appended."""
+    from asterlake.streaming.pipeline import stream_substring_screen
+
+    K = 4
+    src = str(tmp_path / "ssdocs")
+    os.makedirs(src)
+    work = str(tmp_path / "sswork")
+    # batch 0: two docs sharing a 4-token run WITH EACH OTHER only —
+    # same batch, must not flag; batch 1: doc 10 repeats doc 1's run
+    # (cross-batch -> flags), doc 11 is fresh
+    _ss_write_batch(src, 0, [
+        (1, "alpha beta gamma delta tail1"),
+        (2, "pre alpha beta gamma delta"),
+    ])
+    _ss_write_batch(src, 1, [
+        (10, "xx alpha beta gamma delta yy"),
+        (11, "nothing shared here at all"),
+    ])
+
+    def run():
+        return stream_substring_screen(
+            spark, src, "doc_id long, text string", work,
+            min_tokens=K, max_files_per_trigger=1,
+        )
+
+    got1 = {r.doc_id: (r.n_spans, r.dup_tokens) for r in run().collect()}
+    # batch-0 pair shared only within their own batch: unflagged;
+    # doc 10's "alpha beta gamma delta" (two windows merged to one
+    # 5-token span via coverage: positions 1 and... exactly one window
+    # "alpha beta gamma delta" at pos 1 -> span 4... compute: windows
+    # of doc 10 hitting the index = the one window == doc 1/2's run
+    assert 1 not in got1 and 2 not in got1 and 11 not in got1
+    assert 10 in got1 and got1[10][0] == 1
+
+    # restart: doc 20 repeats batch-0 content (now indexed), doc 21
+    # repeats DOC 11's content (indexed by batch 1's append)
+    _ss_write_batch(src, 2, [
+        (20, "zz alpha beta gamma delta tail1 qq"),
+        (21, "well nothing shared here at all friend"),
+    ])
+    got2 = {r.doc_id: (r.n_spans, r.dup_tokens) for r in run().collect()}
+    assert got2[10] == got1[10]  # first run's flags persisted
+    assert 20 in got2 and 21 in got2
+    # doc 20 covers "alpha beta gamma delta tail1" (5 tokens, 2 windows
+    # merged by coverage into one span)
+    assert got2[20] == (1, 5)
+    # doc 21 covers "nothing shared here at all" (5 tokens)
+    assert got2[21] == (1, 5)
+    assert 1 not in got2 and 2 not in got2 and 11 not in got2
