@@ -9324,6 +9324,40 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "q_media_decode": "real=False branch unchanged; real=True scored "
     "via q_media_decode_real, gif via q_media_gif_anim (both r10 "
     "front)",
+    # r11 import-line fan-out: graph.py gained `Observation` in its
+    # pyspark import and similarity.py was touched at ivf_assign/
+    # centroid_argmax + appended NEW functions — statement-level
+    # attribution treats the shared import as touching every module
+    # name, promoting every consumer. The eight below call ONLY
+    # byte-identical bodies this round (verified against the r10
+    # baseline diff: similarity.py changed exactly the
+    # ivf_assign/centroid_argmax split plus appended semantic_*;
+    # graph.py changed exactly connected_components + the import):
+    # topk_cosine/cosine/dot_double, srp_*/blocked_neighbor_pairs,
+    # normalize_quantize/topk_int8, gram_mean_count/pca_*,
+    # bm25_scores, and pagerank_fixed_point/_pagerank_loop are all
+    # untouched, so these queries' plans and outputs are bit-identical
+    # to their standing green rows. Consumers of the CHANGED bodies
+    # (connected_components -> the closure family, ivf_assign,
+    # semantic_*) are promoted into the r11 front, not exempted.
+    "q_ann_int8_topk": "calls topk_int8/normalize_quantize only — "
+    "byte-identical this round (import-line fan-out)",
+    "q_ann_topk_bruteforce": "calls topk_cosine/cosine/dot_double only "
+    "— byte-identical this round (import-line fan-out)",
+    "q_embedding_block_neighbors": "calls blocked_neighbor_pairs only "
+    "— byte-identical this round (import-line fan-out)",
+    "q_embedding_normalize": "calls normalize_quantize only — "
+    "byte-identical this round (import-line fan-out)",
+    "q_embedding_pca": "calls gram_mean_count/pca_fit/pca_project/"
+    "pca_verify only — byte-identical this round (import-line fan-out)",
+    "q_embedding_srp_neighbors": "calls blocked_neighbor_pairs + "
+    "srp_signature only — byte-identical this round (import-line "
+    "fan-out)",
+    "q_hybrid_search": "calls cosine + textstats.bm25_scores only — "
+    "byte-identical this round (import-line fan-out)",
+    "q_pagerank_copurchase": "calls pagerank_fixed_point/_pagerank_loop "
+    "only — byte-identical this round (import-line fan-out; the "
+    "Observation change is confined to connected_components)",
 }
 
 # Round-11 front (exactly 50), frozen per the R11 FRONT PLAN the r10
@@ -9335,8 +9369,14 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
 _TOUCHED_R11 = [
     # the similarity refactor (centroid_argmax shared by ivf_assign and
     # the new semantic_dedup), the NULL-safe pack tokenizer (ADVICE
-    # r10), the substrings groupBy+semi-join skew fix (ADVICE r10), and
-    # the snapshot probe-tz canonicalization (ADVICE r10)
+    # r10), the substrings groupBy+semi-join skew fix (ADVICE r10), the
+    # snapshot probe-tz canonicalization (ADVICE r10), and the closure
+    # family (connected_components' convergence check now rides the
+    # checkpoint job via Observation — one job/round instead of two)
+    "q_corpus_survivors",
+    "q_dedup_clusters",
+    "q_dedup_survivors",
+    "q_embedding_dup_clusters",
     "q_ann_ivf_assign",
     "q_ann_ivf_search",
     "q_ann_ivfpq_search",
@@ -9399,10 +9439,6 @@ _STALE_R8 = [
     "q_array_agg_sorted",
     "q_array_functions",
     "q_bloom_semi_join",
-    "q_conditional_agg",
-    "q_count_distinct",
-    "q_cube_revenue",
-    "q_date_arithmetic",
 ]
 _FRONT = (
     _NEW_R11 + _TOUCHED_R11 + _STALE_R7 + _STALE_R8
