@@ -1,0 +1,106 @@
+"""Probabilistic record linkage (Fellegi & Sunter, JASA 1969).
+
+Entity resolution across two dirty tables — the data-integration operator a
+lakehouse needs when the same real-world entity arrives from two sources
+with no shared key (CRM vs billing customers, crawl vs publisher metadata).
+None of the engine's dedup tiers covers this: those compare one corpus to
+itself on content digests/sketches; linkage compares TWO heterogeneous
+relations field-by-field under a decision-theoretic score.
+
+The Fellegi-Sunter model: for candidate pair (a, b) and each compared
+field f, agreement contributes ``log(m_f / u_f)`` and disagreement
+``log((1 - m_f) / (1 - u_f))``, where m_f = P(agree | true match) and
+u_f = P(agree | non-match). The summed weight classifies the pair against
+two thresholds: link / possible link (clerical review) / non-link.
+
+Engine discipline: weights are PINNED INTEGERS in micro-nats (the DSIR /
+bigram-LM convention) supplied by the caller, so the pair weight is an
+exact BIGINT sum and the classification an integer compare — hash-gateable
+across engines, no transcendental evaluation at query time.
+
+Scale (10^9 x 10^9 records):
+
+- Blocking is an EQUI-JOIN on the block key — never a cartesian. The
+  candidate space is sum over blocks of |L_b| x |R_b|; choosing block keys
+  is the standard recall/cost trade (a pair outside every shared block is
+  never scored). Hot blocks are the skew hazard: bound them upstream
+  (salt the block key or cap block size) exactly as the dedup tiers do.
+- Comparators are row-local JVM expressions on the joined pair (equality,
+  bounded edit distance, numeric tolerance) — no Python, no second
+  shuffle: block-join then ONE projection.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["FieldRule", "blocked_candidates", "fs_score", "fs_link"]
+
+
+@dataclass(frozen=True)
+class FieldRule:
+    """One compared field: an agreement predicate over the candidate pair
+    plus the pinned integer log-ratio weights (micro-nats).
+
+    ``agree_micros`` should be positive (log m/u), ``disagree_micros``
+    negative (log (1-m)/(1-u)); both are the caller's trained/assumed
+    model, pinned so two engines score identically."""
+
+    name: str
+    agree: Column
+    agree_micros: int
+    disagree_micros: int
+
+
+def blocked_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Candidate pairs sharing every block key — one equi-join, never a
+    cartesian. Non-block columns are suffixed; block columns keep their
+    names (they are equal on both sides by construction)."""
+    lcols = [
+        F.col(c).alias(c if c in block_cols else c + suffixes[0])
+        for c in left.columns
+    ]
+    rcols = [
+        F.col(c).alias(c if c in block_cols else c + suffixes[1])
+        for c in right.columns
+    ]
+    return left.select(*lcols).join(right.select(*rcols), block_cols)
+
+
+def fs_score(rules: list[FieldRule]) -> Column:
+    """Summed Fellegi-Sunter weight (BIGINT micro-nats) over the rules —
+    a single row-local expression on the candidate pair."""
+    total = F.lit(0).cast("bigint")
+    for r in rules:
+        total = total + F.when(
+            r.agree, F.lit(r.agree_micros).cast("bigint")
+        ).otherwise(F.lit(r.disagree_micros).cast("bigint"))
+    return total
+
+
+def fs_link(
+    candidates: DataFrame,
+    rules: list[FieldRule],
+    upper_micros: int,
+    lower_micros: int,
+    weight_col: str = "weight_micros",
+    decision_col: str = "decision",
+) -> DataFrame:
+    """Score and classify candidate pairs: weight >= upper -> ``link``,
+    weight >= lower -> ``possible`` (clerical review), else ``non_link``.
+    Integer compares on an exact BIGINT sum — engine-portable."""
+    scored = candidates.withColumn(weight_col, fs_score(rules))
+    return scored.withColumn(
+        decision_col,
+        F.when(F.col(weight_col) >= upper_micros, F.lit("link"))
+        .when(F.col(weight_col) >= lower_micros, F.lit("possible"))
+        .otherwise(F.lit("non_link")),
+    )

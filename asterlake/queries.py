@@ -1145,6 +1145,261 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_table(d)
 
 
+def _winnow_cte(k: int = 4, w: int = 4) -> str:
+    """Shared DuckDB replay of the winnowing pipeline (operators/winnow):
+    char fold base 31 -> token-hash array, k-gram fold base 131, robust
+    window-min selection with the rightmost tie-break expressed as
+    first-match-in-the-REVERSED-window — bit-identical integer ops to the
+    Spark column expressions."""
+    win = f"list_slice(kh, CAST(j AS INT), CAST(j + {w - 1} AS INT))"
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(coalesce(text, '')),
+                                                     '\\s+'),
+                                  s -> s != '') AS tk
+               FROM documents),
+    th AS (SELECT doc_id,
+                  list_transform(tk, s ->
+                    list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, length(s) + 1),
+                          i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))),
+                      (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+           FROM t),
+    kg AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(hs) - {k - 1}, 0) + 1),
+                    i -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_slice(hs, CAST(i AS INT),
+                                   CAST(i + {k - 1} AS INT))),
+                      (acc, h) -> (acc * 131 + h) % 1000000007)) AS kh
+           FROM th),
+    sel AS (SELECT doc_id, kh,
+                   list_distinct(list_transform(
+                     range(1, (CASE WHEN len(kh) >= {w} THEN len(kh) - {w - 1}
+                                    WHEN len(kh) >= 1 THEN 1 ELSE 0 END) + 1),
+                     j -> CAST(j + len({win})
+                                 - list_position(list_reverse({win}),
+                                                 list_min({win}))
+                               AS INT))) AS sel
+            FROM kg),
+    e AS (SELECT doc_id, kh, unnest(sel) AS pos FROM sel)"""
+
+
+@query(
+    "q_winnow_fingerprints",
+    _winnow_cte() + """
+    SELECT doc_id, pos, kh[pos] AS fp FROM e
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprints (Schleimer et al. SIGMOD 2003, the
+    MOSS algorithm): the guaranteed-dense k-gram hash subset — any shared
+    run of >= w+k-1 tokens between two documents MUST share a selected
+    fingerprint, a guarantee MinHash sampling cannot give. Extraction is
+    ONE shuffle-free JVM projection (token fold, k-gram fold, robust
+    window-min with rightmost tie-break all row-local higher-order
+    expressions); the exploded (doc_id, pos, fp) table is what a mirror/
+    plagiarism index stores."""
+    from asterlake.operators.winnow import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=4, w=4)
+
+
+@query(
+    "q_dedup_winnow",
+    _winnow_cte() + """,
+    fpd AS (SELECT DISTINCT doc_id, kh[pos] AS fp FROM e),
+    ok AS (SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) <= 100),
+    fok AS (SELECT f.doc_id, f.fp FROM fpd f JOIN ok USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fok a JOIN fok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowed fingerprints —
+    the positional-guarantee dedup tier between exact digests (any edit
+    breaks) and MinHash (probabilistic, no locality). Pair generation
+    shuffles only (fp, doc_id) int pairs; boilerplate fingerprints with
+    document frequency > 100 are dropped BEFORE the pair expansion via a
+    map-side-combinable groupBy-count + semi-join (the hot-key-safe
+    shape), bounding every bucket's fan-out."""
+    from asterlake.operators.winnow import winnow_overlap_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(d, k=4, w=4, min_shared=2, max_df=100)
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi & Sunter, JASA 1969)
+# ---------------------------------------------------------------------------
+#
+# Source-2 is a deterministically dirtied copy of customer (typo'd name
+# prefix / case-mangled name / floored balance / lost segment, keyed on
+# c_custkey residues), so ground truth is known and both engines derive
+# the identical dirty relation. Blocking = (nation, last name char) — an
+# equi-join, never a cartesian; perturbations preserve the block key.
+# Field weights are pinned integer micro-nats (log m/u ratios), so pair
+# weights are exact BIGINT sums and the decision an integer compare.
+_LINKAGE_DIRTY_NAME = (
+    "CASE WHEN c_custkey % 13 = 0 THEN upper(c_name) "
+    "WHEN c_custkey % 7 = 0 "
+    "THEN replace(c_name, 'Customer#', 'Custmer#') "
+    "ELSE c_name END"
+)
+_LINKAGE_CTE = f"""
+    WITH l AS (SELECT c_custkey AS cust_id, c_nationkey,
+                      c_name AS name, c_acctbal AS acct,
+                      c_mktsegment AS seg, right(c_name, 1) AS blk
+               FROM customer),
+    r AS (SELECT c_custkey + 1000000 AS rec_id, c_nationkey,
+                 {_LINKAGE_DIRTY_NAME} AS name,
+                 CASE WHEN c_custkey % 5 = 0
+                      THEN CAST(floor(c_acctbal) AS DOUBLE)
+                      ELSE c_acctbal END AS acct,
+                 CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN'
+                      ELSE c_mktsegment END AS seg,
+                 right({_LINKAGE_DIRTY_NAME}, 1) AS blk
+          FROM customer),
+    c AS (SELECT l.cust_id, r.rec_id,
+                 l.name AS name_l, r.name AS name_r,
+                 l.acct AS acct_l, r.acct AS acct_r,
+                 l.seg AS seg_l, r.seg AS seg_r
+          FROM l JOIN r ON l.c_nationkey = r.c_nationkey
+                       AND l.blk = r.blk),
+    s AS (SELECT cust_id, rec_id,
+                 CAST(CASE WHEN levenshtein(name_l, name_r) <= 2
+                           THEN 2400000 ELSE -1700000 END
+                    + CASE WHEN abs(acct_l - acct_r) <= 0.25
+                           THEN 1300000 ELSE -800000 END
+                    + CASE WHEN seg_l = seg_r
+                           THEN 600000 ELSE -1100000 END
+                      AS BIGINT) AS weight_micros
+          FROM c)"""
+
+
+def _linkage_frames(spark: SparkSession, sf_dir: str):
+    """The Spark twin of the oracle CTEs: clean left, dirtied right."""
+    cust = load_table(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        "c_nationkey",
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acct"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("right(c_name, 1)").alias("blk"),
+    )
+    dirty_name = F.expr(_LINKAGE_DIRTY_NAME)
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rec_id"),
+        "c_nationkey",
+        dirty_name.alias("name"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.floor(F.col("c_acctbal")).cast("double"),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("acct"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.expr(f"right({_LINKAGE_DIRTY_NAME}, 1)").alias("blk"),
+    )
+    return left, right
+
+
+def _linkage_rules():
+    from asterlake.operators.linkage import FieldRule
+
+    return [
+        FieldRule(
+            "name",
+            F.levenshtein(F.col("name_l"), F.col("name_r")) <= 2,
+            2400000,
+            -1700000,
+        ),
+        FieldRule(
+            "acct",
+            F.abs(F.col("acct_l") - F.col("acct_r")) <= 0.25,
+            1300000,
+            -800000,
+        ),
+        FieldRule("seg", F.col("seg_l") == F.col("seg_r"), 600000, -1100000),
+    ]
+
+
+def _linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asterlake.operators.linkage import blocked_candidates, fs_link
+
+    left, right = _linkage_frames(spark, sf_dir)
+    cand = blocked_candidates(
+        left, right, ["c_nationkey", "blk"]
+    )
+    return fs_link(
+        cand, _linkage_rules(), upper_micros=2500000, lower_micros=0
+    )
+
+
+@query(
+    "q_record_linkage",
+    _LINKAGE_CTE + """
+    SELECT cust_id, rec_id, weight_micros,
+           CASE WHEN weight_micros >= 2500000 THEN 'link'
+                WHEN weight_micros >= 0 THEN 'possible'
+                ELSE 'non_link' END AS decision
+    FROM s
+    WHERE weight_micros >= 0
+    """,
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage: match the customer
+    relation against a dirtied second source with no shared key —
+    blocking equi-join on (nation, last name char), three field
+    comparators (bounded edit distance on name, numeric tolerance on
+    balance, segment equality) scored with pinned integer log-ratio
+    weights, classified link / possible / non-link against integer
+    thresholds. Returns every pair at or above the review threshold.
+    One equi-join + ONE row-local projection: no cartesian, no second
+    shuffle, no Python."""
+    out = _linkage_scored(spark, sf_dir)
+    return out.filter(F.col("weight_micros") >= 0).select(
+        F.col("cust_id_l").alias("cust_id"),
+        F.col("rec_id_r").alias("rec_id"),
+        "weight_micros",
+        "decision",
+    )
+
+
+@query(
+    "q_linkage_eval",
+    _LINKAGE_CTE + """
+    SELECT CASE WHEN weight_micros >= 2500000 THEN 'link'
+                WHEN weight_micros >= 0 THEN 'possible'
+                ELSE 'non_link' END AS decision,
+           rec_id - 1000000 = cust_id AS is_true,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM s
+    GROUP BY 1, 2
+    """,
+)
+def q_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage quality against the known ground truth (the dirty copy
+    preserves the entity id): pair counts by (decision, is-true-match) —
+    the confusion table thresholds are tuned on. Map-side-combinable
+    groupBy over the scored candidates; scales as the block join does."""
+    out = _linkage_scored(spark, sf_dir)
+    return out.groupBy(
+        "decision",
+        (F.col("rec_id_r") - 1000000 == F.col("cust_id_l")).alias(
+            "is_true"
+        ),
+    ).agg(F.count("*").cast("bigint").alias("n_pairs"))
+
+
 @query(
     "q_text_langid",
     """
@@ -6607,6 +6862,86 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(edges, iters=5)
 
 
+_TRIANGLES_ORACLE = """
+    WITH ppo AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                 WHERE l_quantity >= 25),
+    und AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM ppo a JOIN ppo b ON a.l_orderkey = b.l_orderkey
+                                  AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+            GROUP BY node),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e2.u = e1.v
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+    cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM (SELECT a AS node FROM tri UNION ALL SELECT b AS node
+                  FROM tri UNION ALL SELECT c AS node FROM tri)
+            GROUP BY node)
+    SELECT d.node AS part_id, d.degree,
+           COALESCE(t.triangles, CAST(0 AS BIGINT)) AS triangles,
+           CAST(2 * COALESCE(t.triangles, 0) AS DOUBLE)
+             / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS clustering_coeff
+    FROM deg d LEFT JOIN cnt t ON d.node = t.node
+    WHERE d.degree >= 2
+    """
+
+
+@query("q_graph_triangles", _TRIANGLES_ORACLE)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts + local clustering coefficient over the
+    co-purchase graph — the static graph statistic (community density,
+    spam/bot detection, feature for link prediction) that complements
+    the iterative PageRank centrality. Edge generation reuses the
+    pagerank shape (per-order sorted pair expansion, no within-order
+    self-join); counting uses degree-ordered orientation (Suri &
+    Vassilvitskii WWW'11), so every wedge fan-out is O(sqrt(m)) even
+    under hub skew and each triangle is enumerated exactly once. All
+    counts are exact BIGINTs; the clustering coefficient is ONE double
+    division of identical integer operands in both engines
+    (2*triangles / degree*(degree-1)), so the result is hash-gateable.
+    Nodes of degree < 2 are excluded (coefficient undefined). The graph
+    is the BULK co-purchase slice (l_quantity >= 25, pushed to the
+    scan): the full graph is near-complete within orders and its wedge
+    stream is ~20x larger for the same operator coverage."""
+    from asterlake.operators.graph import triangle_counts
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+    )
+    grouped = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps"))
+        .filter(F.size("_ps") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ps"), i + F.lit(2), F.size("_ps")),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("_e")
+    ).select("_e.p1", "_e.p2")
+    tc = triangle_counts(pairs, src="p1", dst="p2")
+    return tc.filter(F.col("degree") >= 2).select(
+        F.col("node").alias("part_id"),
+        "degree",
+        "triangles",
+        (
+            (F.lit(2) * F.col("triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+        ).alias("clustering_coeff"),
+    )
+
+
 @query(
     "q_stream_ewma",
     """
@@ -9401,6 +9736,16 @@ _NEW_R11 = [
     # CCNet-style segment-level perplexity scrub (partial-document
     # filtering as ONE shuffle-free projection)
     "q_segment_quality_scrub",
+    # triangle counting + clustering coefficient (degree-ordered
+    # orientation) — the second static graph family
+    "q_graph_triangles",
+    # winnowing fingerprints (MOSS, SIGMOD 2003) — the positional-
+    # guarantee dedup tier
+    "q_winnow_fingerprints",
+    "q_dedup_winnow",
+    # Fellegi-Sunter probabilistic record linkage
+    "q_record_linkage",
+    "q_linkage_eval",
 ]
 _STALE_R7 = [
     # the 26 r7-era rows the R10 front could not fit — the r11 lead
@@ -9434,11 +9779,7 @@ _STALE_R7 = [
 ]
 _STALE_R8 = [
     # r8-era freshness rotation (name-ascending), filling the budget
-    "flagship_revenue_by_nation",
-    "q_ann_srp_buckets",
-    "q_array_agg_sorted",
-    "q_array_functions",
-    "q_bloom_semi_join",
+    # (trimmed as r11 declarations took lead slots)
 ]
 _FRONT = (
     _NEW_R11 + _TOUCHED_R11 + _STALE_R7 + _STALE_R8

@@ -747,3 +747,110 @@ def test_segment_quality_scrub_single_projection_no_shuffle(spark):
     doc_scans = [s for s in scans(plan) if "documents" in s.location]
     assert len(doc_scans) == 1
     assert set(doc_scans[0].read_columns) == {"doc_id", "text"}
+
+
+def test_winnow_fingerprints_single_scan_no_exchange(spark):
+    """q_winnow_fingerprints at 100 TB: extraction is ONE shuffle-free
+    map-only pass — token fold, k-gram fold, and window argmin are all
+    row-local JVM expressions, so the plan is scan -> project ->
+    explode with NO Exchange, no join, no Python, reading only
+    (doc_id, text)."""
+    plan = _plan(spark, "q_winnow_fingerprints")
+    assert not has_node(plan, "Exchange")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    assert not has_node(plan, "BroadcastHashJoin")
+    assert not has_node(plan, "SortMergeJoin")
+    scan = scan_for(plan, "documents")
+    assert set(scan.read_columns) == {"doc_id", "text"}
+
+
+def test_dedup_winnow_shuffles_ints_never_text(spark):
+    """q_dedup_winnow at 100 TB: the overlap join shuffles only
+    (fp, doc_id) longs — document text never enters a shuffle key; the
+    boilerplate cap is a map-side-combinable groupBy-count + semi-join
+    (no count-over window on the hot fingerprint); no cartesian, no
+    Python; the documents scan reads only (doc_id, text)."""
+    plan = _plan(spark, "q_dedup_winnow")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    assert not has_node(plan, "Window")
+    assert "LeftSemi" in plan
+    keys = shuffle_keys(plan)
+    assert keys and not any("text" in k for k in keys), keys
+    from asterlake.plans.inspect import scans
+
+    for s in scans(plan):
+        if "documents" in s.location:
+            assert set(s.read_columns) <= {"doc_id", "text"}, s
+
+
+def test_graph_triangles_oriented_join_shape(spark):
+    """q_graph_triangles at 100 TB: degree-ordered orientation bounds
+    every wedge fan-out at O(sqrt(m)); all joins are equi-joins on
+    node-id keys (never a cartesian/nested-loop), the wedge stream
+    carries only long pairs, no Python anywhere. The canonical edge set
+    and oriented adjacency are localCheckpoint landing zones (the
+    operator references them 3x — without the pin Catalyst re-derived
+    the upstream 47 times), so the final plan reads ExistingRDDs, not
+    parquet."""
+    plan = _plan(spark, "q_graph_triangles")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BroadcastNestedLoopJoin")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    assert has_node(plan, "ExistingRDD")
+    assert "Scan parquet" not in plan
+
+
+def test_graph_triangles_edge_stage_scan_pruned(spark):
+    """The pre-landing-zone edge stage of q_graph_triangles: the
+    quantity predicate reaches the parquet reader and the scan reads
+    ONLY the filter + two edge columns — verified on the same pair
+    expansion the query builds before triangle_counts checkpoints it."""
+    from asterlake.tables import load_table
+
+    li = (
+        load_table(spark, SF, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+    )
+    plan = plan_string(li)
+    scan = scan_for(plan, "lineitem")
+    assert set(scan.read_columns) == {
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+    }
+    assert any("25" in f for f in scan.pushed_filters), scan.pushed_filters
+
+
+def test_record_linkage_single_block_join_no_cartesian(spark):
+    """q_record_linkage at 100 TB: blocking is ONE equi-join on the
+    block keys — never a cartesian/nested-loop — and scoring is a
+    row-local projection on the joined pair (no second shuffle, no
+    Python); both customer scans read only the five compared/blocked
+    columns."""
+    plan = _plan(spark, "q_record_linkage")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BroadcastNestedLoopJoin")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "ArrowEvalPython")
+    assert (
+        node_count(plan, "BroadcastHashJoin")
+        + node_count(plan, "SortMergeJoin")
+        + node_count(plan, "ShuffledHashJoin")
+        == 1
+    )
+    from asterlake.plans.inspect import scans
+
+    for s in scans(plan):
+        if "customer" in s.location:
+            assert set(s.read_columns) == {
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            }, s

@@ -1,0 +1,231 @@
+"""Differential + property tests for triangle counting (operators/graph)
+and winnowing fingerprints (operators/winnow)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from asterlake.operators.graph import triangle_counts
+from asterlake.operators.winnow import (
+    MOD,
+    CHAR_BASE,
+    TOKEN_BASE,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def _brute_triangles(edges: set[tuple[int, int]]) -> dict[int, int]:
+    """Per-node triangle counts by literal 3-subset enumeration."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = dict.fromkeys(adj, 0)
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return counts
+
+
+def _tc_rows(spark, raw_edges):
+    df = spark.createDataFrame(raw_edges, "src long, dst long")
+    out = triangle_counts(df)
+    return {r.node: (r.degree, r.triangles) for r in out.collect()}
+
+
+def test_triangles_k4(spark):
+    """K4: every node has degree 3 and sits in C(3,2)=3 triangles."""
+    edges = [(a, b) for a, b in combinations(range(4), 2)]
+    got = _tc_rows(spark, edges)
+    assert got == {n: (3, 3) for n in range(4)}
+
+
+def test_triangles_known_mixed(spark):
+    """Triangle + pendant + disconnected edge, hand-checked."""
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)]
+    got = _tc_rows(spark, edges)
+    assert got == {
+        1: (2, 1),
+        2: (2, 1),
+        3: (3, 1),
+        4: (1, 0),
+        5: (1, 0),
+        6: (1, 0),
+    }
+
+
+def test_triangles_input_canonicalization(spark):
+    """Reversed duplicates and self-loops don't change the counts."""
+    base = [(1, 2), (2, 3), (1, 3)]
+    noisy = base + [(2, 1), (3, 2), (1, 1), (3, 3), (1, 2)]
+    assert _tc_rows(spark, noisy) == _tc_rows(spark, base)
+
+
+def test_triangles_differential_random(spark):
+    """Deterministic pseudo-random graph vs brute-force enumeration."""
+    n, m = 40, 220
+    edges = set()
+    x = 7
+    while len(edges) < m:
+        x = (x * 1103515245 + 12345) % (2**31)
+        u, v = x % n, (x // n) % n
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    expected = _brute_triangles(edges)
+    got = _tc_rows(spark, sorted(edges))
+    assert {k: v[1] for k, v in got.items()} == expected
+    degs = {k: v[0] for k, v in got.items()}
+    for u, v in edges:
+        assert degs[u] >= 1 and degs[v] >= 1
+
+
+def test_triangles_partitioning_invariance(spark):
+    edges = [(a, b) for a, b in combinations(range(8), 2) if (a + b) % 3]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    one = {
+        (r.node, r.degree, r.triangles)
+        for r in triangle_counts(df.coalesce(1)).collect()
+    }
+    many = {
+        (r.node, r.degree, r.triangles)
+        for r in triangle_counts(df.repartition(7)).collect()
+    }
+    assert one == many
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text: str | None, k: int, w: int) -> set[tuple[int, int]]:
+    """Pure-Python reference: (pos, fp) pairs under robust winnowing."""
+    toks = [t for t in (text or "").split() if t]
+    th = []
+    for t in toks:
+        acc = 0
+        for ch in t:
+            acc = (acc * CHAR_BASE + ord(ch)) % MOD
+        th.append(acc)
+    kh = []
+    for i in range(len(th) - k + 1):
+        acc = 0
+        for h in th[i : i + k]:
+            acc = (acc * TOKEN_BASE + h) % MOD
+        kh.append(acc)
+    m = len(kh)
+    if m == 0:
+        return set()
+    nwin = m - w + 1 if m >= w else 1
+    out = set()
+    for j in range(nwin):
+        win = kh[j : j + w]
+        mn = min(win)
+        # rightmost occurrence of the minimum
+        pos = j + max(i for i, v in enumerate(win) if v == mn)
+        out.add((pos + 1, kh[pos]))
+    return out
+
+
+def _spark_fps(spark, texts, k=4, w=4):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(df, k=k, w=w)
+    got: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in fps.collect():
+        got[r.doc_id].add((r.pos, r.fp))
+    return got
+
+
+@pytest.mark.parametrize("k,w", [(4, 4), (3, 5), (2, 2)])
+def test_winnow_matches_python_reference(spark, k, w):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a a a a a a a a a a",  # all-equal hashes: rightmost tie-break
+        "one two three",  # fewer than w k-grams
+        "x y",  # fewer than k tokens -> no fingerprints
+        "",
+        None,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    ]
+    got = _spark_fps(spark, texts, k, w)
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t, k, w), (i, t)
+
+
+def test_winnow_detection_guarantee(spark):
+    """Any shared token run of length >= w + k - 1 must share a
+    fingerprint VALUE (the SIGMOD'03 correctness property)."""
+    k = w = 4
+    shared = "copied segment of exactly seven tokens here"  # 7 = w+k-1
+    texts = [
+        "unrelated prefix words " + shared + " one tail",
+        "totally different beginning " + shared + " other ending words",
+    ]
+    got = _spark_fps(spark, texts, k, w)
+    vals0 = {fp for _, fp in got[0]}
+    vals1 = {fp for _, fp in got[1]}
+    assert vals0 & vals1, "shared run produced no shared fingerprint"
+
+
+def test_winnow_density(spark):
+    """Selected fingerprints are a small fraction but never zero for
+    non-trivial docs (expected density ~2/(w+1))."""
+    k, w = 4, 4
+    text = " ".join(f"tok{i * 7 % 101}" for i in range(300))
+    got = _spark_fps(spark, [text], k, w)[0]
+    n_kgrams = 300 - k + 1
+    assert 0 < len(got) <= n_kgrams
+    assert len(got) < 0.6 * n_kgrams
+
+
+def test_winnow_overlap_pairs_and_max_df(spark):
+    k = w = 3
+    boiler = "standard license header for every document in the corpus"
+    texts = [
+        boiler + " unique body one alpha beta gamma delta",
+        boiler + " unique body two epsilon zeta eta theta",
+        boiler + " unique body three iota kappa lam mu",
+        "completely unrelated text without any common phrases at all",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    with_boiler = winnow_overlap_pairs(
+        df, k=k, w=w, min_shared=1, max_df=None
+    )
+    assert with_boiler.filter(F.col("id_a") == 0).count() >= 2
+    # df-capped at 2: the 3-doc boilerplate fingerprints are dropped
+    capped = winnow_overlap_pairs(df, k=k, w=w, min_shared=1, max_df=2)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert all(3 not in p for p in pairs)
+    assert len(pairs) < with_boiler.count()
+
+
+def test_winnow_partitioning_invariance(spark):
+    texts = [" ".join(f"w{(i * j) % 13}" for j in range(50)) for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    one = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(df.coalesce(1)).collect()
+    }
+    many = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(df.repartition(9)).collect()
+    }
+    assert one == many
