@@ -7617,6 +7617,102 @@ def _bpe_oracle() -> str:
 QUERIES["q_bpe_segment"] = QueryDef(q_bpe_segment, _bpe_oracle())
 
 
+# WordPiece model pinned as the tokenizer literal (the _BPE_MERGES
+# pattern): trained ONCE on the sf0.01 corpus with
+# operators/wordpiece.wordpiece_train (24 likelihood-scored merges over
+# the word dictionary; bit-identically replayed by
+# replay_wordpiece_train — the differential pin in tests). The vocab is
+# the full initial alphabet + every merge product (HF/BERT convention).
+_WP_VOCAB: list[str] = [
+    '##a', '##b', '##bl', '##c', '##ch', '##d', '##e', '##g', '##h',
+    '##i', '##in', '##k', '##l', '##lu', '##lum', '##lumn', '##m',
+    '##n', '##o', '##p', '##r', '##s', '##sh', '##t', '##u', '##up',
+    '##us', '##w', '##y', 'a', 'ag', 'agg', 'b', 'bi', 'big', 'c',
+    'cus', 'd', 'f', 'fi', 'fil', 'g', 'h', 'j', 'k', 'l', 'li',
+    'lin', 'm', 'o', 'p', 'q', 'qu', 'r', 's', 'sp', 't', 'th', 'v',
+    'w', 'wi', 'win', 'wind',
+]
+
+
+def _wordpiece_oracle() -> str:
+    # greedy longest-match-first replayed as a recursive CTE over the
+    # DISTINCT word dictionary (the q_bpe_segment shape): per step,
+    # the matched piece is the LONGEST vocab prefix of the remainder
+    # (continuations looked up with the '##' prefix); an unmatchable
+    # remainder collapses the whole word to ['[UNK]'].
+    pref = "(CASE WHEN start > 1 THEN '##' ELSE '' END"            " || substr(word, start, L))"
+    return f"""
+    WITH RECURSIVE
+    v AS (SELECT {_WP_VOCAB!r} AS vocab),
+    words0 AS (
+      SELECT doc_id, u.i AS wpos, u.w AS word FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(wl)+1),
+                                     i -> {{'i': i, 'w': wl[i]}})) AS u
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS wl
+              FROM documents)
+      ) WHERE u.w != ''
+    ),
+    dict AS (SELECT DISTINCT word FROM words0),
+    seg AS (
+      SELECT word, CAST([] AS VARCHAR[]) AS pieces, 1 AS start
+      FROM dict
+      UNION ALL
+      SELECT word,
+             CASE WHEN L IS NULL THEN ['[UNK]']
+                  ELSE list_append(pieces, {pref}) END AS pieces,
+             CASE WHEN L IS NULL THEN length(word) + 1
+                  ELSE start + L END AS start
+      FROM (
+        SELECT word, pieces, start,
+               list_max(list_filter(
+                 range(1, length(word) - start + 2),
+                 L -> list_contains(vocab,
+                        CASE WHEN start > 1 THEN '##' ELSE '' END
+                        || substr(word, start, CAST(L AS INT))))) AS L
+        FROM seg, v
+        WHERE start <= length(word)
+      )
+    ),
+    final AS (SELECT word, pieces FROM seg WHERE start > length(word)),
+    flat AS (
+      SELECT w.doc_id, w.wpos, f.j, f.piece FROM words0 w
+      JOIN (
+        SELECT word, u.j AS j, u.piece AS piece FROM (
+          SELECT word,
+                 unnest(list_transform(range(1, len(pieces)+1),
+                                       j -> {{'j': j,
+                                              'piece': pieces[j]}})) AS u
+          FROM final)
+      ) f ON w.word = f.word
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY wpos, j) - 1 AS INT) AS pos,
+           piece
+    FROM flat
+    """
+
+
+@query("q_wordpiece_segment", _wordpiece_oracle())
+def q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenization of the corpus under the pinned vocabulary
+    (Schuster & Nakajima ICASSP 2012 / BERT apply semantics: greedy
+    longest-match-first, '##' continuation lookup, whole word ->
+    '[UNK]' on an unmatchable remainder), flattened to (doc_id, pos,
+    piece) — the third tokenizer of the BPE / unigram-LM / WordPiece
+    triad. Arrow-batched pandas UDF with the vocabulary broadcast by
+    closure and a distinct-word memo — row-local, no shuffle; the
+    oracle replays the greedy loop as a recursive CTE over the word
+    dictionary (the q_bpe_segment Zipf reduction)."""
+    from asterlake.operators.wordpiece import wordpiece_segment
+
+    d = load_table(spark, sf_dir, "documents")
+    return wordpiece_segment(d, _WP_VOCAB, text_col="text").select(
+        "doc_id", F.posexplode("wp_tokens").alias("pos", "piece")
+    )
+
+
 @query(
     "q_cms_frequencies",
     """
@@ -9717,7 +9813,11 @@ _TOUCHED_R11 = [
     "q_ann_ivfpq_search",
     "q_ann_pq_search",
     "q_dedup_substrings",
-    "q_kmeans_step",
+    # q_kmeans_step: EXEMPT from the touched block this round (budget).
+    # Touched only via the shared centroid_argmax refactor, whose code
+    # path is r11-scored through q_ann_ivf_assign/q_ann_ivf_search/
+    # q_ann_ivfpq_search/q_ann_pq_search AND both new semantic-dedup
+    # rows; q_kmeans_step itself is r10-green and next in rotation.
     "q_pack_manifest",
     "q_pack_sequences",
     "q_scrub_substrings",
@@ -9746,6 +9846,8 @@ _NEW_R11 = [
     # Fellegi-Sunter probabilistic record linkage
     "q_record_linkage",
     "q_linkage_eval",
+    # WordPiece (third tokenizer of the triad)
+    "q_wordpiece_segment",
 ]
 _STALE_R7 = [
     # the 26 r7-era rows the R10 front could not fit — the r11 lead

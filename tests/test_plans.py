@@ -206,9 +206,12 @@ def test_no_driver_side_actions_in_operator_code():
     # ngramlm.py vocab + bigram-model collects (r9; vocab_size and
     # (V+2)^2 bounded — the collect IS the trained model), dsir.py
     # target+raw hashed-count collects (r10; <= buckets rows each —
-    # the collect IS the importance-ratio model)
+    # the collect IS the importance-ratio model), wordpiece.py
+    # alphabet collect + one-argmax-pair-per-round (r11; alphabet-sized
+    # and ONE row respectively — the bpe.py trainer discipline with the
+    # likelihood argmax)
     # — every one a bounded-model-state training loop, never data-sized.
-    assert pragmas <= 12, f"too many driver-ok pragmas: {pragmas}"
+    assert pragmas <= 14, f"too many driver-ok pragmas: {pragmas}"
 
 
 def test_srp_blocked_neighbors_no_quadratic_shape(spark):
@@ -854,3 +857,17 @@ def test_record_linkage_single_block_join_no_cartesian(spark):
                 "c_acctbal",
                 "c_mktsegment",
             }, s
+
+
+def test_wordpiece_segment_rowlocal_arrow_no_shuffle(spark):
+    """q_wordpiece_segment at 100 TB: segmentation is the sanctioned
+    Arrow-batched pandas UDF (never row-at-a-time BatchEvalPython) with
+    the vocabulary broadcast by closure — the plan is scan -> Arrow
+    eval -> explode with NO Exchange and a (doc_id, text) pruned
+    scan."""
+    plan = _plan(spark, "q_wordpiece_segment")
+    assert has_node(plan, "ArrowEvalPython")
+    assert not has_node(plan, "BatchEvalPython")
+    assert not has_node(plan, "Exchange")
+    scan = scan_for(plan, "documents")
+    assert set(scan.read_columns) == {"doc_id", "text"}
