@@ -1,0 +1,58 @@
+"""Privacy audit operators: k-anonymity over quasi-identifier classes
+(Sweeney, IJUFKS 2002) and the suppression release that enforces it.
+
+A training-data/lakehouse release pipeline needs more than redaction
+(textstats.redact_terms) and forget-cascades (lifecycle): before a table
+leaves the boundary, every combination of quasi-identifiers — attributes
+that are individually harmless but jointly identifying (nation x segment x
+balance bracket) — must be shared by at least k records, or the small
+classes suppressed. These operators are that audit and that release.
+
+Scale: one map-side-combinable groupBy over the quasi-identifier key per
+audit; the release is the same aggregate + a semi-join of the source
+against the passing classes — no window over the class key (hot classes
+are exactly the ones k-anonymity likes, and they stay map-side-combined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["k_anonymity_report", "k_anonymous_release"]
+
+
+def _class_counts(df: DataFrame, quasi: list[str]) -> DataFrame:
+    return df.groupBy(*quasi).agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi: list[str], k: int
+) -> DataFrame:
+    """One row per quasi-identifier equivalence class: its size ``k``
+    and whether it violates the threshold (size < k). The audit a
+    release gate reads. ``quasi`` are column names — derive bracketed
+    quasi-identifiers (balance buckets, age bands) with withColumn
+    first, so the audit and the release see the identical key."""
+    return _class_counts(df, quasi).withColumn(
+        "violates", F.col("k") < F.lit(k)
+    )
+
+
+def k_anonymous_release(
+    df: DataFrame, quasi: list[str], k: int
+) -> DataFrame:
+    """The k-anonymized release: rows whose quasi-identifier class has
+    at least ``k`` members; smaller classes are suppressed entirely
+    (the conservative cell-suppression baseline — generalization
+    hierarchies are a caller-side refinement). Aggregate + left-semi
+    join on the class key; the source table is scanned twice, never
+    windowed on the class key."""
+    passing = (
+        _class_counts(df, quasi)
+        .filter(F.col("k") >= F.lit(k))
+        .select(*quasi)
+    )
+    return df.join(passing, quasi, "left_semi")

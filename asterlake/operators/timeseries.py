@@ -270,3 +270,39 @@ def time_weighted_avg(
         )
         .filter(F.col("span_us") > 0)
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    bucket: str = "day",
+) -> DataFrame:
+    """OHLC bars: open/high/low/close + event count per (key, time
+    bucket) — the downsampling rollup a hypertable keeps for gauges,
+    prices and meters (the aggregate behind every candlestick chart).
+
+    Open and close are the values at the bucket's FIRST and LAST
+    observation under the total order ``(ts, tiebreak)`` — computed as
+    ``min/max(struct(ts, tiebreak, value))`` so the whole bar is ONE
+    map-side-combinable aggregate with a single shuffle on (key, bar):
+    no window, no sort, no second pass. Struct ordering is
+    lexicographic and (ts, tiebreak) is unique, so the ride-along value
+    is deterministic; high/low are plain min/max (no accumulation — the
+    doubles are exact)."""
+    bar = F.date_trunc(bucket, F.col(ts_col)).cast("date").alias("bar")
+    first = F.min(
+        F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col))
+    )
+    last = F.max(
+        F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col))
+    )
+    return df.groupBy(F.col(key), bar).agg(
+        first.getField(value_col).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        last.getField(value_col).alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )

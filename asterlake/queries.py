@@ -1400,6 +1400,74 @@ def q_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("n_pairs"))
 
 
+# ---------------------------------------------------------------------------
+# Privacy audit: k-anonymity (Sweeney, IJUFKS 2002)
+# ---------------------------------------------------------------------------
+_KANON_QUASI_SQL = (
+    "c_nationkey, c_mktsegment, "
+    "CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket"
+)
+
+
+def _kanon_cols(cust: DataFrame) -> DataFrame:
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+            "bal_bucket"
+        ),
+    )
+
+
+@query(
+    "q_k_anonymity",
+    f"""
+    SELECT c_nationkey, c_mktsegment, bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           COUNT(*) < 5 AS violates
+    FROM (SELECT {_KANON_QUASI_SQL} FROM customer)
+    GROUP BY c_nationkey, c_mktsegment, bal_bucket
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer table: every (nation,
+    segment, balance-bracket) quasi-identifier class with its size and
+    whether it violates k=5 — the release-gate report a privacy review
+    reads before a table leaves the boundary. ONE map-side-combinable
+    groupBy on the quasi key; brackets are exact integer floors so both
+    engines class identically."""
+    from asterlake.operators.privacy import k_anonymity_report
+
+    cust = _kanon_cols(load_table(spark, sf_dir, "customer"))
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    )
+
+
+@query(
+    "q_k_anonymous_release",
+    f"""
+    WITH q AS (SELECT c_custkey, {_KANON_QUASI_SQL} FROM customer),
+    ok AS (SELECT c_nationkey, c_mktsegment, bal_bucket
+           FROM q GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3)
+    SELECT q.c_custkey, q.c_nationkey, q.c_mktsegment, q.bal_bucket
+    FROM q JOIN ok USING (c_nationkey, c_mktsegment, bal_bucket)
+    """,
+)
+def q_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=3-anonymized customer release: rows whose quasi-identifier
+    class has >= 3 members; smaller classes suppressed entirely.
+    Aggregate + left-semi join on the class key — the source is never
+    windowed on it, so hot (= safe) classes stay map-side-combined."""
+    from asterlake.operators.privacy import k_anonymous_release
+
+    cust = _kanon_cols(load_table(spark, sf_dir, "customer"))
+    return k_anonymous_release(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=3
+    ).select("c_custkey", "c_nationkey", "c_mktsegment", "bal_bucket")
+
+
 @query(
     "q_text_langid",
     """
@@ -7313,6 +7381,36 @@ def q_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ohlc_bars",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      value
+               FROM events)
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS bar,
+           min({'ts': ts, 'tb': event_id, 'v': value}).v AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max({'ts': ts, 'tb': event_id, 'v': value}).v AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e
+    GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per user over the event stream — the hypertable
+    downsampling rollup (open/high/low/close/count per time bucket).
+    The first/last values ride a min/max over struct(ts, event_id,
+    value): the ENTIRE bar is one map-side-combinable aggregate with a
+    single shuffle on (user, day) — no window, no sort, no second scan;
+    every output value is an untouched input double or an exact count,
+    so the result is hash-gateable."""
+    from asterlake.operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev)
+
+
+@query(
     "q_drift_numeric",
     """
     WITH bounds AS (
@@ -9807,11 +9905,19 @@ _TOUCHED_R11 = [
     "q_corpus_survivors",
     "q_dedup_clusters",
     "q_dedup_survivors",
-    "q_embedding_dup_clusters",
-    "q_ann_ivf_assign",
+    # q_embedding_dup_clusters: EXEMPT from the touched block this
+    # round (budget): touched only via connected_components' Observation
+    # convergence change, r11-scored through the three closure rows
+    # kept above plus q_dedup_semantic (duplicate_clusters on the same
+    # loop); r9-green and next in rotation.
+    # q_ann_ivf_assign / q_ann_pq_search: EXEMPT from the touched block
+    # this round (budget, same argument as q_kmeans_step below): touched
+    # only via the shared centroid_argmax refactor, r11-scored through
+    # the two deeper compositions kept here (q_ann_ivf_search,
+    # q_ann_ivfpq_search) plus both new semantic-dedup rows; both are
+    # r10/r9-green and next in rotation.
     "q_ann_ivf_search",
     "q_ann_ivfpq_search",
-    "q_ann_pq_search",
     "q_dedup_substrings",
     # q_kmeans_step: EXEMPT from the touched block this round (budget).
     # Touched only via the shared centroid_argmax refactor, whose code
@@ -9848,6 +9954,11 @@ _NEW_R11 = [
     "q_linkage_eval",
     # WordPiece (third tokenizer of the triad)
     "q_wordpiece_segment",
+    # k-anonymity privacy audit + suppression release
+    "q_k_anonymity",
+    "q_k_anonymous_release",
+    # OHLC time-bucket rollup (hypertable downsampling)
+    "q_ohlc_bars",
 ]
 _STALE_R7 = [
     # the 26 r7-era rows the R10 front could not fit — the r11 lead

@@ -486,3 +486,40 @@ def test_leakage_safe_split_keeps_near_dup_pairs_together(spark):
         assert bad == 0
     finally:
         labeled.unpersist()
+
+
+def test_ohlc_bars_exact_small(spark):
+    """Hand-checked bars incl. same-timestamp tie-break on event_id."""
+    from datetime import datetime
+
+    from asterlake.operators.timeseries import ohlc_bars
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9), 1, 10.0),
+        (1, datetime(2024, 1, 1, 12), 2, 30.0),
+        (1, datetime(2024, 1, 1, 12), 3, 5.0),   # same ts: id 3 is later
+        (1, datetime(2024, 1, 2, 8), 4, 7.0),
+        (2, datetime(2024, 1, 1, 23), 5, 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        (r.user_id, str(r.bar)): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc_bars(ev).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): (10.0, 30.0, 5.0, 5.0, 3),
+        (1, "2024-01-02"): (7.0, 7.0, 7.0, 7.0, 1),
+        (2, "2024-01-01"): (2.0, 2.0, 2.0, 2.0, 1),
+    }
+
+
+def test_ohlc_bars_partitioning_invariance(spark, sf_dir):
+    from asterlake.operators.timeseries import ohlc_bars
+    from asterlake.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    one = {tuple(r) for r in ohlc_bars(ev.coalesce(1)).collect()}
+    many = {tuple(r) for r in ohlc_bars(ev.repartition(9)).collect()}
+    assert one == many

@@ -871,3 +871,38 @@ def test_wordpiece_segment_rowlocal_arrow_no_shuffle(spark):
     assert not has_node(plan, "Exchange")
     scan = scan_for(plan, "documents")
     assert set(scan.read_columns) == {"doc_id", "text"}
+
+
+def test_k_anonymous_release_semi_join_no_window(spark):
+    """q_k_anonymous_release at 100 TB: the passing-class filter is a
+    map-side-combinable aggregate + LEFT-SEMI join on the quasi key —
+    never a count-over window on the class key (hot classes are exactly
+    the safe ones); no Python, pruned customer scans."""
+    plan = _plan(spark, "q_k_anonymous_release")
+    assert "LeftSemi" in plan
+    assert not has_node(plan, "Window")
+    assert not has_node(plan, "BatchEvalPython")
+    assert "partial_count" in plan
+    from asterlake.plans.inspect import scans
+
+    for s in scans(plan):
+        if "customer" in s.location:
+            assert set(s.read_columns) <= {
+                "c_custkey",
+                "c_nationkey",
+                "c_mktsegment",
+                "c_acctbal",
+            }, s
+
+
+def test_ohlc_bars_single_exchange_no_window(spark):
+    """q_ohlc_bars at 100 TB: the whole bar is ONE map-side-combinable
+    aggregate (open/close ride min/max over struct(ts, id, value)) —
+    a single hash exchange on (user, bar), no Window, no sort, no
+    second scan."""
+    plan = _plan(spark, "q_ohlc_bars")
+    assert node_count(plan, "Exchange") == 1
+    assert not has_node(plan, "Window")
+    assert "partial_min" in plan and "partial_max" in plan
+    scan = scan_for(plan, "events")
+    assert set(scan.read_columns) == {"user_id", "event_id", "ts", "value"}
