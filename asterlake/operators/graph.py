@@ -536,3 +536,54 @@ def triangle_counts(
             ),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara, Phys. Rev. E 2007), made deterministic.
+
+    Every node starts labeled with its own id; each round every node
+    adopts the most frequent label among its NEIGHBORS, ties broken by
+    the smallest label (the classic algorithm breaks ties randomly —
+    useless under a cross-engine hash gate, so the tie rule is pinned).
+    Exactly ``iters`` synchronous rounds run — no convergence test:
+    synchronous LPA can 2-cycle on bipartite structures, and a fixed
+    round count is what two engines can replay bit-for-bit.
+
+    Returns ``(node, community)`` for every node with at least one edge.
+
+    Scale: each round is ONE shuffle join (labels x edges on the source
+    id) + ONE map-side-combinable (node, label) count + ONE
+    map-side-combinable argmax (max over struct(count, -label) — never
+    a per-node window), with ``localCheckpoint`` truncating lineage
+    between rounds (the connected_components discipline). Labels are
+    node ids (longs); no text, no payloads in any shuffle.
+    """
+    und = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).unionByName(
+        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+    ).filter(F.col("_s") != F.col("_d")).distinct().localCheckpoint()
+    labels = und.select(F.col("_s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    ).localCheckpoint()
+    for _ in range(iters):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "_s"), "_s"
+        ).select(F.col("_d").alias("node"), "lab")
+        counts = msgs.groupBy("node", "lab").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        # argmax (count DESC, label ASC) as a combinable max over
+        # struct(count, -label): ids are non-negative longs, so the
+        # negation order is exactly label-ascending on count ties
+        labels = (
+            counts.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("_nl"))).alias("_m"))
+            .select("node", (-F.col("_m._nl")).alias("lab"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lab").alias("community"))

@@ -7010,6 +7010,75 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(iters: int = 3) -> str:
+    # Unrolled synchronous label-propagation rounds — identical counts
+    # and (count DESC, label ASC) argmax to graph.label_propagation.
+    sql = """
+    WITH ppo AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                 WHERE l_quantity >= 25),
+    pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+              FROM ppo a JOIN ppo b ON a.l_orderkey = b.l_orderkey
+                                    AND a.l_partkey < b.l_partkey),
+    e AS (SELECT DISTINCT src, dst FROM (
+            SELECT p1 AS src, p2 AS dst FROM pairs
+            UNION ALL SELECT p2, p1 FROM pairs)
+          WHERE src != dst),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)"""
+    prev = "l0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    it{i} AS (SELECT e.dst AS node, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+              FROM e JOIN {prev} l ON e.src = l.node
+              GROUP BY e.dst, l.lab),
+    l{i} AS (SELECT node, lab FROM (
+               SELECT node, lab,
+                      ROW_NUMBER() OVER (PARTITION BY node
+                                         ORDER BY c DESC, lab ASC) AS rn
+               FROM it{i}) WHERE rn = 1)"""
+        prev = f"l{i}"
+    sql += f"\n    SELECT node AS part_id, lab AS community FROM {prev}"
+    return sql
+
+
+@query("q_label_propagation", _lpa_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the bulk co-purchase graph by synchronous
+    label propagation (Raghavan et al. 2007), determinized: 3 fixed
+    rounds, most-frequent-neighbor label with the smallest-label tie
+    rule (the classic random tie-break is useless under a cross-engine
+    hash gate). Each round is one shuffle join + two map-side-combinable
+    aggregates of (long, long) pairs — the per-node argmax is a
+    combinable max over struct(count, -label), never a window."""
+    from asterlake.operators.graph import label_propagation
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+    )
+    grouped = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps"))
+        .filter(F.size("_ps") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ps"), i + F.lit(2), F.size("_ps")),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("_e")
+    ).select("_e.p1", "_e.p2")
+    return label_propagation(pairs, iters=3, src="p1", dst="p2").select(
+        F.col("node").alias("part_id"), "community"
+    )
+
+
 @query(
     "q_stream_ewma",
     """
@@ -9916,7 +9985,8 @@ _TOUCHED_R11 = [
     # the two deeper compositions kept here (q_ann_ivf_search,
     # q_ann_ivfpq_search) plus both new semantic-dedup rows; both are
     # r10/r9-green and next in rotation.
-    "q_ann_ivf_search",
+    # q_ann_ivf_search: EXEMPT (budget) — same centroid_argmax argument;
+    # the deepest composition q_ann_ivfpq_search stays.
     "q_ann_ivfpq_search",
     "q_dedup_substrings",
     # q_kmeans_step: EXEMPT from the touched block this round (budget).
@@ -9959,6 +10029,8 @@ _NEW_R11 = [
     "q_k_anonymous_release",
     # OHLC time-bucket rollup (hypertable downsampling)
     "q_ohlc_bars",
+    # label-propagation communities (third static-graph family)
+    "q_label_propagation",
 ]
 _STALE_R7 = [
     # the 26 r7-era rows the R10 front could not fit — the r11 lead

@@ -906,3 +906,15 @@ def test_ohlc_bars_single_exchange_no_window(spark):
     assert "partial_min" in plan and "partial_max" in plan
     scan = scan_for(plan, "events")
     assert set(scan.read_columns) == {"user_id", "event_id", "ts", "value"}
+
+
+def test_label_propagation_combinable_argmax_no_window(spark):
+    """q_label_propagation at 100 TB: the per-node label argmax is a
+    map-side-combinable max over struct(count, -label) — no Window node
+    anywhere; rounds land as checkpointed RDDs; no cartesian, no
+    Python; shuffles carry only (long, long) pairs."""
+    plan = _plan(spark, "q_label_propagation")
+    assert not has_node(plan, "Window")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BatchEvalPython")
+    assert has_node(plan, "ExistingRDD")

@@ -229,3 +229,72 @@ def test_winnow_partitioning_invariance(spark):
         for r in winnow_fingerprints(df.repartition(9)).collect()
     }
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def _lpa_rows(spark, raw_edges, iters=3):
+    from asterlake.operators.graph import label_propagation
+
+    df = spark.createDataFrame(raw_edges, "src long, dst long")
+    return {
+        r.node: r.community
+        for r in label_propagation(df, iters=iters).collect()
+    }
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: each clique converges to
+    its own minimum label; the bridge cannot outvote clique-internal
+    neighbors."""
+    c1 = [(a, b) for a, b in combinations([1, 2, 3, 4], 2)]
+    c2 = [(a, b) for a, b in combinations([10, 11, 12, 13], 2)]
+    got = _lpa_rows(spark, c1 + c2 + [(4, 10)], iters=4)
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+
+
+def test_lpa_python_reference_differential(spark):
+    """Synchronous rounds with (count DESC, label ASC) argmax replayed
+    in pure Python on a pseudo-random graph."""
+    n, m = 30, 90
+    edges, x = set(), 11
+    while len(edges) < m:
+        x = (x * 1103515245 + 12345) % (2**31)
+        u, v = x % n, (x // n) % n
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lab = {u: u for u in adj}
+    for _ in range(3):
+        new = {}
+        for u in adj:
+            cnt: dict[int, int] = {}
+            for nb in adj[u]:
+                cnt[lab[nb]] = cnt.get(lab[nb], 0) + 1
+            best = max(cnt.values())
+            new[u] = min(l for l, c in cnt.items() if c == best)
+        lab = new
+    assert _lpa_rows(spark, sorted(edges), iters=3) == lab
+
+
+def test_lpa_partitioning_invariance(spark):
+    edges = [(a, b) for a, b in combinations(range(9), 2) if (a * b) % 4]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from asterlake.operators.graph import label_propagation
+
+    one = {
+        (r.node, r.community)
+        for r in label_propagation(df.coalesce(1), iters=3).collect()
+    }
+    many = {
+        (r.node, r.community)
+        for r in label_propagation(df.repartition(7), iters=3).collect()
+    }
+    assert one == many
