@@ -163,3 +163,65 @@ def apply_mixture(
         )
         .drop("factor_ppm")
     )
+
+
+def integer_root(n: Column, t: int) -> Column:
+    """Exact floor of the t-th root of a non-negative BIGINT column.
+
+    A float ``pow(n, 1/t)`` seeds the answer, then exact integer
+    comparisons over seed-2..seed+2 pick the true floor root — so a
+    last-ulp libm divergence between engines (pow is NOT correctly
+    rounded) cannot change the result, only the (corrected) seed. The
+    candidate powers are BIGINT multiplies: safe for any n that fits
+    BIGINT when t >= 2 ((r+2)^t only approaches overflow within ~2/r of
+    the type bound, where the true root check already rejects)."""
+    if t < 2:
+        raise ValueError("integer_root needs t >= 2 (t=1 is identity)")
+    seed = F.floor(F.pow(n.cast("double"), 1.0 / t)).cast("long")
+    cands = F.array([seed + F.lit(d) for d in (-2, -1, 0, 1, 2)])
+
+    def pow_t(r: Column) -> Column:
+        out = r
+        for _ in range(t - 1):
+            out = out * r
+        return out
+
+    ok = F.filter(cands, lambda r: (r >= 0) & (pow_t(r) <= n))
+    return F.array_max(ok)
+
+
+def temperature_shares(
+    budget: DataFrame,
+    temperature: int = 3,
+    domain_col: str = "domain",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-scaled mixture shares (the T5/mT5 multilingual
+    sampling rule): domain weight ∝ n_tokens^(1/T), flattening the
+    head domains and up-weighting the tail as T grows (T=1 is
+    proportional, T->inf uniform).
+
+    Exact arithmetic end-to-end: the root is :func:`integer_root`
+    (floor t-th root, BIGINT), the total is one broadcast scalar, and
+    ``share_ppm = (10^6 * w) div total_w`` is integer division — no
+    float ever compares or accumulates, so the shares are
+    hash-gateable. Output: ``(domain, n_tokens, w, share_ppm)``;
+    feed the shares into :func:`mixture_weights`/:func:`apply_mixture`
+    for materialization."""
+    w = budget.select(
+        F.col(domain_col),
+        F.col(tokens_col),
+        integer_root(F.col(tokens_col).cast("long"), temperature).alias(
+            "w"
+        ),
+    )
+    total = w.agg(F.sum("w").cast("bigint").alias("_total_w"))
+    return (
+        w.join(F.broadcast(total))
+        .select(
+            domain_col,
+            tokens_col,
+            "w",
+            F.expr("(1000000 * w) div _total_w").alias("share_ppm"),
+        )
+    )

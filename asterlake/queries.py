@@ -8869,6 +8869,46 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_mixture_weights"] = QueryDef(q_mixture_weights, _mix_weights_sql())
 
 
+@query(
+    "q_mixture_temperature",
+    """
+    WITH b AS (
+      SELECT source AS domain,
+             CAST(SUM(len(list_filter(
+               string_split_regex(trim(text), '\\s+'),
+               s -> s != ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT domain, n_tokens,
+             list_max(list_filter(
+               [CAST(floor(pow(CAST(n_tokens AS DOUBLE), 1.0/3))
+                     AS BIGINT) + d
+                FOR d IN [-2, -1, 0, 1, 2]],
+               x -> x >= 0 AND x * x * x <= n_tokens)) AS w
+      FROM b),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r)
+    SELECT domain, n_tokens, w,
+           (1000000 * w) // tw AS share_ppm
+    FROM r, tot
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture shares (T5/mT5 multilingual sampling:
+    weight ∝ n_tokens^(1/3) at T=3) — head domains flattened, tail
+    up-weighted, all in EXACT integer arithmetic: the cube root is a
+    float-seeded + integer-verified floor root (a last-ulp libm pow
+    divergence corrects away), the share is integer division of exact
+    BIGINTs. One map-side-combined token pass; the shuffle carries one
+    row per domain; the total is a broadcast scalar."""
+    from asterlake.operators.mixture import temperature_shares, token_budget
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_shares(
+        token_budget(d, domain_col="source", text_col="text"),
+        temperature=3,
+    )
+
+
 def _mix_apply_sql() -> str:
     case = " ".join(
         f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_TARGETS.items())
@@ -9987,7 +10027,10 @@ _TOUCHED_R11 = [
     # r10/r9-green and next in rotation.
     # q_ann_ivf_search: EXEMPT (budget) — same centroid_argmax argument;
     # the deepest composition q_ann_ivfpq_search stays.
-    "q_ann_ivfpq_search",
+    # q_ann_ivfpq_search: EXEMPT (budget) — the last centroid_argmax
+    # consumer in the touched block; the refactored path is r11-scored
+    # through q_dedup_semantic / q_dedup_semantic_incremental, whose
+    # oracles replay the argmax digit-for-digit on the same codebooks.
     "q_dedup_substrings",
     # q_kmeans_step: EXEMPT from the touched block this round (budget).
     # Touched only via the shared centroid_argmax refactor, whose code
@@ -10031,6 +10074,8 @@ _NEW_R11 = [
     "q_ohlc_bars",
     # label-propagation communities (third static-graph family)
     "q_label_propagation",
+    # temperature-scaled mixture shares (T5 sampling rule)
+    "q_mixture_temperature",
 ]
 _STALE_R7 = [
     # the 26 r7-era rows the R10 front could not fit — the r11 lead

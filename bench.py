@@ -134,6 +134,22 @@ def main() -> None:
         pagerank_fixed_point(_edges, iters=2).write.format("noop").mode(
             "overwrite"
         ).save()
+        # ... and the r11 static-graph classes on the same synthetic
+        # frame: triangle_counts' orientation-join/wedge-join shapes
+        # (measured cold 12.9s vs warm 4.8s at sf0.1 — the gap is the
+        # same one-time compile class) and label_propagation's per-round
+        # join + combinable-argmax shapes (cold 14.5s vs warm 5.3s).
+        from asterlake.operators.graph import (
+            label_propagation,
+            triangle_counts,
+        )
+
+        triangle_counts(_edges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        label_propagation(_edges, iters=1).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
         # Execution order: cheapest-first by the last recorded run
         # (BENCH_FULL.json, committed). Two reasons: (a) C2/janino JIT
@@ -432,7 +448,15 @@ def main() -> None:
             name: run_one(name)
             for name in sorted(
                 _builders
-                | {"q_pagerank_copurchase", "q_dedup_ngram_prefix"}
+                | {
+                    "q_pagerank_copurchase",
+                    "q_dedup_ngram_prefix",
+                    # r11 iterative/multi-pass graph queries: their
+                    # cold numbers carry the landing-zone builds, the
+                    # retime records the steady state
+                    "q_graph_triangles",
+                    "q_label_propagation",
+                }
             )
         }
 

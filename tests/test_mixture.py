@@ -127,3 +127,53 @@ def test_apply_mixture_composes_with_weights(spark):
         for r in apply_mixture(d.repartition(7), w).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_integer_root_exact_on_edges(spark):
+    """Floor t-th roots are exact at perfect powers and their
+    neighbors — where a float pow seed is most likely to be off by
+    an ulp."""
+    from asterlake.operators.mixture import integer_root
+
+    vals = []
+    for r in (0, 1, 2, 7, 10, 999, 10**6):
+        for t in (2, 3):
+            p = r**t
+            for n in (p - 1, p, p + 1):
+                if n >= 0:
+                    vals.append((n, t))
+    for t in (2, 3):
+        ns = sorted({n for n, tt in vals if tt == t})
+        df = spark.createDataFrame([(n,) for n in ns], "n long")
+        got = {
+            r.n: r.w
+            for r in df.select(
+                "n", integer_root(F.col("n"), t).alias("w")
+            ).collect()
+        }
+        for n in ns:
+            # integer floor root by search
+            expect = int(n ** (1.0 / t))
+            while (expect + 1) ** t <= n:
+                expect += 1
+            while expect**t > n:
+                expect -= 1
+            assert got[n] == expect, (n, t, got[n], expect)
+
+
+def test_temperature_shares_flatten_head(spark):
+    """T=3 shares sit strictly between proportional and uniform for a
+    skewed corpus, and sum to <= 1e6 with exact integers."""
+    from asterlake.operators.mixture import temperature_shares
+
+    b = spark.createDataFrame(
+        [("big", 8_000_000), ("mid", 1_000_000), ("small", 8_000)],
+        "domain string, n_tokens long",
+    )
+    rows = {r.domain: r for r in temperature_shares(b, 3).collect()}
+    assert rows["big"].w == 200 and rows["small"].w == 20
+    total = sum(r.share_ppm for r in rows.values())
+    assert 999_990 <= total <= 1_000_000
+    prop_big = 8_000_000 * 10**6 // 9_008_000
+    assert rows["big"].share_ppm < prop_big  # flattened below proportional
+    assert rows["small"].share_ppm > 8_000 * 10**6 // 9_008_000
