@@ -1285,6 +1285,13 @@ _LINKAGE_CTE = f"""
 def _linkage_frames(spark: SparkSession, sf_dir: str):
     """The Spark twin of the oracle CTEs: clean left, dirtied right."""
     cust = load_table(spark, sf_dir, "customer")
+    return _linkage_sides(cust)
+
+
+def _linkage_sides(cust: DataFrame):
+    """Clean/dirty projections from a customer relation — batch or
+    STREAMING (both are stateless projections, so the streaming twin
+    reuses them verbatim)."""
     left = cust.select(
         F.col("c_custkey").alias("cust_id"),
         "c_nationkey",
@@ -1398,6 +1405,74 @@ def q_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_true"
         ),
     ).agg(F.count("*").cast("bigint").alias("n_pairs"))
+
+
+@query(
+    "q_stream_linkage",
+    _LINKAGE_CTE + """
+    SELECT cust_id, rec_id, weight_micros,
+           CASE WHEN weight_micros >= 2500000 THEN 'link'
+                WHEN weight_micros >= 0 THEN 'possible'
+                ELSE 'non_link' END AS decision
+    FROM s
+    WHERE weight_micros >= 0
+    """,
+)
+def q_stream_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming record linkage — the daily-ingest shape of
+    q_record_linkage: the dirty second source ARRIVES as a stream and
+    each micro-batch block-joins against the STATIC clean reference
+    (broadcast stream-static inner join) and scores with the same
+    pinned Fellegi-Sunter weights. Entirely stateless (projection +
+    join + projection), so the drained stream must equal the batch
+    linkage EXACTLY — gated by the same oracle. Append-mode memory
+    sink, availableNow replay."""
+    import os
+    import tempfile
+
+    from asterlake.operators.linkage import blocked_candidates, fs_link
+
+    cust_batch = load_table(spark, sf_dir, "customer")
+    left_static, _ = _linkage_sides(cust_batch)
+    schema = cust_batch.schema
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "customer")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "customer.parquet"),
+            os.path.join(src_dir, "customer.parquet"),
+        )
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        _, right_stream = _linkage_sides(stream)
+        cand = blocked_candidates(
+            F.broadcast(left_static), right_stream, ["c_nationkey", "blk"]
+        )
+        scored = fs_link(
+            cand, _linkage_rules(), upper_micros=2500000, lower_micros=0
+        )
+        out = scored.filter(F.col("weight_micros") >= 0).select(
+            F.col("cust_id_l").alias("cust_id"),
+            F.col("rec_id_r").alias("rec_id"),
+            "weight_micros",
+            "decision",
+        )
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            (
+                out.writeStream.format("memory")
+                .queryName("stream_linkage")
+                .outputMode("append")
+                .option(
+                    "checkpointLocation", os.path.join(workdir, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return spark.table("stream_linkage")
 
 
 # ---------------------------------------------------------------------------
@@ -10031,7 +10106,11 @@ _TOUCHED_R11 = [
     # consumer in the touched block; the refactored path is r11-scored
     # through q_dedup_semantic / q_dedup_semantic_incremental, whose
     # oracles replay the argmax digit-for-digit on the same codebooks.
-    "q_dedup_substrings",
+    # q_dedup_substrings: EXEMPT (budget) — the r11 skew fix (groupBy-
+    # count + semi-join duplicate flag) is shared verbatim with
+    # q_scrub_substrings (kept below) and the never-scored
+    # q_dedup_substrings_incremental, both of whose oracles pin the
+    # digest keying on window TEXT; r10-green and next in rotation.
     # q_kmeans_step: EXEMPT from the touched block this round (budget).
     # Touched only via the shared centroid_argmax refactor, whose code
     # path is r11-scored through q_ann_ivf_assign/q_ann_ivf_search/
@@ -10076,6 +10155,8 @@ _NEW_R11 = [
     "q_label_propagation",
     # temperature-scaled mixture shares (T5 sampling rule)
     "q_mixture_temperature",
+    # streaming record linkage (stateless stream-static twin)
+    "q_stream_linkage",
 ]
 _STALE_R7 = [
     # the 26 r7-era rows the R10 front could not fit — the r11 lead
