@@ -56,3 +56,18 @@ def k_anonymous_release(
         .select(*quasi)
     )
     return df.join(passing, quasi, "left_semi")
+
+
+def l_diversity_report(
+    df: DataFrame, quasi: list[str], sensitive: str, l_threshold: int
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006): a class
+    can be k-anonymous yet leak its members' sensitive attribute when
+    every member shares one value — this reports, per quasi-identifier
+    class, the class size ``k``, the number of DISTINCT sensitive
+    values ``l_div``, and whether it violates the threshold. Same
+    single map-side-combinable groupBy as the k-anonymity audit."""
+    return df.groupBy(*quasi).agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.countDistinct(sensitive).cast("bigint").alias("l_div"),
+    ).withColumn("violates", F.col("l_div") < F.lit(l_threshold))

@@ -49,6 +49,8 @@ __all__ = [
     "winnow_select_col",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "winnow_index",
+    "winnow_index_matches",
 ]
 
 MOD = 1_000_000_007
@@ -201,4 +203,65 @@ def winnow_overlap_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnow_index(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Persistable corpus fingerprint index: the DISTINCT winnowed
+    fingerprint values (one ``fp`` long per row — no text, no ids, no
+    positions). Write once, append each admitted batch — the
+    minhash/substring/semantic incremental-index discipline."""
+    return (
+        winnow_fingerprints(docs, k, w, id_col, text_col)
+        .select("fp")
+        .distinct()
+    )
+
+
+def winnow_index_matches(
+    batch: DataFrame,
+    index: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Screen a NEW batch against the persisted fingerprint index:
+    per batch document, its distinct fingerprint count, how many hit
+    the index, and whether it is flagged (>= ``min_shared`` hits).
+    NEVER new-vs-new — same-batch repeats only flag after their
+    fingerprints are appended to the index (the incremental-dedup
+    contract shared by every index tier). One semi-joinable inner join
+    on the fp long; batch side broadcastable at production
+    index:batch ratios."""
+    fps = (
+        winnow_fingerprints(batch, k, w, id_col, text_col)
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+    hits = (
+        fps.join(index.select("fp"), "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    totals = fps.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_fps")
+    )
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_fps",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias(
+            "n_hits"
+        ),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+            >= F.lit(min_shared)
+        ).alias("flagged"),
     )

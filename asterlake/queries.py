@@ -1234,6 +1234,39 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(d, k=4, w=4, min_shared=2, max_df=100)
 
 
+@query(
+    "q_dedup_winnow_incremental",
+    _winnow_cte() + """,
+    fpd AS (SELECT DISTINCT doc_id, kh[pos] AS fp FROM e),
+    idx AS (SELECT DISTINCT fp FROM fpd WHERE doc_id % 4 != 0),
+    batch AS (SELECT doc_id, fp FROM fpd WHERE doc_id % 4 = 0),
+    hits AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM batch b JOIN idx USING (fp) GROUP BY b.doc_id)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+           COALESCE(MIN(h.n_hits), CAST(0 AS BIGINT)) AS n_hits,
+           COALESCE(MIN(h.n_hits), 0) >= 2 AS flagged
+    FROM batch t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def q_dedup_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental new-batch-vs-corpus winnow screening — the
+    daily-ingest shape for the positional-guarantee tier (completes the
+    incremental quad: MinHash / ExactSubstr / SemDeDup / winnowing all
+    have a persisted-index path). The corpus is documents with
+    doc_id % 4 != 0 (the persisted DISTINCT-fp index, one long per
+    row); the batch (doc_id % 4 = 0) screens via one semi-join on fp —
+    NEVER new-vs-new. Per batch doc: fingerprint count, index hits,
+    flagged at >= 2 hits."""
+    from asterlake.operators.winnow import winnow_index, winnow_index_matches
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    idx = winnow_index(corpus, k=4, w=4)
+    return winnow_index_matches(batch, idx, k=4, w=4, min_shared=2)
+
+
 # ---------------------------------------------------------------------------
 # Probabilistic record linkage (Fellegi & Sunter, JASA 1969)
 # ---------------------------------------------------------------------------
@@ -1541,6 +1574,41 @@ def q_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymous_release(
         cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=3
     ).select("c_custkey", "c_nationkey", "c_mktsegment", "bal_bucket")
+
+
+@query(
+    "q_l_diversity",
+    """
+    SELECT c_nationkey, bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+           COUNT(DISTINCT c_mktsegment) < 3 AS violates
+    FROM (SELECT c_nationkey,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+                 c_mktsegment
+          FROM customer)
+    GROUP BY c_nationkey, bal_bucket
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. ICDE 2006): a class
+    can be k-anonymous yet leak when every member shares one sensitive
+    value — per (nation, balance-bracket) class, the class size, the
+    DISTINCT count of the sensitive segment attribute, and the l<3
+    violation flag. Same single map-side-combinable groupBy as the
+    k-anonymity audit."""
+    from asterlake.operators.privacy import l_diversity_report
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+            "bal_bucket"
+        ),
+        "c_mktsegment",
+    )
+    return l_diversity_report(
+        cust, ["c_nationkey", "bal_bucket"], "c_mktsegment", 3
+    )
 
 
 @query(
@@ -10071,6 +10139,38 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "q_pagerank_copurchase": "calls pagerank_fixed_point/_pagerank_loop "
     "only — byte-identical this round (import-line fan-out; the "
     "Observation change is confined to connected_components)",
+    "q_ann_srp_buckets": "calls srp_signature only — byte-identical "
+    "this round (import-line fan-out)",
+    # LATE-r11 budget exemptions: 13 new declarations took front slots,
+    # so these touched-block rows rotate out WITH cross-coverage — every
+    # changed code path they exercise keeps at least one r11 front row
+    # whose oracle pins it digit-for-digit. All are r9/r10-green and
+    # lead the r12 rotation.
+    "q_kmeans_step": "centroid_argmax refactor covered by "
+    "q_dedup_semantic + q_dedup_semantic_incremental (r11 front, "
+    "literal-codebook oracles replay the argmax)",
+    "q_ann_ivf_assign": "same centroid_argmax coverage argument as "
+    "q_kmeans_step; assign is the literal-codebook projection both "
+    "semantic rows replay",
+    "q_ann_ivf_search": "same centroid_argmax coverage; the probe "
+    "join/top-k path is otherwise byte-identical this round",
+    "q_ann_pq_search": "same centroid_argmax coverage; PQ "
+    "encode/ADC/rerank untouched this round",
+    "q_ann_ivfpq_search": "same centroid_argmax coverage; IVFADC "
+    "residual/LUT path untouched this round",
+    "q_embedding_dup_clusters": "connected_components Observation "
+    "change covered by q_dedup_clusters + q_corpus_survivors + "
+    "q_dedup_survivors (r11 front) on the same loop",
+    "q_dedup_substrings": "the r11 skew fix (groupBy-count + semi-join "
+    "flag) is shared verbatim with q_scrub_substrings and "
+    "q_dedup_substrings_incremental (both r11 front, window-TEXT "
+    "oracles)",
+    "q_pack_sequences": "the NULL-safe pack tokenizer fix is scored "
+    "via q_pack_manifest (r11 front), whose oracle replays the same "
+    "tokenization and whose offsets derive from pack_sequences output",
+    "q_snapshot_scan_bloom": "the probe-tz canonicalization in "
+    "scan_version is scored via q_snapshot_scan_pruned (r11 front); "
+    "the bloom skipping layer is byte-identical this round",
 }
 
 # Round-11 front (exactly 50), frozen per the R11 FRONT PLAN the r10
@@ -10117,9 +10217,7 @@ _TOUCHED_R11 = [
     # q_ann_ivfpq_search/q_ann_pq_search AND both new semantic-dedup
     # rows; q_kmeans_step itself is r10-green and next in rotation.
     "q_pack_manifest",
-    "q_pack_sequences",
     "q_scrub_substrings",
-    "q_snapshot_scan_bloom",
     "q_snapshot_scan_pruned",
 ]
 _NEW_R11 = [
@@ -10157,6 +10255,9 @@ _NEW_R11 = [
     "q_mixture_temperature",
     # streaming record linkage (stateless stream-static twin)
     "q_stream_linkage",
+    # incremental winnow screening + l-diversity audit
+    "q_dedup_winnow_incremental",
+    "q_l_diversity",
 ]
 _STALE_R7 = [
     # the 26 r7-era rows the R10 front could not fit — the r11 lead

@@ -298,3 +298,57 @@ def test_lpa_partitioning_invariance(spark):
         for r in label_propagation(df.repartition(7), iters=3).collect()
     }
     assert one == many
+
+
+def test_winnow_incremental_never_new_vs_new(spark):
+    """A batch document duplicating ANOTHER BATCH document (but nothing
+    in the index) must not flag — the incremental contract shared by
+    every index tier."""
+    from asterlake.operators.winnow import winnow_index, winnow_index_matches
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    dup = "one two three four five six seven eight nine ten"
+    batch = spark.createDataFrame(
+        [(100, dup), (101, dup),
+         (102, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    idx = winnow_index(corpus, k=3, w=3)
+    got = {
+        r.doc_id: (r.n_hits, r.flagged)
+        for r in winnow_index_matches(
+            batch, idx, k=3, w=3, min_shared=1
+        ).collect()
+    }
+    # the same-batch twins share no fingerprint with the index
+    assert got[100] == (0, False) and got[101] == (0, False)
+    # the corpus duplicate flags
+    assert got[102][0] > 0 and got[102][1]
+
+
+def test_winnow_index_roundtrip_append_then_hit(spark, tmp_path):
+    """Ingest-loop shape: write the index, screen a batch (clean),
+    append the batch's fingerprints, re-screen a copy — now it hits."""
+    from asterlake.operators.winnow import winnow_index, winnow_index_matches
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "winnow_idx")
+    winnow_index(corpus, k=3, w=3).write.mode("overwrite").parquet(path)
+    batch1 = spark.createDataFrame(
+        [(10, "completely novel content with no shared runs at all")],
+        "doc_id long, text string",
+    )
+    idx = spark.read.parquet(path)
+    first = winnow_index_matches(batch1, idx, k=3, w=3, min_shared=1)
+    assert first.filter("flagged").count() == 0
+    winnow_index(batch1, k=3, w=3).write.mode("append").parquet(path)
+    batch2 = batch1.withColumn("doc_id", F.col("doc_id") + 1)
+    idx2 = spark.read.parquet(path).distinct()
+    second = winnow_index_matches(batch2, idx2, k=3, w=3, min_shared=1)
+    assert second.filter("flagged").count() == 1
