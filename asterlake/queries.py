@@ -10173,12 +10173,14 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "the bloom skipping layer is byte-identical this round",
 }
 
-# Round-11 front (exactly 50), frozen per the R11 FRONT PLAN the r10
-# verdict prescribed and re-derived mechanically (rotation.suggest_front
-# at freeze time): the new declaration first, the queries the r11
-# ADVICE fixes and the similarity refactor touched, the 26 r7-era rows
-# the r10 front could not fit (verdict ask #1), then r8-era
-# name-ascending freshness rotation to the budget.
+# Round-11 front (exactly 50), re-frozen AFTER the round's last
+# operator commit and verified equal to the mechanical derivation
+# (rotation.suggest_front over the declared set with the
+# _AUTO_PROMOTE_EXEMPT budget exemptions — checked at freeze time:
+# suggested == this block, element for element): the 18 new r11
+# declarations first, then the touched block (minus the justified
+# cross-coverage exemptions the budget forced), then the 26 r7-era
+# rows the r10 front could not fit (verdict ask #1).
 _TOUCHED_R11 = [
     # the similarity refactor (centroid_argmax shared by ivf_assign and
     # the new semantic_dedup), the NULL-safe pack tokenizer (ADVICE

@@ -2010,3 +2010,103 @@ def test_dsir_train_and_weights_match_replay_on_random_corpora(
             for g in gs
         )
         assert w[i] == (len(gs), want), (i, t)
+
+
+# -- r11: winnowing fingerprints vs pure-Python reference ---------------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "word", "x"]),
+            min_size=0,
+            max_size=25,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+    w=st.integers(min_value=2, max_value=5),
+)
+def test_winnow_matches_python_on_random_docs(spark, docs, k, w):
+    """Robust winnowing (hash folds, window-min, rightmost tie-break)
+    equals the pure-Python reference on low-entropy random token docs —
+    small alphabet maximizes hash-tie coverage."""
+    from tests.test_winnow_triangles import _py_winnow, _spark_fps
+
+    got = _spark_fps(spark, docs, k, w)
+    for i, t in enumerate(docs):
+        assert got[i] == _py_winnow(t, k, w), (i, t, k, w)
+
+
+# -- r11: exact integer t-th roots --------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    ns=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=10**12),
+            # perfect powers and neighbors: where a float seed is
+            # most likely off by an ulp
+            st.integers(min_value=0, max_value=10**6).map(lambda r: r * r),
+            st.integers(min_value=0, max_value=10**4).map(
+                lambda r: r * r * r
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    t=st.integers(min_value=2, max_value=3),
+)
+def test_integer_root_matches_python_floor_root(spark, ns, t):
+    from asterlake.operators.mixture import integer_root
+
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {
+        r.n: r.w
+        for r in df.select(
+            "n", integer_root(F.col("n"), t).alias("w")
+        ).collect()
+    }
+    for n in ns:
+        expect = round(n ** (1.0 / t))
+        while (expect + 1) ** t <= n:
+            expect += 1
+        while expect > 0 and expect**t > n:
+            expect -= 1
+        assert got[n] == expect, (n, t)
+
+
+# -- r11: wordpiece trainer vs pure-Python replay ------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    wc=st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=7),
+        st.integers(min_value=1, max_value=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_wordpiece_train_matches_replay_on_random_dicts(spark, wc):
+    from asterlake.operators.wordpiece import (
+        replay_wordpiece_train,
+        wordpiece_train,
+    )
+
+    df = spark.createDataFrame(list(wc.items()), "word string, n long")
+    assert wordpiece_train(df, n_merges=6) == replay_wordpiece_train(
+        wc, n_merges=6
+    )
