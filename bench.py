@@ -456,6 +456,11 @@ def main() -> None:
                     # retime records the steady state
                     "q_graph_triangles",
                     "q_label_propagation",
+                    # the kmeans-fit + cell-join + closure composition
+                    # is the most expensive query at sf0.1 (9.2s cold);
+                    # the retime separates its training build from the
+                    # steady dedup pass
+                    "q_dedup_semantic",
                 }
             )
         }
