@@ -37,7 +37,13 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["FieldRule", "blocked_candidates", "fs_score", "fs_link"]
+__all__ = [
+    "FieldRule",
+    "blocked_candidates",
+    "fs_score",
+    "fs_link",
+    "golden_records",
+]
 
 
 @dataclass(frozen=True)
@@ -103,4 +109,45 @@ def fs_link(
         F.when(F.col(weight_col) >= upper_micros, F.lit("link"))
         .when(F.col(weight_col) >= lower_micros, F.lit("possible"))
         .otherwise(F.lit("non_link")),
+    )
+
+
+def golden_records(
+    records: DataFrame,
+    links: DataFrame,
+    id_col: str,
+    link_a: str,
+    link_b: str,
+    survivors: list[Column],
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Survivorship: collapse linked records into one golden row per
+    entity. ``links`` is the accepted pair relation (from
+    :func:`fs_link` at the link threshold); entities are its transitive
+    closure over ALL records (graph.connected_components — singletons
+    stay their own entity, entity id = min member id); ``survivors``
+    are the per-field survivorship aggregates (callers pin rules like
+    most-trusted-source-wins via ``min(struct(rank, id, field))`` —
+    map-side-combinable, deterministic, never a window).
+
+    Scale: closure rounds are the connected_components shuffles (the
+    link graph is near-clique per entity — 2-3 rounds); the golden
+    rollup is ONE combinable aggregate keyed on the entity id.
+    """
+    from asterlake.operators.graph import connected_components
+
+    comp = connected_components(
+        links.select(link_a, link_b),
+        vertices=records.select(id_col),
+        src=link_a,
+        dst=link_b,
+        id_col=id_col,
+    )
+    return (
+        records.join(comp, id_col)
+        .groupBy(F.col("component").alias(entity_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_records"),
+            *survivors,
+        )
     )

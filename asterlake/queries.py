@@ -1441,6 +1441,77 @@ def q_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_golden_record",
+    _LINKAGE_CTE.replace("WITH l AS", "WITH RECURSIVE l AS", 1) + """,
+    links AS (SELECT cust_id, rec_id FROM s WHERE weight_micros >= 2500000),
+    recs AS (SELECT cust_id AS id, 0 AS src_rank, name, acct, seg FROM l
+             UNION ALL
+             SELECT rec_id AS id, 1 AS src_rank, name, acct, seg FROM r),
+    edges AS (SELECT cust_id AS es, rec_id AS ed FROM links
+              UNION ALL SELECT rec_id, cust_id FROM links),
+    walk(node, comp) AS (
+      SELECT id, id FROM recs
+      UNION
+      SELECT e.ed, w.comp FROM walk w JOIN edges e ON e.es = w.node),
+    comps AS (SELECT node, MIN(comp) AS entity_id FROM walk GROUP BY node),
+    g AS (SELECT c.entity_id, rc.id, rc.src_rank, rc.name, rc.acct, rc.seg
+          FROM recs rc JOIN comps c ON rc.id = c.node)
+    SELECT entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           min({'sr': src_rank, 'id': id, 'nm': name}).nm AS name,
+           max(acct) AS acct,
+           min(CASE WHEN seg = 'UNKNOWN' THEN NULL ELSE seg END) AS seg
+    FROM g GROUP BY entity_id
+    """,
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the linkage capstone: accepted link
+    pairs close transitively into entities (min-member entity id,
+    singletons included) and each entity collapses to ONE canonical row
+    under pinned per-field rules: name from the most-trusted source
+    (min over struct(src_rank, id, name) — combinable, deterministic,
+    no window), highest balance, most-conservative known segment
+    ('UNKNOWN' treated as missing). The oracle replays blocking,
+    scoring, a recursive-CTE closure, and the same struct-min
+    survivorship."""
+    from asterlake.operators.linkage import golden_records
+
+    left, right = _linkage_frames(spark, sf_dir)
+    scored = _linkage_scored(spark, sf_dir)
+    links = scored.filter(F.col("weight_micros") >= 2500000).select(
+        F.col("cust_id_l").alias("id_a"), F.col("rec_id_r").alias("id_b")
+    )
+    recs = left.select(
+        F.col("cust_id").alias("id"),
+        F.lit(0).alias("src_rank"),
+        "name",
+        "acct",
+        "seg",
+    ).unionByName(
+        right.select(
+            F.col("rec_id").alias("id"),
+            F.lit(1).alias("src_rank"),
+            "name",
+            "acct",
+            "seg",
+        )
+    )
+    survivors = [
+        F.min(F.struct("src_rank", "id", F.col("name").alias("nm")))
+        .getField("nm")
+        .alias("name"),
+        F.max("acct").alias("acct"),
+        F.min(
+            F.when(F.col("seg") == "UNKNOWN", None).otherwise(F.col("seg"))
+        ).alias("seg"),
+    ]
+    return golden_records(
+        recs, links, id_col="id", link_a="id_a", link_b="id_b",
+        survivors=survivors,
+    )
+
+
+@query(
     "q_stream_linkage",
     _LINKAGE_CTE + """
     SELECT cust_id, rec_id, weight_micros,
@@ -10171,6 +10242,9 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "q_snapshot_scan_bloom": "the probe-tz canonicalization in "
     "scan_version is scored via q_snapshot_scan_pruned (r11 front); "
     "the bloom skipping layer is byte-identical this round",
+    "q_dedup_survivors": "connected_components Observation change "
+    "covered by q_dedup_clusters + q_corpus_survivors (r11 front) AND "
+    "the new q_golden_record (r11 front), all on the same loop",
 }
 
 # Round-11 front (exactly 50), re-frozen AFTER the round's last
@@ -10190,7 +10264,6 @@ _TOUCHED_R11 = [
     # checkpoint job via Observation — one job/round instead of two)
     "q_corpus_survivors",
     "q_dedup_clusters",
-    "q_dedup_survivors",
     # q_embedding_dup_clusters: EXEMPT from the touched block this
     # round (budget): touched only via connected_components' Observation
     # convergence change, r11-scored through the three closure rows
@@ -10260,6 +10333,8 @@ _NEW_R11 = [
     # incremental winnow screening + l-diversity audit
     "q_dedup_winnow_incremental",
     "q_l_diversity",
+    # golden-record survivorship (linkage capstone)
+    "q_golden_record",
 ]
 _STALE_R7 = [
     # the 26 r7-era rows the R10 front could not fit — the r11 lead

@@ -78,3 +78,40 @@ def test_linkage_query_ground_truth_recall(spark, sf_dir):
     assert n_true_lost <= 0.05 * (n_true_found + n_true_lost), by
     # and the linker is discriminative: true links dominate false links
     assert by.get(("link", True), 0) > by.get(("link", False), 0)
+
+
+def test_golden_records_survivorship(spark):
+    """Two linked records collapse to one golden row under the pinned
+    rules; unlinked records stay their own entity."""
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.linkage import golden_records
+
+    recs = spark.createDataFrame(
+        [
+            (1, 0, "Alice Smith", 100.0, "AUTO"),
+            (1000001, 1, "ALICE SMITH", 250.0, "UNKNOWN"),
+            (2, 0, "Bob Jones", 50.0, "HOUSE"),
+        ],
+        "id long, src_rank int, name string, acct double, seg string",
+    )
+    links = spark.createDataFrame([(1, 1000001)], "id_a long, id_b long")
+    survivors = [
+        F.min(F.struct("src_rank", "id", F.col("name").alias("nm")))
+        .getField("nm")
+        .alias("name"),
+        F.max("acct").alias("acct"),
+        F.min(
+            F.when(F.col("seg") == "UNKNOWN", None).otherwise(F.col("seg"))
+        ).alias("seg"),
+    ]
+    got = {
+        r.entity_id: (r.n_records, r.name, r.acct, r.seg)
+        for r in golden_records(
+            recs, links, "id", "id_a", "id_b", survivors
+        ).collect()
+    }
+    assert got == {
+        1: (2, "Alice Smith", 250.0, "AUTO"),  # trusted name, max acct
+        2: (1, "Bob Jones", 50.0, "HOUSE"),
+    }

@@ -918,3 +918,16 @@ def test_label_propagation_combinable_argmax_no_window(spark):
     assert not has_node(plan, "CartesianProduct")
     assert not has_node(plan, "BatchEvalPython")
     assert has_node(plan, "ExistingRDD")
+
+
+def test_golden_record_combinable_survivorship_no_window(spark):
+    """q_golden_record at 100 TB: survivorship is ONE map-side-
+    combinable aggregate on the entity id (struct-min / max rules —
+    never a window over the entity); the closure rounds land as
+    checkpointed RDDs; no cartesian, no Python."""
+    plan = _plan(spark, "q_golden_record")
+    assert not has_node(plan, "Window")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BatchEvalPython")
+    assert "partial_min" in plan and "partial_max" in plan
+    assert has_node(plan, "ExistingRDD")
