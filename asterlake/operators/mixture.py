@@ -172,21 +172,23 @@ def integer_root(n: Column, t: int) -> Column:
     comparisons over seed-2..seed+2 pick the true floor root — so a
     last-ulp libm divergence between engines (pow is NOT correctly
     rounded) cannot change the result, only the (corrected) seed. The
-    candidate powers are BIGINT multiplies: safe for any n that fits
-    BIGINT when t >= 2 ((r+2)^t only approaches overflow within ~2/r of
-    the type bound, where the true root check already rejects)."""
+    candidate powers route through DECIMAL(38,0): at n within 2/r of
+    the BIGINT bound, (seed+2)^t overflows a long — which raises under
+    ANSI mode instead of rejecting the candidate."""
     if t < 2:
         raise ValueError("integer_root needs t >= 2 (t=1 is identity)")
     seed = F.floor(F.pow(n.cast("double"), 1.0 / t)).cast("long")
     cands = F.array([seed + F.lit(d) for d in (-2, -1, 0, 1, 2)])
 
     def pow_t(r: Column) -> Column:
-        out = r
+        out = r.cast("decimal(38,0)")
         for _ in range(t - 1):
-            out = out * r
+            out = (out * r.cast("decimal(38,0)")).cast("decimal(38,0)")
         return out
 
-    ok = F.filter(cands, lambda r: (r >= 0) & (pow_t(r) <= n))
+    ok = F.filter(
+        cands, lambda r: (r >= 0) & (pow_t(r) <= n.cast("decimal(38,0)"))
+    )
     return F.array_max(ok)
 
 
