@@ -30,7 +30,7 @@ Scale (100 TB of embeddings):
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -933,4 +933,78 @@ def semantic_index_matches(
             (-F.col("_best._neg")).cast("bigint").alias("best_match"),
             F.col("_best._cos").alias("best_cosine"),
         )
+    )
+
+
+def srp_multiprobe_signatures(
+    vec_col: Column, hyperplanes: list[list[int]]
+) -> Column:
+    """``array<string>`` of probe signatures for multi-probe SRP-LSH
+    (Lv et al., VLDB 2007 applied to sign-random-projection): the
+    vector's own signature plus every Hamming-distance-1 neighbor (one
+    bit flipped). A near neighbor falling JUST on the other side of one
+    hyperplane — the dominant SRP miss mode — lands in exactly one of
+    these b+1 buckets, so probing them recovers most of the recall a
+    longer signature loses, without more tables or a shorter signature's
+    bucket blowup. Row-local string ops; b+1 distinct probes per row."""
+    b = len(hyperplanes)
+    sig = srp_signature(vec_col, hyperplanes)
+    flips = F.transform(
+        F.sequence(F.lit(1), F.lit(b)),
+        lambda i: F.concat(
+            sig.substr(F.lit(1), i - 1),
+            F.when(sig.substr(i, F.lit(1)) == "1", "0").otherwise("1"),
+            sig.substr(i + 1, F.lit(b)),
+        ),
+    )
+    return F.concat(F.array(sig), flips)
+
+
+def srp_multiprobe_topk(
+    queries: DataFrame,
+    data: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-probe SRP ANN: each query probes its own bucket plus all
+    1-bit-flip buckets, candidates rerank by exact cosine, top-k per
+    query by (cosine DESC, id ASC).
+
+    Scale: the data side is signed ONCE (row-local) and joined on the
+    signature string — a hash equi-join, never a cartesian; candidates
+    per query are (b+1)/2^b of the corpus in expectation, and the only
+    other shuffle is the per-query top-k window on the query id (the
+    q_ann_ivf_search shape). Self-matches are excluded."""
+    planes = srp_hyperplanes(n_planes, dim, seed)
+    d = data.select(
+        F.col(id_col),
+        F.col(vec_col),
+        srp_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            srp_multiprobe_signatures(F.col(vec_col), planes)
+        ).alias("bucket"),
+    )
+    cand = q.join(d, "bucket").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

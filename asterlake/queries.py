@@ -1056,6 +1056,70 @@ def q_embedding_srp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ann_srp_multiprobe",
+    None,  # oracle injected below (needs the hyperplane literal)
+)
+def q_ann_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP ANN (Lv et al. VLDB 2007 applied to
+    sign-random-projection): each query vector probes its OWN bucket
+    plus every Hamming-distance-1 bucket (one hyperplane bit flipped) —
+    recovering the recall the single-bucket lookup loses exactly where
+    SRP misses (a true neighbor just across one hyperplane) without
+    more tables. Data is signed once row-locally, candidates come from
+    a hash equi-join on the signature string, exact-cosine rerank,
+    top-10 per query by (cosine DESC, id ASC). 3 query vectors."""
+    from asterlake.operators.similarity import srp_multiprobe_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    return srp_multiprobe_topk(
+        q, e, dim=64, k=10, n_planes=4, seed=42
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
+def _srp_multiprobe_oracle() -> str:
+    b = 4
+    sig = (
+        "array_to_string(list_transform(planes, hp -> "
+        "CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), "
+        "i -> hp[i] * CAST(embedding[i] AS DOUBLE))) >= 0 "
+        "THEN '1' ELSE '0' END), '')"
+    )
+    return f"""
+    WITH h AS (SELECT {_srp_neighbor_planes()} AS planes),
+    d AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings, h),
+    qs AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS sig
+           FROM d WHERE vec_id < 3),
+    probes AS (
+      SELECT query_id, qe,
+             unnest(list_prepend(sig,
+               [substr(sig, 1, CAST(i - 1 AS INT))
+                || (CASE WHEN substr(sig, CAST(i AS INT), 1) = '1'
+                         THEN '0' ELSE '1' END)
+                || substr(sig, CAST(i + 1 AS INT), {b})
+                FOR i IN range(1, {b + 1})])) AS bucket
+      FROM qs),
+    cand AS (SELECT p.query_id, p.qe, d.vec_id, d.embedding
+             FROM probes p JOIN d ON p.bucket = d.bucket
+             WHERE d.vec_id != p.query_id),
+    scored AS (SELECT query_id, vec_id,
+                      {_duck_cosine('embedding', 'qe')} AS cosine
+               FROM cand),
+    ranked AS (SELECT query_id, vec_id, cosine,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC) AS INT)
+                        AS rank
+               FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+QUERIES["q_ann_srp_multiprobe"] = QueryDef(
+    q_ann_srp_multiprobe, _srp_multiprobe_oracle()
+)
+
+
 QUERIES["q_embedding_srp_neighbors"] = QueryDef(
     q_embedding_srp_neighbors,
     f"""
@@ -10243,8 +10307,11 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "scan_version is scored via q_snapshot_scan_pruned (r11 front); "
     "the bloom skipping layer is byte-identical this round",
     "q_dedup_survivors": "connected_components Observation change "
-    "covered by q_dedup_clusters + q_corpus_survivors (r11 front) AND "
-    "the new q_golden_record (r11 front), all on the same loop",
+    "covered by q_corpus_survivors (r11 front) AND the new "
+    "q_golden_record (r11 front), all on the same loop",
+    "q_dedup_clusters": "connected_components Observation change "
+    "covered by q_corpus_survivors + q_golden_record (r11 front) on "
+    "the same loop; q_dedup_clusters is r10-green and next in rotation",
 }
 
 # Round-11 front (exactly 50), re-frozen AFTER the round's last
@@ -10263,7 +10330,6 @@ _TOUCHED_R11 = [
     # family (connected_components' convergence check now rides the
     # checkpoint job via Observation — one job/round instead of two)
     "q_corpus_survivors",
-    "q_dedup_clusters",
     # q_embedding_dup_clusters: EXEMPT from the touched block this
     # round (budget): touched only via connected_components' Observation
     # convergence change, r11-scored through the three closure rows
@@ -10335,6 +10401,8 @@ _NEW_R11 = [
     "q_l_diversity",
     # golden-record survivorship (linkage capstone)
     "q_golden_record",
+    # multi-probe SRP ANN (recall recovery without more tables)
+    "q_ann_srp_multiprobe",
 ]
 _STALE_R7 = [
     # the 26 r7-era rows the R10 front could not fit — the r11 lead

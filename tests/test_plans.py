@@ -931,3 +931,15 @@ def test_golden_record_combinable_survivorship_no_window(spark):
     assert not has_node(plan, "BatchEvalPython")
     assert "partial_min" in plan and "partial_max" in plan
     assert has_node(plan, "ExistingRDD")
+
+
+def test_srp_multiprobe_equijoin_no_cartesian(spark):
+    """q_ann_srp_multiprobe at 100 TB: candidates come from a hash
+    EQUI-join on the signature string (never a cartesian/nested-loop);
+    the only window is the per-query top-k on query_id; no Python."""
+    plan = _plan(spark, "q_ann_srp_multiprobe")
+    assert not has_node(plan, "CartesianProduct")
+    assert not has_node(plan, "BroadcastNestedLoopJoin")
+    assert not has_node(plan, "BatchEvalPython")
+    keys = shuffle_keys(plan)
+    assert all("query_id" in k or "bucket" in k for k in keys), keys

@@ -445,3 +445,53 @@ def test_semantic_index_partitioned_landing_round_trip(spark, vectors):
     b = {tuple(r) for r in semantic_index_matches(
         new, persisted, cents, 0.35).collect()}
     assert a == b and a
+
+
+def test_srp_multiprobe_signatures_hamming1(spark):
+    from asterlake.operators.similarity import (
+        srp_hyperplanes,
+        srp_multiprobe_signatures,
+    )
+
+    planes = srp_hyperplanes(n_planes=5, dim=8, seed=3)
+    df = spark.createDataFrame(
+        [(1, [float(i % 3 - 1) for i in range(8)])],
+        "vec_id long, embedding array<double>",
+    )
+    probes = df.select(
+        srp_multiprobe_signatures(F.col("embedding"), planes).alias("p")
+    ).collect()[0].p
+    assert len(probes) == 6 and len(set(probes)) == 6
+    own = probes[0]
+    for flip in probes[1:]:
+        assert len(flip) == len(own)
+        assert sum(a != b for a, b in zip(own, flip)) == 1
+
+
+def test_srp_multiprobe_recall_superset_of_single_probe(spark, sf_dir):
+    """Multiprobe candidates strictly contain the single-bucket
+    candidates, so its top-k cosine floor can only improve."""
+    from asterlake.operators.similarity import (
+        srp_bucket,
+        srp_multiprobe_topk,
+    )
+    from asterlake.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    multi = {
+        r.vec_id
+        for r in srp_multiprobe_topk(
+            q, e, dim=64, k=10**6, n_planes=4, seed=42
+        ).collect()
+    }
+    buckets = srp_bucket(e, dim=64, n_planes=4, seed=42)
+    q_bucket = buckets.filter(F.col("vec_id") == 0).collect()[0].bucket
+    single = {
+        r.vec_id
+        for r in buckets.filter(
+            (F.col("bucket") == q_bucket) & (F.col("vec_id") != 0)
+        ).collect()
+    }
+    assert single <= multi
+    assert len(multi) > len(single)  # the flips probe real extra buckets
