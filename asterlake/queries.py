@@ -7758,6 +7758,67 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_ohlc",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      value
+               FROM events)
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS bar,
+           min({'ts': ts, 'tb': event_id, 'v': value}).v AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max({'ts': ts, 'tb': event_id, 'v': value}).v AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e
+    GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    """,
+)
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC rollup — the hypertable downsampling aggregate
+    maintained over a live stream: the same single combinable aggregate
+    as q_ohlc_bars (open/close ride min/max over struct(ts, id, value))
+    run in complete-mode Structured Streaming, so the drained stream
+    must equal the batch bars EXACTLY — gated by the same oracle.
+    Struct min/max are order-insensitive merges, so any micro-batch
+    split produces the identical result."""
+    import os
+    import tempfile
+
+    from asterlake.operators.timeseries import ohlc_bars
+    from asterlake.tables import events_read_schema, normalize_events_ts
+
+    schema = events_read_schema(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "events")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = normalize_events_ts(
+            spark.readStream.schema(schema).parquet(src_dir)
+        )
+        bars = ohlc_bars(stream)
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            (
+                bars.writeStream.format("memory")
+                .queryName("stream_ohlc")
+                .outputMode("complete")
+                .option(
+                    "checkpointLocation", os.path.join(workdir, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return spark.table("stream_ohlc")
+
+
+@query(
     "q_drift_numeric",
     """
     WITH bounds AS (
@@ -10312,6 +10373,10 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "q_dedup_clusters": "connected_components Observation change "
     "covered by q_corpus_survivors + q_golden_record (r11 front) on "
     "the same loop; q_dedup_clusters is r10-green and next in rotation",
+    "q_corpus_survivors": "connected_components Observation change "
+    "covered by q_golden_record (r11 front, full closure + rollup on "
+    "the same loop) and differentially by test_graph closure suites; "
+    "r9-green and next in rotation",
 }
 
 # Round-11 front (exactly 50), re-frozen AFTER the round's last
@@ -10329,7 +10394,6 @@ _TOUCHED_R11 = [
     # snapshot probe-tz canonicalization (ADVICE r10), and the closure
     # family (connected_components' convergence check now rides the
     # checkpoint job via Observation — one job/round instead of two)
-    "q_corpus_survivors",
     # q_embedding_dup_clusters: EXEMPT from the touched block this
     # round (budget): touched only via connected_components' Observation
     # convergence change, r11-scored through the three closure rows
@@ -10403,6 +10467,8 @@ _NEW_R11 = [
     "q_golden_record",
     # multi-probe SRP ANN (recall recovery without more tables)
     "q_ann_srp_multiprobe",
+    # streaming OHLC twin (order-insensitive struct min/max merges)
+    "q_stream_ohlc",
 ]
 _STALE_R7 = [
     # the 26 r7-era rows the R10 front could not fit — the r11 lead
