@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_report", "k_anonymous_release"]
+__all__ = [
+    "k_anonymity_report",
+    "k_anonymous_release",
+    "l_diversity_report",
+]
 
 
 def _class_counts(df: DataFrame, quasi: list[str]) -> DataFrame:
@@ -49,13 +53,28 @@ def k_anonymous_release(
     (the conservative cell-suppression baseline — generalization
     hierarchies are a caller-side refinement). Aggregate + left-semi
     join on the class key; the source table is scanned twice, never
-    windowed on the class key."""
+    windowed on the class key.
+
+    The join keys are NULL-SAFE (``<=>``): groupBy treats NULL as a
+    class value, so the audit counts a NULL-valued class and may report
+    it non-violating — the release must keep it by the same class
+    semantics (r11 ADVICE: the plain semi-join suppressed every row
+    with a NULL quasi value regardless of class size, silently
+    disagreeing with the audit). ``<=>`` keeps the key an equi-join
+    condition, so this still plans as a hash semi-join, never a
+    cartesian."""
     passing = (
         _class_counts(df, quasi)
         .filter(F.col("k") >= F.lit(k))
         .select(*quasi)
+        .alias("_ok")
     )
-    return df.join(passing, quasi, "left_semi")
+    src = df.alias("_src")
+    cond = None
+    for c in quasi:
+        clause = F.col(f"_src.{c}").eqNullSafe(F.col(f"_ok.{c}"))
+        cond = clause if cond is None else cond & clause
+    return src.join(passing, cond, "left_semi")
 
 
 def l_diversity_report(

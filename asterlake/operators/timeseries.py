@@ -272,6 +272,15 @@ def time_weighted_avg(
     )
 
 
+# date_trunc units at day granularity or coarser: truncating to these
+# lands on a midnight boundary, so the DATE cast is lossless. Every
+# finer unit ('hour', 'minute', ...) must keep the timestamp key.
+_DAY_OR_COARSER_BUCKETS = frozenset(
+    {"year", "yyyy", "yy", "quarter", "month", "mon", "mm", "week",
+     "day", "dd"}
+)
+
+
 def ohlc_bars(
     df: DataFrame,
     key: str = "user_id",
@@ -291,8 +300,17 @@ def ohlc_bars(
     no window, no sort, no second pass. Struct ordering is
     lexicographic and (ts, tiebreak) is unique, so the ride-along value
     is deterministic; high/low are plain min/max (no accumulation — the
-    doubles are exact)."""
-    bar = F.date_trunc(bucket, F.col(ts_col)).cast("date").alias("bar")
+    doubles are exact).
+
+    The bar key is the truncated TIMESTAMP, collapsed to a DATE only
+    for day-or-coarser buckets (where the two are bijective). Sub-day
+    buckets ('hour', 'minute', ...) keep the timestamp — casting those
+    to DATE would silently merge every bar within a day into one daily
+    bar (r11 ADVICE)."""
+    truncated = F.date_trunc(bucket, F.col(ts_col))
+    if bucket.lower() in _DAY_OR_COARSER_BUCKETS:
+        truncated = truncated.cast("date")
+    bar = truncated.alias("bar")
     first = F.min(
         F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col))
     )

@@ -1695,14 +1695,21 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok AS (SELECT c_nationkey, c_mktsegment, bal_bucket
            FROM q GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3)
     SELECT q.c_custkey, q.c_nationkey, q.c_mktsegment, q.bal_bucket
-    FROM q JOIN ok USING (c_nationkey, c_mktsegment, bal_bucket)
+    FROM q JOIN ok
+      ON q.c_nationkey IS NOT DISTINCT FROM ok.c_nationkey
+     AND q.c_mktsegment IS NOT DISTINCT FROM ok.c_mktsegment
+     AND q.bal_bucket IS NOT DISTINCT FROM ok.bal_bucket
     """,
 )
 def q_k_anonymous_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k=3-anonymized customer release: rows whose quasi-identifier
     class has >= 3 members; smaller classes suppressed entirely.
     Aggregate + left-semi join on the class key — the source is never
-    windowed on it, so hot (= safe) classes stay map-side-combined."""
+    windowed on it, so hot (= safe) classes stay map-side-combined.
+    The semi-join keys are null-safe (``<=>`` / IS NOT DISTINCT FROM)
+    so the release keeps exactly the classes the audit counts — a
+    NULL-valued class of size >= k is released, not silently
+    suppressed (r11 ADVICE)."""
     from asterlake.operators.privacy import k_anonymous_release
 
     cust = _kanon_cols(load_table(spark, sf_dir, "customer"))
@@ -8020,6 +8027,932 @@ def _pq_oracle() -> str:
 
 
 QUERIES["q_ann_pq_search"] = QueryDef(q_ann_pq_search, _pq_oracle())
+
+
+# OPQ model pinned as the ANN literal (the _BPE_MERGES pattern): trained
+# ONCE on the sf0.01 embeddings with operators/pq.opq_train (parametric
+# eigenvalue-allocation rotation from the Gram/mean eigensolve + Lloyd-
+# refined codebooks over the ROTATED corpus, m=8 k=16 iters=4 seed=11 —
+# the same code-byte budget as the q_ann_pq_search model), then pinned
+# 6-decimal-quantized. Retraining changes these literals, never the
+# search semantics (rotation recovery and the SSE objective are
+# differentially pinned in tests/test_pq.py).
+#
+# Honesty note on the gain (r11 verdict ask #3 said "measure"): this
+# corpus is near-ISOTROPIC — its sf0.1 covariance eigen-spread (1.93x)
+# sits BELOW the Marchenko-Pastur sampling-noise bound for n=2000 d=64
+# (2.06x), so rotation buys little here by construction (measured at
+# sf0.01: OPQ SSE 261.5 vs seeded-init PQ 280.4 — a 6.7% edge, mostly
+# the moments init). The rotation's real value is pinned where the
+# structure exists: on a planted rank-6 corpus (the correlation shape
+# learned embeddings actually have) OPQ cuts reconstruction SSE 95%
+# vs equal-byte PQ — 12.5 vs 259.3, scalar-quantizing the recovered
+# factor directions (tests/test_pq.py::
+# test_opq_beats_pq_on_correlated_data).
+_OPQ_ROTATION_PACKED = (
+    "-0.209639 -0.120573 0.036548 0.01182 0.07567 0.013215 0.090584 "
+    "0.286619 0.049547 0.414057 0.065305 0.182079 0.065132 -0.036532 "
+    "0.171149 -0.18535 0.08899 -0.157027 -0.030137 0.032179 0.061213 "
+    "-0.110688 -0.083475 -0.055437 0.01955 0.199125 -0.037517 "
+    "0.149508 -0.17288 -0.006123 -0.058716 0.062038 0.296539 0.106165 "
+    "-0.032042 0.104144 0.044539 0.061464 0.013007 0.021771 -0.116679 "
+    "0.005525 -0.240837 0.095708 -0.028308 -0.225127 0.008732 "
+    "-0.079038 -0.083681 -0.118451 0.120459 0.072483 -0.017186 "
+    "0.081604 -0.015031 -0.066765 -0.055651 -0.051376 0.060196 "
+    "-0.091139 0.121987 0.05065 -0.218211 -0.102014 -0.025622 "
+    "-0.030266 0.219287 0.191621 0.061224 -0.096792 0.069522 -0.06003 "
+    "-0.081051 -0.215125 0.252763 0.043319 -0.038379 -0.150356 "
+    "-0.108999 -0.031525 -0.001985 -0.078037 0.009313 -0.1991 "
+    "-0.054334 -0.070066 -0.091273 -0.106063 -0.046243 0.214162 "
+    "0.014355 0.001002 0.245329 0.061229 -0.131225 -0.180397 "
+    "-0.016118 -0.032722 -0.215984 -0.236483 -0.154596 0.098962 "
+    "0.207094 0.041223 0.139826 0.053368 -0.126371 0.033674 -0.103573 "
+    "-0.051247 0.05414 0.133336 -0.091508 -0.00493 0.115528 -0.001927 "
+    "-0.074376 0.068097 0.152734 -0.092998 0.032117 0.195586 0.175949 "
+    "-0.159414 0.083246 0.047234 -0.082119 0.264808 0.174127 "
+    "-0.102137 -0.062253 0.221378 0.040334 0.077023 0.012137 "
+    "-0.163325 0.21697 0.014098 -0.081102 0.174589 -0.149826 "
+    "-0.134684 -0.150866 0.170273 -0.057661 -0.121781 -0.141677 "
+    "0.258795 0.184004 -0.095878 -0.165811 -0.087875 -0.092936 "
+    "-0.149241 -0.125974 0.155394 0.072001 0.174415 0.106323 "
+    "-0.004501 0.040076 0.097842 -0.159779 0.126366 0.113181 "
+    "-0.176929 0.02364 -0.066379 -0.117472 0.148765 0.009713 0.073408 "
+    "-0.009947 0.202257 0.188465 0.015556 0.002737 -0.096077 "
+    "-0.063643 -0.151075 -0.113759 0.233769 0.004867 -0.072698 "
+    "0.07205 0.016171 0.079188 -0.154834 -0.036349 0.107341 0.055449 "
+    "-0.115852 -0.010416 -0.180931 -0.054364 0.140709 0.206169 "
+    "-0.153489 -0.019929 -0.101589 -0.261833 0.067618 0.052392 "
+    "-0.09529 -0.082683 0.030313 0.095659 -0.100009 0.125999 0.211465 "
+    "-0.1429 0.087757 -0.050418 -0.093135 0.017433 -0.025054 0.058276 "
+    "0.191886 0.077788 -0.030036 0.07442 0.106996 0.068764 0.069384 "
+    "-0.097719 0.098087 -0.1219 0.219944 -0.148614 -0.059661 "
+    "-0.291089 0.052179 0.138155 0.079529 0.033387 0.126569 0.094835 "
+    "-0.036322 -0.057573 0.039479 0.334267 -0.028227 -0.272931 "
+    "0.068136 -0.122186 0.07559 -0.03728 0.168926 0.185284 -0.041241 "
+    "0.063747 0.0476 -0.00364 0.020827 -0.184644 0.093933 0.205637 "
+    "-0.03872 0.350718 -0.010048 -0.088808 0.178972 0.167044 "
+    "-0.076045 -0.049746 0.068025 -0.05459 0.072077 0.056628 "
+    "-0.053371 0.301714 -0.086167 -0.083391 0.075123 0.034394 "
+    "0.038435 0.113711 0.15414 0.358188 -0.004132 -0.232673 0.104204 "
+    "0.096485 0.089584 -0.028397 0.071066 0.127202 -0.08249 -0.095487 "
+    "-0.250154 -0.048635 -0.039469 0.125862 -0.061948 -0.1336 "
+    "-0.066187 -0.16722 0.046769 0.023885 0.170637 -0.058105 0.088607 "
+    "0.029376 -0.083804 0.094395 -0.096272 0.020278 -0.036976 "
+    "-0.038069 -0.096719 0.002781 -0.103654 -0.131771 -0.027741 "
+    "-0.065805 -0.029434 0.030746 0.123287 -0.068353 0.257188 "
+    "-0.011068 -0.079738 0.075384 0.080233 -0.059277 -0.092435 "
+    "0.030687 -0.153232 -0.014044 0.117524 -0.098671 0.08991 0.074571 "
+    "0.024386 0.09991 0.138606 -0.128759 -0.007367 0.048319 0.04271 "
+    "0.019229 -0.125121 -0.123645 0.095834 -0.006904 0.091288 "
+    "0.059565 0.201779 -0.279085 -0.051492 0.088907 -0.009649 "
+    "-0.060418 0.131469 -0.139873 0.120015 -0.152301 0.316428 "
+    "0.084908 0.241534 0.139572 0.065516 -0.153117 -0.166034 0.03145 "
+    "0.270036 0.027152 0.105194 -0.078918 -0.024829 -0.149552 "
+    "-0.172614 0.159862 -0.225359 0.140418 -0.134125 0.005068 "
+    "0.012366 -0.144057 0.252846 -0.001008 -0.013402 0.037238 "
+    "0.107316 -0.036608 0.160945 -0.003699 -0.053436 -0.09296 "
+    "-0.199927 0.238163 -0.132177 0.068439 -0.023765 0.111569 0.05955 "
+    "0.261128 -0.075873 0.048513 -0.068397 -0.00287 -0.152636 "
+    "0.197271 0.009845 -0.066749 0.063145 0.106477 -0.011454 "
+    "-0.172314 -0.03696 0.018695 0.175401 0.232951 0.03722 0.197174 "
+    "0.133805 0.093828 0.04881 0.197819 0.154726 0.052363 0.298684 "
+    "0.080949 0.069285 0.091188 0.103658 0.085843 0.070976 0.127975 "
+    "0.010975 -0.111311 -0.007863 0.095701 0.002314 -0.038427 "
+    "-0.068908 0.046978 0.350555 -0.192852 0.152374 -0.025362 "
+    "0.137239 0.115814 0.049151 0.000387 -0.092036 0.071889 -0.014324 "
+    "0.047927 0.073967 -0.099563 -0.111654 -0.216467 -0.016009 "
+    "0.01456 -0.107079 -0.179975 0.133109 0.001325 -0.034601 "
+    "-0.261522 -0.097706 0.177482 0.324907 0.02234 -0.08147 -0.149024 "
+    "0.128328 -0.124891 0.260026 -0.123259 -0.215504 0.060275 "
+    "-0.066367 -0.068194 -0.002291 0.04899 0.01489 -0.137404 "
+    "-0.059435 0.109657 -0.082356 0.11033 -0.175491 -0.133316 "
+    "0.039156 0.102174 0.107428 -0.011358 0.09718 -0.024901 0.114075 "
+    "-0.051292 -0.02264 -0.130324 -0.157893 -0.090184 -0.140373 "
+    "-0.268336 -0.019474 0.005968 0.065252 -0.074618 -0.043687 "
+    "-0.077325 -0.118017 -0.021454 -0.009965 0.100303 -0.238223 "
+    "-0.184937 0.107539 -0.003837 -0.05443 -0.012568 -0.088134 "
+    "0.174858 0.025214 0.074947 -0.069981 0.077448 0.030696 0.105758 "
+    "-0.017883 0.012976 0.133697 0.014559 0.041392 0.148411 0.36031 "
+    "-0.054189 -0.050765 0.032543 0.035391 0.065335 -0.309123 "
+    "-0.257682 -0.239066 -0.020638 -0.000223 -0.086286 -0.174533 "
+    "-0.024068 -0.217545 0.029464 0.061539 0.033753 0.07922 0.059467 "
+    "0.036498 0.182107 0.046674 9e-06 0.046987 -0.062767 -0.17919 "
+    "0.172686 -0.188835 -0.046946 0.145779 0.112924 -0.113281 "
+    "-0.157431 -0.081975 0.01298 -0.016092 0.238035 0.023384 -0.30282 "
+    "0.016383 0.135434 -0.121586 -0.08367 0.084839 -0.000443 "
+    "-0.078616 -0.051458 0.159773 0.005756 -0.024867 0.098283 "
+    "-0.110452 -0.041826 0.024826 0.174855 -0.146782 0.063393 "
+    "-0.159411 -0.011651 -0.067389 0.281093 0.064491 0.158986 "
+    "-0.03437 -0.111971 0.113174 0.118873 -0.059941 -0.101921 "
+    "0.332937 -0.069169 -0.163516 -0.029358 -0.12018 0.185596 "
+    "-0.062827 -0.220306 0.037661 0.00817 0.020932 -0.167892 0.037211 "
+    "0.173899 0.227045 -0.181378 -0.046315 -0.077594 -0.036976 "
+    "-0.279546 -0.047904 -0.0226 -0.026634 0.033065 0.005797 0.130819 "
+    "-0.266571 0.021535 -0.087297 -0.043298 -0.106548 -0.084749 "
+    "0.030075 -0.034358 0.061079 -0.140615 -0.136503 -0.06262 "
+    "-0.156624 0.074779 0.139979 -0.190602 -0.002839 -0.012653 "
+    "-0.165911 -0.029372 -0.015946 0.074309 -0.130068 -0.005233 "
+    "0.021352 0.109693 -0.018927 -0.172534 -0.02 0.116729 -0.047941 "
+    "-0.077186 0.05119 0.196773 -0.048553 -0.016402 0.146027 "
+    "-0.021981 0.234347 0.10293 -0.144465 0.103888 -0.145001 "
+    "-0.135199 -0.1206 0.145296 -0.183562 -0.19016 0.120159 -0.191421 "
+    "0.037702 -0.049284 0.032544 0.08643 -0.229439 -0.038702 "
+    "-0.001376 -0.110836 0.200587 -0.148866 0.025838 0.090853 "
+    "-0.177059 0.069638 0.169874 0.006595 -0.172811 -0.082516 "
+    "0.269152 0.204737 -0.053522 0.010895 0.109782 0.003174 0.064117 "
+    "-0.042474 -0.052845 -0.220449 -0.223705 0.244424 -0.082207 "
+    "0.108622 0.026619 0.049737 -0.119829 0.110012 0.028355 -0.079845 "
+    "0.171517 -0.186212 -0.035991 -0.214232 -0.135088 -0.076845 "
+    "-0.162751 0.058499 -0.160967 -0.219865 0.026532 0.125149 "
+    "0.086396 0.013512 0.063326 0.131322 -0.01248 -0.041126 0.008189 "
+    "-0.091495 -0.262901 -0.053791 -0.024286 -0.112454 -0.020841 "
+    "0.259153 0.067372 0.068782 0.143707 0.315415 -0.179314 -0.005666 "
+    "0.05167 0.042653 -0.02378 0.188391 0.074956 0.083973 0.060424 "
+    "0.224833 0.021634 0.170207 0.105539 -0.029933 -0.095523 0.104194 "
+    "0.128218 0.14053 0.15765 0.048627 -0.032083 0.036928 -0.181366 "
+    "-0.017637 0.086106 -0.162325 -0.166479 0.110854 0.219371 "
+    "-0.199564 0.184287 -0.116081 -0.177665 -0.098313 -0.041354 "
+    "-0.034522 -0.108323 -0.082244 0.118279 0.149043 0.160595 "
+    "0.170873 0.011715 0.159625 -0.116858 -0.12612 -0.056374 0.125233 "
+    "0.027155 -0.042343 0.093618 -0.211849 -0.115395 0.059938 "
+    "0.175025 0.029846 0.08658 0.111524 0.212303 0.189187 0.126232 "
+    "0.214392 -0.005226 0.195157 -0.095038 -0.029058 -0.035083 "
+    "-0.205434 0.13785 -0.026059 0.130822 -0.141222 0.036574 0.068291 "
+    "0.092588 -0.020773 0.024223 -0.03005 -0.173887 0.101517 0.050566 "
+    "0.0544 0.031662 0.025211 -0.137161 0.189418 -0.031527 0.149362 "
+    "-0.112883 -0.107903 0.212456 0.226666 0.225399 0.081242 0.05129 "
+    "0.086917 -0.186348 0.182209 0.158083 0.156993 -0.01366 -0.045146 "
+    "-0.038938 -0.063322 0.135499 0.133147 -0.070948 -0.067093 "
+    "0.051508 -0.061359 0.11109 0.336836 0.109099 0.174022 -0.122132 "
+    "-0.068078 -0.051661 -0.076136 0.049671 -0.127492 0.113278 "
+    "0.067072 0.03401 -0.047577 0.058366 -0.22589 -0.005186 -0.044537 "
+    "-0.06439 0.096106 -0.224431 0.178956 -0.063257 0.277347 "
+    "-0.169382 0.130047 0.044609 -0.002473 0.034288 -0.024971 -0.0511 "
+    "-0.042297 0.026381 -0.010111 -0.298778 0.025198 -0.069412 "
+    "-0.010789 0.067054 0.153262 0.018619 0.021984 -0.0055 0.118972 "
+    "-0.039108 0.025871 -0.060488 0.093523 0.160871 0.015119 -0.26252 "
+    "-0.002348 -0.091495 -0.223558 -0.063 -0.053922 0.15717 -0.102163 "
+    "-0.0577 0.082104 0.061767 0.038399 -0.074423 0.198823 0.086451 "
+    "-0.06126 0.152834 -0.044918 -0.065031 0.036847 0.129738 "
+    "-0.171879 0.182723 -0.020994 -0.036246 0.265677 -0.034068 "
+    "0.108509 -0.039556 -0.208339 0.137319 -0.04901 -0.084919 "
+    "0.202919 0.04602 -0.149899 -0.002771 -0.124572 -0.08314 "
+    "-0.124911 0.20304 0.047985 0.104167 0.10572 0.184793 0.066061 "
+    "0.219436 -0.144946 -0.097784 -0.000508 -0.046492 -0.240077 "
+    "-0.225649 -0.118619 -0.022351 -0.148868 0.026611 -0.025354 "
+    "-0.072028 0.130637 0.011092 0.111961 0.176578 0.240222 -0.019138 "
+    "0.148004 0.135657 -0.066909 -0.179769 0.011655 -0.085205 "
+    "0.099577 0.022294 -0.204425 0.117902 -0.037923 -0.153105 "
+    "-0.172448 -0.046639 -0.142515 -0.060988 0.119624 -0.139704 "
+    "-0.039092 -0.099994 0.035576 -0.041791 -0.107816 0.157903 "
+    "-0.12452 0.100718 -0.12188 0.067229 -0.021425 -0.047665 0.069576 "
+    "0.102558 0.029145 0.172102 -0.095032 -0.12843 0.136807 0.199619 "
+    "-0.238822 -0.210211 -0.020611 0.204231 0.198579 0.112486 "
+    "-0.195157 0.078402 -0.227348 -0.006046 -0.12273 -0.14429 "
+    "0.074795 -0.056611 -0.115873 0.066676 0.034323 0.161362 "
+    "-0.148044 -0.085124 -0.063947 -0.000458 -0.204375 -0.043742 "
+    "0.117755 -0.284498 0.044402 0.023717 -0.05118 0.035702 -0.06018 "
+    "-0.034551 0.00945 -0.234546 0.171374 -0.084928 0.116047 0.077328 "
+    "0.013132 0.175308 -0.100648 0.053375 0.092557 0.100084 0.090637 "
+    "-0.134142 0.010278 -0.105405 -0.12286 0.090912 0.048252 "
+    "-0.180661 -0.02977 -0.102163 0.139078 -0.212552 -0.063457 "
+    "-0.103929 0.18948 0.19011 -0.125856 -0.208933 0.165866 0.052836 "
+    "0.042798 0.01802 -0.06832 -0.051276 -0.129498 -0.106455 0.2278 "
+    "-0.153295 -0.179152 -0.00192 -0.005381 0.109725 0.182795 "
+    "-0.052685 -0.069558 0.288431 -0.090081 -0.075531 -0.196894 "
+    "0.002537 0.121866 0.102409 0.078145 0.008583 -0.036976 -0.065422 "
+    "-0.135867 0.073889 0.005305 0.124853 -0.223737 -0.151862 "
+    "-0.075882 -0.251096 -0.184544 0.023711 -0.027516 -0.011616 "
+    "0.147558 0.204789 -0.109733 -0.061871 -0.051704 -0.210945 "
+    "0.037962 -0.115247 0.186092 0.228459 0.044095 -0.235157 0.019183 "
+    "0.238051 0.084833 -0.066204 0.136002 0.179379 -0.083276 "
+    "-0.004914 -0.074919 -0.142028 -0.034597 -0.043704 0.094972 "
+    "0.001466 -0.005785 0.12656 -0.138524 -0.018141 0.016382 0.04937 "
+    "0.012265 -0.071423 -0.123958 0.200322 -0.065395 -0.170141 "
+    "-0.135804 0.278937 0.090432 0.142608 0.010443 0.01622 -0.175684 "
+    "-0.122117 -0.052582 -0.074692 -0.138186 0.087039 0.199535 "
+    "-0.034543 -0.083314 -0.13169 0.021298 0.14827 -0.08822 0.050283 "
+    "0.023065 -0.048383 0.154282 0.042278 -0.132807 -0.060515 "
+    "0.113537 -0.030351 -0.100374 0.310378 -0.104714 0.010302 "
+    "-0.163362 0.136203 0.042828 0.089179 0.059673 -0.075291 0.074122 "
+    "0.074201 -0.023635 0.050368 -0.254452 -0.067883 0.100686 "
+    "-0.018297 0.078298 -0.137977 0.257311 0.013472 -0.028912 "
+    "0.074207 0.040624 -0.23003 0.039787 -0.232144 0.079819 0.190767 "
+    "-0.070029 -0.172437 -0.033524 -0.008728 -0.224244 -0.023233 "
+    "0.269125 0.123991 -0.202967 -0.075635 0.098343 0.013426 0.076592 "
+    "0.088287 -0.013439 0.191861 -0.058544 -0.021725 0.02537 "
+    "-0.018517 0.130655 -0.208481 -0.233182 -0.092398 -0.012721 "
+    "0.081616 0.04624 -0.101941 -0.111359 0.048601 0.142669 -0.133776 "
+    "-0.079608 0.077036 -0.12566 0.126624 0.119633 0.056549 0.130146 "
+    "-0.04566 -0.142445 -0.050392 -0.004519 -0.157035 0.186299 "
+    "0.280442 0.093143 0.090272 0.056807 -0.197129 -0.088386 0.128455 "
+    "-0.230238 0.081743 0.092482 0.126907 0.204476 -0.168396 0.027818 "
+    "-0.011541 -0.091944 -0.171818 -0.000878 -0.082698 0.154565 "
+    "0.119518 0.13969 -0.023628 0.044828 -0.065147 0.184662 -0.012802 "
+    "0.016863 -0.142926 -0.012627 0.322578 0.038211 -0.289715 "
+    "0.044822 0.094625 0.094857 -0.122306 0.000811 -0.157765 -0.06628 "
+    "-0.243459 0.272545 0.198076 0.136087 -0.023289 0.2125 0.165043 "
+    "-0.080487 -0.037825 -0.046383 0.036298 -0.002712 0.024745 "
+    "-0.05112 -0.053731 0.099668 -0.096226 0.195672 -0.100295 "
+    "-0.045278 -0.076018 -0.117157 0.069573 0.1679 0.063668 0.087868 "
+    "0.06536 0.076255 -0.00302 0.002812 -0.078812 -0.153172 0.326892 "
+    "0.223295 0.049382 -0.036767 -0.124683 0.044824 0.080255 "
+    "-0.017303 0.099274 0.132768 0.187034 -0.032908 -0.164921 "
+    "-0.087573 -0.146181 -0.05603 0.073077 -0.149249 0.147331 "
+    "-0.102297 -0.069066 -0.046481 -0.14331 0.135885 0.133196 "
+    "-0.020967 0.08953 0.082342 0.172963 -0.101777 -0.006369 "
+    "-0.055431 0.078475 0.096806 -0.051312 0.11078 0.063537 0.055242 "
+    "-0.239129 -0.109819 0.056577 0.134659 0.320842 -0.263551 "
+    "0.207415 -0.136015 0.059714 0.138569 0.093028 -0.240521 0.063567 "
+    "-0.010189 -0.075685 -0.060502 -0.064543 -0.009088 0.108574 "
+    "0.097753 -0.095997 0.073211 -0.001552 0.111901 0.158852 0.185069 "
+    "0.006239 -0.050562 0.214227 -0.080712 -0.047085 0.241956 0.10013 "
+    "0.114176 -0.050123 -0.065556 0.075922 -0.192868 -0.024548 "
+    "-0.049005 -0.106467 -0.147843 0.087222 -0.072464 0.02461 "
+    "-0.222973 0.097041 0.174851 -0.014281 -0.058678 -0.080524 "
+    "-0.311709 0.106869 0.050153 -0.029302 0.03468 0.086432 -0.039393 "
+    "0.078691 -0.031646 0.044998 0.094116 -0.074741 0.111431 0.079825 "
+    "-0.033612 0.096625 0.005845 0.188539 0.099613 0.242191 0.024917 "
+    "0.015024 -0.063238 0.065476 0.01288 0.048503 0.045959 0.194082 "
+    "-0.024158 -0.026523 -0.091963 -0.046941 -0.183273 0.03835 "
+    "-0.085398 -0.050486 0.157116 -0.174772 -0.173063 -0.10669 "
+    "-0.181594 -0.018184 0.16104 -0.166859 -0.054883 -0.047913 "
+    "-0.048128 0.318883 -0.067128 0.22539 0.266986 0.044041 0.029533 "
+    "-0.063766 0.034239 0.192626 0.005932 0.009952 -0.100479 "
+    "-0.056688 0.281613 0.212321 0.232115 0.154687 0.081476 0.102105 "
+    "0.151651 -0.080171 0.07805 -0.01948 -0.206761 -0.004414 0.008226 "
+    "0.014362 -0.0739 0.042011 -0.019087 0.071272 0.09342 -0.117091 "
+    "0.176267 -0.024785 0.005864 -0.115961 0.148836 -0.091968 "
+    "0.056128 0.087051 -0.119154 -0.083361 -0.097318 -0.003107 "
+    "-0.194915 -0.116103 0.267751 -0.027847 -0.071082 0.105032 "
+    "-0.169345 0.035637 -0.103263 -0.096393 -0.152049 -0.027381 "
+    "-0.107841 0.005311 0.002332 0.136091 0.167142 -0.152548 "
+    "-0.141957 0.200636 -0.029992 -0.159437 0.031436 -0.032701 "
+    "-0.076742 0.391953 -0.210382 0.007162 0.043493 0.038604 "
+    "-0.280786 -0.003213 0.038979 -0.04901 0.068087 0.062692 0.008781 "
+    "0.172527 -0.257961 0.107129 -0.023209 0.177543 -0.11522 0.136202 "
+    "0.007641 0.20195 -0.060775 -0.140219 -0.093114 0.049308 0.096825 "
+    "0.071424 -0.009319 -0.203168 -0.225473 0.157659 -0.011856 "
+    "0.073232 0.027471 -0.119083 0.116454 -0.003835 0.128924 "
+    "-0.104523 0.152117 0.200575 -0.081413 -0.017677 -0.116503 "
+    "0.31619 -0.116719 -0.148434 -0.010252 -0.048289 -0.014508 "
+    "-0.000179 -0.085653 -0.017435 -0.075734 -0.041521 -0.01362 "
+    "0.369404 -0.108511 -0.153446 0.066472 -0.019778 0.00933 0.005401 "
+    "-0.021918 0.101473 -0.17091 0.09293 -0.17072 -0.073918 -0.19206 "
+    "-0.096219 -0.084046 0.026297 -0.109471 -0.001695 0.000627 "
+    "-0.031653 0.005429 -0.041084 0.060709 0.182113 -0.1647 0.034327 "
+    "-0.112289 0.121162 -0.049611 0.005339 -0.208851 0.289721 "
+    "-0.212448 0.04215 0.191515 0.05284 0.026816 0.002205 0.00442 "
+    "-0.001713 -0.188743 0.04311 -0.137098 -0.161439 0.10462 "
+    "-0.139214 -0.086946 -0.037112 0.15171 0.128403 0.005551 0.18472 "
+    "0.21366 -0.01818 0.016074 -0.066514 0.219662 -0.085985 0.105056 "
+    "-0.084573 -0.097868 -0.069221 0.117204 -0.111879 0.292144 0.0769 "
+    "0.040185 -0.083441 0.139794 -0.045168 -0.153246 -0.203526 "
+    "0.037134 -0.000248 -0.040631 -0.027043 -0.062278 0.073335 "
+    "-0.234691 0.246716 0.052593 0.113606 -0.074028 -0.08576 0.164875 "
+    "0.054641 0.312437 0.083137 -0.067183 0.055331 0.009527 0.048951 "
+    "-0.141433 -0.030094 0.035573 0.041103 -0.012778 0.117082 "
+    "0.157092 -0.002543 -0.164358 -0.242878 -0.10541 0.024091 "
+    "-0.144394 0.005345 0.08403 -0.227891 0.037553 0.059344 0.373443 "
+    "0.040847 0.123662 -0.053995 0.015518 -0.265891 -0.078891 "
+    "0.016817 0.034312 -0.060076 -0.025299 0.06559 -0.06648 0.101218 "
+    "0.316595 0.031879 0.224073 0.079186 -0.04055 -0.060952 -0.036029 "
+    "0.080735 0.014223 -0.190134 -0.084696 -0.119445 0.156137 "
+    "-0.052377 -0.093874 -0.136407 0.005504 -0.151865 0.044683 "
+    "-0.110949 -0.233167 0.0322 -0.151967 -0.104941 -0.150458 "
+    "-0.17676 0.077534 -0.0133 0.242884 0.09348 -0.084491 0.092695 "
+    "-0.175789 0.005395 0.24858 -0.012914 -0.113243 0.039417 "
+    "-0.123664 -0.063259 -0.145664 -0.071686 0.104769 -0.062845 "
+    "0.095195 0.12616 -0.13432 -0.026147 -0.045409 0.132109 -0.071715 "
+    "-0.048469 0.107088 -0.019522 -0.033742 -0.147355 -0.079824 "
+    "0.056154 0.06837 -0.020088 -0.122396 0.042256 0.259448 0.025416 "
+    "-0.106483 0.012493 0.009289 0.340144 0.233585 0.0857 0.126025 "
+    "-0.180805 0.013125 0.007987 0.042181 0.147545 0.068606 -0.086474 "
+    "-0.112398 -0.105484 -0.213468 0.180156 0.097393 0.096817 "
+    "-0.138394 0.049295 0.175981 -0.046095 0.096058 0.065656 0.061366 "
+    "-0.145376 -0.297748 -0.123303 0.130455 0.058665 -0.17749 "
+    "-0.170097 -0.011721 -0.054544 -0.191951 -0.03928 0.071225 "
+    "0.081993 -0.065923 -0.012682 -0.139916 -0.007512 -0.151627 "
+    "0.091337 -0.127767 0.021755 -0.208638 -0.081794 -0.078065 "
+    "0.326643 -0.054653 -0.113336 0.122203 -0.009702 -0.021475 "
+    "-0.083605 -0.134802 -4.3e-05 -0.200717 -0.063281 -0.072426 "
+    "-0.255703 -0.072799 -0.068571 -0.067829 0.043635 0.148646 "
+    "-0.123429 0.035833 0.005613 0.120092 0.241648 0.20443 -0.034487 "
+    "0.051423 -0.121451 0.042672 -0.009489 -0.061633 -0.069213 "
+    "0.246888 -0.048517 -0.048112 0.064171 -0.10425 0.017441 0.238757 "
+    "0.045282 0.084838 -0.095172 -0.003625 -0.140677 -0.130803 "
+    "0.013578 0.017511 -0.082016 0.031723 -0.046799 0.112965 0.182091 "
+    "-0.131088 0.088228 -0.013585 0.067435 0.131405 -0.206009 "
+    "0.079958 0.189956 -0.10005 0.10562 0.179991 -0.114457 0.038957 "
+    "0.094749 -0.02576 0.262371 0.019891 -0.124626 -0.099011 "
+    "-0.154237 -0.009919 -0.026392 0.041504 -0.018463 -0.046961 "
+    "0.063254 -0.003168 0.138207 -0.092535 -0.139135 -0.010668 "
+    "-0.147701 0.358606 -0.216807 0.286347 6.7e-05 0.01479 -0.035 "
+    "-0.09094 0.153736 -0.270517 0.104245 0.081432 -0.067972 "
+    "-0.089647 -0.116053 -0.103929 0.214916 0.115593 -0.154714 "
+    "0.149865 -0.03983 -0.069437 0.09579 0.013193 -0.0542 0.213391 "
+    "0.302896 -0.159389 0.130799 0.045457 0.015581 -0.173063 0.051811 "
+    "-0.144446 -0.029968 0.120395 -0.071299 0.222458 0.088108 "
+    "0.122018 -0.072774 0.046393 0.111394 -0.141509 0.161617 "
+    "-0.037418 0.049195 -0.157218 0.166962 0.254171 -0.015079 "
+    "0.077303 -0.22723 0.055286 0.096744 0.108945 0.067577 -0.169012 "
+    "0.046478 0.001364 0.104075 -0.068596 0.019913 -0.12276 0.029012 "
+    "-0.158825 -0.022302 0.068242 -0.070095 -0.162173 0.021877 "
+    "0.083654 0.207948 0.123855 -0.174961 -0.143102 -0.088188 "
+    "-0.057954 0.100897 -0.054187 0.008108 0.002523 0.156852 "
+    "-0.119842 0.160987 0.052435 0.158822 -0.076654 -0.0727 0.111127 "
+    "0.119949 0.239123 0.090507 0.020503 -0.013899 0.318338 0.128197 "
+    "-0.156975 0.259597 0.054467 0.07274 -0.119303 0.015235 -0.075481 "
+    "-0.035901 0.00114 -0.280601 -0.203698 0.079742 0.078068 0.163795 "
+    "-0.088485 0.112636 0.156704 -0.183572 0.005562 0.155543 0.010428 "
+    "-0.041512 0.013314 0.05551 0.10045 -0.118907 -0.044638 0.128508 "
+    "0.126141 -0.019663 -0.11351 0.160788 0.085555 -0.186502 "
+    "-0.040107 0.164295 0.080013 0.126051 0.038304 -0.108187 0.035509 "
+    "-0.053421 -0.01967 -0.00655 -0.149706 0.249487 -0.015085 "
+    "0.013518 -0.173891 0.022537 0.168967 0.308663 -0.253095 -0.10693 "
+    "-0.017906 -0.066133 -0.142848 0.361962 0.118304 0.117433 "
+    "0.114944 0.055717 -0.118723 -0.113162 -0.019021 -0.245345 "
+    "0.031918 0.034452 -0.011092 -0.10927 0.12475 0.166169 0.035269 "
+    "-0.141378 -0.026189 -0.182599 0.042266 0.016172 -0.062292 "
+    "-0.028463 -0.039869 -0.053847 -0.088025 0.235251 0.049054 "
+    "-0.263075 -0.056558 -0.100895 -0.007514 -0.050566 0.117242 "
+    "0.009092 -0.034999 -0.020604 0.102962 -0.212355 -0.133757 "
+    "-0.083336 -0.166697 0.096941 -0.217877 -0.004216 -0.00563 "
+    "0.042295 0.105657 -0.004699 0.054063 0.032495 0.072617 0.065457 "
+    "0.050037 0.087269 -0.086606 0.02928 -0.079272 -0.024337 "
+    "-0.093798 -0.160799 -0.078278 0.219538 0.16036 0.130753 0.050449 "
+    "0.081155 0.019616 0.092801 -0.045493 0.261571 0.1792 -0.0649 "
+    "-0.003516 -0.154492 -0.143934 0.022717 0.126681 -0.283377 "
+    "-0.174349 0.161384 -0.152439 0.034801 -0.05753 0.029939 0.076863 "
+    "-0.147667 -0.125229 -0.151553 0.110973 -0.065853 -0.128763 "
+    "-0.1014 0.085632 0.03121 0.067386 0.056569 0.07648 0.042905 "
+    "0.04429 -0.030505 0.090931 -0.097419 0.243066 0.129574 0.080183 "
+    "0.038396 0.035928 0.249425 -0.016479 0.224905 0.01406 0.074296 "
+    "0.312618 -0.004576 -0.008375 0.188195 -0.052088 -0.130503 "
+    "-0.079688 0.055885 0.061141 0.013182 -0.136708 0.047433 0.013051 "
+    "0.024646 0.198613 -0.279504 0.022366 -0.199501 0.134487 0.037494 "
+    "-0.114197 -0.008147 0.035176 -0.267737 0.301429 0.036023 "
+    "0.083296 0.151193 -0.02383 0.17169 -0.204988 0.004814 -0.043869 "
+    "-0.043455 0.137718 0.055899 -0.006899 0.009955 0.034864 "
+    "-0.040295 0.002855 -0.165907 0.194919 0.020157 0.121139 0.166203 "
+    "0.120713 -0.152375 0.075382 -0.034152 0.283962 -0.025411 "
+    "-0.099253 -0.063782 -0.167848 -0.010448 0.050633 0.160559 "
+    "-0.077875 0.170398 -0.143602 -0.110256 -0.272522 -0.068161 "
+    "0.065488 -0.027791 -0.017101 0.044622 0.106939 0.015276 "
+    "-0.053199 0.267145 0.013434 -0.041659 -0.11927 0.037128 0.056677 "
+    "-0.068027 -0.151071 0.186709 -0.061409 -0.210748 0.187051 "
+    "-0.232232 -0.132499 0.039941 -0.023595 0.025814 -0.151494 "
+    "0.003103 0.064365 0.029992 -0.212565 -0.08006 -0.109694 "
+    "-0.253414 -0.20807 0.148821 -0.041243 -0.120942 -0.041927 "
+    "-0.118544 -0.091386 0.100214 -0.05677 0.076543 -0.002065 "
+    "0.202153 0.235367 0.017145 0.163347 -0.112033 -0.066628 "
+    "-0.105013 -0.113151 -0.198342 -0.015997 0.019578 0.046604 "
+    "-0.031699 0.083765 -0.049603 -0.055208 0.036037 -0.006296 0.1409 "
+    "0.008727 -0.214995 0.125483 -0.17014 -0.01987 -0.245731 0.040527 "
+    "-0.098528 0.107234 0.031347 -0.158602 0.03867 0.027149 -0.081483 "
+    "-0.046726 0.00278 -0.147652 -0.166642 0.022623 0.185434 0.14408 "
+    "-0.103192 -0.253915 -0.035442 -0.141791 0.121213 0.037777 "
+    "-0.209086 0.09974 -0.075122 0.081258 -0.240367 0.026283 "
+    "-0.137071 0.175139 -0.062936 0.161402 0.221263 0.133257 0.100614 "
+    "0.01003 -0.099203 -0.207623 -0.010618 0.095125 0.105034 "
+    "-0.139664 -0.18764 -0.071704 -0.17943 -0.185672 -0.166588 "
+    "0.211436 -0.044743 0.012998 -0.025271 -0.104806 0.081935 "
+    "0.086397 0.046166 -0.025121 0.066855 -0.018943 0.320701 0.058621 "
+    "0.008708 0.019853 0.112083 -0.11683 0.02601 -0.146874 -0.105179 "
+    "-0.022472 0.224877 -0.123605 0.061307 0.106902 0.114395 0.119255 "
+    "-0.007421 -0.034447 0.026495 -0.026395 -0.033551 0.020259 "
+    "0.171187 -0.173243 0.137108 0.165794 0.171918 0.242354 -0.095853 "
+    "0.039512 -0.076146 0.183069 0.00221 0.240205 -0.029271 0.110288 "
+    "-0.025816 -0.081402 -0.101476 -0.114093 -0.199702 0.331026 "
+    "0.049099 -0.23906 0.017026 -0.085703 -0.001955 0.240431 0.070764 "
+    "-0.20572 0.099358 -0.034481 -0.128408 0.097887 -0.044105 "
+    "0.088291 -0.10674 0.158408 -0.098348 -0.048542 0.000901 0.057209 "
+    "0.130443 -0.059385 -0.144356 0.061106 -0.011442 0.014007 "
+    "-0.04613 0.188877 -0.073184 0.090753 0.113467 0.103916 0.027477 "
+    "-0.104367 0.112232 0.006595 0.173726 -0.014968 0.033888 0.007194 "
+    "0.130647 0.013646 -0.014509 0.075548 0.027914 0.053531 0.185884 "
+    "-0.174501 -0.22472 0.04132 -0.080198 -0.14428 0.150862 0.12326 "
+    "0.081847 -0.077839 -0.107766 0.239281 0.047648 -0.158776 "
+    "-0.128694 0.072293 -0.14362 0.206973 0.054972 0.002909 0.104148 "
+    "-0.110667 0.128798 -0.098246 0.078876 0.013383 -0.014804 0.16226 "
+    "0.190909 0.030656 -0.103157 0.105602 0.07949 -0.158369 0.107692 "
+    "0.199068 0.253737 0.198921 -0.195678 0.004537 0.170128 -0.12358 "
+    "0.086021 -0.039128 0.221389 -0.014304 -0.192008 -0.051535 "
+    "-0.200833 -0.044037 -0.101114 0.058619 0.145254 -0.152618 "
+    "0.053795 0.006824 0.110549 0.063293 0.06946 0.03712 0.164872 "
+    "0.06658 -0.09384 -0.08256 -0.108184 0.114872 0.028221 -0.134279 "
+    "0.214309 0.217487 -0.007889 -0.061511 -0.123266 0.026918 "
+    "0.085264 0.250872 0.049036 -0.090969 -0.070426 0.228067 -0.00458 "
+    "-0.042964 -0.009647 -0.073685 -0.035133 -0.088315 0.028953 "
+    "0.096036 0.129075 -0.020716 -0.293822 0.127183 0.197004 0.096235 "
+    "-0.108687 -0.046802 -0.108855 0.107439 0.002315 -0.105656 "
+    "0.021086 0.305846 0.055419 0.338192 -0.034474 -0.045169 "
+    "-0.029295 -0.166263 -0.202512 -0.03725 0.039403 -0.085442 "
+    "0.011076 -0.174433 0.199716 0.008519 -0.029355 0.160185 "
+    "-0.013847 -0.112901 -0.042298 0.022158 0.03605 -0.182302 "
+    "0.478481 -0.085518 -0.017421 0.024876 -0.196615 -0.209697 "
+    "-0.10289 -0.063404 0.034678 0.168365 0.034225 0.006177 -0.022543 "
+    "-0.18435 -0.025274 0.012 -0.052429 0.160648 -0.102257 -0.158911 "
+    "-0.183941 -0.095223 0.015105 0.17047 0.055337 -0.075203 0.204144 "
+    "-0.041853 0.269391 -0.179156 -0.044813 -0.038453 -0.116105 "
+    "0.120825 -0.007047 0.030185 0.047813 0.163796 0.01402 0.066076 "
+    "0.111558 -0.09858 -0.093159 -0.089693 -0.103182 -0.017877 "
+    "0.136583 0.076581 -0.074163 0.076912 0.014381 -0.066328 0.131381 "
+    "-0.110828 0.120882 -0.040674 -0.13403 -0.159147 0.132384 "
+    "-0.126611 0.019642 -0.187481 -0.120259 -0.091222 -0.183692 "
+    "-0.0365 -0.052606 0.16291 0.133444 0.236692 -0.03394 0.110207 "
+    "-0.119026 0.252021 -0.064629 -0.020538 -0.130489 -0.090099 "
+    "-0.027405 -0.105568 0.119663 -0.026363 0.080798 -0.024503 "
+    "0.034922 0.049617 -0.11036 -0.053622 0.090838 0.085417 -0.062104 "
+    "-0.121203 0.330715 -0.040938 -0.083007 -0.060987 -0.0192 "
+    "-0.082116 -0.030917 -0.044915 -0.221378 0.033074 0.04985 "
+    "-0.22149 0.054654 -0.05789 -0.27222 0.086524 0.124896 0.07917 "
+    "0.268257 -0.190239 0.124157 -0.019627 0.041022 -0.119083 "
+    "0.154453 0.190156 -0.056451 0.093828 0.158149 -0.202073 "
+    "-0.092168 -0.013059 0.176202 -0.008734 -0.136242 0.083466 "
+    "-0.015737 -0.131208 0.094663 0.049903 0.04734 -0.200124 "
+    "-0.009944 -0.014775 0.030586 -0.042739 0.003321 -0.035255 "
+    "0.100837 0.358966 -0.17309 -0.076823 0.215629 0.027944 -0.010674 "
+    "0.182693 -0.148997 -0.15882 0.036985 0.122296 -0.068459 0.317852 "
+    "0.139878 0.01955 0.093011 0.004147 0.071659 -0.083616 -0.019159 "
+    "0.086547 -0.069892 0.19123 -0.124999 0.137542 -0.066964 0.167634 "
+    "0.052962 -0.091925 0.117403 0.061025 0.033971 0.086844 0.203002 "
+    "-0.128175 -0.110374 0.119316 -0.057412 -0.146209 0.134963 "
+    "-0.125693 0.14574 0.098778 -0.033559 0.050659 -0.137017 "
+    "-0.231311 0.033049 -0.00882 -0.079665 0.154049 0.100208 0.159902 "
+    "-0.078165 -0.067998 0.088625 -0.084088 0.030878 0.004208 "
+    "-0.113322 -0.015501 0.083174 -0.208648 -0.145869 0.002062 "
+    "0.034435 0.052408 -0.243174 -0.203297 -0.111987 -0.01926 "
+    "-0.208084 0.089028 0.221278 -0.076363 -0.108054 0.257518 "
+    "-0.016916 -0.057619 -0.116911 0.064031 0.19023 -0.036075 0.14521 "
+    "-0.003225 0.087446 -0.292325 -0.078893 0.059749 -0.035899 "
+    "0.016451 0.051519 -0.108009 -0.027763 0.314563 -0.149129 "
+    "-0.039866 -0.054645 0.013483 0.169486 -0.061751 -0.005336 "
+    "-0.069869 0.049505 -0.04607 0.231399 -0.028686 -0.148977 "
+    "0.038927 0.124085 0.079753 -0.093808 0.028271 0.080771 -0.186544 "
+    "0.010986 0.003601 0.097701 0.105711 0.012632 -0.00091 0.006607 "
+    "-0.044282 0.156065 0.081893 0.037072 -0.157818 0.024398 0.33022 "
+    "0.075681 -0.171597 -0.301929 0.040385 -0.026349 0.229132 "
+    "0.084571 -0.027709 -0.192148 0.004603 -0.123018 0.02603 0.164956 "
+    "0.011208 -0.147691 -0.063752 -0.075769 -0.051516 0.241806 "
+    "-0.042441 -0.119191 0.15181 0.020714 -0.053876 0.239349 "
+    "-0.207421 0.136247 -0.075899 0.108038 0.017593 0.087963 "
+    "-0.164567 -0.019982 0.11603 0.187883 0.157735 -0.002945 0.11095 "
+    "-0.304383 -0.011222 -0.232258 0.123588 0.119934 0.212655 "
+    "-0.002385 0.215252 -0.108278 -0.010929 0.137975 -0.021237 "
+    "-0.148806 -0.080676 0.055757 0.117564 0.075999 0.024313 0.100645 "
+    "-0.226669 -0.100279 0.132468 0.154558 0.037634 0.03916 -0.154173 "
+    "-0.182503 -0.071718 0.019851 -0.060562 -0.13955 0.044706 "
+    "-0.115408 0.096291 0.106624 0.033764 -0.10134 0.092637 0.05549 "
+    "0.00889 -0.058283 -0.145973 -0.049615 -0.140284 -0.090879 "
+    "-0.038824 0.102176 -0.144029 -0.114712 -0.105044 -0.006765 "
+    "-0.063132 0.159634 -0.089634 0.145548 0.136461 0.098767 "
+    "-0.089854 0.346187 0.148329 0.028419 0.030295 0.157836 -0.1232 "
+    "-0.127222 0.035551 0.005195 0.075064 -0.182214 -0.0134 -0.10985 "
+    "0.020274 0.052805 0.08139 0.020751 0.114091 0.028746 -0.060332 "
+    "0.011635 0.156921 -0.1275 0.206273 -0.050984 0.176494 0.112549 "
+    "-0.154976 -0.180245 0.188463 -0.060974 -0.142026 -0.203039 "
+    "-0.071791 0.09422 0.214356 -0.10232 -0.073288 -0.20657 0.113827 "
+    "0.102725 -0.06607 -0.109744 0.004366 0.345258 -0.201 -0.259095 "
+    "-7.9e-05 0.011034 0.069918 0.097006 -0.08106 -0.076454 0.101906 "
+    "-0.108065 0.102985 -0.050486 -0.097721 -0.050598 -0.045585 "
+    "-0.093732 0.048504 0.162422 -0.185913 -0.15821 -0.166272 "
+    "-0.021423 -0.051507 0.110133 -0.217388 -0.054149 0.243268 "
+    "0.066966 0.070321 -0.052079 0.070177 0.191892 0.084606 -0.099485 "
+    "-0.169016 0.011397 0.169656 0.054081 -0.110686 -0.081741 "
+    "-0.021002 0.092496 -0.067119 -0.191086 -0.031109 0.251078 "
+    "-0.183642 -0.046545 -0.129193 -0.176583 -0.201966 0.162064 "
+    "-0.041107 -0.010831 -0.0752 0.097778 0.07939 -0.115666 0.00532 "
+    "-0.074246 -0.217286 -0.101745 -0.038111 -0.097754 -0.102184 "
+    "0.183175 -0.081136 0.137356 -0.058753 -0.030437 0.117402 "
+    "-0.029463 0.153426 0.119915 -0.232646 -0.225486 -0.073697 "
+    "-0.168272 -0.122529 0.060814 0.138537 0.104672 -0.044558 "
+    "0.098516 0.135701 -0.120393 0.061449 -0.048423 -0.104677 "
+    "0.043349 0.330823 0.052811 0.071547 -0.239579 -0.03597 -0.050251 "
+    "0.005446 0.21559 -0.257251 0.080073 0.23353 0.063447 0.106959 "
+    "0.195544 0.054972 -0.158991 -0.067738 0.047292 -0.041215 "
+    "-0.066685 -0.04779 0.02707 -0.058881 0.008833 -0.138991 "
+    "-0.158658 0.040307 -0.125842 0.153663 -0.22586 -0.111821 "
+    "0.104938 0.014503 -0.188917 0.007213 -0.20402 -0.132551 "
+    "-0.204494 0.195718 0.087222 0.024971 -0.017673 -0.066019 "
+    "-0.064665 -0.136595 0.044332 -0.132117 -0.086084 -0.050071 "
+    "0.218182 0.046032 0.149485 0.100368 0.065367 -0.014218 -0.011948 "
+    "-0.024576 0.014623 -0.158239 -0.045258 0.130152 -0.037123 "
+    "-0.077695 -0.181277 0.005521 -0.030542 0.081657 -0.166346 "
+    "-0.136328 -0.010567 0.237588 -0.020841 -0.039484 -0.040297 "
+    "-0.084403 -0.008176 -0.085379 0.037112 -0.088281 0.133263 "
+    "-0.034314 -0.06565 -0.023747 0.186253 0.116302 -0.121017 "
+    "-0.10599 0.015835 -0.111298 -0.188665 -0.077516 -0.088412 "
+    "-0.030381 0.276724 0.007948 -0.092776 -0.003659 0.025163 "
+    "0.010493 0.234368 -0.140353 0.035261 0.057877 -0.094362 "
+    "-0.052764 0.34797 -0.023156 0.269753 0.223804 0.068707 -0.177171 "
+    "-0.104351 0.021393 0.27824 0.197789 0.071826 0.053483 -0.02215 "
+    "-0.069185 -0.036839 0.221137 0.011409 -0.095641 -0.032114 "
+    "-0.053841 0.018862 -0.107871 -0.032502 -0.088324 0.066194 "
+    "-0.041587 0.089095 -0.038867 0.093512 -0.063867 -0.051859 "
+    "0.21863 -0.170589 0.101672 -0.230994 -0.082965 -0.176656 "
+    "-0.099116 -0.056718 -0.227244 0.057999 -0.045023 -0.115609 "
+    "0.1056 -0.068516 0.186482 -0.155933 -0.061181 -0.048383 "
+    "-0.109904 -0.144273 0.282325 -0.234281 0.344407 -0.09489 "
+    "0.020858 0.058018 -0.004186 0.004667 -0.14726 -0.207496 0.089102 "
+    "0.027494 -0.069503 0.036206 -0.084693 0.223932 -0.2036 0.05195 "
+    "0.071925 0.036464 -0.085314 -0.070176 0.129427 -0.026334 "
+    "-0.009666 -0.177924 -0.069611 -0.001851 0.079976 -0.030962 "
+    "-0.010198 -0.075358 0.128606 0.151218 0.240172 0.003653 "
+    "-0.013009 0.022697 0.241343 -0.041755 0.089936 0.181796 "
+    "-0.065012 -0.088944 -0.036103 0.079818 -0.075778 -0.011461 "
+    "0.345248 0.007151 0.166799 -0.139022 0.096358 -0.194446 0.103665 "
+    "0.125032 -0.078739 -0.067238 0.180644 -0.274073 0.005035 "
+    "0.008413 0.051234 0.067773 0.121211 0.20346 0.087877 -0.035854 "
+    "-0.062551 -0.014493 0.086784 -0.067149 0.126665 0.041097 "
+    "0.288732 -0.113586 -0.001973 0.069729 -0.178546 -0.041455 "
+    "-0.034832 0.010104 0.060593 0.011279 -0.016406 -0.097171 "
+    "0.163737 -0.003524 0.151066 -0.045452 0.111741 -0.217743 "
+    "0.132361 0.133279 -0.016943 0.191267 0.125801 0.031915 0.083751 "
+    "-0.026307 -0.183136 0.03372 0.15257 -0.007054 0.316314 -0.012689 "
+    "-0.089708 0.290461 0.051155 -0.02451 0.115152 0.120833 -0.23928 "
+    "-0.019226 -0.144788 -0.023996 0.036827 -0.062132 0.179277 "
+    "0.142654 0.083723 0.186942 0.030048 0.022648 0.071023 -0.272253 "
+    "0.036909 0.062058 -0.173946 0.126692 0.044024 0.131004 -0.033171 "
+    "-0.080257 -0.031203 0.037322 -0.034731 0.042312 -0.067366 "
+    "0.133483 0.157742 0.073683 -0.262515 0.093997 -0.220945 0.048165 "
+    "-0.036679 -0.181344 -0.142005 -0.075527 -0.022612 -0.08161 "
+    "0.160668 0.001613 -0.073275 0.112571 -0.015461 -0.140283 "
+    "0.144113 0.012269 0.180805 -0.037855 -0.16105 0.002258 0.010523 "
+    "0.090226 0.254807 -0.072014 0.075053 0.033683 -0.114925 "
+    "-0.089162 -0.179862 -0.121866 -0.021573 -0.033202 -0.003571 "
+    "0.249722 -0.127872 0.148868 -0.113114 0.064289 -0.165678 "
+    "0.174963 -0.027131 0.188891 0.210062 0.090207 0.013149 0.207824 "
+    "-0.005039 0.115557 0.229413 0.041151 0.128889 -0.248506 0.083641 "
+    "0.023922 0.226837 0.177816 -0.032222 -0.051994 -0.000976 "
+    "-0.048963 0.087485 -0.142609 0.007054 -0.080819 -0.029733 "
+    "-0.057664 -0.231315 -0.040851 0.026176 -0.083216 -0.191948 "
+    "-0.056054 0.131217 0.093492 -0.066775 0.165243 0.090593 "
+    "-0.121454 -0.037856 0.158973 -0.125361 -0.059781 0.02179 "
+    "0.295679 -0.052121 0.071278 0.079106 -0.019673 -0.117968 "
+    "-0.042625 0.282008 -0.058026 0.099167 0.057381 -0.10229 0.141591 "
+    "-0.021371 -0.072808 -0.145354 -0.114368 0.010748 0.143508 "
+    "0.080622 -0.006117 -0.121176 0.046814 -0.166545 0.116562 "
+    "-0.094192 -0.163677 0.084109 -0.001425 0.147466 0.172953 "
+    "0.123921 -0.175234 0.068012 0.135851 -0.150058 -0.117464 "
+    "0.143031 -0.119938 0.022693 0.130851 -0.076488 0.033875 0.047139 "
+    "-0.014623 -0.258222 -0.045061 0.041343 0.065529 -0.007502 "
+    "0.091245 -0.113573 -0.158249 0.283849 0.089979 -0.130765 "
+    "-0.033038 -0.080968 0.222619 0.036492 0.093469 -0.241492 "
+    "0.125745 -0.13182 0.126924 -0.26261 -0.102604 0.157676 -0.002282 "
+    "0.011373 -0.116107 -0.089437 -0.016934 -0.207667 0.025075 "
+    "0.249249 -0.25393 0.039835 0.055829 0.037435 -0.256627 -0.053545 "
+    "-0.110593 -0.164683 -0.025637 0.056578 0.038189 -0.068324 "
+    "-0.12773 0.117951 -0.015886 -0.036137 0.184762 -0.0855 -0.048716 "
+    "-0.080903 0.033119 0.197804 0.038846 -0.064208 -0.165245 "
+    "-0.076091 0.08463 -0.025145 0.032831 -0.148884 -0.047805 "
+    "-0.061065 0.146119 0.300303 0.099227 0.183427 0.090703 0.0292 "
+    "0.136635 -0.064012 -0.060806 0.160912 -0.018106 -0.252879 "
+    "-0.030745 0.089179 -0.015998 0.179894 0.052694 -0.137202 "
+    "0.061026 0.280538 -0.137159 -0.041267 0.073326 -0.019159 "
+    "-0.148489 -0.113004 0.088897 -0.017383 0.093503 0.153843 "
+    "-0.095339 0.10337 0.022935 0.075438 0.181782 -0.160231 0.028633 "
+    "-0.051348 -0.017841 -0.009984 0.166717 -0.003604 0.258527 "
+    "-0.157916 0.056127 -0.098222 -0.0403 -0.014822 0.044011 0.048237 "
+    "-0.080106 0.029625 0.045614 0.103463 -0.207261 -0.144795 "
+    "-0.112115 -0.032952 0.027502 -0.101056 -0.12731 -0.191016 "
+    "-0.088993 0.111293 0.065803 -0.142563 0.216764 0.141313 "
+    "-0.018008 0.232057 -0.195087 0.010139 0.016706 -0.187695 "
+    "-0.049311 0.01294 -0.04593 0.316408 0.13303 0.003273 0.051654 "
+    "-0.15851 -0.202796 -0.094001 -0.178581 -0.01199 0.078553 "
+    "0.257452 0.241114 -0.237006 -0.032416 0.074392 0.209169 0.022606 "
+    "-0.016031 -0.222309 -0.084874 -0.018846 0.060484 0.180694 "
+    "-0.15206 0.120957 0.021954 -0.101119 -0.12187 -0.029394 0.202805 "
+    "-0.17195 -0.120229 0.075067 0.117933 0.127795 -0.215966 0.066354 "
+    "0.001633 -0.081582 -0.030919 0.174961 -0.149064 -0.114068 "
+    "0.082417 -0.114691 0.163255 -0.11413 0.110825 0.186824 0.143318 "
+    "-0.058644 -0.105121 -0.092696 -0.045246 -0.021608 0.183628 "
+    "-0.000681 -0.142259 0.205958 -0.059211 -0.032788 0.035785 "
+    "-0.061256 0.125741 0.073719 -0.027985 -0.068859 0.101175 "
+    "0.019621 0.148136 0.068051 -0.115442 0.136932 -0.137971 0.017722 "
+    "-0.269962 -0.2093 0.069194 -0.075699 -0.085386 0.030462 0.11407 "
+    "0.04085 0.072855 -0.164866 -0.039381 0.015228 0.03069 0.023342 "
+    "0.142781 -0.24903 0.028249 0.064999 0.162132 0.131205 -0.108865 "
+    "0.02592 -0.015061 0.028074 0.090059 0.06271 -0.00215 -0.045515 "
+    "0.040095 -0.013386 0.072159 -0.216905 0.077981 0.21259 -0.111992 "
+    "-0.12444 0.174515 -0.07121 0.010608 0.063616 0.010897 0.012101 "
+    "-0.225692 0.074429 -0.179119 0.029376 0.001292 0.195401 0.012134 "
+    "-0.046129 0.012981 -0.108197 -0.259645 -0.108271 -0.257326 "
+    "0.165306 0.309775 0.11051 0.059909 -0.083903 -0.226737 0.001282 "
+    "0.010259 -0.045499 0.045001 0.036578 0.211094 -0.153868 "
+    "-0.137774 -0.064562 -0.120555 -0.022109 0.116129 -0.019599 "
+    "-0.001611 -0.10968 -0.296606 -0.043037 0.046641 -0.072721 "
+    "-0.136785 0.013334 -0.00515 -0.116157 -0.135079 0.085584 "
+    "-0.018997 -0.158193 0.162603 -0.203607 0.093082 -0.04329 "
+    "-0.057124 -0.068709 -0.11455 0.057048 -0.051398 0.045788 "
+    "-0.058639 0.175455 -0.104846 0.042778 0.261646 0.403674 0.023295 "
+    "-0.13665 0.054522 0.016499 -0.128905 -0.016579 -0.154261 "
+    "-0.021418 0.154786 0.088585 0.018611 -0.209927 0.175193 "
+    "-0.203361 0.082905 -0.106357 0.07332 -0.040214 -0.000539 "
+    "-0.128483 0.110448 0.065596 0.002912 -0.008196 0.289307 0.0977 "
+    "0.123861 -0.049448 -0.221207 -0.044398 0.014543 0.123711 "
+    "-0.127809 -0.040232 0.157227 -0.02322 -0.111131 0.118984 "
+    "0.181401 0.149008 0.081084 0.149382 0.050828 0.162345 -0.070977 "
+    "-0.175939 0.010688 -0.04855 -0.129557 0.016823 -0.080054 "
+    "-0.044533 0.025945 -0.268626 -0.067368 -0.050475 0.076202 "
+    "0.057847 0.234964 -0.110033 0.144145 0.029247 0.081185 0.105998 "
+    "0.010883 -0.135267 0.180099 0.13305 -0.056057 -0.034631 0.247329 "
+    "0.16153 -0.076651 0.02229 0.248665 0.146634 -0.072524 0.091316 "
+    "-0.064692 0.001186 0.089634 -0.215821 -0.157384 -0.051211 "
+    "-0.066501 0.044737 -0.170179 -0.033426 -0.130106 -0.176999 "
+    "-0.088302 -0.188849 -0.010244 -0.230485 0.246003 0.032131 "
+    "-0.090107 -0.026198 -0.090222 0.017213 0.169725 -0.021263 "
+    "0.108607 0.206479 -0.075588 0.117119 0.176648 0.081767 -0.008772 "
+    "-0.039495 -0.084366 0.170808 -0.180753 0.00781 0.138106 0.218915 "
+    "-0.089408 -0.14755 -0.090222 0.06239 -0.097664 0.07138 0.266167 "
+    "0.018747 0.008393 -0.046525 0.115431 0.164123 -0.024448 "
+    "-0.047494 0.119121 -0.06628 0.264762 0.020372 -0.156114 -0.23296 "
+    "0.088252 0.071691 -0.079938 -0.182525 -0.116807 0.056651 "
+    "-0.02074 0.091169 -0.165517 0.107933 0.02196 0.025731 -0.094448 "
+    "-0.077048 0.332054 0.01037 -0.067296 0.071028 -0.143255 0.113892 "
+    "0.04035 0.012239 0.150322 0.158495 -0.080828 -0.175159 -0.095166 "
+    "-0.035765 0.083798 0.009832 -0.103708 -0.115262 -0.165949 "
+    "0.109331 0.109969 0.092049 -0.075159 0.019576 0.129065 0.059936 "
+    "0.014383 -0.071575 0.07186 -0.041383 -0.088923 0.033097 "
+    "-0.296617 0.211407 0.015148 0.165575 -0.036853 -0.093243 "
+    "-0.181211 -0.102801 0.007946 -0.067736 -0.034042 -0.072518 "
+    "-0.163583 0.15131 -0.030207 -0.212773 0.025225 0.092982 "
+    "-0.024589 0.068525 0.038818 -0.021537 -0.2774 -0.086935 0.033943 "
+    "-0.272165 -0.18926 -0.248639 -0.026073 -0.098935 -0.029226 "
+    "0.12229 0.092805 0.187577 -0.028407 -0.015289 0.195842 0.062438 "
+    "-0.00726 -0.066501 -0.052437 -0.113963 0.202356 0.125266 "
+    "-0.096163 0.063333 0.035911 0.268096 0.200865 -0.022611 "
+    "-0.056128 -0.063209 -0.015203 0.122281 0.035048 0.086293 "
+    "0.050445 0.11353 0.088688 -0.078954 -0.063588 -0.050255 "
+    "-0.136299 -0.040164 0.023388 0.011611 -0.064354 0.139642 "
+    "-0.108702 -0.107408 -0.036636 0.203519 -0.207236 -0.111898 "
+    "0.313973 -0.01265 0.256275 0.050167 -0.009933 -0.108586 0.059101 "
+    "0.102826 0.140831 -0.139106 -0.107842 -0.262204 -0.014417 "
+    "0.090856 0.032434 0.191634 -0.279837 -0.108371 -0.035089 "
+)
+_OPQ_CODEBOOKS_PACKED = (
+    "0.235412 -0.041223 -0.026209 -0.086773 0.080032 -0.072746 "
+    "-0.035686 0.011262 0.024822 -0.079684 -0.144842 -0.084748 "
+    "0.00495 0.048934 -0.02629 -0.06228 0.111406 0.241481 0.024537 "
+    "-0.048651 0.002658 -0.040218 -0.026637 0.006278 -0.011708 "
+    "0.006298 0.096992 -0.111126 -0.079384 -0.054511 0.017344 "
+    "-0.019891 -0.087098 -6.3e-05 0.02688 -0.089264 -0.011198 "
+    "0.133182 -0.079713 0.064458 -0.011992 -0.189248 -0.040499 "
+    "0.030401 -0.00288 -0.060862 0.012711 0.024643 -0.238655 "
+    "-0.175425 0.050642 0.022214 0.062118 0.053775 0.046627 -0.00135 "
+    "0.166408 0.031672 -0.123087 -0.025585 -0.115974 0.083625 "
+    "0.012186 0.018149 0.257389 -0.000738 0.027412 0.101449 -0.037672 "
+    "-0.011909 -0.031869 0.018196 0.025751 0.046695 0.100486 0.170555 "
+    "0.070627 0.005537 -0.033527 -0.061396 0.082031 -0.123287 0.12501 "
+    "0.098066 -0.096797 -0.099174 -0.045746 0.028698 -0.12738 "
+    "0.044144 -0.122686 -0.043216 0.104812 -0.077892 -0.039277 "
+    "0.015399 0.124128 -0.132814 0.167949 -0.034828 0.078664 0.046727 "
+    "-0.03543 -0.008031 0.082184 0.085826 -0.082119 0.132526 0.133081 "
+    "0.031799 0.080813 -0.008456 -0.199815 0.15706 0.068646 -0.024527 "
+    "0.026755 -0.011385 0.015011 0.019714 -0.161408 0.015557 "
+    "-0.032265 0.118091 -0.096214 0.005682 -0.056638 -0.055599 "
+    "0.276385 -0.041127 -0.028745 0.044778 0.058834 -0.007834 "
+    "0.048727 0.027861 0.161224 -0.173177 0.063995 -0.055493 "
+    "-0.082327 0.018291 0.002889 -0.055323 -0.167725 -0.041385 "
+    "0.059208 -0.001986 -0.04763 -0.084631 0.046481 -0.056703 "
+    "0.014706 -0.164444 -0.093448 0.150776 -0.041817 0.018069 "
+    "-0.013664 -0.055191 0.083129 -0.084269 0.130971 -0.062243 "
+    "0.149113 0.091846 0.040124 0.059371 -0.026136 0.097508 0.025065 "
+    "0.126886 -0.003959 -0.025846 -0.014295 0.008135 -0.179512 "
+    "0.038784 -0.159015 0.047056 -0.083666 0.076045 0.014075 "
+    "-0.016101 -0.036245 -0.181117 -0.085914 -0.019321 0.121136 "
+    "-0.085825 0.051193 0.006303 -0.236612 -0.131846 -0.035181 "
+    "-0.034659 0.003639 0.055319 -0.028717 0.033365 0.203492 0.123045 "
+    "-0.034068 -0.075323 0.066922 -0.085228 -0.111363 -0.086148 "
+    "-0.106102 -0.03622 0.165656 0.09605 0.107244 -0.042909 -0.033956 "
+    "-0.032446 -0.087381 0.051245 -0.033027 -0.167812 -0.014157 "
+    "-0.063544 -0.037259 -0.025161 0.070169 0.07905 -0.18075 0.062607 "
+    "0.078435 -0.033622 -0.035876 -0.034256 0.10467 0.031253 "
+    "-0.125668 -0.121805 -0.006775 0.013742 0.074285 -0.036816 "
+    "0.125244 0.130596 0.085916 -0.009394 -0.071861 -0.027309 "
+    "-0.005589 0.02129 -0.065592 0.14133 0.062701 -0.059505 0.037226 "
+    "0.121676 0.051682 -0.067796 -0.024058 -0.046317 0.082358 "
+    "0.144603 0.080926 0.019116 0.091151 -0.018671 -0.015607 0.057003 "
+    "0.118536 -0.031336 0.117061 -0.01035 0.031096 0.040883 -0.196112 "
+    "-0.130444 0.118519 0.086509 -0.074472 -0.027156 -0.016304 "
+    "-0.027331 0.019024 -0.143016 -0.074043 0.085872 -0.032003 "
+    "0.050909 0.034061 0.017964 0.107652 0.192253 -0.049999 -0.056331 "
+    "-0.022405 0.058383 0.04237 0.020484 -0.287446 -0.017596 "
+    "-0.053908 -0.154802 0.052047 -0.036818 -0.004117 -0.019828 "
+    "-0.190827 0.088429 -0.070682 0.008438 0.062827 0.065064 "
+    "-0.059356 -0.019076 -0.049252 -0.207144 -0.05476 -0.111861 "
+    "0.012917 0.055486 -0.017152 0.015721 0.189608 -0.152904 0.06096 "
+    "-0.109424 0.02685 0.028988 0.002854 0.017207 0.008617 0.005889 "
+    "-0.133699 -0.028604 -0.136115 -0.003803 -0.029511 0.017502 "
+    "-0.077335 0.081717 0.038533 0.06743 -0.110988 -0.114082 "
+    "-0.017341 0.021667 0.150206 -0.156227 -0.137407 0.050262 "
+    "-0.018899 -0.079344 -0.030526 -0.040943 0.067936 0.052824 "
+    "-0.034905 -0.09202 0.070478 -0.11472 -0.046769 -0.03874 0.012556 "
+    "0.07957 -0.182831 0.167019 0.021519 0.036834 0.015885 -0.000665 "
+    "-0.124836 0.040053 0.121705 -0.163396 -0.109446 0.050116 0.00884 "
+    "-0.004192 0.210875 0.024727 0.138491 0.070788 0.019256 0.020952 "
+    "-0.078934 -0.000124 -0.0358 -0.170389 0.087549 0.023556 "
+    "-0.164034 -0.018923 0.025237 0.001921 -0.114776 0.171436 "
+    "-0.006693 0.042364 0.126132 -0.012555 0.012364 -0.010977 "
+    "0.147557 0.102048 -0.02972 -0.027033 0.067349 -0.046182 0.055508 "
+    "0.008836 0.094906 -0.0474 -0.152257 -0.122099 0.006578 0.019448 "
+    "-0.034848 -0.043547 -0.128877 -0.134997 0.100944 -0.048937 "
+    "0.038147 -0.056956 -0.139153 0.020159 -0.057532 0.178035 "
+    "0.220549 0.001897 -0.078035 -0.031878 -0.019541 -0.00657 "
+    "-0.171579 -0.181305 -0.120244 0.014645 0.100078 0.009849 "
+    "-0.007213 -0.000969 -0.147866 0.030963 -0.053076 -0.120825 "
+    "-0.046314 0.021932 0.026902 -0.000464 0.055098 0.106569 0.025404 "
+    "0.036444 0.004268 0.122367 -0.12242 0.000578 0.283518 -0.05931 "
+    "0.102401 -0.017559 -0.041959 0.012025 -0.016771 -0.00032 "
+    "-0.233547 -0.02036 -0.052232 0.120124 -0.061697 -0.012002 "
+    "0.004122 -0.035775 0.037392 -0.093611 -0.117793 0.143392 "
+    "0.004708 0.02637 0.002738 0.026423 0.05322 -0.045092 0.045113 "
+    "-0.04707 -0.033595 0.129091 0.03106 -0.016525 -0.035843 "
+    "-0.040075 0.143807 0.079199 0.13898 0.057424 0.010062 0.006493 "
+    "0.096095 -0.164038 0.024441 -0.058175 0.0831 -0.084237 0.085899 "
+    "-0.017808 0.002584 0.131951 -0.108025 0.111258 -0.093211 0.00598 "
+    "0.021958 -0.031485 -0.192489 -0.04384 -0.168108 0.040695 "
+    "0.110878 0.009402 0.005467 0.019963 -0.027422 -0.089431 0.097677 "
+    "-0.057231 0.039077 -0.008375 0.136941 -0.046453 -0.039378 "
+    "0.069222 0.049476 -0.153418 -0.057366 -0.032854 -0.001671 "
+    "-0.015005 -0.103734 -0.178352 -0.082862 0.078059 -0.05543 "
+    "0.113225 0.046189 0.008119 0.214022 0.000953 0.168693 -0.020506 "
+    "-0.083238 0.03538 0.04255 0.064452 0.08624 -0.180607 -0.092819 "
+    "-0.03248 -0.089084 -0.006109 0.007052 0.000372 -0.040952 "
+    "0.062054 0.218405 0.100892 0.034589 -0.088271 0.001892 0.021065 "
+    "-0.043404 -0.039652 0.0815 0.135133 -0.143416 -0.02933 -0.060915 "
+    "-0.042162 -0.24166 -0.074665 0.028388 -0.030688 -0.010791 "
+    "-0.015993 -0.04087 0.011747 0.061432 0.216901 0.004612 -0.044944 "
+    "0.108561 -0.033895 -0.012294 -0.020201 -0.086027 0.133726 "
+    "0.074168 0.101338 0.037862 0.075897 0.011706 0.032036 -0.013539 "
+    "0.1347 -0.103616 0.045885 -0.092265 -0.036743 -0.000683 0.065439 "
+    "0.138867 -0.094614 -0.029938 -0.102018 0.082518 -0.022998 "
+    "-0.074715 0.019049 0.211043 0.050265 -0.153697 0.046411 0.002625 "
+    "0.015404 0.020684 -0.021766 0.104625 -0.132547 0.074892 0.105116 "
+    "0.031556 -0.004532 0.004122 0.018905 -0.090325 0.042723 "
+    "-0.006471 -0.14282 -0.057017 0.189006 0.030807 0.049031 "
+    "-0.206645 0.033584 -0.037582 0.120681 0.051812 0.046172 "
+    "-0.031912 0.021027 0.0892 0.168919 -0.111377 -0.034878 0.079068 "
+    "-0.019068 -0.031565 0.02527 -0.099325 0.030681 -0.057216 "
+    "-0.051293 0.010825 -0.055128 0.112996 0.036373 0.0994 0.043028 "
+    "-0.160719 0.025519 -0.080354 0.038407 0.008181 -0.019446 "
+    "0.031791 0.00595 0.032553 0.058373 0.169349 0.006267 0.054582 "
+    "-0.037372 0.148019 0.029382 0.125222 0.05197 -0.055606 -0.068858 "
+    "-0.015234 -0.012104 -0.220076 0.082365 -0.149217 0.013633 "
+    "-0.136354 0.089789 0.087502 -0.012629 -0.080696 0.092214 "
+    "0.235024 0.100196 -0.066591 -0.032558 0.047477 0.058725 "
+    "-0.155463 -0.026898 0.101665 -0.064336 -0.063263 -0.012016 "
+    "-0.062603 -0.028109 0.186834 -0.190357 -0.002481 0.130394 "
+    "-0.088528 0.004703 0.051164 0.011562 -0.138204 -0.171403 "
+    "-0.090701 -0.084974 0.075398 0.00989 -0.02645 -0.006645 "
+    "-0.143803 -0.131434 0.13377 0.062511 -0.045703 -0.023799 "
+    "0.041215 -0.024171 0.139909 -0.14351 -0.005769 -0.165374 "
+    "0.025696 -0.009104 0.009313 -0.005772 0.027719 -0.222044 "
+    "-0.094463 0.105215 -0.019793 -0.008608 -0.109351 -0.003958 "
+    "0.082003 0.106198 0.130146 -0.012641 -0.014419 0.146539 -0.02099 "
+    "0.008285 -0.029016 0.179104 0.007881 -0.046676 -0.054056 "
+    "-0.067056 -0.060635 -0.037159 -0.044742 -0.152383 0.159512 "
+    "-0.060725 0.04587 0.059503 0.004856 0.007748 0.107586 0.231091 "
+    "-0.06751 -0.033955 -0.019415 0.028413 -0.03968 -0.025 -0.005929 "
+    "-0.000433 -0.094529 -0.157106 0.019392 0.066483 -0.064029 "
+    "0.020359 0.182341 0.083698 0.122571 0.085686 0.020684 0.072491 "
+    "0.033486 -0.040209 -0.014331 -0.16806 -0.085401 0.058527 "
+    "-0.12474 0.020565 -0.04451 -0.018211 -0.099307 0.231795 0.125572 "
+    "0.009647 0.035792 0.006267 -0.053459 0.012554 0.113426 0.044831 "
+    "-0.01041 0.133492 -0.011657 -0.018708 0.037814 0.09151 0.240928 "
+    "0.006978 0.02915 -0.01558 0.13603 -0.037616 -0.066526 -0.012875 "
+    "-0.154965 -0.011194 0.140477 0.141675 -0.050234 -0.018773 "
+    "0.004515 -0.033983 -0.081576 -0.074545 -0.054369 0.133581 "
+    "0.080077 -0.051312 -0.033221 -0.007305 -0.111626 0.110964 "
+    "-0.079641 0.043839 -0.027362 0.11021 0.064997 0.019217 -0.001358 "
+    "0.03995 0.11447 -0.086829 -0.032294 -0.069898 0.021028 -0.041884 "
+    "-0.223118 -0.018989 0.065297 -0.139626 -0.00953 0.023965 "
+    "-0.027972 0.021877 0.046492 -0.074541 -0.192266 -0.030283 "
+    "0.091022 0.002273 0.044894 -0.023489 -0.171381 0.097326 "
+    "-0.115926 -0.047571 -0.067133 -0.111058 0.016438 -0.038279 "
+    "0.214161 -0.098066 0.025007 -0.051339 -0.134286 0.024197 "
+    "-0.016559 -0.005694 -0.173033 -0.044711 0.070251 -0.002276 "
+    "0.016695 0.002174 -0.13975 -0.05451 0.115694 0.116327 -0.166188 "
+    "-0.113034 0.170167 -0.009082 -0.025976 0.000236 0.141789 "
+    "-0.051429 -0.143931 0.10028 0.036382 -0.044716 -0.002759 "
+    "0.024094 -0.043429 0.178257 -0.172998 0.004254 -0.05371 0.02872 "
+    "0.012097 0.034298 0.133152 0.191994 0.047585 -0.03845 -0.038398 "
+    "-0.069561 -0.021185 -0.012489 0.06786 -0.250507 0.058995 "
+    "0.044863 0.025313 0.047496 -0.003053 0.00844 -0.066305 -0.071675 "
+    "-0.117321 -0.079439 0.022263 -0.037213 0.04423 -0.055578 0.13099 "
+    "0.012614 0.112125 0.072158 0.023162 0.058318 0.067949 0.074891 "
+    "0.055743 0.080799 0.034937 0.046426 0.128602 0.042948 -0.069012 "
+    "-0.035458 -0.100319 -0.0091 -0.103692 0.130097 -0.10303 0.038287 "
+    "0.002056 -0.018104 0.146978 -0.077828 -0.032497 -0.143253 "
+    "-0.069403 0.023002 -0.032879 0.005108 -0.191314 -0.122757 "
+    "0.064755 -0.033099 -0.060217 0.01516 0.032198 0.020356 0.006178 "
+    "-0.101345 0.172474 -0.052808 0.041159 -0.100622 -0.008289 "
+    "0.002865 -0.147887 0.08074 0.010292 -0.038293 0.142781 -0.044418 "
+    "0.021259 0.065998 -0.079847 0.188539 0.150878 -0.040011 "
+    "-0.095764 0.018102 -0.011707 0.019073 0.175954 -0.047272 "
+    "0.145147 0.160042 -0.109039 -0.122684 -0.011522 -0.004182 "
+)
+
+
+def _opq_model() -> tuple[
+    list[list[float]], list[list[list[float]]], list[float]
+]:
+    """Unpack the pinned OPQ model + the seed-23 query vector (the same
+    query q_ann_pq_search uses, so the two ladder rungs are directly
+    comparable)."""
+    import numpy as np
+
+    rv = [float(t) for t in _OPQ_ROTATION_PACKED.split()]
+    rot = [rv[j * 64 : (j + 1) * 64] for j in range(64)]
+    cv = [float(t) for t in _OPQ_CODEBOOKS_PACKED.split()]
+    cb = [
+        [
+            [cv[(s * 16 + c) * 8 + i] for i in range(8)]
+            for c in range(16)
+        ]
+        for s in range(8)
+    ]
+    rng = np.random.RandomState(23)
+    qv = [round(float(x), 6) for x in rng.randn(64) / np.sqrt(64.0)]
+    return rot, cb, qv
+
+
+@query(
+    "q_ann_opq_search",
+    None,  # oracle injected below (needs rotation + codebook literals)
+)
+def q_ann_opq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimized-product-quantization ANN search (Ge et al., CVPR 2013
+    parametric solution) — the OPQ rung of the ladder at the same 8
+    code bytes/vector as q_ann_pq_search: rotate corpus + query into
+    the pinned eigenvalue-allocation basis (ONE shuffle-free d^2
+    projection, matrix as plan literal), PQ-encode and ADC-shortlist
+    in rotated space (LUT literal, TakeOrderedAndProject), exact-cosine
+    rerank of the shortlist on the ORIGINAL floats (orthogonal rotation
+    preserves cosine). The oracle replays the rotation fold, the encode
+    argmin, the ADC fold, and the rerank digit-for-digit."""
+    from asterlake.operators.pq import opq_search
+
+    rot, cb, qv = _opq_model()
+    e = load_table(spark, sf_dir, "embeddings")
+    return opq_search(e, qv, rot, cb, k=10, shortlist=50)
+
+
+def _opq_oracle() -> str:
+    from asterlake.operators.pq import rotate_query
+
+    rot, cb, qv = _opq_model()
+    rqv = rotate_query(rot, qv)
+    subd = (
+        "list_transform(cb[s+1], c -> "
+        "list_sum(list_transform(range(1, 9), i -> "
+        "(CAST(c[i] AS DOUBLE) - remb[s*8 + i]) "
+        "* (CAST(c[i] AS DOUBLE) - remb[s*8 + i]))))"
+    )
+    return f"""
+    WITH rm AS (SELECT {rot} AS R),
+    cbs AS (SELECT {cb} AS cb),
+    qq AS (SELECT {qv} AS qv, {rqv} AS rqv),
+    rot AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), j ->
+               list_sum(list_transform(range(1, 65), i ->
+                 R[j][i] * CAST(embedding[i] AS DOUBLE)))) AS remb
+      FROM embeddings, rm
+    ),
+    codes AS (
+      SELECT vec_id,
+        list_transform(range(0, 8), s ->
+          CAST(list_position({subd}, list_aggregate({subd}, 'min')) - 1
+               AS INT)) AS codes
+      FROM rot, cbs
+    ),
+    adc AS (
+      SELECT vec_id,
+        list_sum(list_transform(range(0, 8), s ->
+          list_sum(list_transform(range(1, 9), i ->
+            (CAST(cb[s+1][codes[s+1] + 1][i] AS DOUBLE)
+             - CAST(rqv[s*8 + i] AS DOUBLE))
+            * (CAST(cb[s+1][codes[s+1] + 1][i] AS DOUBLE)
+               - CAST(rqv[s*8 + i] AS DOUBLE))
+          )))) AS adc_dist
+      FROM codes, cbs, qq
+    ),
+    shortlist AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY adc_dist ASC, vec_id) AS rk
+        FROM adc) WHERE rk <= 50
+    )
+    SELECT e.vec_id, {_duck_cosine('e.embedding', 'qv')} AS cos_sim
+    FROM embeddings e JOIN shortlist USING (vec_id), qq
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+QUERIES["q_ann_opq_search"] = QueryDef(q_ann_opq_search, _opq_oracle())
+
 
 
 # BPE merge rules: trained ONCE with operators/bpe.bpe_train over the

@@ -334,6 +334,14 @@ def main() -> None:
             )[1]
 
         probe_start = probe()
+        # Interleaved box-speed samples (r11 verdict ask #2): two
+        # same-code r11 runs differed 32% with the start/end probes
+        # moving the OPPOSITE direction — a 194-query ~5-minute session
+        # drifts WITHIN the timed block, and two endpoint samples cannot
+        # localize that. A probe every ~50 queries records the drift
+        # curve itself, so a round-over-round delta can be attributed to
+        # the session segment it happened in instead of to the plans.
+        probe_mid: list[float] = []
 
         # Sub-second queries swing up to 6x run-to-run from JIT/GC timing
         # alone (round-4: q_string_functions 0.19s->1.27s with an
@@ -359,6 +367,8 @@ def main() -> None:
 
                 gc.collect()
                 spark.sparkContext._jvm.System.gc()
+            if (i + 1) % 50 == 0 and (i + 1) < len(order):
+                probe_mid.append(probe())
 
         # De-noise: a shared box throws occasional multi-second GC/CPU
         # spikes that land on one arbitrary query (observed: a 0.3s query
@@ -444,8 +454,25 @@ def main() -> None:
         # ONE non-empty task regardless of maxPartitionBytes — the
         # CPU-heavy fold projections run single-core here while their
         # 100 TB shape is embarrassingly map-parallel.
+        def retime(name: str) -> float:
+            # One retry on a large outlier (r11 verdict ask #2): the
+            # retime exists to be the trustworthy steady-state signal,
+            # yet r11's driver run recorded a 44.28s q_label_propagation
+            # retime against a 5.22s cold number — a GC/box spike landed
+            # on the retime slot itself and got written down as "steady
+            # state". If a retime exceeds 3x the query's recorded cold
+            # number, free cleaner-eligible blocks and re-run once,
+            # keeping the min: two large samples in a row are then a
+            # real slowdown, one is a hiccup.
+            t = run_one(name)
+            cold = timings.get(name)
+            if cold is not None and t >= 3.0 * max(cold, 0.5):
+                _release_blocks()
+                t = min(t, run_one(name))
+            return t
+
         builder_retime = {
-            name: run_one(name)
+            name: retime(name)
             for name in sorted(
                 _builders
                 | {
@@ -478,6 +505,8 @@ def main() -> None:
             # round's totals by its probe to compare box-independently
             "probe_sec_start": probe_start,
             "probe_sec_end": probe_end,
+            # in-run drift curve: one sample per ~50 queries (ask #2)
+            "probe_sec_mid": probe_mid,
             "probe_sec": round((probe_start + probe_end) / 2, 4),
             # warm re-times for the retry-exempt memo builders — the
             # steady-state companion to their recorded cold numbers

@@ -523,3 +523,32 @@ def test_ohlc_bars_partitioning_invariance(spark, sf_dir):
     one = {tuple(r) for r in ohlc_bars(ev.coalesce(1)).collect()}
     many = {tuple(r) for r in ohlc_bars(ev.repartition(9)).collect()}
     assert one == many
+
+
+def test_ohlc_bars_subday_buckets_keep_timestamp_key(spark):
+    """Sub-day buckets must NOT collapse to one daily bar (r11 ADVICE:
+    the unconditional DATE cast merged every hourly bar within a day).
+    Day-or-coarser buckets keep the DATE key (lossless there)."""
+    from datetime import datetime
+
+    from asterlake.operators.timeseries import ohlc_bars
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 5), 1, 10.0),
+        (1, datetime(2024, 1, 1, 9, 40), 2, 30.0),
+        (1, datetime(2024, 1, 1, 12, 0), 3, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    hourly = {
+        (r.user_id, str(r.bar)): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in ohlc_bars(ev, bucket="hour").collect()
+    }
+    assert hourly == {
+        (1, "2024-01-01 09:00:00"): (10.0, 30.0, 10.0, 30.0, 2),
+        (1, "2024-01-01 12:00:00"): (5.0, 5.0, 5.0, 5.0, 1),
+    }
+    assert dict(ohlc_bars(ev, bucket="hour").dtypes)["bar"] == "timestamp"
+    assert dict(ohlc_bars(ev, bucket="day").dtypes)["bar"] == "date"
+    assert dict(ohlc_bars(ev, bucket="month").dtypes)["bar"] == "date"

@@ -209,9 +209,13 @@ def test_no_driver_side_actions_in_operator_code():
     # the collect IS the importance-ratio model), wordpiece.py
     # alphabet collect + one-argmax-pair-per-round (r11; alphabet-sized
     # and ONE row respectively — the bpe.py trainer discipline with the
-    # likelihood argmax)
+    # likelihood argmax), pq.py moments-init pre-pass (r12; m x dsub =
+    # dim first/second-moment rows — the init IS model state, and
+    # matching the seeded centroids to the data's location/scale is
+    # what keeps Lloyd from freezing dead centroids on rotated-space
+    # training: measured SSE 339.7 -> 251.5 on the same data)
     # — every one a bounded-model-state training loop, never data-sized.
-    assert pragmas <= 14, f"too many driver-ok pragmas: {pragmas}"
+    assert pragmas <= 15, f"too many driver-ok pragmas: {pragmas}"
 
 
 def test_srp_blocked_neighbors_no_quadratic_shape(spark):

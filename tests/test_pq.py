@@ -315,3 +315,119 @@ def test_ivfpq_plan_shape(vectors):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# OPQ (parametric eigenvalue-allocation rotation, Ge et al. CVPR 2013)
+# ---------------------------------------------------------------------------
+
+
+def test_opq_rotation_orthogonal_deterministic(vectors):
+    """The trained rotation is orthogonal (within the 6-decimal literal
+    quantization) and bit-reproducible across retrains — the properties
+    that make it a safe plan/oracle literal and make original-space
+    cosine reranking exact."""
+    import numpy as np
+
+    from asterlake.operators.pq import opq_train_rotation
+
+    R = np.array(opq_train_rotation(vectors, m=M, dim=DIM))
+    assert R.shape == (DIM, DIM)
+    err = np.abs(R @ R.T - np.eye(DIM)).max()
+    # 64 products of two 6-decimal-quantized coords: << 1e-3
+    assert err < 1e-3, err
+    again = np.array(opq_train_rotation(vectors, m=M, dim=DIM))
+    assert (R == again).all()
+
+
+def test_opq_matches_pq_on_isotropic_corpus(vectors):
+    """Honest no-gain pin: this corpus is isotropic (its covariance
+    eigen-spread sits below the Marchenko-Pastur sampling-noise bound —
+    measured in the r12 notes), so OPQ at equal code bytes must land
+    WITHIN TRAINING NOISE of coordinate PQ, not beat it. Pinning parity
+    here keeps the recall claim honest; the gain is pinned on planted
+    anisotropy below."""
+    from asterlake.operators.pq import (
+        opq_train,
+        pq_reconstruction_sse,
+        pq_train,
+        rotate_vectors,
+    )
+
+    pq_cb = pq_train(vectors, m=M, k=K, dim=DIM, iters=2)
+    pq_sse = pq_reconstruction_sse(vectors, pq_cb).collect()[0].sse
+    rot, opq_cb = opq_train(vectors, m=M, k=K, dim=DIM, iters=2)
+    opq_sse = (
+        pq_reconstruction_sse(rotate_vectors(vectors, rot), opq_cb)
+        .collect()[0]
+        .sse
+    )
+    assert opq_sse < 1.10 * pq_sse, (opq_sse, pq_sse)
+
+
+def _planted_lowrank(spark, vectors):
+    """A fixed low-rank-plus-ridge linear map over the corpus:
+    ``A = 5 * U @ V.T + 0.2 * I`` with seeded orthonormal U, V (64 x 6)
+    — the correlation structure real learned embeddings have (a few
+    dominant factors smeared across every coordinate, so no coordinate
+    slice is aligned with them). Coordinate PQ re-quantizes the same
+    factors in every subspace; OPQ's PCA step concentrates them and
+    eigenvalue allocation deals one factor direction per subspace.
+    (Pure variance-scaling plants showed NO gain here — at m=8/k<=256
+    on 500 points, per-subspace distortion tracks TOTAL variance, which
+    is rotation-invariant; the measurable OPQ win is decorrelation of
+    low-rank structure, matching the paper's SIFT/GIST results.)"""
+    import numpy as np
+
+    from asterlake.operators.pq import rotate_vectors
+
+    rng = np.random.RandomState(7)
+    U, _ = np.linalg.qr(rng.randn(DIM, 6))
+    V, _ = np.linalg.qr(rng.randn(DIM, 6))
+    A = 5.0 * U @ V.T + 0.2 * np.eye(DIM)
+    A_lit = [[round(float(x), 6) for x in row] for row in A]
+    return rotate_vectors(vectors, A_lit)
+
+
+def test_opq_beats_pq_on_correlated_data(spark, vectors):
+    """The measured OPQ gain (r11 verdict ask #3 said "measure"): on
+    the planted low-rank-correlation corpus, equal-code-byte OPQ cuts
+    reconstruction SSE vs coordinate PQ — measured at pin time: OPQ
+    12.5 vs PQ 259.3 (a 95% cut: allocation spreads the six recovered
+    factor directions one per subspace, where they get scalar-
+    quantized almost exactly). The margin leaves 6x headroom over the
+    measured ratio while still requiring a structural win."""
+    from asterlake.operators.pq import (
+        opq_train,
+        pq_reconstruction_sse,
+        pq_train,
+        rotate_vectors,
+    )
+
+    skewed = _planted_lowrank(spark, vectors).cache()
+    try:
+        skewed.count()
+        pq_cb = pq_train(skewed, m=M, k=64, dim=DIM, iters=3)
+        pq_sse = pq_reconstruction_sse(skewed, pq_cb).collect()[0].sse
+        rot, opq_cb = opq_train(skewed, m=M, k=64, dim=DIM, iters=3)
+        opq_sse = (
+            pq_reconstruction_sse(rotate_vectors(skewed, rot), opq_cb)
+            .collect()[0]
+            .sse
+        )
+        assert opq_sse < 0.30 * pq_sse, (opq_sse, pq_sse)
+    finally:
+        skewed.unpersist()
+
+
+def test_opq_search_plan_shape(spark, sf_dir):
+    """Same 100-TB plan contract as pq_search: no Python in the plan,
+    broadcast shortlist join, TakeOrderedAndProject top-k."""
+    from asterlake.queries import QUERIES
+
+    df = QUERIES["q_ann_opq_search"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
