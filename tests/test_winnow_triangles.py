@@ -352,3 +352,139 @@ def test_winnow_index_roundtrip_append_then_hit(spark, tmp_path):
     idx2 = spark.read.parquet(path).distinct()
     second = winnow_index_matches(batch2, idx2, k=3, w=3, min_shared=1)
     assert second.filter("flagged").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# kcore_decomposition
+# ---------------------------------------------------------------------------
+
+
+def _exact_coreness(edges):
+    """Batagelj-Zaversnik peel — the exact k-core decomposition."""
+    import collections
+    import heapq
+
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    cur = {u: len(vs) for u, vs in adj.items()}
+    core = dict(cur)
+    heap = [(d, u) for u, d in cur.items()]
+    heapq.heapify(heap)
+    seen = set()
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u in seen or d != cur[u]:
+            continue
+        seen.add(u)
+        core[u] = cur[u]
+        for v in adj[u]:
+            if v not in seen and cur[v] > cur[u]:
+                cur[v] -= 1
+                heapq.heappush(heap, (cur[v], v))
+    return core
+
+
+def _kcore_spark(spark, edges, rounds):
+    from asterlake.operators.graph import kcore_decomposition
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.coreness
+        for r in kcore_decomposition(df, rounds=rounds).collect()
+    }
+
+
+def test_kcore_exact_on_handmade_graph(spark):
+    """A 4-clique joined to a triangle through a 4-5-6-7 bridge, plus a
+    true pendant: the bridge closes a cycle, so EVERYTHING except the
+    pendant sits in the 2-core (a classic peel subtlety); the clique
+    alone is the 3-core and the pendant peels at 1 — hand-checked
+    against the Batagelj-Zaversnik twin."""
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    bridge = [(4, 5), (5, 6), (6, 7)]
+    tri = [(7, 8), (8, 9), (7, 9)]
+    pendant = [(9, 10)]
+    edges = clique + bridge + tri + pendant
+    want = {
+        1: 3, 2: 3, 3: 3, 4: 3, 5: 2, 6: 2, 7: 2, 8: 2, 9: 2, 10: 1,
+    }
+    assert _exact_coreness(edges) == want
+    assert _kcore_spark(spark, edges, rounds=8) == want
+
+
+def test_kcore_converges_to_exact_peel_on_corpus_graph(spark, sf_dir):
+    """At convergence depth the H-index fixpoint equals the exact
+    Batagelj-Zaversnik peel on the sf0.001 co-purchase graph (measured
+    depth 17; run 18) — the claim that makes 'decomposition' honest.
+    Also pins the monotone upper-bound property at the declared query's
+    6 rounds: never below exact coreness, and within the measured +1
+    gap."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.distinct()
+        .alias("a")
+        .join(
+            li.distinct().alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    edges = [(r.src, r.dst) for r in pairs.collect()]
+    exact = _exact_coreness(edges)
+    from asterlake.operators.graph import kcore_decomposition
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    converged = {
+        r.node: r.coreness
+        for r in kcore_decomposition(df, rounds=18).collect()
+    }
+    assert converged == exact
+    six = {
+        r.node: r.coreness
+        for r in kcore_decomposition(df, rounds=6).collect()
+    }
+    assert set(six) == set(exact)
+    assert all(six[u] >= exact[u] for u in exact)  # upper bound
+    assert max(six[u] - exact[u] for u in exact) <= 1  # measured gap
+
+
+def test_kcore_partitioning_invariance(spark):
+    """Same coreness under any input partitioning (the histogram fold
+    and integer counts are partition-order independent)."""
+    import random
+
+    rng = random.Random(5)
+    edges = list(
+        {
+            (rng.randrange(40), rng.randrange(40))
+            for _ in range(160)
+        }
+    )
+    from asterlake.operators.graph import kcore_decomposition
+
+    one = {
+        (r.node, r.coreness)
+        for r in kcore_decomposition(
+            spark.createDataFrame(edges, "src long, dst long").coalesce(1),
+            rounds=10,
+        ).collect()
+    }
+    many = {
+        (r.node, r.coreness)
+        for r in kcore_decomposition(
+            spark.createDataFrame(edges, "src long, dst long").repartition(7),
+            rounds=10,
+        ).collect()
+    }
+    assert one == many
