@@ -324,3 +324,51 @@ def ohlc_bars(
         last.getField(value_col).alias("close"),
         F.count("*").cast("bigint").alias("n_events"),
     )
+
+
+def ohlc_bars_windowed(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    window_duration: str = "1 day",
+) -> DataFrame:
+    """:func:`ohlc_bars` keyed by an event-time ``window`` instead of a
+    date_trunc scalar — the SAME single map-side-combinable aggregate
+    (open/close ride min/max over struct(ts, tiebreak, value)), but the
+    window key is what Structured Streaming's watermark eviction
+    understands, so this is the production streaming shape: with
+    ``withWatermark`` upstream and append output mode, a bar is emitted
+    exactly once when the watermark passes its end and its state is
+    dropped — state bounded by OPEN bars only, not the full (key, day)
+    key universe the complete-mode twin accumulates forever.
+
+    Works identically on batch frames (window(...) is an ordinary
+    grouping expression there), which is how the streaming query's
+    oracle replays it. Returns (key, bar_start, bar_end, open, high,
+    low, close, n_events)."""
+    first = F.min(
+        F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col))
+    )
+    last = F.max(
+        F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col))
+    )
+    return df.groupBy(
+        F.col(key), F.window(ts_col, window_duration).alias("_w")
+    ).agg(
+        first.getField(value_col).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        last.getField(value_col).alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+    ).select(
+        key,
+        F.col("_w.start").alias("bar_start"),
+        F.col("_w.end").alias("bar_end"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )

@@ -1665,3 +1665,86 @@ def test_stream_substring_screen_flags_across_batches_and_restarts(
     # doc 21 covers "nothing shared here at all" (5 tokens)
     assert got2[21] == (1, 5)
     assert 1 not in got2 and 2 not in got2 and 11 not in got2
+
+
+def test_stream_ohlc_append_emits_closed_bars_exactly_once(spark, tmp_path):
+    """Watermarked append-mode OHLC (the q_stream_ohlc_append shape,
+    r11 verdict ask #4): over a 3-file / 3-micro-batch drain, the sink
+    holds EXACTLY the closed bars (window.end <= max(ts) - delay) of
+    the batch twin, each emitted once — cross-batch struct-min/max
+    merge, watermark eviction, and no duplicate emission under
+    availableNow."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.timeseries import ohlc_bars_windowed
+
+    events_dir = str(tmp_path / "ohlc_events")
+    os.makedirs(events_dir)
+
+    def _write(path, rows, mtime):
+        full = os.path.join(events_dir, path)
+        with open(full, "w") as f:
+            for eid, uid, ts, val in rows:
+                f.write(
+                    json.dumps(
+                        {"event_id": eid, "user_id": uid, "ts": ts,
+                         "value": val}
+                    )
+                    + "\n"
+                )
+        # the file source orders micro-batches by MODIFICATION TIME;
+        # equal mtimes make the order arbitrary (observed: the newest
+        # data first, which legitimately drops the older files as late
+        # vs the advanced watermark) — pin the arrival order explicitly
+        os.utime(full, (mtime, mtime))
+
+    # day 1 split across two batches (merge must combine partials);
+    # day 3 arrives last and stays open (watermark = day3 12:00 - 1h)
+    _write("b1.json", [
+        (1, 1, "2025-01-01 09:00:00", 10.0),
+        (2, 1, "2025-01-01 12:00:00", 30.0),
+        (3, 2, "2025-01-01 10:00:00", 7.0),
+    ], mtime=1_700_000_000)
+    _write("b2.json", [
+        (4, 1, "2025-01-01 15:00:00", 5.0),   # same day-1 bar, later batch
+        (5, 1, "2025-01-02 09:00:00", 20.0),
+    ], mtime=1_700_000_060)
+    _write("b3.json", [
+        (6, 2, "2025-01-03 12:00:00", 9.0),
+    ], mtime=1_700_000_120)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    bars = ohlc_bars_windowed(stream)
+    _drain(bars, str(tmp_path / "ck_ohlc"), "ohlc_append_sink")
+    got = {
+        (r.user_id, str(r.bar_start)): (
+            r.open, r.high, r.low, r.close, r.n_events
+        )
+        for r in spark.sql("SELECT * FROM ohlc_append_sink").collect()
+    }
+    batch = spark.read.json(
+        events_dir, schema=schema
+    )
+    wm = datetime.datetime(2025, 1, 3, 11, 0, 0)
+    closed = {
+        (r.user_id, str(r.bar_start)): (
+            r.open, r.high, r.low, r.close, r.n_events
+        )
+        for r in ohlc_bars_windowed(batch)
+        .filter(F.col("bar_end") <= F.lit(wm))
+        .collect()
+    }
+    assert got == closed
+    # the day-1 user-1 bar merged across batches b1+b2: open at 09:00,
+    # close at the 15:00 observation
+    assert got[(1, "2025-01-01 00:00:00")] == (10.0, 30.0, 5.0, 5.0, 3)
+    # the still-open day-3 bar must NOT have been emitted
+    assert (2, "2025-01-03 00:00:00") not in got
+    assert len(got) == 3
