@@ -11384,11 +11384,18 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Frozen via rotation.suggest_front and kept in sync at every
 # mid-round declaration (the late-declaration lesson from r9).
 #
-# R12 FRONT PLAN: the 37 remaining r8-era rows (alphabetically from
-#   q_dedup_survivors onward — whatever suggest_front ranks after this
-#   round's driver file lands) lead the r12 front, then the oldest r9
-#   rows; plus whatever round-12 touches or declares (freeze AFTER the
-#   round's last operator commit, via rotation.suggest_front).
+# The r11 front executed verbatim in round 12 (CORRECTNESS_r11: 50/50
+# green). After the r11 driver file landed, the oldest cohort is the 48
+# r8-era rows — more than the 50-slot budget minus this round's new/
+# touched block, so two spill with documented cross-coverage (below)
+# and lead the r13 rotation.
+#
+# R13 FRONT PLAN: q_top3_orders_per_segment + q_topk_orders (the two
+#   r8 rows the r12 budget cut) lead, then the r9-era rows
+#   name-ascending (q_ann_pq_search and the r11-exempted closure rows
+#   among them); plus whatever round-13 touches or declares (freeze
+#   AFTER the round's last operator commit, via
+#   rotation.suggest_front).
 
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # the r8 codec work (4:2:0, progressive SOF2 + restart intervals)
@@ -11400,211 +11407,123 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "q_media_decode": "real=False branch unchanged; real=True scored "
     "via q_media_decode_real, gif via q_media_gif_anim (both r10 "
     "front)",
-    # r11 import-line fan-out: graph.py gained `Observation` in its
-    # pyspark import and similarity.py was touched at ivf_assign/
-    # centroid_argmax + appended NEW functions — statement-level
-    # attribution treats the shared import as touching every module
-    # name, promoting every consumer. The eight below call ONLY
-    # byte-identical bodies this round (verified against the r10
-    # baseline diff: similarity.py changed exactly the
-    # ivf_assign/centroid_argmax split plus appended semantic_*;
-    # graph.py changed exactly connected_components + the import):
-    # topk_cosine/cosine/dot_double, srp_*/blocked_neighbor_pairs,
-    # normalize_quantize/topk_int8, gram_mean_count/pca_*,
-    # bm25_scores, and pagerank_fixed_point/_pagerank_loop are all
-    # untouched, so these queries' plans and outputs are bit-identical
-    # to their standing green rows. Consumers of the CHANGED bodies
-    # (connected_components -> the closure family, ivf_assign,
-    # semantic_*) are promoted into the r11 front, not exempted.
-    "q_ann_int8_topk": "calls topk_int8/normalize_quantize only — "
-    "byte-identical this round (import-line fan-out)",
-    "q_ann_topk_bruteforce": "calls topk_cosine/cosine/dot_double only "
-    "— byte-identical this round (import-line fan-out)",
-    "q_embedding_block_neighbors": "calls blocked_neighbor_pairs only "
-    "— byte-identical this round (import-line fan-out)",
-    "q_embedding_normalize": "calls normalize_quantize only — "
-    "byte-identical this round (import-line fan-out)",
-    "q_embedding_pca": "calls gram_mean_count/pca_fit/pca_project/"
-    "pca_verify only — byte-identical this round (import-line fan-out)",
-    "q_embedding_srp_neighbors": "calls blocked_neighbor_pairs + "
-    "srp_signature only — byte-identical this round (import-line "
-    "fan-out)",
-    "q_hybrid_search": "calls cosine + textstats.bm25_scores only — "
-    "byte-identical this round (import-line fan-out)",
-    "q_pagerank_copurchase": "calls pagerank_fixed_point/_pagerank_loop "
-    "only — byte-identical this round (import-line fan-out; the "
-    "Observation change is confined to connected_components)",
-    "q_ann_srp_buckets": "calls srp_signature only — byte-identical "
-    "this round (import-line fan-out)",
-    # LATE-r11 budget exemptions: 13 new declarations took front slots,
-    # so these touched-block rows rotate out WITH cross-coverage — every
-    # changed code path they exercise keeps at least one r11 front row
-    # whose oracle pins it digit-for-digit. All are r9/r10-green and
-    # lead the r12 rotation.
-    "q_kmeans_step": "centroid_argmax refactor covered by "
-    "q_dedup_semantic + q_dedup_semantic_incremental (r11 front, "
-    "literal-codebook oracles replay the argmax)",
-    "q_ann_ivf_assign": "same centroid_argmax coverage argument as "
-    "q_kmeans_step; assign is the literal-codebook projection both "
-    "semantic rows replay",
-    "q_ann_ivf_search": "same centroid_argmax coverage; the probe "
-    "join/top-k path is otherwise byte-identical this round",
-    "q_ann_pq_search": "same centroid_argmax coverage; PQ "
-    "encode/ADC/rerank untouched this round",
-    "q_ann_ivfpq_search": "same centroid_argmax coverage; IVFADC "
-    "residual/LUT path untouched this round",
-    "q_embedding_dup_clusters": "connected_components Observation "
-    "change covered by q_dedup_clusters + q_corpus_survivors + "
-    "q_dedup_survivors (r11 front) on the same loop",
-    "q_dedup_substrings": "the r11 skew fix (groupBy-count + semi-join "
-    "flag) is shared verbatim with q_scrub_substrings and "
-    "q_dedup_substrings_incremental (both r11 front, window-TEXT "
-    "oracles)",
-    "q_pack_sequences": "the NULL-safe pack tokenizer fix is scored "
-    "via q_pack_manifest (r11 front), whose oracle replays the same "
-    "tokenization and whose offsets derive from pack_sequences output",
-    "q_snapshot_scan_bloom": "the probe-tz canonicalization in "
-    "scan_version is scored via q_snapshot_scan_pruned (r11 front); "
-    "the bloom skipping layer is byte-identical this round",
-    "q_dedup_survivors": "connected_components Observation change "
-    "covered by q_corpus_survivors (r11 front) AND the new "
-    "q_golden_record (r11 front), all on the same loop",
-    "q_dedup_clusters": "connected_components Observation change "
-    "covered by q_corpus_survivors + q_golden_record (r11 front) on "
-    "the same loop; q_dedup_clusters is r10-green and next in rotation",
-    "q_corpus_survivors": "connected_components Observation change "
-    "covered by q_golden_record (r11 front, full closure + rollup on "
-    "the same loop) and differentially by test_graph closure suites; "
-    "r9-green and next in rotation",
+    # r12 exemptions. queries_touched() flags four rows this round whose
+    # executed plans are bit-identical to their standing green rows:
+    # two by the ohlc_bars sub-day branch (this round's r11-ADVICE fix
+    # adds a branch the day-bucket queries never take), two by pq.py
+    # statement propagation / diff adjacency (the pq_train moments-init
+    # edit and the appended opq_* functions live in the module these
+    # queries import from, but none of the bodies they call changed).
+    "q_ohlc_bars": "touched only by the r12 sub-day-bucket branch in "
+    "ohlc_bars; at bucket='day' (this query) the produced expression "
+    "is the identical date_trunc + DATE cast (the branch test pins "
+    "day/month keys still DATE, hourly keys TIMESTAMP); r11-green, "
+    "and the shared min/max-struct aggregate is freshly driver-scored "
+    "via q_stream_ohlc_append (r12 front)",
+    "q_stream_ohlc": "same ohlc_bars day-path argument; the complete-"
+    "mode drain is unchanged, and the watermarked production twin "
+    "q_stream_ohlc_append (r12 front) scores the same cross-batch "
+    "struct-min/max merge fresh; r11-green",
+    "q_ann_pq_search": "flagged by diff adjacency only (the r12 OPQ "
+    "block was inserted immediately after its QueryDef statement); "
+    "pq_codebooks/pq_encode/adc_topk/pq_search bodies are "
+    "byte-identical this round, and q_ann_opq_search (r12 front) "
+    "freshly drives the same encode/ADC/rerank code on the rotated "
+    "input with a digit-for-digit oracle; r9-green and next in "
+    "rotation",
+    "q_ann_ivfpq_search": "flagged by pq.py statement propagation "
+    "(the pq_train moments-init edit + appended opq_* names); "
+    "ivfpq_index/ivfpq_search and the seeded codebook literals it "
+    "actually executes are byte-identical this round; r10-green and "
+    "next in rotation",
 }
 
-# Round-11 front (exactly 50), re-frozen AFTER the round's last
+# Round-12 front (exactly 50), re-frozen AFTER the round's last
 # operator commit and verified equal to the mechanical derivation
 # (rotation.suggest_front over the declared set with the
-# _AUTO_PROMOTE_EXEMPT budget exemptions — checked at freeze time:
-# suggested == this block, element for element): the 18 new r11
-# declarations first, then the touched block (minus the justified
-# cross-coverage exemptions the budget forced), then the 26 r7-era
-# rows the r10 front could not fit (verdict ask #1).
-_TOUCHED_R11 = [
-    # the similarity refactor (centroid_argmax shared by ivf_assign and
-    # the new semantic_dedup), the NULL-safe pack tokenizer (ADVICE
-    # r10), the substrings groupBy+semi-join skew fix (ADVICE r10), the
-    # snapshot probe-tz canonicalization (ADVICE r10), and the closure
-    # family (connected_components' convergence check now rides the
-    # checkpoint job via Observation — one job/round instead of two)
-    # q_embedding_dup_clusters: EXEMPT from the touched block this
-    # round (budget): touched only via connected_components' Observation
-    # convergence change, r11-scored through the three closure rows
-    # kept above plus q_dedup_semantic (duplicate_clusters on the same
-    # loop); r9-green and next in rotation.
-    # q_ann_ivf_assign / q_ann_pq_search: EXEMPT from the touched block
-    # this round (budget, same argument as q_kmeans_step below): touched
-    # only via the shared centroid_argmax refactor, r11-scored through
-    # the two deeper compositions kept here (q_ann_ivf_search,
-    # q_ann_ivfpq_search) plus both new semantic-dedup rows; both are
-    # r10/r9-green and next in rotation.
-    # q_ann_ivf_search: EXEMPT (budget) — same centroid_argmax argument;
-    # the deepest composition q_ann_ivfpq_search stays.
-    # q_ann_ivfpq_search: EXEMPT (budget) — the last centroid_argmax
-    # consumer in the touched block; the refactored path is r11-scored
-    # through q_dedup_semantic / q_dedup_semantic_incremental, whose
-    # oracles replay the argmax digit-for-digit on the same codebooks.
-    # q_dedup_substrings: EXEMPT (budget) — the r11 skew fix (groupBy-
-    # count + semi-join duplicate flag) is shared verbatim with
-    # q_scrub_substrings (kept below) and the never-scored
-    # q_dedup_substrings_incremental, both of whose oracles pin the
-    # digest keying on window TEXT; r10-green and next in rotation.
-    # q_kmeans_step: EXEMPT from the touched block this round (budget).
-    # Touched only via the shared centroid_argmax refactor, whose code
-    # path is r11-scored through q_ann_ivf_assign/q_ann_ivf_search/
-    # q_ann_ivfpq_search/q_ann_pq_search AND both new semantic-dedup
-    # rows; q_kmeans_step itself is r10-green and next in rotation.
-    "q_pack_manifest",
-    "q_scrub_substrings",
-    "q_snapshot_scan_pruned",
+# _AUTO_PROMOTE_EXEMPT exemptions — checked at freeze time:
+# suggested == this block, element for element): the 3 new r12
+# declarations first, then the touched row this round's semantic fix
+# changed, then 46 of the 48 r8-era rows (the r11 verdict's ask #1 —
+# the two the budget cut carry the spill notes below and lead r13).
+_NEW_R12 = [
+    # OPQ ANN search (completes the FAISS ladder IVF -> PQ -> IVFADC
+    # -> OPQ at equal code bytes; r11 verdict ask #3a)
+    "q_ann_opq_search",
+    # k-core decomposition by synchronous H-index rounds (the fourth
+    # static-graph family; r11 verdict ask #3b)
+    "q_kcore_decompose",
+    # watermarked append-mode streaming OHLC (the production twin of
+    # q_stream_ohlc; r11 verdict ask #4)
+    "q_stream_ohlc_append",
 ]
-_NEW_R11 = [
-    # declared mid-round BEFORE the freeze: SemDeDup semantic dedup
-    # (r10 verdict ask #2 — kmeans-cell blocking + cosine prune +
-    # min-label closure) and incremental new-batch-vs-corpus
-    # ExactSubstr screening (ask #3 — persisted window-digest index,
-    # never new-vs-new)
-    "q_dedup_semantic",
-    "q_dedup_semantic_incremental",
-    "q_dedup_substrings_incremental",
-    # CCNet-style segment-level perplexity scrub (partial-document
-    # filtering as ONE shuffle-free projection)
-    "q_segment_quality_scrub",
-    # triangle counting + clustering coefficient (degree-ordered
-    # orientation) — the second static graph family
-    "q_graph_triangles",
-    # winnowing fingerprints (MOSS, SIGMOD 2003) — the positional-
-    # guarantee dedup tier
-    "q_winnow_fingerprints",
-    "q_dedup_winnow",
-    # Fellegi-Sunter probabilistic record linkage
-    "q_record_linkage",
-    "q_linkage_eval",
-    # WordPiece (third tokenizer of the triad)
-    "q_wordpiece_segment",
-    # k-anonymity privacy audit + suppression release
-    "q_k_anonymity",
+_TOUCHED_R12 = [
+    # the r11-ADVICE null-safe release fix changes this query's
+    # semantics on NULL quasi classes (none in the gated data, but the
+    # plan changed: eqNullSafe semi-join keys) — rescored
     "q_k_anonymous_release",
-    # OHLC time-bucket rollup (hypertable downsampling)
-    "q_ohlc_bars",
-    # label-propagation communities (third static-graph family)
-    "q_label_propagation",
-    # temperature-scaled mixture shares (T5 sampling rule)
-    "q_mixture_temperature",
-    # streaming record linkage (stateless stream-static twin)
-    "q_stream_linkage",
-    # incremental winnow screening + l-diversity audit
-    "q_dedup_winnow_incremental",
-    "q_l_diversity",
-    # golden-record survivorship (linkage capstone)
-    "q_golden_record",
-    # multi-probe SRP ANN (recall recovery without more tables)
-    "q_ann_srp_multiprobe",
-    # streaming OHLC twin (order-insensitive struct min/max merges)
-    "q_stream_ohlc",
-]
-_STALE_R7 = [
-    # the 26 r7-era rows the R10 front could not fit — the r11 lead
-    # block the r10 verdict prescribed (ask #1)
-    "q_posexplode_tokens",
-    "q_quarantine_expectations",
-    "q_quota_sample",
-    "q_range_layout_stats",
-    "q_scd2_intervals",
-    "q_schema_drift_union",
-    "q_session_window",
-    "q_sketch_rollup_merge",
-    "q_small_quantity_revenue",
-    "q_split_assign",
-    "q_split_leakage_safe",
-    "q_stream_dedup",
-    "q_stream_ewma",
-    "q_stream_interval_join",
-    "q_stream_session_window",
-    "q_stream_stateful_counts",
-    "q_stream_static_join",
-    "q_stream_windowed_counts",
-    "q_table_profile",
-    "q_text_redact",
-    "q_training_mix",
-    "q_udaf_iqr",
-    "q_udf_vector_norm",
-    "q_variant_extract",
-    "q_weighted_sample",
-    "q_zorder_stats",
 ]
 _STALE_R8 = [
-    # r8-era freshness rotation (name-ascending), filling the budget
-    # (trimmed as r11 declarations took lead slots)
+    # 46 of the 48 r8-era rows, name-ascending (suggest_front order).
+    # SPILL NOTES for the two the budget cut (they lead the r13 front):
+    # - q_top3_orders_per_segment: rank-window top-k; the window
+    #   machinery is r10/r11-green via q_window_frames /
+    #   q_window_navigation / q_session_window, and the
+    #   TakeOrderedAndProject path via the r12-front ANN top-k rows;
+    #   untouched since r8.
+    # - q_topk_orders: catalog ad-hoc SQL + LIMIT; the catalog path is
+    #   pinned locally (test_plans TakeOrderedAndProject + catalog
+    #   tests) and the same plan shape is driver-scored through the
+    #   r12-front ANN top-k rows; untouched since r8.
+    "flagship_revenue_by_nation",
+    "q_ann_ivf_assign",
+    "q_ann_ivf_search",
+    "q_ann_srp_buckets",
+    "q_array_agg_sorted",
+    "q_array_functions",
+    "q_bloom_semi_join",
+    "q_conditional_agg",
+    "q_count_distinct",
+    "q_cube_revenue",
+    "q_date_arithmetic",
+    "q_dedup_exact",
+    "q_dedup_latest_order",
+    "q_dedup_minhash_lsh",
+    "q_dim_date",
+    "q_dim_segment",
+    "q_drift_numeric",
+    "q_drift_tvd",
+    "q_embedding_block_neighbors",
+    "q_embedding_pca",
+    "q_fact_star_join",
+    "q_filter_predicates",
+    "q_forget_cascade",
+    "q_full_outer_join",
+    "q_grouping_sets",
+    "q_join_anti",
+    "q_join_semi",
+    "q_kll_quantile_rollup",
+    "q_monthly_revenue",
+    "q_pivot_status",
+    "q_pricing_summary",
+    "q_projection_arithmetic",
+    "q_rollup_pricing",
+    "q_scalar_functions",
+    "q_set_ops",
+    "q_simhash_fingerprint",
+    "q_sketch_overlap",
+    "q_skew_report",
+    "q_snapshot_diff",
+    "q_stream_frequent",
+    "q_string_functions",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_vocab_topk",
+    "q_theta_set_ops",
 ]
 _FRONT = (
-    _NEW_R11 + _TOUCHED_R11 + _STALE_R7 + _STALE_R8
+    _NEW_R12 + _TOUCHED_R12 + _STALE_R8
 )
 
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
