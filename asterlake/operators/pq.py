@@ -113,17 +113,27 @@ def pq_encode(
     100 TB the codes column is what lands in the hot table; the float
     vectors stay in cold storage for reranking only.
     """
+    codes = F.expr(_encode_codes_sql(codebooks, vec_col))
+    return vectors.select(id_col, codes.alias("codes"))
+
+
+def _encode_codes_sql(
+    codebooks: list[list[list[float]]], vec_sql: str
+) -> str:
+    """The pq_encode codes array as ONE SQL expression string over an
+    arbitrary vector expression ``vec_sql`` (a column name, or a
+    let-bound lambda variable — see opq_encode). One JVM-parsed string:
+    the equivalent Column-API build creates ~6 higher-order-function
+    lambdas per subspace, each a ~30ms py4j negotiation — 1.4s of
+    driver time per plan CONSTRUCTION (profiled; execution unchanged).
+    """
     m = len(codebooks)
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    # The entire codes array is ONE SQL expression parsed JVM-side:
-    # the equivalent Column-API build creates ~6 higher-order-function
-    # lambdas per subspace, each a ~30ms py4j negotiation — 1.4s of
-    # driver time per plan CONSTRUCTION (profiled; execution unchanged).
     per_sub = []
     for s in range(m):
         cb_sql = _sql_double_array(codebooks[s])
-        sub_sql = f"slice({vec_col}, {s * dsub + 1}, {dsub})"
+        sub_sql = f"slice({vec_sql}, {s * dsub + 1}, {dsub})"
         dists_sql = (
             f"transform({cb_sql}, c -> aggregate("
             f"zip_with(c, {sub_sql}, (x, y) -> "
@@ -137,8 +147,7 @@ def pq_encode(
             "(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"
         )
         per_sub.append(f"CAST({best_sql}.i - 1 AS INT)")
-    codes = F.expr("array(" + ", ".join(per_sub) + ")")
-    return vectors.select(id_col, codes.alias("codes"))
+    return "array(" + ", ".join(per_sub) + ")"
 
 
 def adc_topk(
@@ -626,6 +635,18 @@ def opq_train_rotation(
     ]
 
 
+def _rotated_sql(rotation: list[list[float]], vec_col: str) -> str:
+    dims = []
+    for row in rotation:
+        row_sql = _sql_double_array(row)
+        dims.append(
+            f"aggregate(zip_with({row_sql}, {vec_col}, "
+            "(r, x) -> r * CAST(x AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+    return "array(" + ", ".join(dims) + ")"
+
+
 def rotate_vectors(
     vectors: DataFrame,
     rotation: list[list[float]],
@@ -640,16 +661,49 @@ def rotate_vectors(
     ADC ranking, both order-sensitive). The matrix is a plan literal
     broadcast by value; per-row cost is d^2 multiply-adds, the same
     arithmetic a BLAS gemv would do, kept JVM-side."""
-    dims = []
-    for row in rotation:
-        row_sql = _sql_double_array(row)
-        dims.append(
-            f"aggregate(zip_with({row_sql}, {vec_col}, "
-            "(r, x) -> r * CAST(x AS DOUBLE)), "
-            "0.0D, (acc, v) -> acc + v)"
-        )
-    rotated = F.expr("array(" + ", ".join(dims) + ")")
+    rotated = F.expr(_rotated_sql(rotation, vec_col))
     return vectors.select(id_col, rotated.alias(vec_col))
+
+
+def opq_encode(
+    vectors: DataFrame,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rotate + PQ-encode in ONE projection with the rotated vector
+    LET-BOUND via the single-element-transform idiom (the ivfpq_index
+    discipline): ``transform(array(<rotation>), _rv -> <codes over
+    _rv>)[0]``. Composing rotate_vectors with pq_encode instead lets
+    CollapseProject substitute the whole d^2 rotation fold into EVERY
+    subspace slice reference — m=8 re-evaluations per row (measured
+    2.6s -> 0.9s warm at sf0.1). The lambda variable is evaluated once
+    per row; values are bit-identical to the two-step composition."""
+    spark = vectors.sparkSession
+    rot_df = spark.createDataFrame(
+        [([list(map(float, row)) for row in rotation],)],
+        "_rotm array<array<double>>",
+    )
+    d = len(rotation)
+    # the matrix rides a 1-row broadcast column, not a plan literal:
+    # parsing the 4096-double literal cost 4.5s of driver time per
+    # plan CONSTRUCTION (measured; the codebook literals are 10x
+    # smaller and stay inline). Values are identical — createDataFrame
+    # round-trips IEEE doubles exactly.
+    rot_sql = "array(" + ", ".join(
+        f"aggregate(zip_with(element_at(_rotm, {j + 1}), {vec_col}, "
+        "(r, x) -> r * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+        for j in range(d)
+    ) + ")"
+    codes_sql = _encode_codes_sql(codebooks, "_rv")
+    codes = F.expr(
+        f"transform(array({rot_sql}), _rv -> {codes_sql})[0]"
+    )
+    return vectors.crossJoin(F.broadcast(rot_df)).select(
+        id_col, codes.alias("codes")
+    )
 
 
 def rotate_query(
@@ -709,8 +763,7 @@ def opq_search(
     cosine, so reranking in the original space is both exact and skips
     re-rotating the fetched floats. Same plan shape and code bytes as
     :func:`pq_search`; the rotation buys subspace balance, not cost."""
-    rotated = rotate_vectors(vectors, rotation, id_col, vec_col)
-    codes = pq_encode(rotated, codebooks, id_col, vec_col)
+    codes = opq_encode(vectors, rotation, codebooks, id_col, vec_col)
     rq = rotate_query(rotation, query_vec)
     cand = adc_topk(
         codes, rq, codebooks, k=shortlist, id_col=id_col

@@ -11424,10 +11424,12 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "mode drain is unchanged, and the watermarked production twin "
     "q_stream_ohlc_append (r12 front) scores the same cross-batch "
     "struct-min/max merge fresh; r11-green",
-    "q_ann_pq_search": "flagged by diff adjacency only (the r12 OPQ "
-    "block was inserted immediately after its QueryDef statement); "
-    "pq_codebooks/pq_encode/adc_topk/pq_search bodies are "
-    "byte-identical this round, and q_ann_opq_search (r12 front) "
+    "q_ann_pq_search": "flagged by diff adjacency + the pq_encode "
+    "refactor (its codes expression moved verbatim into "
+    "_encode_codes_sql so opq_encode can let-bind it — the produced "
+    "SQL string is unchanged, pinned by test_pq.py bit-for-bit encode "
+    "replays and sf0.001/sf0.01 parity); adc_topk/pq_search bodies "
+    "are byte-identical this round, and q_ann_opq_search (r12 front) "
     "freshly drives the same encode/ADC/rerank code on the rotated "
     "input with a digit-for-digit oracle; r9-green and next in "
     "rotation",

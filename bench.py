@@ -488,6 +488,13 @@ def main() -> None:
                     # the retime separates its training build from the
                     # steady dedup pass
                     "q_dedup_semantic",
+                    # r12 multi-round / large-expression queries: the
+                    # kcore cold carries 6 localCheckpoint landings,
+                    # the OPQ cold carries the ~18KB expr parse +
+                    # whole-plan codegen — retimes record the steady
+                    # fold costs
+                    "q_kcore_decompose",
+                    "q_ann_opq_search",
                 }
             )
         }
