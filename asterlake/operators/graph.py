@@ -594,6 +594,7 @@ def kcore_decomposition(
     rounds: int = 6,
     src: str = "src",
     dst: str = "dst",
+    ckpt_every: int = 3,
 ) -> DataFrame:
     """Coreness (k-core number) per node by synchronous H-index
     iteration — Lu, Zhou, Zhang & Stanley, "The H-index of a network
@@ -627,8 +628,16 @@ def kcore_decomposition(
     the node's DISTINCT neighbor-value count, which the iteration
     itself crushes toward the (tiny) coreness range after round one —
     a hub's histogram is at most max-coreness entries, not its degree.
-    ``localCheckpoint`` truncates lineage between rounds (the
-    connected_components discipline)."""
+
+    Unlike the convergence-checked loops (connected_components), the
+    fixed-round recurrence runs NO mid-loop action, so per-round
+    ``localCheckpoint`` would pay an eager materialization job per
+    round for nothing; lineage is instead truncated every
+    ``ckpt_every`` rounds — enough to keep the optimizer's plan depth
+    bounded while the whole recurrence executes as ~rounds/ckpt_every
+    jobs (measured at sf0.1: cold 16.3s with per-round landings vs
+    7-9.5s at every-3 in the same session positions; checkpointing is
+    semantics-free, values identical)."""
     und = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .unionByName(
@@ -638,10 +647,8 @@ def kcore_decomposition(
         .distinct()
         .localCheckpoint()
     )
-    vals = (
-        und.groupBy(F.col("_s").alias("node"))
-        .agg(F.count("*").cast("bigint").alias("h"))
-        .localCheckpoint()
+    vals = und.groupBy(F.col("_s").alias("node")).agg(
+        F.count("*").cast("bigint").alias("h")
     )
     hindex = F.expr(
         "aggregate(sort_array(collect_list(struct(h, c)), false), "
@@ -650,16 +657,14 @@ def kcore_decomposition(
         "greatest(acc.best, least(x.h, acc.cum + x.c))), "
         "acc -> acc.best)"
     )
-    for _ in range(rounds):
+    for r in range(rounds):
         msgs = und.join(
             vals.withColumnRenamed("node", "_s"), "_s"
         ).select(F.col("_d").alias("node"), "h")
         hist = msgs.groupBy("node", "h").agg(
             F.count("*").cast("bigint").alias("c")
         )
-        vals = (
-            hist.groupBy("node")
-            .agg(hindex.alias("h"))
-            .localCheckpoint()
-        )
+        vals = hist.groupBy("node").agg(hindex.alias("h"))
+        if ckpt_every and (r + 1) % ckpt_every == 0 and r + 1 < rounds:
+            vals = vals.localCheckpoint()
     return vals.select("node", F.col("h").alias("coreness"))
