@@ -1,0 +1,174 @@
+"""Windowed token co-occurrence + log-free PMI collocations.
+
+The corpus statistic behind phrase mining, collocation extraction and
+word-vector objectives (word2vec's training pairs ARE windowed
+co-occurrences; PMI-weighted co-occurrence is the classic SVD-able
+association matrix — Church & Hanks, Computational Linguistics 1990;
+Levy & Goldberg, NeurIPS 2014 show SGNS implicitly factorizes the
+shifted PMI matrix). A curation pipeline uses it to mine multi-word
+expressions worth protecting from tokenizer splits and to audit
+domain drift in collocation space.
+
+Determinism discipline: PMI's log is NEVER taken. log is monotone, so
+every decision a pipeline makes on PMI (thresholds, top-k ranking) is
+equally made on the RAW association ratio — and the ratio is exact
+integer arithmetic: ``ratio_ppm = (c_ab * N_tok^2 * 10^6) div
+(n_pairs * c_a * c_b)`` in DECIMAL(38,0), hash-gateable across engines
+where a float ln() would be libm-dependent (the engine-wide
+pow/ln-distrust rule; see mixture.integer_root). Callers who want
+nats take log(ratio_ppm / 1e6) driver-side on the model-sized result.
+
+Scale: pair generation is a row-local projection (each token pairs
+with at most ``window`` following tokens — explode fan-out bounded at
+window x tokens, the pagerank pair-expansion shape); the only shuffle
+is the map-side-combinable (tok_a, tok_b) count; the PMI join
+broadcasts the unigram table when it is vocabulary-sized. ``min_count``
+prunes the pair tail BEFORE the ratio projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cooccurrence_counts", "pmi_ratio", "top_collocations"]
+
+
+def _tokens(text_col: str) -> Column:
+    # NULL text -> empty stream, never NULL (the ngramlm convention)
+    toks = F.split(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+    )
+    return F.filter(toks, lambda t: t != "")
+
+
+def cooccurrence_counts(
+    docs: DataFrame,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unordered within-window token pair counts: one row per
+    ``(tok_a, tok_b)`` with ``tok_a <= tok_b`` (lexicographic
+    canonicalization, so "a b" and "b a" accumulate together) and the
+    exact BIGINT count of window-co-occurrences — each position pairs
+    with the ``window`` positions after it, the standard symmetric-
+    window convention (a pair at distance d <= window counts once per
+    occurrence). Pair expansion is ONE row-local projection; the only
+    shuffle carries (string, string, partial count) with map-side
+    combine."""
+    toks = _tokens(text_col)
+    pairs = F.flatten(
+        F.transform(
+            toks,
+            lambda x, i: F.transform(
+                F.slice(toks, i + F.lit(2), F.lit(window)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("tok_a"),
+                    F.greatest(x, y).alias("tok_b"),
+                ),
+            ),
+        )
+    )
+    ex = docs.select(F.explode(pairs).alias("_p")).select(
+        "_p.tok_a", "_p.tok_b"
+    )
+    return ex.groupBy("tok_a", "tok_b").agg(
+        F.count("*").cast("bigint").alias("c_ab")
+    )
+
+
+def pmi_ratio(
+    docs: DataFrame,
+    window: int = 4,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-pair log-free PMI: ``(tok_a, tok_b, c_ab, c_a, c_b,
+    ratio_ppm)`` with ``ratio_ppm = (c_ab * N_tok^2 * 10^6) div
+    (n_pairs * c_a * c_b)`` — the exact-integer association ratio
+    whose log IS the PMI in nats. ratio_ppm > 10^6 means the pair
+    co-occurs more than independence predicts.
+
+    All five operands are exact BIGINTs; the product routes through
+    DECIMAL(38,0) (c_ab * N_tok^2 * 10^6 overflows BIGINT past ~3k
+    tokens). Headroom bound: the numerator stays inside DECIMAL(38,0)
+    while c_ab * N_tok^2 < 10^32 — at 10^12 corpus tokens that allows
+    c_ab up to 10^8; past that, pre-divide N_tok^2 by gcd or bucket
+    the corpus (documented, not silently wrong: ANSI DECIMAL overflow
+    raises). ``min_count`` prunes the pair tail before the ratio
+    projection; the unigram side joins via broadcast when
+    vocabulary-sized."""
+    toks = _tokens(text_col)
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    totals = docs.select(
+        F.sum(F.size(toks)).cast("bigint").alias("n_tok")
+    )
+    cooc = cooccurrence_counts(docs, window, text_col).filter(
+        F.col("c_ab") >= F.lit(min_count)
+    )
+    n_pairs = cooc.select(
+        F.sum("c_ab").cast("bigint").alias("n_pairs")
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.col("c_ab").cast(dec)
+        * F.col("n_tok").cast(dec)
+        * F.col("n_tok").cast(dec)
+        * F.lit(1_000_000).cast(dec)
+    )
+    den = (
+        F.col("n_pairs").cast(dec)
+        * F.col("c_a").cast(dec)
+        * F.col("c_b").cast(dec)
+    )
+    return (
+        cooc.join(
+            F.broadcast(uni.withColumnRenamed("tok", "tok_a")).withColumnRenamed(
+                "c", "c_a"
+            ),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(uni.withColumnRenamed("tok", "tok_b")).withColumnRenamed(
+                "c", "c_b"
+            ),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_pairs))
+        .withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            # `div` is the exact integral quotient on DECIMAL operands
+            # in BOTH engines (verified: 7e6 div 6 = 1166666 on each);
+            # `/` would produce a scale-6 HALF_UP decimal instead
+            F.expr("CAST(_num div _den AS BIGINT)").alias("ratio_ppm"),
+        )
+    )
+
+
+def top_collocations(
+    docs: DataFrame,
+    k: int = 20,
+    window: int = 4,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """The k strongest collocations by (ratio_ppm DESC, tok_a, tok_b)
+    — total order, TakeOrderedAndProject top-k."""
+    return (
+        pmi_ratio(docs, window, text_col, min_count)
+        .orderBy(
+            F.desc("ratio_ppm"), F.asc("tok_a"), F.asc("tok_b")
+        )
+        .limit(k)
+    )

@@ -668,3 +668,67 @@ def kcore_decomposition(
         if ckpt_every and (r + 1) % ckpt_every == 0 and r + 1 < rounds:
             vals = vals.localCheckpoint()
     return vals.select("node", F.col("h").alias("coreness"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "node",
+    ckpt_every: int = 3,
+) -> DataFrame:
+    """Multi-source BFS hop distances: for every node reachable from
+    ``sources`` within ``rounds`` hops, the exact minimum hop count —
+    the neighborhood/reachability primitive (influence radius, blast-
+    radius audits, seed-expansion sampling) next to closure, PageRank,
+    triangles, LPA and k-core.
+
+    Exactly ``rounds`` synchronous frontier expansions run (the
+    label_propagation / kcore_decomposition fixed-round discipline —
+    an unrolled SQL oracle replays the recurrence bit-for-bit, and a
+    node at distance d is final once d <= rounds: later rounds can
+    only re-offer larger values, which the min rejects). Nodes farther
+    than ``rounds`` are absent from the result — the contract is
+    "distances within the horizon", the shape reachability audits
+    actually query.
+
+    Returns ``(node, hops)`` — BIGINT, hash-gateable.
+
+    Scale: per round ONE shuffle join (current distances x edges on
+    the source endpoint) + ONE map-side-combinable min per node;
+    distances carry (long, long) pairs only. The frontier is not
+    delta-tracked (a production BSP engine would expand only last
+    round's new nodes); at fixed small ``rounds`` the full-table join
+    is at most ``rounds`` x the delta version's work and keeps the
+    recurrence engine-replayable. Lineage truncates every
+    ``ckpt_every`` rounds (no mid-loop action — the kcore rationale).
+    """
+    und = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionByName(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = sources.select(
+        F.col(id_col).alias("node"), F.lit(0).cast("bigint").alias("hops")
+    ).distinct()
+    for r in range(rounds):
+        offers = und.join(
+            dist.withColumnRenamed("node", "_s"), "_s"
+        ).select(
+            F.col("_d").alias("node"),
+            (F.col("hops") + F.lit(1).cast("bigint")).alias("hops"),
+        )
+        dist = (
+            dist.unionByName(offers)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        if ckpt_every and (r + 1) % ckpt_every == 0 and r + 1 < rounds:
+            dist = dist.localCheckpoint()
+    return dist

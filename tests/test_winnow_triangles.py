@@ -488,3 +488,79 @@ def test_kcore_partitioning_invariance(spark):
         ).collect()
     }
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances
+# ---------------------------------------------------------------------------
+
+
+def _exact_bfs(edges, seeds):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    dist = {s: 0 for s in seeds}
+    q = collections.deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_distances_match_exact_within_horizon(spark):
+    """Multi-source BFS vs a python queue twin on a seeded random
+    graph: equal on every node within the horizon, absent beyond it;
+    seeds report 0 even when isolated."""
+    import random
+
+    from asterlake.operators.graph import bfs_distances
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(90)})
+    seeds = [0, 7, 999]  # 999: isolated seed, stays at hops 0
+    exact = _exact_bfs(edges, seeds)
+    for horizon in (1, 3, 5):
+        got = {
+            r.node: r.hops
+            for r in bfs_distances(
+                spark.createDataFrame(edges, "src long, dst long"),
+                spark.createDataFrame([(s,) for s in seeds], "node long"),
+                rounds=horizon,
+            ).collect()
+        }
+        want = {u: d for u, d in exact.items() if d <= horizon}
+        assert got == want, horizon
+
+
+def test_bfs_distances_partitioning_invariance(spark):
+    import random
+
+    from asterlake.operators.graph import bfs_distances
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(70)})
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    one = {
+        (r.node, r.hops)
+        for r in bfs_distances(
+            spark.createDataFrame(edges, "src long, dst long").coalesce(1),
+            seeds,
+            rounds=4,
+        ).collect()
+    }
+    many = {
+        (r.node, r.hops)
+        for r in bfs_distances(
+            spark.createDataFrame(edges, "src long, dst long").repartition(7),
+            seeds,
+            rounds=4,
+        ).collect()
+    }
+    assert one == many
