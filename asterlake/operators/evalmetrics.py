@@ -1,0 +1,125 @@
+"""Exact ranking-metric evaluation: tie-adjusted AUC as integer
+arithmetic (Mann-Whitney U), at shuffle scale.
+
+The quality-classifier loop (classifier.py) gates corpora on scores;
+the metric that validates the gate is ROC-AUC. The standard
+computation sorts all rows globally — a single-partition sort a 100-TB
+eval set cannot do. This module computes the EXACT tie-adjusted AUC
+(equal to sklearn's roc_auc_score) from the Mann-Whitney U statistic
+with a two-level prefix sum over the DISTINCT-SCORE histogram:
+
+  U2 = sum over distinct scores s of n_pos(s) * (2 * n_neg_below(s)
+       + n_neg(s))                       [ties count half, so x2]
+  AUC = U2 / (2 * n_pos * n_neg)
+
+- the histogram is a map-side-combinable groupBy(score) — rows never
+  sort, only distinct scores do;
+- n_neg_below splits into a BUCKET prefix (score div bucket_step:
+  a bounds-sized relation — e.g. 1001 rows for ppm scores at step
+  1e3 — whose running sum is a window over that tiny set) plus a
+  WITHIN-bucket running sum (window PARTITIONED BY bucket, the
+  engine's key-partitioned-window discipline — never a global sort);
+- every quantity is an exact BIGINT/DECIMAL(38,0); the final ratio is
+  integer ``div`` ppm, so the result is hash-gateable and independent
+  of partitioning.
+
+Contract: ``score_col`` must be integral (the engine's micro-unit
+score discipline — logistic_score/bm25/loglik all quantize; a raw
+double column is the caller's to quantize first, which is also what
+makes AUC reproducible across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["auc_exact"]
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bucket_step: int = 1000,
+) -> DataFrame:
+    """One row: ``(n_pos, n_neg, u2, auc_ppm)`` with ``u2`` twice the
+    tie-adjusted Mann-Whitney U and ``auc_ppm = u2 * 10^6 div
+    (2 * n_pos * n_neg)`` (NULL when either class is empty — AUC is
+    undefined, not 0). ``label_col`` is truthy-positive (cast to
+    boolean). NULL scores/labels are excluded (they rank nowhere)."""
+    base = df.select(
+        F.col(score_col).cast("bigint").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    hist = base.groupBy("_s").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("nn"),
+    )
+    hist = hist.withColumn(
+        "_b", (F.col("_s") - (F.pmod(F.col("_s"), F.lit(bucket_step)))).alias("_b")
+    )
+    # bucket-level negative totals, then the running total of the
+    # buckets BELOW each bucket — the window runs over the bucket
+    # relation only (domain/bucket_step rows, bounds-sized)
+    buckets = hist.groupBy("_b").agg(
+        F.sum("nn").cast("bigint").alias("_bn")
+    )
+    wb = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_prefix = buckets.select(
+        "_b",
+        F.coalesce(F.sum("_bn").over(wb), F.lit(0))
+        .cast("bigint")
+        .alias("_below_b"),
+    )
+    # within-bucket running negatives below each score: partitioned by
+    # the bucket key — never a global sort
+    ww = (
+        Window.partitionBy("_b")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = (
+        hist.join(F.broadcast(bucket_prefix), "_b")
+        .withColumn(
+            "_below_in",
+            F.coalesce(F.sum("nn").over(ww), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "_contrib",
+            F.col("np").cast("decimal(38,0)")
+            * (
+                F.lit(2).cast("decimal(38,0)")
+                * (F.col("_below_b") + F.col("_below_in")).cast(
+                    "decimal(38,0)"
+                )
+                + F.col("nn").cast("decimal(38,0)")
+            ),
+        )
+    )
+    agg = scored.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.coalesce(
+            F.sum("_contrib"), F.lit(0).cast("decimal(38,0)")
+        ).alias("_u2d"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.col("_u2d").cast("bigint").alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "CAST((_u2d * CAST(1000000 AS DECIMAL(38,0))) div "
+                "(CAST(2 AS DECIMAL(38,0)) * CAST(n_pos AS DECIMAL(38,0))"
+                " * CAST(n_neg AS DECIMAL(38,0))) AS BIGINT)"
+            ),
+        ).alias("auc_ppm"),
+    )

@@ -1,0 +1,85 @@
+"""Exact tie-adjusted AUC (operators/evalmetrics) vs a pure-Python
+Mann-Whitney replay. R13 query candidate (the oracle restates the
+two-level prefix sum as one window over the distinct-score histogram)."""
+
+from __future__ import annotations
+
+import random
+
+from asterlake.operators.evalmetrics import auc_exact
+
+
+def _ref_auc(pairs):
+    """Tie-adjusted AUC by direct pair counting (sklearn semantics)."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        return None, 0
+    u2 = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                u2 += 2
+            elif p == n:
+                u2 += 1
+    return u2 / (2 * len(pos) * len(neg)), u2
+
+
+def _run(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "score long, label boolean")
+    return auc_exact(df, **kw).collect()[0]
+
+
+def test_auc_matches_pair_counting_with_ties_and_negatives(spark):
+    rng = random.Random(7)
+    pairs = [
+        (rng.randrange(-5000, 5000), rng.random() < 0.4)
+        for _ in range(400)
+    ]
+    # force heavy ties across classes
+    pairs += [(0, True)] * 7 + [(0, False)] * 5 + [(-5000, True)] * 3
+    want_auc, want_u2 = _ref_auc(pairs)
+    got = _run(spark, pairs, bucket_step=1000)
+    assert got.u2 == want_u2
+    assert got.n_pos == sum(1 for _, y in pairs if y)
+    assert got.n_neg == sum(1 for _, y in pairs if not y)
+    assert got.auc_ppm == (want_u2 * 10**6) // (
+        2 * got.n_pos * got.n_neg
+    )
+    assert abs(got.auc_ppm / 1e6 - want_auc) < 1e-6
+
+
+def test_auc_perfect_random_and_inverted(spark):
+    perfect = [(i + 100, True) for i in range(20)] + [
+        (i, False) for i in range(20)
+    ]
+    assert _run(spark, perfect).auc_ppm == 1_000_000
+    inverted = [(i, True) for i in range(20)] + [
+        (i + 100, False) for i in range(20)
+    ]
+    assert _run(spark, inverted).auc_ppm == 0
+    all_tied = [(5, True)] * 10 + [(5, False)] * 10
+    assert _run(spark, all_tied).auc_ppm == 500_000
+
+
+def test_auc_undefined_single_class_and_null_hygiene(spark):
+    one_class = [(1, True), (2, True)]
+    row = _run(spark, one_class)
+    assert row.auc_ppm is None and row.n_neg == 0
+    with_nulls = [(1, True), (None, False), (3, None), (2, False)]
+    row = _run(spark, with_nulls)
+    assert (row.n_pos, row.n_neg) == (1, 1)
+    # kept rows: positive scored 1, negative scored 2 -> ranked wrong
+    assert row.auc_ppm == 0
+
+
+def test_auc_partitioning_invariance(spark):
+    rng = random.Random(3)
+    pairs = [
+        (rng.randrange(-300, 300), rng.random() < 0.5)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "score long, label boolean")
+    a = auc_exact(df.coalesce(1)).collect()[0]
+    b = auc_exact(df.repartition(9)).collect()[0]
+    assert tuple(a) == tuple(b)
