@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["auc_exact"]
+__all__ = ["auc_exact", "clustering_pair_metrics"]
 
 
 def auc_exact(
@@ -122,4 +122,75 @@ def auc_exact(
                 " * CAST(n_neg AS DECIMAL(38,0))) AS BIGINT)"
             ),
         ).alias("auc_ppm"),
+    )
+
+
+def clustering_pair_metrics(
+    df: DataFrame,
+    pred_col: str = "cluster",
+    gold_col: str = "gold",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exact pair-counting evaluation of a clustering (dedup clusters,
+    linkage entities, LPA communities) against gold labels: one row
+    ``(tp_pairs, fp_pairs, fn_pairs, precision_ppm, recall_ppm,
+    f1_ppm)`` over the within-cluster pair sets —
+
+      TP = pairs together in BOTH;  FP = together in pred only;
+      FN = together in gold only    (the Rand/pair-F1 family).
+
+    Never enumerates pairs: pair counts come from the contingency
+    table — ``pairs(n) = n*(n-1)/2`` summed over (a) the (pred, gold)
+    cell sizes (= TP), (b) pred cluster sizes (= TP+FP), (c) gold
+    class sizes (= TP+FN) — three map-side-combinable groupBys over
+    (long, long) keys, each emitting one scalar. All counts exact
+    BIGINT (pair arithmetic in DECIMAL(38,0): n*(n-1) overflows BIGINT
+    past ~3e9-row clusters); ratios are integer-``div`` ppm; an empty
+    pair set yields NULL ratios (undefined, not 0). Rows with a NULL
+    label on either side are excluded (they pair with nothing)."""
+    base = df.select(
+        F.col(pred_col).alias("_p"), F.col(gold_col).alias("_g")
+    ).filter(F.col("_p").isNotNull() & F.col("_g").isNotNull())
+
+    def pairs_of(counts: DataFrame, n_col: str) -> DataFrame:
+        return counts.agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"CAST({n_col} AS DECIMAL(38,0)) * "
+                        f"(CAST({n_col} AS DECIMAL(38,0)) - 1) div 2"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_pairs")
+        )
+
+    cells = base.groupBy("_p", "_g").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    preds = base.groupBy("_p").agg(F.count("*").cast("bigint").alias("n"))
+    golds = base.groupBy("_g").agg(F.count("*").cast("bigint").alias("n"))
+    tp = pairs_of(cells, "n").withColumnRenamed("_pairs", "_tp")
+    pp = pairs_of(preds, "n").withColumnRenamed("_pairs", "_pp")
+    gp = pairs_of(golds, "n").withColumnRenamed("_pairs", "_gp")
+    joined = tp.crossJoin(F.broadcast(pp)).crossJoin(F.broadcast(gp))
+    ppm = "CAST(1000000 AS DECIMAL(38,0))"
+    return joined.select(
+        F.col("_tp").cast("bigint").alias("tp_pairs"),
+        (F.col("_pp") - F.col("_tp")).cast("bigint").alias("fp_pairs"),
+        (F.col("_gp") - F.col("_tp")).cast("bigint").alias("fn_pairs"),
+        F.when(
+            F.col("_pp") > 0,
+            F.expr(f"CAST((_tp * {ppm}) div _pp AS BIGINT)"),
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("_gp") > 0,
+            F.expr(f"CAST((_tp * {ppm}) div _gp AS BIGINT)"),
+        ).alias("recall_ppm"),
+        F.when(
+            (F.col("_pp") + F.col("_gp")) > 0,
+            F.expr(
+                f"CAST((2 * _tp * {ppm}) div (_pp + _gp) AS BIGINT)"
+            ),
+        ).alias("f1_ppm"),
     )

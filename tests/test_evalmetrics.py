@@ -83,3 +83,70 @@ def test_auc_partitioning_invariance(spark):
     a = auc_exact(df.coalesce(1)).collect()[0]
     b = auc_exact(df.repartition(9)).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+# ---------------------------------------------------------------------------
+# clustering_pair_metrics
+# ---------------------------------------------------------------------------
+
+
+def _ref_pair_metrics(rows):
+    from itertools import combinations
+
+    rows = [(p, g) for p, g in rows if p is not None and g is not None]
+    tp = fp = fn = 0
+    for (p1, g1), (p2, g2) in combinations(rows, 2):
+        same_p, same_g = p1 == p2, g1 == g2
+        tp += same_p and same_g
+        fp += same_p and not same_g
+        fn += same_g and not same_p
+    return tp, fp, fn
+
+
+def test_pair_metrics_match_bruteforce(spark):
+    import random
+
+    from asterlake.operators.evalmetrics import clustering_pair_metrics
+
+    rng = random.Random(13)
+    rows = [
+        (rng.randrange(6), rng.randrange(5)) for _ in range(120)
+    ] + [(None, 1), (2, None)]
+    tp, fp, fn = _ref_pair_metrics(rows)
+    got = clustering_pair_metrics(
+        spark.createDataFrame(rows, "cluster long, gold long")
+    ).collect()[0]
+    assert (got.tp_pairs, got.fp_pairs, got.fn_pairs) == (tp, fp, fn)
+    assert got.precision_ppm == (tp * 10**6) // (tp + fp)
+    assert got.recall_ppm == (tp * 10**6) // (tp + fn)
+    assert got.f1_ppm == (2 * tp * 10**6) // ((tp + fp) + (tp + fn))
+
+
+def test_pair_metrics_perfect_and_degenerate(spark):
+    from asterlake.operators.evalmetrics import clustering_pair_metrics
+
+    perfect = [(i % 3, i % 3) for i in range(12)]
+    got = clustering_pair_metrics(
+        spark.createDataFrame(perfect, "cluster long, gold long")
+    ).collect()[0]
+    assert got.precision_ppm == got.recall_ppm == got.f1_ppm == 10**6
+    # all-singleton prediction: zero predicted pairs -> precision NULL
+    singletons = [(i, 0) for i in range(5)]
+    got = clustering_pair_metrics(
+        spark.createDataFrame(singletons, "cluster long, gold long")
+    ).collect()[0]
+    assert got.tp_pairs == 0 and got.precision_ppm is None
+    assert got.recall_ppm == 0
+
+
+def test_pair_metrics_partitioning_invariance(spark):
+    import random
+
+    from asterlake.operators.evalmetrics import clustering_pair_metrics
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(4), rng.randrange(4)) for _ in range(90)]
+    df = spark.createDataFrame(rows, "cluster long, gold long")
+    a = tuple(clustering_pair_metrics(df.coalesce(1)).collect()[0])
+    b = tuple(clustering_pair_metrics(df.repartition(7)).collect()[0])
+    assert a == b
