@@ -104,8 +104,8 @@ def auc_exact(
         )
     )
     agg = scored.agg(
-        F.sum("np").cast("bigint").alias("n_pos"),
-        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.coalesce(F.sum("np"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.sum("nn"), F.lit(0)).cast("bigint").alias("n_neg"),
         F.coalesce(
             F.sum("_contrib"), F.lit(0).cast("decimal(38,0)")
         ).alias("_u2d"),

@@ -93,3 +93,12 @@ def test_cooccurrence_partitioning_invariance(spark):
         tuple(r) for r in cooccurrence_counts(base.repartition(5)).collect()
     }
     assert one == many
+
+
+def test_cooccur_empty_and_single_token_docs(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert cooccurrence_counts(empty).count() == 0
+    assert pmi_ratio(empty).count() == 0
+    # single-token docs produce no pairs but do count unigrams
+    one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert cooccurrence_counts(one).count() == 0

@@ -150,3 +150,18 @@ def test_pair_metrics_partitioning_invariance(spark):
     a = tuple(clustering_pair_metrics(df.coalesce(1)).collect()[0])
     b = tuple(clustering_pair_metrics(df.repartition(7)).collect()[0])
     assert a == b
+
+
+def test_auc_and_pair_metrics_on_empty_input(spark):
+    from asterlake.operators.evalmetrics import (
+        auc_exact,
+        clustering_pair_metrics,
+    )
+
+    empty = spark.createDataFrame([], "score long, label boolean")
+    row = auc_exact(empty).collect()[0]
+    assert (row.n_pos, row.n_neg, row.u2, row.auc_ppm) == (0, 0, 0, None)
+    emptyc = spark.createDataFrame([], "cluster long, gold long")
+    row = clustering_pair_metrics(emptyc).collect()[0]
+    assert (row.tp_pairs, row.fp_pairs, row.fn_pairs) == (0, 0, 0)
+    assert row.precision_ppm is None and row.f1_ppm is None

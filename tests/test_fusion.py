@@ -52,3 +52,8 @@ def test_rrf_rejects_empty_input(spark):
 
     with pytest.raises(ValueError, match="at least one ranking"):
         rrf_fuse([])
+
+
+def test_rrf_empty_legs_yield_empty_fusion(spark):
+    empty = spark.createDataFrame([], "doc_id long, s double")
+    assert rrf_fuse([(empty, "s"), (empty, "s")]).count() == 0
