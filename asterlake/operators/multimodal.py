@@ -8,15 +8,16 @@ iteration, partitioning, UDF signatures — and since r6/r7 so is the
 decode for the formats parseable without third-party codecs:
 ``decode_media_real`` reads actual RIFF/WAVE PCM (``wave``), uncompressed
 24-bit BMP (``struct``), non-interlaced 8-bit RGB/grayscale PNG
-(``zlib`` + chunk walk), and JFIF/JPEG — sequential baseline AND
+(``zlib`` + chunk walk; since r12 also color-type-3 PALETTE PNG at
+depths 1/2/4/8 — pure PLTE lookup, no PIL needed), and JFIF/JPEG — sequential baseline AND
 progressive (SOF2: spectral selection, successive approximation,
 EOB-run coding), grayscale, 4:4:4 color, 4:2:0 chroma-subsampled, and
 restart-interval streams (marker walk, canonical Huffman entropy
 decode, dequantize + IDCT — numpy for the 8x8 transforms); for mp4 the
 real path recovers container METADATA via a fail-loud ISO BMFF box
 walk. The remaining shapes (mp4 frame pixels, hierarchical/arithmetic
-JPEG, palette/16-bit PNG) still need PIL/pyav — absent from this
-container — so the fake-kernel operators below keep exercising that
+JPEG, 16-bit/alpha/interlaced PNG) still need PIL/pyav — absent from
+this container — so the fake-kernel operators below keep exercising that
 plumbing with deterministic payloads, and the real path raises
 ValueError at the clearly-marked format branch where those libraries
 slot in.
@@ -420,6 +421,61 @@ def _png_bytes(
         + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
         + chunk(b"IEND", b"")
     )
+
+
+def _png_bytes_palette(
+    seed: int, width: int, height: int, depth: int = 8
+) -> tuple[bytes, list[tuple[int, int, int]], list[int]]:
+    """A real non-interlaced color-type-3 (palette) PNG at bit depth
+    1/2/4/8: deterministic PLTE of 2^depth RGB triplets, bit-packed
+    index scanlines (MSB-first, the spec's packing), every filter type
+    exercised in rotation (filter bpp = 1 for palette per the spec).
+    Returns (payload, palette, indices row-major) so tests can compute
+    the expected mean without re-parsing."""
+    import struct
+    import zlib
+
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth {depth} not in 1/2/4/8")
+    n_colors = 1 << depth
+    pal_raw = _det_bytes(f"plte:{seed}", 3 * n_colors)
+    palette = [
+        (pal_raw[3 * i], pal_raw[3 * i + 1], pal_raw[3 * i + 2])
+        for i in range(n_colors)
+    ]
+    idx_raw = _det_bytes(f"pidx:{seed}", width * height)
+    indices = [b % n_colors for b in idx_raw]
+    stride = (width * depth + 7) // 8
+    scanlines = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = indices[r * width : (r + 1) * width]
+        packed = bytearray(stride)
+        for i, px in enumerate(row):
+            bitpos = i * depth
+            packed[bitpos // 8] |= px << (8 - depth - bitpos % 8)
+        ft = r % 5
+        scanlines.append(ft)
+        scanlines.extend(_png_filter_row(ft, bytes(packed), prev, 1))
+        prev = bytes(packed)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", bytes(pal_raw))
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+    return payload, palette, indices
 
 
 def _mp4_box(tag: bytes, body: bytes) -> bytes:
@@ -1110,18 +1166,25 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, float]:
 
 def _decode_png(payload: bytes) -> tuple[int, int, int, int, float]:
     """Pure-stdlib PNG decode (zlib + chunk walk) for non-interlaced
-    8-bit RGB (color type 2) and grayscale (color type 0): walks the
-    chunk stream CRC-checked, inflates the concatenated IDATs,
-    reconstructs all five scanline filters at the format's
-    bytes-per-pixel, and returns dimensions + mean channel level.
-    Anything outside those shapes (palette, alpha, 16-bit, interlaced)
-    fails loudly — those branches need PIL."""
+    8-bit RGB (color type 2), grayscale (color type 0), and — since
+    r12 — PALETTE (color type 3) at bit depths 1/2/4/8 (PLTE lookup
+    after bit unpacking; filtering is byte-wise with bpp=1 per the
+    spec, so the same five reconstructions apply): walks the chunk
+    stream CRC-checked, inflates the concatenated IDATs, reconstructs
+    the scanline filters, and returns dimensions + mean channel level
+    (for palette, the mean of the LOOKED-UP RGB levels — the identical
+    statistic an RGB decode of the same image yields). Anything
+    outside those shapes (alpha, 16-bit, interlaced) fails loudly —
+    those branches need PIL."""
     import struct
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     pos, width, height, bpp = 8, None, None, 3
+    color = 2
+    depth = 8
+    plte: bytes | None = None
     idat = bytearray()
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -1136,17 +1199,25 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, int, float]:
             width, height, depth, color, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if depth != 8 or color not in (0, 2):
+            ok = (depth == 8 and color in (0, 2)) or (
+                color == 3 and depth in (1, 2, 4, 8)
+            )
+            if not ok:
                 raise ValueError(
-                    f"only 8-bit RGB (color type 2) or grayscale (color "
-                    f"type 0) PNG supported, got depth={depth} "
+                    f"only 8-bit RGB (color type 2), grayscale (color "
+                    f"type 0), or palette (color type 3, depth "
+                    f"1/2/4/8) PNG supported, got depth={depth} "
                     f"color_type={color}"
                 )
-            bpp = 1 if color == 0 else 3
+            bpp = 1 if color in (0, 3) else 3
             if interlace != 0:
                 raise ValueError("interlaced PNG not supported")
             if comp != 0 or filt != 0:
                 raise ValueError("non-standard PNG compression/filter method")
+        elif tag == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("PLTE length not a positive multiple of 3")
+            plte = data
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
@@ -1154,11 +1225,16 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, int, float]:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     raw = zlib.decompress(bytes(idat))
-    stride = width * bpp
+    stride = (
+        (width * depth + 7) // 8 if color == 3 else width * bpp
+    )
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline stream length mismatch")
     total = 0
+    n_levels = 0
     prev = bytes(stride)
     for r in range(height):
         ft = raw[r * (stride + 1)]
@@ -1185,10 +1261,25 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, int, float]:
                         else (b if pb <= pc else c)
                     )
                 line[i] = (line[i] + pred) & 0xFF
-        total += sum(line)
+        if color == 3:
+            mask = (1 << depth) - 1
+            n_pal = len(plte) // 3
+            for i in range(width):
+                bitpos = i * depth
+                px = (line[bitpos // 8] >> (8 - depth - bitpos % 8)) & mask
+                if px >= n_pal:
+                    raise ValueError(
+                        f"palette index {px} beyond PLTE of {n_pal}"
+                    )
+                total += (
+                    plte[3 * px] + plte[3 * px + 1] + plte[3 * px + 2]
+                )
+            n_levels += width * 3
+        else:
+            total += sum(line)
+            n_levels += stride
         prev = bytes(line)
-    n_bytes = stride * height
-    mean = float(total) / (n_bytes * 255.0) if n_bytes else 0.0
+    mean = float(total) / (n_levels * 255.0) if n_levels else 0.0
     return width, height, None, None, mean  # type: ignore[return-value]
 
 

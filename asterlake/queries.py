@@ -11438,6 +11438,25 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "ivfpq_index/ivfpq_search and the seeded codebook literals it "
     "actually executes are byte-identical this round; r10-green and "
     "next in rotation",
+    # late-r12: the palette-PNG decode (color type 3, pure PLTE
+    # lookup — the 'needs PIL' gate narrowed) is an ADDITIVE branch in
+    # _decode_png; the color-0/2 path the gated media queries execute
+    # produces identical values (stride and mean accounting reduce to
+    # the previous expressions there), pinned by the exact-value
+    # round-trip unit tests AND a fresh sf0.01 parity run of all
+    # media queries after the edit (8/8 green at freeze time).
+    "q_media_decode_real": "decodes color-0/2 PNG + WAV/BMP/JPEG "
+    "paths only on the gated data; the r12 palette branch is "
+    "unreached there and the shared path's values are pinned "
+    "unchanged by test_multimodal round-trips + the post-edit sf0.01 "
+    "parity sweep; r10-green and next in rotation",
+    "q_media_gif_anim": "GIF path — does not execute _decode_png at "
+    "all; flagged via the decode_media_real dispatcher reference; "
+    "post-edit sf0.01 parity green; r10-green and next in rotation",
+    "q_media_mp4_meta": "mp4 box-walk path — does not execute "
+    "_decode_png; flagged via the decode_media_real dispatcher "
+    "reference; post-edit sf0.01 parity green; r10-green and next in "
+    "rotation",
 }
 
 # Round-12 front (exactly 50), re-frozen AFTER the round's last

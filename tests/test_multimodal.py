@@ -264,10 +264,14 @@ def test_png_decoder_rejects_out_of_scope_shapes():
         _decode_png(rebuild_ihdr(inter=1))
     with pytest.raises(ValueError, match="color type 2"):
         _decode_png(rebuild_ihdr(color=6))  # RGBA needs PIL
-    with pytest.raises(ValueError, match="color type 2"):
-        _decode_png(rebuild_ihdr(color=3))  # palette needs PIL
+    with pytest.raises(ValueError, match="missing PLTE"):
+        # palette decodes for real since r12 — an RGB stream relabeled
+        # color 3 now fails at the PLTE contract, not the format gate
+        _decode_png(rebuild_ihdr(color=3))
     with pytest.raises(ValueError, match="color type 2"):
         _decode_png(rebuild_ihdr(depth=16))
+    with pytest.raises(ValueError, match="color type 2"):
+        _decode_png(rebuild_ihdr(color=3, depth=16))  # 16-bit palette
     # flip one IDAT byte: the chunk CRC must catch it
     corrupt = bytearray(good)
     corrupt[8 + 12 + 13 + 12 + 2] ^= 0xFF
@@ -1106,3 +1110,62 @@ def test_gif_through_spark_decode(spark):
             assert r["kind"] == "image"
             assert 0.0 < r["mean_level"] < 1.0
     assert sum(1 for r in decoded if r["format"] == "gif") == 6
+
+
+def test_png_palette_round_trips_all_depths():
+    """Color-type-3 palette PNG decodes pure-stdlib at depths 1/2/4/8:
+    dimensions exact and the mean channel level equals the PLTE-mapped
+    reference, with every filter type exercised (rows rotate filters)
+    and bit-packing crossing byte boundaries (odd widths)."""
+    from asterlake.operators.multimodal import (
+        _decode_png,
+        _png_bytes_palette,
+    )
+
+    for depth, w, h in [(1, 13, 7), (2, 9, 6), (4, 7, 9), (8, 5, 11)]:
+        payload, palette, indices = _png_bytes_palette(
+            depth * 10 + 3, w, h, depth=depth
+        )
+        gw, gh, _, _, mean = _decode_png(payload)
+        assert (gw, gh) == (w, h)
+        want = sum(sum(palette[i]) for i in indices) / (
+            len(indices) * 3 * 255.0
+        )
+        assert abs(mean - want) < 1e-12, (depth, mean, want)
+
+
+def test_png_palette_rejects_out_of_range_index():
+    """An index past the PLTE must fail loudly, not read garbage."""
+    import pytest as _pytest
+
+    from asterlake.operators.multimodal import (
+        _decode_png,
+        _png_bytes_palette,
+    )
+
+    payload, palette, indices = _png_bytes_palette(5, 6, 4, depth=8)
+    # shrink the PLTE: rebuild with a 3-color palette but keep indices
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    pos = 8
+    out = payload[:8]
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"PLTE":
+            out += chunk(b"PLTE", data[:9])
+        else:
+            out += payload[pos : pos + 12 + length]
+        pos += 12 + length
+    with _pytest.raises(ValueError, match="beyond PLTE"):
+        _decode_png(out)
