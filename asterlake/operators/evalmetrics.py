@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["auc_exact", "clustering_pair_metrics"]
+__all__ = ["auc_exact", "clustering_pair_metrics", "cohens_kappa"]
 
 
 def auc_exact(
@@ -193,4 +193,74 @@ def clustering_pair_metrics(
                 f"CAST((2 * _tp * {ppm}) div (_pp + _gp) AS BIGINT)"
             ),
         ).alias("f1_ppm"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str = "label_a",
+    rater_b: str = "label_b",
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement
+    (Cohen, Educ. Psychol. Meas. 1960), the acceptance gate for any
+    labeling/judging campaign that feeds the quality classifier: one
+    row ``(n, n_agree, kappa_ppm)`` where
+
+      kappa = (N * sum_k d_k - sum_k r_k * c_k)
+            / (N^2        - sum_k r_k * c_k)
+
+    with d_k the diagonal (agreement) counts, r_k / c_k the raters'
+    marginals — the exact-rational form of (p_o - p_e) / (1 - p_e), so
+    every operand is an exact BIGINT/DECIMAL(38,0) and kappa lands as
+    integer-div ppm (hash-gateable; negative for worse-than-chance —
+    ppm is SIGNED). NULL on the degenerate 1 - p_e = 0 (both raters
+    constant and identical marginals: agreement is all chance).
+    Rows with a NULL label on either side are excluded.
+
+    Scale: one (a, b) contingency groupBy (map-side-combinable) + two
+    label-sized marginal aggregates joined on the label key — the
+    label domain is bounds-sized, never the data."""
+    base = df.select(
+        F.col(rater_a).alias("_a"), F.col(rater_b).alias("_b")
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    cells = base.groupBy("_a", "_b").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    ra = cells.groupBy("_a").agg(F.sum("n").cast("bigint").alias("r"))
+    rb = cells.groupBy("_b").agg(F.sum("n").cast("bigint").alias("c"))
+    chance = (
+        ra.join(rb, ra["_a"] == rb["_b"])
+        .select(
+            (F.col("r").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)"))
+            .alias("_rc")
+        )
+        .agg(
+            F.coalesce(F.sum("_rc"), F.lit(0).cast("decimal(38,0)")).alias(
+                "_pe_num"
+            )
+        )
+    )
+    totals = cells.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("_a") == F.col("_b"), F.col("n"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    joined = totals.crossJoin(F.broadcast(chance))
+    dec = "CAST(n_total AS DECIMAL(38,0))"
+    num = f"({dec} * CAST(n_agree AS DECIMAL(38,0)) - _pe_num)"
+    den = f"({dec} * {dec} - _pe_num)"
+    return joined.select(
+        F.col("n_total").alias("n"),
+        "n_agree",
+        F.when(
+            F.expr(den) != F.lit(0).cast("decimal(38,0)"),
+            F.expr(
+                f"CAST(({num} * CAST(1000000 AS DECIMAL(38,0))) div {den}"
+                " AS BIGINT)"
+            ),
+        ).alias("kappa_ppm"),
     )

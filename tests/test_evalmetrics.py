@@ -165,3 +165,88 @@ def test_auc_and_pair_metrics_on_empty_input(spark):
     row = clustering_pair_metrics(emptyc).collect()[0]
     assert (row.tp_pairs, row.fp_pairs, row.fn_pairs) == (0, 0, 0)
     assert row.precision_ppm is None and row.f1_ppm is None
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa
+# ---------------------------------------------------------------------------
+
+
+def _ref_kappa(pairs):
+    from collections import Counter
+    from fractions import Fraction
+
+    pairs = [(a, b) for a, b in pairs if a is not None and b is not None]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    ra = Counter(a for a, _ in pairs)
+    rb = Counter(b for _, b in pairs)
+    pe_num = sum(ra[k] * rb.get(k, 0) for k in ra)
+    den = n * n - pe_num
+    if den == 0:
+        return n, agree, None
+    k = Fraction(n * agree - pe_num, den)
+    # integer-div ppm with Python floor semantics matching `div`
+    # (truncation toward zero for DECIMAL div)
+    num_ppm = (n * agree - pe_num) * 10**6
+    q = abs(num_ppm) // abs(den)
+    if (num_ppm < 0) != (den < 0):
+        q = -q
+    return n, agree, q
+
+
+def test_kappa_matches_fraction_replay(spark):
+    import random
+
+    from asterlake.operators.evalmetrics import cohens_kappa
+
+    rng = random.Random(17)
+    labels = ["spam", "ham", "unsure"]
+    pairs = []
+    for _ in range(200):
+        a = rng.choice(labels)
+        b = a if rng.random() < 0.7 else rng.choice(labels)
+        pairs.append((a, b))
+    pairs += [(None, "spam"), ("ham", None)]
+    n, agree, want = _ref_kappa(pairs)
+    got = cohens_kappa(
+        spark.createDataFrame(pairs, "label_a string, label_b string")
+    ).collect()[0]
+    assert (got.n, got.n_agree, got.kappa_ppm) == (n, agree, want)
+
+
+def test_kappa_endpoints(spark):
+    from asterlake.operators.evalmetrics import cohens_kappa
+
+    def run(pairs):
+        return cohens_kappa(
+            spark.createDataFrame(pairs, "label_a string, label_b string")
+        ).collect()[0]
+
+    # perfect agreement over 2 classes -> kappa 1
+    perfect = [("x", "x")] * 5 + [("y", "y")] * 5
+    assert run(perfect).kappa_ppm == 1_000_000
+    # systematic disagreement on balanced marginals -> negative kappa
+    opposed = [("x", "y")] * 5 + [("y", "x")] * 5
+    assert run(opposed).kappa_ppm == -1_000_000
+    # both raters constant and identical -> pe = 1, undefined
+    constant = [("x", "x")] * 8
+    assert run(constant).kappa_ppm is None
+    # agreement exactly at chance -> kappa 0
+    chance = [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")]
+    assert run(chance).kappa_ppm == 0
+
+
+def test_kappa_partitioning_invariance(spark):
+    import random
+
+    from asterlake.operators.evalmetrics import cohens_kappa
+
+    rng = random.Random(2)
+    pairs = [
+        (str(rng.randrange(3)), str(rng.randrange(3))) for _ in range(150)
+    ]
+    df = spark.createDataFrame(pairs, "label_a string, label_b string")
+    a = tuple(cohens_kappa(df.coalesce(1)).collect()[0])
+    b = tuple(cohens_kappa(df.repartition(8)).collect()[0])
+    assert a == b
