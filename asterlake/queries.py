@@ -11395,7 +11395,16 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   name-ascending (q_ann_pq_search and the r11-exempted closure rows
 #   among them); plus whatever round-13 touches or declares (freeze
 #   AFTER the round's last operator commit, via
-#   rotation.suggest_front).
+#   rotation.suggest_front). Eight r12-built operators wait with green
+#   differential suites and drafted oracle notes, each one declaration
+#   + oracle away from a row: bfs_distances (unrolled-round CTEs, the
+#   kcore shape), cooccurrence/pmi_ratio (list-space pair expansion +
+#   HUGEINT div), auc_exact (window over the distinct-score
+#   histogram), clustering_pair_metrics (contingency sums),
+#   cohens_kappa (exact rational), rrf_fuse (ROW_NUMBER + integer
+#   div over the gated bm25/cosine legs), normalize_text (NFC leg via
+#   nfc_normalize + regexps), and palette-PNG media rows (the r10
+#   media-oracle shape). Budget them against the r9 freshness cohort.
 
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # the r8 codec work (4:2:0, progressive SOF2 + restart intervals)
