@@ -95,9 +95,13 @@ def pmi_ratio(
     while c_ab * N_tok^2 < 10^32 — at 10^12 corpus tokens that allows
     c_ab up to 10^8; past that, pre-divide N_tok^2 by gcd or bucket
     the corpus (documented, not silently wrong: ANSI DECIMAL overflow
-    raises). ``min_count`` prunes the pair tail before the ratio
-    projection; the unigram side joins via broadcast when
-    vocabulary-sized."""
+    raises). ``n_pairs`` is the UNFILTERED total pair mass (summed
+    before the min_count prune — the pruned tail is often most of the
+    mass in a heavy-tailed corpus, and dropping it from the
+    denominator would uniformly inflate every ratio, breaking the
+    log(ratio_ppm/1e6)-is-PMI identity). ``min_count`` prunes the pair
+    tail before the ratio projection; the unigram side joins via
+    broadcast when vocabulary-sized."""
     toks = _tokens(text_col)
     uni = (
         docs.select(F.explode(toks).alias("tok"))
@@ -107,12 +111,13 @@ def pmi_ratio(
     totals = docs.select(
         F.sum(F.size(toks)).cast("bigint").alias("n_tok")
     )
-    cooc = cooccurrence_counts(docs, window, text_col).filter(
-        F.col("c_ab") >= F.lit(min_count)
-    )
-    n_pairs = cooc.select(
+    cooc_all = cooccurrence_counts(docs, window, text_col)
+    # denominator mass BEFORE the tail prune: P(a,b) = c_ab / n_pairs
+    # needs the full pair distribution, not the surviving head
+    n_pairs = cooc_all.select(
         F.sum("c_ab").cast("bigint").alias("n_pairs")
     )
+    cooc = cooc_all.filter(F.col("c_ab") >= F.lit(min_count))
     dec = "decimal(38,0)"
     num = (
         F.col("c_ab").cast(dec)

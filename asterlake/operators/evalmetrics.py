@@ -46,8 +46,14 @@ def auc_exact(
     """One row: ``(n_pos, n_neg, u2, auc_ppm)`` with ``u2`` twice the
     tie-adjusted Mann-Whitney U and ``auc_ppm = u2 * 10^6 div
     (2 * n_pos * n_neg)`` (NULL when either class is empty — AUC is
-    undefined, not 0). ``label_col`` is truthy-positive (cast to
-    boolean). NULL scores/labels are excluded (they rank nowhere)."""
+    undefined, not 0). ``u2`` is DECIMAL(38,0): u2 = 2*n_pos*n_neg at
+    AUC=1, which outgrows BIGINT past ~2.1e9 rows per class — exactly
+    the eval-set scale this module targets, so the exact decimal rides
+    through to the output (auc_ppm computes from it in decimal too).
+    ``label_col`` is truthy-positive (cast to boolean). NULL
+    scores/labels are excluded (they rank nowhere)."""
+    if bucket_step < 1:
+        raise ValueError(f"bucket_step must be >= 1, got {bucket_step}")
     base = df.select(
         F.col(score_col).cast("bigint").alias("_s"),
         F.col(label_col).cast("boolean").alias("_y"),
@@ -113,7 +119,7 @@ def auc_exact(
     return agg.select(
         "n_pos",
         "n_neg",
-        F.col("_u2d").cast("bigint").alias("u2"),
+        F.col("_u2d").alias("u2"),
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.expr(

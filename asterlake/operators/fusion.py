@@ -37,10 +37,17 @@ def rrf_fuse(
     """Fuse retrieval legs into ``(id, rrf_micros, n_legs)``.
 
     ``rankings`` is a list of ``(frame, score_col)`` — each frame one
-    leg's results (bounds-sized top-k lists), ranked within the leg by
+    leg's results (bounds-sized top-k lists: the per-leg rank window is
+    intentionally unpartitioned, single-task per leg — correct and
+    cheap for retrieval lists, NOT for corpus-sized frames; that
+    precondition is the caller's contract), ranked within the leg by
     ``(score_col DESC, id ASC)`` (the id tiebreak makes ranks total,
-    so fusion is deterministic under score ties). ``top`` optionally
-    truncates the fused output (TakeOrderedAndProject)."""
+    so fusion is deterministic under score ties). Duplicate ids within
+    one leg collapse to their best score BEFORE ranking — a document
+    contributes at most one rank per leg, so ``n_legs`` never exceeds
+    ``len(rankings)``. ``top`` optionally truncates the fused output
+    (TakeOrderedAndProject); ``top=0`` means zero rows, not
+    "unlimited"."""
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
     legs = []
@@ -48,6 +55,8 @@ def rrf_fuse(
         w = Window.orderBy(F.desc("_s"), F.asc(id_col))
         legs.append(
             frame.select(id_col, F.col(score_col).alias("_s"))
+            .groupBy(id_col)
+            .agg(F.max("_s").alias("_s"))
             .withColumn("_rank", F.row_number().over(w))
             .select(
                 F.col(id_col).alias("_id"),
@@ -64,4 +73,4 @@ def rrf_fuse(
         F.count("*").cast("bigint").alias("n_legs"),
     )
     out = fused.orderBy(F.desc("rrf_micros"), F.asc(id_col))
-    return out.limit(top) if top else out
+    return out.limit(top) if top is not None else out

@@ -602,19 +602,22 @@ def kcore_decomposition(
     Communications 7:10168, 2016): start every node at its degree and
     repeatedly replace each node's value with the H-index of its
     neighbors' values. The sequence decreases monotonically and its
-    fixpoint IS the coreness, so with ``rounds`` at or past the graph's
-    convergence depth this returns the exact k-core decomposition — the
-    standard community-quality / graph-degeneracy filter next to
-    closure, PageRank, triangles and label propagation.
+    fixpoint IS the coreness, so at any finite ``rounds`` the returned
+    ``coreness`` column is a MONOTONE UPPER BOUND on the true core
+    number — exact only once ``rounds`` reaches the graph's convergence
+    depth (tests/test_winnow_triangles.py measures the gap against an
+    exact Batagelj-Zaversnik peel twin: at the default 6 rounds the
+    bound is within +1 at sf0.001, +2 at sf0.1; exactness there needs
+    ~18 rounds). Callers needing exact coreness raise ``rounds``; the
+    default favors the fixed-cost screening shape — the standard
+    community-quality / graph-degeneracy filter next to closure,
+    PageRank, triangles and label propagation.
 
     Exactly ``rounds`` synchronous rounds run — no convergence test —
     so the operator is a fixed, engine-replayable recurrence (the
     label_propagation discipline): an unrolled SQL oracle replays it
     bit-for-bit, and extra rounds past the fixpoint are stationary
     (the H-index of converged values reproduces them).
-    tests/test_winnow_triangles.py pins the fixpoint against an exact
-    Batagelj-Zaversnik peel twin, proving the default depth converges
-    on the gated graph.
 
     Returns ``(node, coreness)`` for every node with at least one edge
     (coreness is a BIGINT — every step is integer-exact, hash-gateable).

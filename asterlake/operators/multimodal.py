@@ -1218,6 +1218,15 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, int, float]:
             if len(data) % 3 or not data:
                 raise ValueError("PLTE length not a positive multiple of 3")
             plte = data
+        elif tag == b"tRNS":
+            # transparency on the supported color types (palette alpha
+            # for type 3, single transparent level for 0/2) changes the
+            # effective pixel statistics a PIL/RGBA decode would report
+            # — the module's fail-loud contract: alpha needs PIL
+            raise ValueError(
+                "PNG with tRNS transparency not supported (alpha "
+                "needs PIL)"
+            )
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":

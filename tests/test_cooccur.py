@@ -58,7 +58,9 @@ def test_pmi_ratio_exact_integer_arithmetic(spark):
     uni = Counter(toks_all)
     pairs = _ref_pairs(texts, window)
     kept = {p: c for p, c in pairs.items() if c >= 2}
-    n_pairs = sum(kept.values())
+    # denominator mass is the UNFILTERED pair total (r12 ADVICE fix):
+    # pruning the tail must not inflate the surviving ratios
+    n_pairs = sum(pairs.values())
     got = {
         (r.tok_a, r.tok_b): (r.c_ab, r.c_a, r.c_b, r.ratio_ppm)
         for r in pmi_ratio(_df(spark), window=window, min_count=2).collect()

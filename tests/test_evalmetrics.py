@@ -62,6 +62,25 @@ def test_auc_perfect_random_and_inverted(spark):
     assert _run(spark, all_tied).auc_ppm == 500_000
 
 
+def test_auc_u2_stays_decimal_and_bucket_step_validated(spark):
+    """u2 rides through as DECIMAL(38,0) (r12 ADVICE: 2*n_pos*n_neg
+    outgrows BIGINT past ~2.1e9 rows per class); bucket_step < 1 is a
+    named error, not a pmod-by-zero runtime failure."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from asterlake.operators.evalmetrics import auc_exact
+
+    df = spark.createDataFrame(
+        [(1, True), (0, False)], "score long, label boolean"
+    )
+    out = auc_exact(df)
+    assert out.schema["u2"].dataType == T.DecimalType(38, 0)
+    assert out.collect()[0].u2 == 2
+    with pytest.raises(ValueError, match="bucket_step"):
+        auc_exact(df, bucket_step=0)
+
+
 def test_auc_undefined_single_class_and_null_hygiene(spark):
     one_class = [(1, True), (2, True)]
     row = _run(spark, one_class)

@@ -47,6 +47,29 @@ def test_rrf_top_truncation_and_order(spark):
     assert rows[0].rrf_micros == MICROS // 61
 
 
+def test_rrf_dedupes_ids_within_a_leg(spark):
+    """A duplicate id inside one leg collapses to its best score before
+    ranking (r12 ADVICE): it gets ONE rank and one contribution, and
+    n_legs stays bounded by the leg count."""
+    leg = [(1, 5.0), (1, 9.0), (2, 7.0)]  # id 1 appears twice
+    df = spark.createDataFrame(leg, "doc_id long, s double")
+    got = {
+        r.doc_id: (r.rrf_micros, r.n_legs)
+        for r in rrf_fuse([(df, "s")]).collect()
+    }
+    # dedup keeps (1, 9.0): id 1 ranks first, id 2 second
+    assert got == {
+        1: (MICROS // 61, 1),
+        2: (MICROS // 62, 1),
+    }
+
+
+def test_rrf_top_zero_means_zero_rows(spark):
+    df = spark.createDataFrame([(1, 2.0)], "doc_id long, s double")
+    assert rrf_fuse([(df, "s")], top=0).count() == 0
+    assert rrf_fuse([(df, "s")], top=None).count() == 1
+
+
 def test_rrf_rejects_empty_input(spark):
     import pytest
 

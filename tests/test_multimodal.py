@@ -272,6 +272,19 @@ def test_png_decoder_rejects_out_of_scope_shapes():
         _decode_png(rebuild_ihdr(depth=16))
     with pytest.raises(ValueError, match="color type 2"):
         _decode_png(rebuild_ihdr(color=3, depth=16))  # 16-bit palette
+    # a tRNS transparency chunk (palette alpha / transparent level)
+    # changes the pixel stats an RGBA decode would report — fail loudly
+    # (r12 ADVICE: a transparent palette PNG must not decode as opaque)
+    trns_data = b"\x00"
+    trns_body = b"tRNS" + trns_data
+    trns_chunk = (
+        struct.pack(">I", len(trns_data))
+        + trns_body
+        + struct.pack(">I", zlib.crc32(trns_body) & 0xFFFFFFFF)
+    )
+    with_trns = good[: 8 + 12 + 13] + trns_chunk + good[8 + 12 + 13 :]
+    with pytest.raises(ValueError, match="tRNS"):
+        _decode_png(with_trns)
     # flip one IDAT byte: the chunk CRC must catch it
     corrupt = bytearray(good)
     corrupt[8 + 12 + 13 + 12 + 2] ^= 0xFF
