@@ -717,8 +717,8 @@ def real_media_table(
 
     fmts = tuple(formats)
     unknown = set(fmts) - {
-        "bmp", "wav", "png", "jpeg", "jpeg_rgb", "jpeg_420", "jpeg_prog",
-        "mp4", "gif",
+        "bmp", "wav", "png", "png_pal", "jpeg", "jpeg_rgb", "jpeg_420",
+        "jpeg_prog", "mp4", "gif",
     }
     if unknown:
         raise ValueError(f"no real encoder for formats {sorted(unknown)}")
@@ -762,6 +762,24 @@ def real_media_table(
                 elif fmt == "png":
                     w, h = 3 + mid % 9, 2 + mid % 6
                     payload = _png_bytes(mid, w, h)
+                    kind, meta = "image", {
+                        "width": w,
+                        "height": h,
+                        "sample_rate": None,
+                        "n_frames": None,
+                        "format": "png",
+                    }
+                elif fmt == "png_pal":
+                    # color-type-3 palette PNG: bit depth cycles all
+                    # four legal values via (mid // len(fmts)) % 4 so
+                    # every slot position sees every depth whatever the
+                    # cycle length; dims use moduli 10/7 (coprime with
+                    # the cycle lengths in use — the wav-rate reasoning)
+                    w, h = 3 + mid % 10, 2 + mid % 7
+                    pdepth = (1, 2, 4, 8)[(mid // len(fmts)) % 4]
+                    payload, _pal, _idx = _png_bytes_palette(
+                        mid, w, h, depth=pdepth
+                    )
                     kind, meta = "image", {
                         "width": w,
                         "height": h,

@@ -207,6 +207,77 @@ def adc_topk(
     )
 
 
+def adc_topk_multi(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Batch multi-query ADC search — the SERVING shape of
+    :func:`adc_topk`: the queries arrive as a TABLE (id, vector), not
+    a literal, and every query gets its own top-k in one pass over the
+    codes. Returns ``(query_id, vec_id, adc_dist)``, k rows per query.
+
+    Scale shape: each query's m x k LUT is computed IN-PLAN on the
+    (small) query side — one projection over the broadcast-bound query
+    table, so the broadcast carries m*k doubles per query instead of
+    shipping the raw vector to every scoring site and re-deriving.
+    Candidate scoring is then codes x broadcast(luts): a
+    BroadcastNestedLoopJoin whose per-row cost is the same
+    8-array-lookups fold as the single-query path, touching m bytes of
+    corpus per (row, query). The per-query top-k runs TWO-LEVEL: a
+    first row_number window over (query, shard) with
+    ``shard = xxhash64(id) % n_shards`` — every task sorts at most
+    corpus/n_shards rows per query, no single reducer sees a whole
+    query — then a second window over the surviving
+    ``n_shards * k`` rows per query (bounds-sized). The two-level
+    result is exactly the global top-k (each shard keeps its own
+    top-k, which contains every global winner in that shard).
+    Ordering is total via the (dist, id) tiebreak; NULL codes sort
+    last at both levels."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = F.expr(
+        f"transform({_sql_double_array(codebooks)}, (sub, s) -> "
+        f"transform(sub, c -> aggregate(zip_with(c, "
+        f"slice({vec_col}, s * {dsub} + 1, {dsub}), "
+        "(x, y) -> (x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))), "
+        "0.0D, (acc, v) -> acc + v)))"
+    )
+    luts = queries.select(
+        F.col(id_col).alias(query_id_col), lut.alias("_lut")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(_lut, codes, "
+        "(row, c) -> element_at(row, c + 1)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    scored = codes_df.crossJoin(F.broadcast(luts)).select(
+        query_id_col, id_col, dist.alias("adc_dist")
+    )
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    w1 = Window.partitionBy(query_id_col, "_shard").orderBy(
+        F.asc_nulls_last("adc_dist"), F.col(id_col)
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.asc_nulls_last("adc_dist"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_shard", shard)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .drop("_shard", "_r1", "_r2")
+    )
+
+
 def pq_search(
     vectors: DataFrame,
     codes_df: DataFrame,

@@ -11360,6 +11360,599 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Beyond-parity: graph reachability (operators/graph.py bfs_distances)
+# ===========================================================================
+
+
+def _bfs_oracle(rounds: int = 4) -> str:
+    # Unrolled synchronous frontier expansions — identical min-fold per
+    # round to graph.bfs_distances (the q_kcore_decompose oracle shape).
+    sql = """
+    WITH ppo AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                 WHERE l_quantity >= 45),
+    pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+              FROM ppo a JOIN ppo b ON a.l_orderkey = b.l_orderkey
+                                    AND a.l_partkey < b.l_partkey),
+    e AS (SELECT DISTINCT src, dst FROM (
+            SELECT p1 AS src, p2 AS dst FROM pairs
+            UNION ALL SELECT p2, p1 FROM pairs)
+          WHERE src != dst),
+    d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hops
+           FROM e WHERE src % 13 = 0)"""
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS (SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+               SELECT node, hops FROM {prev}
+               UNION ALL
+               SELECT e.dst AS node, d.hops + 1 AS hops
+               FROM e JOIN {prev} d ON e.src = d.node)
+             GROUP BY node)"""
+        prev = f"d{i}"
+    sql += f"\n    SELECT node AS part_id, hops FROM {prev}"
+    return sql
+
+
+@query("q_bfs_distances", _bfs_oracle())
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances on the bulk co-purchase graph
+    (edges: parts sharing an order at l_quantity >= 45; seeds: every
+    graph node with part_id % 13 = 0): the exact minimum hop count for
+    every node within 4 hops of a seed — the reachability / blast-
+    radius primitive next to closure, PageRank, triangles, LPA and
+    k-core. Fixed synchronous rounds (the kcore/q_label_propagation
+    engine-replayable discipline — the oracle unrolls the recurrence
+    as chained CTEs); per round ONE shuffle join + ONE combinable min
+    over (long, long) pairs, lineage truncated every 3 rounds.
+    All-BIGINT, hash-gateable."""
+    from asterlake.operators.graph import bfs_distances
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    grouped = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps"))
+        .filter(F.size("_ps") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ps"), i + F.lit(2), F.size("_ps")),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("_e")
+    ).select("_e.p1", "_e.p2")
+    seeds = (
+        pairs.select(
+            F.explode(F.array(F.col("p1"), F.col("p2"))).alias("node")
+        )
+        .distinct()
+        .filter(F.col("node") % 13 == 0)
+    )
+    return bfs_distances(
+        pairs, seeds, rounds=4, src="p1", dst="p2", id_col="node"
+    ).select(F.col("node").alias("part_id"), "hops")
+
+
+# ===========================================================================
+# Beyond-parity: collocation mining (operators/cooccur.py windowed PMI)
+# ===========================================================================
+
+
+@query(
+    "q_collocations_pmi",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(
+               regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+               x -> x != '') AS t
+      FROM documents
+    ), exp AS (
+      SELECT unnest(flatten(list_transform(t, (x, i) ->
+               list_transform(t[i+1:i+2], y ->
+                 {'a': least(x, y), 'b': greatest(x, y)})))) AS p
+      FROM toks
+    ), cnt AS (
+      SELECT p.a AS tok_a, p.b AS tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM exp GROUP BY p.a, p.b
+    ), uni AS (
+      SELECT u AS tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u
+    ), tot AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_tok FROM toks),
+    np AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM cnt),
+    filt AS (SELECT * FROM cnt WHERE c_ab >= 2)
+    SELECT tok_a, tok_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+           CAST((CAST(c_ab AS HUGEINT) * n_tok * n_tok * 1000000)
+                // (CAST(n_pairs AS HUGEINT) * ca.c * cb.c) AS BIGINT)
+             AS ratio_ppm
+    FROM filt
+    JOIN uni ca ON filt.tok_a = ca.tok
+    JOIN uni cb ON filt.tok_b = cb.tok
+    CROSS JOIN tot CROSS JOIN np
+    ORDER BY ratio_ppm DESC, tok_a, tok_b
+    LIMIT 100
+    """,
+)
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations over the documents corpus by log-free PMI
+    (window 2, min_count 2): ``ratio_ppm = (c_ab * N_tok^2 * 10^6) div
+    (n_pairs * c_a * c_b)`` in exact DECIMAL(38,0) arithmetic — the
+    n_pairs denominator sums the UNFILTERED pair mass (the r12 ADVICE
+    fix), so log(ratio_ppm/1e6) IS the PMI in nats. Pair expansion is
+    one row-local projection (each token pairs with <= window
+    followers); the only shuffles are two map-side-combinable counts;
+    unigram/total sides broadcast; top-k is TakeOrderedAndProject
+    under the (ratio DESC, tok_a, tok_b) total order. The oracle
+    replays the pair expansion in list-space and the ratio as HUGEINT
+    integer division (both engines truncate toward zero)."""
+    from asterlake.operators.cooccur import top_collocations
+
+    return top_collocations(
+        load_table(spark, sf_dir, "documents"),
+        k=100,
+        window=2,
+        min_count=2,
+    )
+
+
+# ===========================================================================
+# Beyond-parity: eval metrics (operators/evalmetrics.py AUC / pairs / kappa)
+# ===========================================================================
+
+
+@query(
+    "q_auc_exact",
+    """
+    WITH base AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS s,
+             o_orderstatus = 'F' AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL
+    ), hist AS (
+      SELECT s, CAST(COUNT(*) FILTER (WHERE y) AS BIGINT) AS np,
+             CAST(COUNT(*) FILTER (WHERE NOT y) AS BIGINT) AS nn
+      FROM base GROUP BY s
+    ), w AS (
+      SELECT np, nn,
+             COALESCE(CAST(SUM(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS below
+      FROM hist
+    ), agg AS (
+      SELECT CAST(COALESCE(SUM(np), 0) AS BIGINT) AS n_pos,
+             CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_neg,
+             COALESCE(SUM(CAST(np AS HUGEINT)
+               * (2 * CAST(below AS HUGEINT) + nn)), 0) AS u2h
+      FROM w
+    )
+    SELECT n_pos, n_neg, CAST(u2h AS BIGINT) AS u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST((u2h * 1000000)
+                     // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+           END AS auc_ppm
+    FROM agg
+    """,
+)
+def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-adjusted ROC-AUC of "does order value predict final
+    status 'F'" — the Mann-Whitney U over the distinct-score histogram
+    (score: total price in cents, integral per the module contract).
+    Rows never sort globally: the histogram is a combinable groupBy,
+    the negative-below prefix runs as a bounds-sized bucket window
+    plus a bucket-partitioned within window, and every operand is an
+    exact integer. The operator returns u2 as DECIMAL(38,0) (the
+    100-TB headroom per r12 ADVICE); this declaration casts it to
+    BIGINT for the gate — at any shipped SF u2 < 2 * 10^9 * 10^9 is
+    comfortably inside BIGINT, and the oracle's single global window
+    over ~15k distinct scores restates the two-level prefix sum."""
+    from asterlake.operators.evalmetrics import auc_exact
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("score"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    out = auc_exact(o, bucket_step=100_000)
+    return out.select(
+        "n_pos",
+        "n_neg",
+        F.col("u2").cast("bigint").alias("u2"),
+        "auc_ppm",
+    )
+
+
+@query(
+    "q_clustering_pair_metrics",
+    """
+    WITH base AS (
+      SELECT c_nationkey AS p, c_mktsegment AS g FROM customer
+      WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+    ), cells AS (
+      SELECT p, g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY p, g
+    ), preds AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY p
+    ), golds AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY g
+    ),
+    tp AS (SELECT COALESCE(SUM(CAST(n AS HUGEINT) * (n - 1) // 2), 0)
+             AS v FROM cells),
+    pp AS (SELECT COALESCE(SUM(CAST(n AS HUGEINT) * (n - 1) // 2), 0)
+             AS v FROM preds),
+    gp AS (SELECT COALESCE(SUM(CAST(n AS HUGEINT) * (n - 1) // 2), 0)
+             AS v FROM golds)
+    SELECT CAST(tp.v AS BIGINT) AS tp_pairs,
+           CAST(pp.v - tp.v AS BIGINT) AS fp_pairs,
+           CAST(gp.v - tp.v AS BIGINT) AS fn_pairs,
+           CASE WHEN pp.v > 0
+                THEN CAST((tp.v * 1000000) // pp.v AS BIGINT) END
+             AS precision_ppm,
+           CASE WHEN gp.v > 0
+                THEN CAST((tp.v * 1000000) // gp.v AS BIGINT) END
+             AS recall_ppm,
+           CASE WHEN pp.v + gp.v > 0
+                THEN CAST((2 * tp.v * 1000000) // (pp.v + gp.v) AS BIGINT)
+           END AS f1_ppm
+    FROM tp, pp, gp
+    """,
+)
+def q_clustering_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-counting clustering evaluation (Rand / pair-F1 family) of
+    "nation as a clustering of customers" against market-segment gold:
+    TP/FP/FN pair counts from the contingency table — three map-side-
+    combinable groupBys, pairs(n) = n*(n-1)/2 in DECIMAL(38,0) (never
+    an actual pair enumeration), ratios as integer-div ppm. The oracle
+    restates the contingency sums in HUGEINT."""
+    from asterlake.operators.evalmetrics import clustering_pair_metrics
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("cluster"),
+        F.col("c_mktsegment").alias("gold"),
+    )
+    return clustering_pair_metrics(c)
+
+
+@query(
+    "q_cohens_kappa",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS a,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'F'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'P'
+                  ELSE 'O' END AS b
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), cells AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY a, b
+    ), ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY a),
+    rb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY b),
+    chance AS (
+      SELECT COALESCE(SUM(CAST(r AS HUGEINT) * c), 0) AS pe_num
+      FROM ra JOIN rb ON ra.a = rb.b
+    ), totals AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_total,
+             CAST(COALESCE(SUM(n) FILTER (WHERE a = b), 0) AS BIGINT)
+               AS n_agree
+      FROM cells
+    )
+    SELECT n_total AS n, n_agree,
+           CASE WHEN CAST(n_total AS HUGEINT) * n_total - pe_num != 0
+                THEN CAST(((CAST(n_total AS HUGEINT) * n_agree - pe_num)
+                           * 1000000)
+                     // (CAST(n_total AS HUGEINT) * n_total - pe_num)
+                     AS BIGINT)
+           END AS kappa_ppm
+    FROM totals, chance
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the order status and a priority-derived
+    pseudo-rater ('1-URGENT'/'2-HIGH' -> 'F', '3-MEDIUM' -> 'P', else
+    'O') — the chance-corrected inter-annotator agreement gate, as
+    exact rational arithmetic: one contingency groupBy + label-sized
+    marginals, kappa = (N*agree - sum r_k*c_k) / (N^2 - sum r_k*c_k)
+    as integer-div ppm (SIGNED — both engines truncate toward zero).
+    The oracle restates it in HUGEINT."""
+    from asterlake.operators.evalmetrics import cohens_kappa
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("label_a"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("F")
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", F.lit("P"))
+        .otherwise(F.lit("O"))
+        .alias("label_b"),
+    )
+    return cohens_kappa(o)
+
+
+# ===========================================================================
+# Beyond-parity: hybrid-retrieval fusion (operators/fusion.py RRF)
+# ===========================================================================
+
+
+def _rrf_oracle() -> str:
+    bm25_body = _bm25_oracle().strip()
+    return f"""
+    WITH bm AS ({bm25_body}),
+    bmleg AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id AS doc_id, {_duck_cosine('embedding', 'qv')} AS cosine
+      FROM embeddings, q
+    ),
+    cosleg AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
+      FROM cos ORDER BY cosine DESC, doc_id LIMIT 20
+    ),
+    contrib AS (
+      SELECT doc_id, 1000000000000 // (60 + r) AS c FROM bmleg
+      UNION ALL
+      SELECT doc_id, 1000000000000 // (60 + r) AS c FROM cosleg
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micros,
+           CAST(COUNT(*) AS BIGINT) AS n_legs
+    FROM contrib GROUP BY doc_id
+    """
+
+
+@query("q_rrf_fuse", _rrf_oracle())
+def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of the two
+    gated retrieval legs — top-20 BM25 (terms ['spark','data','join'])
+    and top-20 embedding cosine vs query vector 0 — with the standard
+    k=60, in exact integer micro-units: rrf_micros(d) = sum_i 10^12
+    div (60 + rank_i(d)), so fused scores are hash-gateable BIGINTs
+    with no float summation-order hazard. Legs are bounds-sized top-k
+    lists (TakeOrderedAndProject); ranks break score ties by doc_id;
+    the fusion is one tiny groupBy. The oracle replays ranks with
+    ROW_NUMBER and the reciprocal as integer division."""
+    from asterlake.operators.fusion import rrf_fuse
+    from asterlake.operators.similarity import cosine
+    from asterlake.operators.textstats import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    bm_leg = (
+        bm25_scores(d, _BM25_TERMS)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cos_leg = (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(20)
+    )
+    return rrf_fuse([(bm_leg, "bm25"), (cos_leg, "cosine")], id_col="doc_id")
+
+
+# ===========================================================================
+# Beyond-parity: Unicode normalization (operators/normalize.py)
+# ===========================================================================
+
+# Deterministic "dirty" affixes exercising every normalization step:
+# NFD sequences (e + combining acute U+0301 -> NFC é), a C0 control
+# (BEL), zero-width spaces, tab runs, multi-newline runs with stray
+# spaces. Rendered into the oracle via chr() so the SQL text stays
+# printable.
+_DIRTY_PREFIX = "résumé\x07 ​\t\tN:\n \n\n "
+_DIRTY_SUFFIX = " ​\x1f\té\n"
+
+
+def _duck_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression, non-printables
+    and non-ASCII via chr() so the SQL text survives any transport."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if 32 <= ord(ch) < 127 and ch != "'":
+            buf += ch
+        else:
+            if buf:
+                parts.append(f"'{buf}'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+    if buf:
+        parts.append(f"'{buf}'")
+    return "(" + " || ".join(parts) + ")"
+
+
+def _normalize_oracle() -> str:
+    dirty = (
+        f"{_duck_str(_DIRTY_PREFIX)} || text || {_duck_str(_DIRTY_SUFFIX)}"
+    )
+    ctrl = (
+        r"[\x00-\x08\x0b-\x1f\x7f-\x9f"
+        r"\x{200b}\x{200c}\x{200d}\x{feff}]"
+    )
+    # replay normalize_text's step order: NFC -> control strip ->
+    # space-run collapse -> newline canonicalization (any whitespace
+    # run containing >= 2 newlines becomes exactly two) -> trim. The
+    # two-regex newline form (spaces-off-newlines, then cap runs at 2)
+    # is equivalent to the operator's single conditional-replacement
+    # regex once space runs are already collapsed.
+    # replacement strings go through RE2's rewrite parser, which eats
+    # backslash escapes — newline replacements must be chr(10)
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"regexp_replace(nfc_normalize({dirty}), '{ctrl}', '', 'g'),"
+        r" '[ \t\x0c]+', ' ', 'g'),"
+        r" ' *\n *', chr(10), 'g'),"
+        r" '\n{3,}', chr(10) || chr(10), 'g'), ' ' || chr(10))"
+    )
+    return f"""
+    SELECT doc_id,
+           {norm} AS text,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE {norm} != ({dirty}) END AS text_changed
+    FROM documents
+    """
+
+
+@query("q_normalize_text", _normalize_oracle())
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization of the documents corpus with
+    deterministically dirtied text (NFD accents, a BEL control,
+    zero-width spaces, tab runs, multi-newline runs — the affixes
+    exercise every step): NFC composition, control/zero-width strip,
+    whitespace canon. ONE Arrow-batched pandas UDF, row-local, no
+    shuffle. The oracle replays NFC via nfc_normalize (same Unicode
+    tables: the container's ICU and Python build agree on NFC for the
+    exercised repertoire) and the regex steps via RE2 — byte-equal
+    output, hash-gateable."""
+    from asterlake.operators.normalize import normalize_text
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_DIRTY_PREFIX), F.col("text"), F.lit(_DIRTY_SUFFIX)
+        ).alias("text"),
+    )
+    return normalize_text(d, "text").select(
+        "doc_id", "text", "text_changed"
+    )
+
+
+# ===========================================================================
+# Beyond-parity: palette-PNG real decode (operators/multimodal.py)
+# ===========================================================================
+
+_PAL_MEDIA_N = 48
+
+
+@query(
+    "q_media_decode_palette",
+    f"""
+    SELECT range AS media_id, 'image' AS kind, 'png' AS format,
+           CAST(CASE WHEN range % 2 = 0 THEN 3 + range % 9
+                     ELSE 3 + range % 10 END AS INT) AS width,
+           CAST(CASE WHEN range % 2 = 0 THEN 2 + range % 6
+                     ELSE 2 + range % 7 END AS INT) AS height,
+           TRUE AS mean_in_unit
+    FROM range({_PAL_MEDIA_N})
+    """,
+)
+def q_media_decode_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color-type-3 (palette) PNG decode, pure stdlib — the r12
+    codec addition driver-gated: the media table alternates truecolor
+    PNGs (even ids, 3+id%9 x 2+id%6) with palette PNGs (odd ids,
+    3+id%10 x 2+id%7, bit depth cycling 1/2/4/8 via (id//2)%4 —
+    MSB-first bit-unpacked indices, PLTE lookup, all five scanline
+    filters at bpp=1 per the spec). The decoder recovers dimensions
+    FROM THE BYTES; the oracle restates the generator arithmetic, so
+    any stride/bit-offset/filter slip on the packed index rows
+    hash-mismatches. ``mean_in_unit`` bounds the looked-up-RGB mean
+    in-plan ((0,1) strictly — md5-derived palettes are never black);
+    exact mean parity vs the palette model is pinned locally
+    (tests/test_multimodal.py::test_png_palette_round_trips_all_depths).
+    sf_dir unused: the media table is generated in-engine."""
+    from asterlake.operators.multimodal import decode_media, real_media_table
+
+    decoded = decode_media(
+        real_media_table(spark, n=_PAL_MEDIA_N, formats=("png", "png_pal")),
+        real=True,
+    )
+    return decoded.select(
+        "media_id",
+        "kind",
+        "format",
+        "width",
+        "height",
+        (
+            (F.col("mean_level") > F.lit(0.0))
+            & (F.col("mean_level") < F.lit(1.0))
+        ).alias("mean_in_unit"),
+    )
+
+
+# ===========================================================================
+# Beyond-parity: batch multi-query ANN serving (operators/pq.py ADC)
+# ===========================================================================
+
+
+def _adc_multi_oracle() -> str:
+    cb, _qv = _pq_model()
+    subd = (
+        "list_transform(cb[s+1], c -> "
+        "list_sum(list_transform(range(1, 9), i -> "
+        "(CAST(c[i] AS DOUBLE) - CAST(embedding[s*8 + i] AS DOUBLE)) "
+        "* (CAST(c[i] AS DOUBLE) - CAST(embedding[s*8 + i] AS DOUBLE)))))"
+    )
+    return f"""
+    WITH cbs AS (SELECT {cb} AS cb),
+    codes AS (
+      SELECT vec_id,
+        list_transform(range(0, 8), s ->
+          CAST(list_position({subd}, list_aggregate({subd}, 'min')) - 1
+               AS INT)) AS codes
+      FROM embeddings, cbs
+    ),
+    qs AS (SELECT vec_id AS query_id, embedding AS qemb
+           FROM embeddings WHERE vec_id < 4),
+    adc AS (
+      SELECT query_id, c.vec_id,
+        list_sum(list_transform(range(0, 8), s ->
+          list_sum(list_transform(range(1, 9), i ->
+            (CAST(cb[s+1][codes[s+1] + 1][i] AS DOUBLE)
+             - CAST(qemb[s*8 + i] AS DOUBLE))
+            * (CAST(cb[s+1][codes[s+1] + 1][i] AS DOUBLE)
+               - CAST(qemb[s*8 + i] AS DOUBLE))
+          )))) AS adc_dist
+      FROM codes c, cbs, qs
+    )
+    SELECT query_id, vec_id, adc_dist FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, vec_id) AS rk
+      FROM adc) WHERE rk <= 10
+    """
+
+
+@query("q_ann_adc_multi", _adc_multi_oracle())
+def q_ann_adc_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query ADC ANN — the SERVING shape (r12 verdict ask
+    #4c): 4 query vectors arrive as a TABLE, each gets its exact
+    per-query ADC top-10 over the PQ codes in ONE corpus pass. Each
+    query's m x k LUT is computed in-plan on the broadcast query side
+    (m*k doubles per query ride the broadcast, not the raw vectors);
+    scoring is codes x broadcast(luts) with the same 8-lookups fold as
+    the single-query path; the per-query top-k runs two-level (a
+    (query, xxhash-shard) window caps every task's sort at
+    corpus/n_shards rows, then a bounds-sized (query) window over the
+    shard survivors — exactly the global top-k, hub-free). The oracle
+    recomputes encode, the ADC distance and the per-query rank with
+    the same left-to-right double folds (the proven q_ann_pq_search
+    IEEE discipline, query literal swapped for the query table)."""
+    from asterlake.operators.pq import adc_topk_multi, pq_encode
+
+    cb, _qv = _pq_model()
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(e, cb)
+    return adc_topk_multi(
+        codes, e.filter("vec_id < 4"), cb, k=10, n_shards=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------

@@ -88,6 +88,62 @@ def test_adc_topk_matches_python_replay_exactly(vectors):
     assert got == want  # ids AND doubles, bit-for-bit
 
 
+def test_adc_topk_multi_matches_single_query_path(vectors):
+    """Batch serving twin: the multi-query result restricted to one
+    query equals adc_topk with that query's vector as the literal —
+    ids AND doubles (the in-plan LUT reproduces the driver-computed
+    LUT bit-for-bit); the two-level shard top-k equals the global
+    top-k at any shard count."""
+    from asterlake.operators.pq import adc_topk_multi
+
+    codebooks = pq_codebooks(m=M, k=K, dim=DIM)
+    codes_df = pq_encode(vectors, codebooks)
+    queries = vectors.filter("vec_id < 3")
+    got = adc_topk_multi(codes_df, queries, codebooks, k=7, n_shards=5)
+    by_query = {}
+    for r in got.collect():
+        by_query.setdefault(r.query_id, []).append((r.vec_id, r.adc_dist))
+    assert set(by_query) == {0, 1, 2}
+    for qid, rows in by_query.items():
+        qvec = [
+            float(x)
+            for x in vectors.filter(f"vec_id = {qid}").collect()[0].embedding
+        ]
+        want = [
+            (r.vec_id, r.adc_dist)
+            for r in adc_topk(codes_df, qvec, codebooks, k=7).collect()
+        ]
+        # multi output is unordered across queries; sort rows by rank key
+        rows.sort(key=lambda t: (t[1], t[0]))
+        assert rows == want, qid
+    # shard-count invariance: 1 shard (plain per-query window) == 5
+    one = {
+        (r.query_id, r.vec_id, r.adc_dist)
+        for r in adc_topk_multi(
+            codes_df, queries, codebooks, k=7, n_shards=1
+        ).collect()
+    }
+    assert one == {
+        (q, v, d) for q, rows in by_query.items() for v, d in rows
+    }
+
+
+def test_adc_topk_multi_plan_shape(vectors):
+    from asterlake.operators.pq import adc_topk_multi
+
+    codebooks = pq_codebooks(m=M, k=K, dim=DIM)
+    codes_df = pq_encode(vectors, codebooks)
+    plan = (
+        adc_topk_multi(codes_df, vectors.filter("vec_id < 3"), codebooks)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    # the query side broadcasts (nested-loop on the bounds-sized side)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_adc_rejects_dim_mismatch():
     codebooks = pq_codebooks(m=M, k=K, dim=DIM)
     with pytest.raises(ValueError, match="query dim"):
