@@ -11983,21 +11983,22 @@ def q_ann_adc_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # touched block, so two spill with documented cross-coverage (below)
 # and lead the r13 rotation.
 #
-# R13 FRONT PLAN: q_top3_orders_per_segment + q_topk_orders (the two
-#   r8 rows the r12 budget cut) lead, then the r9-era rows
-#   name-ascending (q_ann_pq_search and the r11-exempted closure rows
-#   among them); plus whatever round-13 touches or declares (freeze
-#   AFTER the round's last operator commit, via
-#   rotation.suggest_front). Eight r12-built operators wait with green
-#   differential suites and drafted oracle notes, each one declaration
-#   + oracle away from a row: bfs_distances (unrolled-round CTEs, the
-#   kcore shape), cooccurrence/pmi_ratio (list-space pair expansion +
-#   HUGEINT div), auc_exact (window over the distinct-score
-#   histogram), clustering_pair_metrics (contingency sums),
-#   cohens_kappa (exact rational), rrf_fuse (ROW_NUMBER + integer
-#   div over the gated bm25/cosine legs), normalize_text (NFC leg via
-#   nfc_normalize + regexps), and palette-PNG media rows (the r10
-#   media-oracle shape). Budget them against the r9 freshness cohort.
+# The r12 front executed verbatim in round 13's inputs
+# (CORRECTNESS_r12: 50/50 green). The r13 front below executes the
+# r12 verdict's plan: the 9 new r13 declarations (the eight r12-built
+# operators, each now with its drafted oracle landed, plus the new
+# batch multi-query ADC — verdict ask #4c) take the first slots by
+# the never-scored rule, the two r8 spills lead the rotation, and 39
+# of the 49 r9-era rows follow name-ascending; the 10 the budget cuts
+# carry the spill notes below.
+#
+# R14 FRONT PLAN: the 10 spilled r9 rows (q_stream_quarantine,
+#   q_table_checksum, q_text_repetition, q_tfidf_top_terms,
+#   q_trimmed_stats, q_twap_value, q_udtf_sentences,
+#   q_unpivot_measures, q_waiting_supplier_orders, q_weighted_median)
+#   lead, then the r10-era cohort name-ascending; plus whatever
+#   round 14 touches or declares (freeze AFTER the round's last
+#   operator commit, via rotation.suggest_front).
 
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # the r8 codec work (4:2:0, progressive SOF2 + restart intervals)
@@ -12009,145 +12010,147 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     "q_media_decode": "real=False branch unchanged; real=True scored "
     "via q_media_decode_real, gif via q_media_gif_anim (both r10 "
     "front)",
-    # r12 exemptions. queries_touched() flags four rows this round whose
-    # executed plans are bit-identical to their standing green rows:
-    # two by the ohlc_bars sub-day branch (this round's r11-ADVICE fix
-    # adds a branch the day-bucket queries never take), two by pq.py
-    # statement propagation / diff adjacency (the pq_train moments-init
-    # edit and the appended opq_* functions live in the module these
-    # queries import from, but none of the bodies they call changed).
-    "q_ohlc_bars": "touched only by the r12 sub-day-bucket branch in "
-    "ohlc_bars; at bucket='day' (this query) the produced expression "
-    "is the identical date_trunc + DATE cast (the branch test pins "
-    "day/month keys still DATE, hourly keys TIMESTAMP); r11-green, "
-    "and the shared min/max-struct aggregate is freshly driver-scored "
-    "via q_stream_ohlc_append (r12 front)",
-    "q_stream_ohlc": "same ohlc_bars day-path argument; the complete-"
-    "mode drain is unchanged, and the watermarked production twin "
-    "q_stream_ohlc_append (r12 front) scores the same cross-batch "
-    "struct-min/max merge fresh; r11-green",
-    "q_ann_pq_search": "flagged by diff adjacency + the pq_encode "
-    "refactor (its codes expression moved verbatim into "
-    "_encode_codes_sql so opq_encode can let-bind it — the produced "
-    "SQL string is unchanged, pinned by test_pq.py bit-for-bit encode "
-    "replays and sf0.001/sf0.01 parity); adc_topk/pq_search bodies "
-    "are byte-identical this round, and q_ann_opq_search (r12 front) "
-    "freshly drives the same encode/ADC/rerank code on the rotated "
-    "input with a digit-for-digit oracle; r9-green and next in "
-    "rotation",
-    "q_ann_ivfpq_search": "flagged by pq.py statement propagation "
-    "(the pq_train moments-init edit + appended opq_* names); "
-    "ivfpq_index/ivfpq_search and the seeded codebook literals it "
-    "actually executes are byte-identical this round; r10-green and "
-    "next in rotation",
-    # late-r12: the palette-PNG decode (color type 3, pure PLTE
-    # lookup — the 'needs PIL' gate narrowed) is an ADDITIVE branch in
-    # _decode_png; the color-0/2 path the gated media queries execute
-    # produces identical values (stride and mean accounting reduce to
-    # the previous expressions there), pinned by the exact-value
-    # round-trip unit tests AND a fresh sf0.01 parity run of all
-    # media queries after the edit (8/8 green at freeze time).
-    "q_media_decode_real": "decodes color-0/2 PNG + WAV/BMP/JPEG "
-    "paths only on the gated data; the r12 palette branch is "
-    "unreached there and the shared path's values are pinned "
-    "unchanged by test_multimodal round-trips + the post-edit sf0.01 "
-    "parity sweep; r10-green and next in rotation",
-    "q_media_gif_anim": "GIF path — does not execute _decode_png at "
-    "all; flagged via the decode_media_real dispatcher reference; "
-    "post-edit sf0.01 parity green; r10-green and next in rotation",
+    # r13 exemptions. queries_touched() flags four rows this round
+    # whose executed plans/values are bit-identical to their standing
+    # green rows: three by the r12-ADVICE tRNS fail-loud branch in
+    # _decode_png (an ADDITIVE raise on a chunk type none of the gated
+    # files contain — the generators never emit tRNS; the color-0/2
+    # path's values are pinned unchanged by the test_multimodal
+    # round-trip tests, and _decode_png's shared chunk walk is freshly
+    # driver-scored via q_media_decode_palette, r13 front), one by a
+    # docstring-only reword.
+    "q_media_decode_real": "touched via the tRNS raise branch in "
+    "_decode_png + the png_pal generator arm in real_media_table; "
+    "neither is reached by the gated 7-format data (no tRNS chunks, "
+    "no png_pal slot); color-0/2 values pinned unchanged by "
+    "test_multimodal round-trips; the chunk walk is freshly "
+    "driver-scored via q_media_decode_palette (r13 front); r10-green "
+    "and next in rotation",
+    "q_media_gif_anim": "GIF path — does not execute _decode_png; "
+    "flagged via the decode_media_real dispatcher + real_media_table "
+    "references; r10-green and next in rotation",
     "q_media_mp4_meta": "mp4 box-walk path — does not execute "
-    "_decode_png; flagged via the decode_media_real dispatcher "
-    "reference; post-edit sf0.01 parity green; r10-green and next in "
-    "rotation",
+    "_decode_png; flagged via the decode_media_real dispatcher + "
+    "real_media_table references; r10-green and next in rotation",
+    "q_kcore_decompose": "touched by a DOCSTRING-ONLY reword of "
+    "kcore_decomposition (the r12 ADVICE upper-bound clarification); "
+    "the produced expressions are character-identical — the diff sits "
+    "entirely inside the string literal — and the fixpoint/gap "
+    "differentials in test_winnow_triangles pin the values; r12-green "
+    "(scored two rounds ago at the same code)",
 }
 
-# Round-12 front (exactly 50), re-frozen AFTER the round's last
+# Round-13 front (exactly 50), re-frozen AFTER the round's last
 # operator commit and verified equal to the mechanical derivation
 # (rotation.suggest_front over the declared set with the
 # _AUTO_PROMOTE_EXEMPT exemptions — checked at freeze time:
-# suggested == this block, element for element): the 3 new r12
-# declarations first, then the touched row this round's semantic fix
-# changed, then 46 of the 48 r8-era rows (the r11 verdict's ask #1 —
-# the two the budget cut carry the spill notes below and lead r13).
-_NEW_R12 = [
-    # OPQ ANN search (completes the FAISS ladder IVF -> PQ -> IVFADC
-    # -> OPQ at equal code bytes; r11 verdict ask #3a)
-    "q_ann_opq_search",
-    # k-core decomposition by synchronous H-index rounds (the fourth
-    # static-graph family; r11 verdict ask #3b)
-    "q_kcore_decompose",
-    # watermarked append-mode streaming OHLC (the production twin of
-    # q_stream_ohlc; r11 verdict ask #4)
-    "q_stream_ohlc_append",
+# suggested == this block, element for element): the 9 new r13
+# declarations first (never-scored rule), then the two r8 spills the
+# r12 budget cut (the r12 verdict's ask #2 — they lead), then 39 of
+# the 49 r9-era rows name-ascending (the 10 the budget cuts carry the
+# spill notes below and lead the r14 front).
+_NEW_R13 = [
+    # the eight r12-built operators, each now landed with its drafted
+    # oracle (r12 verdict ask #1) ...
+    "q_ann_adc_multi",  # ... plus ask #4c: batch multi-query ADC
+    "q_auc_exact",
+    "q_bfs_distances",
+    "q_clustering_pair_metrics",
+    "q_cohens_kappa",
+    "q_collocations_pmi",
+    "q_media_decode_palette",
+    "q_normalize_text",
+    "q_rrf_fuse",
 ]
-_TOUCHED_R12 = [
-    # the r11-ADVICE null-safe release fix changes this query's
-    # semantics on NULL quasi classes (none in the gated data, but the
-    # plan changed: eqNullSafe semi-join keys) — rescored
-    "q_k_anonymous_release",
+_STALE_R13 = [
+    # the two r8 spills open the rotation (r12 verdict ask #2) ...
+    "q_top3_orders_per_segment",
+    "q_topk_orders",
+    # ... then 39 of the 49 r9-era rows, name-ascending (suggest_front
+    # order). SPILL NOTES for the ten the budget cut (they lead r14;
+    # all ten are UNTOUCHED since their r9 green rows — rotation.py
+    # attributes no diff to them this round — so the note for each is
+    # where its machinery gets fresh or standing coverage):
+    # - q_stream_quarantine: foreachBatch quarantine split + file-sink
+    #   round trip; pinned end-to-end by test_streaming.py::
+    #   test_stream_quarantine_routes_and_keeps_violations, and the
+    #   shared readStream/foreachBatch/watermark machinery is
+    #   r12-green via q_stream_ohlc_append / q_stream_frequent.
+    # - q_table_checksum: order-independent xxhash64 content signature;
+    #   the key-hash discipline is freshly scored through
+    #   q_ann_adc_multi's xxhash64 shard key (r13 front) and pinned by
+    #   test_integrity's permutation-invariance differentials.
+    # - q_text_repetition: textstats row-local token folds; the module
+    #   is r12-green via q_text_quality / q_text_vocab_topk and
+    #   freshly exercised by the r13-front q_collocations_pmi
+    #   tokenization; pinned by test_textstats replays.
+    # - q_tfidf_top_terms: tf/df + rational idf + per-doc top-3 window;
+    #   the same tf/df machinery is r13-front-scored via q_bm25_search
+    #   (identical corpus-stats shape) and pinned by test_textstats.
+    # - q_trimmed_stats: two-pass percentile bands + broadcast-back;
+    #   the bucket-pruned two-level rank core is r13-front-scored via
+    #   q_percentiles_exact and q_weighted_median's twin is pinned by
+    #   test_stats bit-equality; retimed every round in bench.py.
+    # - q_twap_value: key-partitioned lead() + decimal x microsecond
+    #   sums; the window-navigation machinery is r10-green via
+    #   q_window_navigation and the decimal-sum discipline is scored
+    #   by every r13-front aggregate row; pinned by test_stats.
+    # - q_udtf_sentences: PySpark 4 @udtf lateral join; pinned by
+    #   test_udfs (exact rows + ordinality); the Python-eval plan
+    #   surface is otherwise fleet-guarded (no BatchEvalPython
+    #   anywhere else; the UDTF is the sanctioned exception).
+    # - q_unpivot_measures: native UNPIVOT of three decimal-exact
+    #   sums; the pivot inverse q_pivot_status is r12-green and the
+    #   melt is pinned by the sf0.01 parity suite.
+    # - q_waiting_supplier_orders: TPC-H Q21 single-pass window
+    #   formulation; the window/semi-join machinery is covered by the
+    #   r12-green q_join_semi / q_join_anti and r13-front
+    #   q_correlated_subqueries (the same exists/not-exists family).
+    # - q_weighted_median: frequency-weighted two-level rank; pinned
+    #   bit-equal to Spark's percentile(value, p, frequency) built-in
+    #   in test_stats, and the shared rank machinery is r13-front-
+    #   scored via q_percentiles_exact.
+    "q_ann_pq_search",
+    "q_asof_click_error",
+    "q_bm25_search",
+    "q_bpe_segment",
+    "q_cdc_apply",
+    "q_cms_frequencies",
+    "q_cohort_retention",
+    "q_corpus_survivors",
+    "q_correlated_subqueries",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash_pairs",
+    "q_embedding_srp_neighbors",
+    "q_ewma_value",
+    "q_funnel_conversion",
+    "q_fuzzy_name_pairs",
+    "q_gapfill_locf",
+    "q_grouped_map_deltas",
+    "q_histogram_prices",
+    "q_hybrid_search",
+    "q_incremental_agg_merge",
+    "q_json_extract",
+    "q_media_decode",
+    "q_media_features",
+    "q_media_frames",
+    "q_media_resize",
+    "q_min_cost_supplier",
+    "q_minhash_jaccard_estimate",
+    "q_percentiles_exact",
+    "q_quality_gate_text",
+    "q_quality_logistic",
+    "q_range_join_clicks_before_error",
+    "q_salted_join_top_customers",
+    "q_sample_stratified",
+    "q_sessionization",
+    "q_set_ops_all",
+    "q_shipping_priority",
+    "q_sketch_distinct",
 ]
-_STALE_R8 = [
-    # 46 of the 48 r8-era rows, name-ascending (suggest_front order).
-    # SPILL NOTES for the two the budget cut (they lead the r13 front):
-    # - q_top3_orders_per_segment: rank-window top-k; the window
-    #   machinery is r10/r11-green via q_window_frames /
-    #   q_window_navigation / q_session_window, and the
-    #   TakeOrderedAndProject path via the r12-front ANN top-k rows;
-    #   untouched since r8.
-    # - q_topk_orders: catalog ad-hoc SQL + LIMIT; the catalog path is
-    #   pinned locally (test_plans TakeOrderedAndProject + catalog
-    #   tests) and the same plan shape is driver-scored through the
-    #   r12-front ANN top-k rows; untouched since r8.
-    "flagship_revenue_by_nation",
-    "q_ann_ivf_assign",
-    "q_ann_ivf_search",
-    "q_ann_srp_buckets",
-    "q_array_agg_sorted",
-    "q_array_functions",
-    "q_bloom_semi_join",
-    "q_conditional_agg",
-    "q_count_distinct",
-    "q_cube_revenue",
-    "q_date_arithmetic",
-    "q_dedup_exact",
-    "q_dedup_latest_order",
-    "q_dedup_minhash_lsh",
-    "q_dim_date",
-    "q_dim_segment",
-    "q_drift_numeric",
-    "q_drift_tvd",
-    "q_embedding_block_neighbors",
-    "q_embedding_pca",
-    "q_fact_star_join",
-    "q_filter_predicates",
-    "q_forget_cascade",
-    "q_full_outer_join",
-    "q_grouping_sets",
-    "q_join_anti",
-    "q_join_semi",
-    "q_kll_quantile_rollup",
-    "q_monthly_revenue",
-    "q_pivot_status",
-    "q_pricing_summary",
-    "q_projection_arithmetic",
-    "q_rollup_pricing",
-    "q_scalar_functions",
-    "q_set_ops",
-    "q_simhash_fingerprint",
-    "q_sketch_overlap",
-    "q_skew_report",
-    "q_snapshot_diff",
-    "q_stream_frequent",
-    "q_string_functions",
-    "q_text_fingerprint",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_vocab_topk",
-    "q_theta_set_ops",
-]
-_FRONT = (
-    _NEW_R12 + _TOUCHED_R12 + _STALE_R8
-)
+_FRONT = _NEW_R13 + _STALE_R13
 
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 assert len(set(_FRONT)) == len(_FRONT), "duplicate in ordering front block"

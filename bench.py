@@ -499,6 +499,28 @@ def main() -> None:
             )
         }
 
+        # Symmetric cold-outlier guard (r12 verdict ask #3): the retime
+        # retry above catches a spike landing on the RETIME slot, but a
+        # spike landing on the COLD slot left the inflated cold in
+        # queries{} with only the adjacent mid-probe as attribution
+        # (r12 driver run: q_percentiles_exact 14.72s cold vs 5.69s
+        # retime — box spike, committed same-code run 2.60s). Any
+        # retimed query whose cold exceeds 3x its retime gets ONE
+        # paired re-run recorded ALONGSIDE the cold — never replacing
+        # it, so the cold column stays an honest record of what the
+        # session measured, and the artifact carries its own
+        # attribution instead of leaving it to prose.
+        cold_rerun: dict[str, float] = {}
+        _stale_colds = [
+            n
+            for n, rt in builder_retime.items()
+            if timings[n] >= 3.0 * max(rt, 0.5)
+        ]
+        if _stale_colds:
+            _release_blocks()
+            for name in sorted(_stale_colds):
+                cold_rerun[name] = run_one(name)
+
         probe_end = probe()
         total = round(sum(timings.values()), 4)
         payload = {
@@ -518,6 +540,10 @@ def main() -> None:
             # warm re-times for the retry-exempt memo builders — the
             # steady-state companion to their recorded cold numbers
             "builder_retime_sec": builder_retime,
+            # paired re-runs for retimed queries whose cold exceeded 3x
+            # their retime (ask #3: the cold stays in queries{} — this
+            # is the attribution sample, not a replacement)
+            "cold_rerun_sec": cold_rerun,
         }
     finally:
         spark.stop()

@@ -1748,3 +1748,35 @@ def test_stream_ohlc_append_emits_closed_bars_exactly_once(spark, tmp_path):
     # the still-open day-3 bar must NOT have been emitted
     assert (2, "2025-01-03 00:00:00") not in got
     assert len(got) == 3
+
+
+def test_ohlc_append_cutoff_is_tie_free_at_every_shipped_sf():
+    """r12 verdict ask #6: q_stream_ohlc_append's oracle applies the
+    closed-bar cutoff as ``bar_start + 1 day <= max(ts) - 1 hour``,
+    and the equivalence to the streaming eviction relies on the
+    watermark never landing EXACTLY on a midnight bar boundary (a tie
+    would make the <= comparison eviction-order-sensitive). Assert the
+    chosen 1-hour delay keeps the watermark >= 30 minutes away from
+    the nearest midnight at every shipped SF — if the driver testdata
+    ever moves events near a boundary, this fails loudly and the
+    tie-free argument must be re-verified (the query docstring says
+    so)."""
+    import glob
+
+    import duckdb
+
+    sfs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sfs, "no shipped testdata directories found"
+    con = duckdb.connect()
+    for d in sfs:
+        wm = con.execute(
+            "SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR "
+            f"FROM read_parquet('{d}/events.parquet')"
+        ).fetchone()[0]
+        secs = wm.hour * 3600 + wm.minute * 60 + wm.second
+        dist = min(secs, 86400 - secs)
+        assert dist >= 1800, (
+            f"{d}: watermark {wm} is {dist}s from midnight — the "
+            "q_stream_ohlc_append tie-free cutoff argument needs "
+            "re-verification"
+        )
