@@ -11953,6 +11953,105 @@ def q_ann_adc_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Beyond-parity: streaming CDC apply (streaming/pipeline.py, r12 ask #4b)
+# ===========================================================================
+
+
+@query("q_stream_cdc_apply", QUERIES["q_cdc_apply"].oracle)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the continuously-ingesting twin of
+    q_cdc_apply (r12 verdict ask #4b): the SAME deterministic
+    changelog, split into two sequence-ordered micro-batches (the
+    seq-1 wave of updates/deletes/inserts, then the seq-2
+    latest-wins updates), folds into the orders base through
+    stream_apply_changes — one checkpointed availableNow query whose
+    every epoch lands an idempotent ``batch=<eid>`` snapshot version
+    (a foreachBatch retry overwrites its own version; the base read
+    excludes in-flight epochs, so replays are exactly-once effective).
+    The final snapshot must equal the one-shot batch application —
+    the oracle IS q_cdc_apply's oracle, so the gate proves the
+    cross-epoch fold converges to the batch semantics row-for-row.
+    File mtimes are pinned so the file source's modification-time
+    ordering replays the waves in sequence order."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from asterlake.streaming.pipeline import (
+        read_cdc_snapshot,
+        stream_apply_changes,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    u1 = (
+        o.filter(k % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1).cast("bigint"))
+    )
+    u2 = (
+        o.filter(k % 20 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 2000)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2).cast("bigint"))
+    )
+    d = (
+        o.filter(k % 10 == 7)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(1).cast("bigint"))
+    )
+    ins = (
+        o.filter(k % 10 == 1)
+        .withColumn("o_orderkey", k + 10000000)
+        .withColumn("o_totalprice", F.col("o_totalprice") / 2)
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(1).cast("bigint"))
+    )
+    wave1 = u1.unionByName(d).unionByName(ins)
+    wave2 = u2
+    with tempfile.TemporaryDirectory() as workdir:
+        src_dir = os.path.join(workdir, "changes")
+        os.makedirs(src_dir)
+        for i, wave in enumerate((wave1, wave2)):
+            stage = os.path.join(workdir, f"stage{i}")
+            wave.coalesce(1).write.parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(src_dir, f"wave{i}.parquet")
+            shutil.move(part, dst)
+            # the file source orders micro-batches by modification
+            # time; pin them so wave0 always precedes wave1
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        stream = (
+            spark.readStream.schema(wave1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        snap_dir = os.path.join(workdir, "snapshot")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            stream_apply_changes(
+                stream,
+                snap_dir,
+                ["o_orderkey"],
+                "seq",
+                os.path.join(workdir, "ckpt"),
+                initial=o,
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        # materialize off the tempdir before it vanishes
+        final = read_cdc_snapshot(spark, snap_dir).localCheckpoint(
+            eager=True
+        )
+    return final
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -11985,18 +12084,18 @@ def q_ann_adc_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The r12 front executed verbatim in round 13's inputs
 # (CORRECTNESS_r12: 50/50 green). The r13 front below executes the
-# r12 verdict's plan: the 9 new r13 declarations (the eight r12-built
-# operators, each now with its drafted oracle landed, plus the new
-# batch multi-query ADC — verdict ask #4c) take the first slots by
-# the never-scored rule, the two r8 spills lead the rotation, and 39
-# of the 49 r9-era rows follow name-ascending; the 10 the budget cuts
-# carry the spill notes below.
+# r12 verdict's plan: the 10 new r13 declarations (the eight
+# r12-built operators, each now with its drafted oracle landed, plus
+# batch multi-query ADC — ask #4c — and streaming CDC apply — ask
+# #4b) take the first slots by the never-scored rule, the two r8
+# spills lead the rotation, and 38 of the 49 r9-era rows follow
+# name-ascending; the 11 the budget cuts carry the spill notes below.
 #
 # R14 FRONT PLAN: the 10 spilled r9 rows (q_stream_quarantine,
 #   q_table_checksum, q_text_repetition, q_tfidf_top_terms,
 #   q_trimmed_stats, q_twap_value, q_udtf_sentences,
-#   q_unpivot_measures, q_waiting_supplier_orders, q_weighted_median)
-#   lead, then the r10-era cohort name-ascending; plus whatever
+#   q_unpivot_measures, q_waiting_supplier_orders, q_weighted_median,
+#   q_sketch_distinct) lead, then the r10-era cohort name-ascending; plus whatever
 #   round 14 touches or declares (freeze AFTER the round's last
 #   operator commit, via rotation.suggest_front).
 
@@ -12044,10 +12143,10 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
 # operator commit and verified equal to the mechanical derivation
 # (rotation.suggest_front over the declared set with the
 # _AUTO_PROMOTE_EXEMPT exemptions — checked at freeze time:
-# suggested == this block, element for element): the 9 new r13
+# suggested == this block, element for element): the 10 new r13
 # declarations first (never-scored rule), then the two r8 spills the
-# r12 budget cut (the r12 verdict's ask #2 — they lead), then 39 of
-# the 49 r9-era rows name-ascending (the 10 the budget cuts carry the
+# r12 budget cut (the r12 verdict's ask #2 — they lead), then 38 of
+# the 49 r9-era rows name-ascending (the 11 the budget cuts carry the
 # spill notes below and lead the r14 front).
 _NEW_R13 = [
     # the eight r12-built operators, each now landed with its drafted
@@ -12061,13 +12160,15 @@ _NEW_R13 = [
     "q_media_decode_palette",
     "q_normalize_text",
     "q_rrf_fuse",
+    # ... plus ask #4b: streaming CDC apply (the Delta-CDF ingest twin)
+    "q_stream_cdc_apply",
 ]
 _STALE_R13 = [
     # the two r8 spills open the rotation (r12 verdict ask #2) ...
     "q_top3_orders_per_segment",
     "q_topk_orders",
-    # ... then 39 of the 49 r9-era rows, name-ascending (suggest_front
-    # order). SPILL NOTES for the ten the budget cut (they lead r14;
+    # ... then 38 of the 49 r9-era rows, name-ascending (suggest_front
+    # order). SPILL NOTES for the eleven the budget cut (they lead r14;
     # all ten are UNTOUCHED since their r9 green rows — rotation.py
     # attributes no diff to them this round — so the note for each is
     # where its machinery gets fresh or standing coverage):
@@ -12106,6 +12207,11 @@ _STALE_R13 = [
     #   formulation; the window/semi-join machinery is covered by the
     #   r12-green q_join_semi / q_join_anti and r13-front
     #   q_correlated_subqueries (the same exists/not-exists family).
+    # - q_sketch_distinct: HLL distinct-count with in-plan bound
+    #   booleans; the DataSketches ObjectHashAggregate machinery is
+    #   r12-green via q_theta_set_ops / q_sketch_overlap /
+    #   q_kll_quantile_rollup (the same stored-sketch family) and
+    #   pinned by test_sketches coupon-regime exactness.
     # - q_weighted_median: frequency-weighted two-level rank; pinned
     #   bit-equal to Spark's percentile(value, p, frequency) built-in
     #   in test_stats, and the shared rank machinery is r13-front-
@@ -12148,7 +12254,6 @@ _STALE_R13 = [
     "q_sessionization",
     "q_set_ops_all",
     "q_shipping_priority",
-    "q_sketch_distinct",
 ]
 _FRONT = _NEW_R13 + _STALE_R13
 

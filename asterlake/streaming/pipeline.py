@@ -1273,3 +1273,114 @@ def stream_substring_screen(
         .option("recursiveFileLookup", "true")
         .parquet(flags_dir)
     )
+
+
+def stream_apply_changes(
+    changes: DataFrame,
+    snapshot_dir: str,
+    key_cols: "list[str]",
+    seq_col: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+    initial: DataFrame | None = None,
+) -> None:
+    """Streaming CDC apply — the continuously-ingesting twin of the
+    batch ``cdc.apply_changes`` (the Delta-CDF-shaped ingest loop, and
+    the same batch-operator-in-foreachBatch composition that gave
+    ``merge_dimension`` its streaming twin): each micro-batch of
+    (key, op, seq, payload) change rows folds into the maintained
+    snapshot, producing one new snapshot VERSION per epoch under
+    ``snapshot_dir/batch=<epoch_id>/``.
+
+    Exactly-once: the epoch's output directory is keyed by the epoch id
+    and written with overwrite, so a foreachBatch retry REPLACES its
+    own partial version instead of landing a second one; the base each
+    epoch reads is the highest-numbered version BELOW its own epoch id,
+    which is the same base on every replay (versions from this epoch or
+    later are exactly the in-flight writes a retry must ignore). The
+    fold itself is also replay-idempotent — re-applying a changelog to
+    a snapshot that already contains its winners reproduces the
+    snapshot (changes outrank base rows, same winners) — so the two
+    mechanisms compose into effective exactly-once from foreachBatch's
+    at-least-once contract.
+
+    ``changes`` must carry the snapshot's data columns plus ``op_col``
+    ('I'/'U'/'D') and ``seq_col`` (the apply_changes contract: per-key
+    highest seq wins, D > U > I on ties; the CHANGELOG carries the
+    cross-batch ordering, so late micro-batch boundaries cannot reorder
+    updates that carry their own sequence numbers). ``initial`` seeds
+    the first epoch's base (default: empty).
+
+    Scale shape per epoch: ONE keyed window shuffle over
+    base UNION changes (the batch operator, unchanged) — a 1%-churn
+    epoch against a 100 TB base shuffles the base once, never joins it
+    twice; at that scale the ``batch=<eid>`` landing maps onto a
+    Delta/Iceberg MERGE commit instead of a directory swap (the
+    merge_dimension gate, SURVEY §7.4)."""
+    import os
+    import re
+
+    from asterlake.operators.cdc import apply_changes
+
+    data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
+    data_schema = changes.select(*data_cols).schema
+
+    def fold(batch: DataFrame, eid: int) -> None:
+        spark = batch.sparkSession
+        prev = [
+            int(m.group(1))
+            for d in (
+                os.listdir(snapshot_dir)
+                if os.path.isdir(snapshot_dir)
+                else []
+            )
+            if (m := re.match(r"batch=(\d+)$", d)) and int(m.group(1)) < eid
+        ]
+        if prev:
+            base = spark.read.schema(data_schema).parquet(
+                os.path.join(snapshot_dir, f"batch={max(prev)}")
+            )
+        elif initial is not None:
+            base = initial.select(*data_cols)
+        else:
+            base = spark.createDataFrame([], data_schema)
+        apply_changes(
+            base, batch, key_cols, seq_col, op_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, f"batch={eid}")
+        )
+
+    (
+        changes.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_cdc_snapshot(
+    spark: SparkSession, snapshot_dir: str, schema=None
+) -> DataFrame:
+    """The current CDC-maintained snapshot: the highest-numbered
+    ``batch=<eid>`` version under ``snapshot_dir`` (every older version
+    stays readable — the time-travel surface a vacuum would prune).
+    After a drained availableNow run every version directory is
+    committed; a reader racing a LIVE writer may see the in-flight
+    epoch's directory — the hardened answer at scale is the
+    manifest-commit pattern (sources/versioned.py), which this landing
+    deliberately mirrors in miniature."""
+    import os
+    import re
+
+    if not os.path.isdir(snapshot_dir):
+        raise FileNotFoundError(f"no CDC snapshot at {snapshot_dir}")
+    eids = [
+        int(m.group(1))
+        for d in os.listdir(snapshot_dir)
+        if (m := re.match(r"batch=(\d+)$", d))
+    ]
+    if not eids:
+        raise FileNotFoundError(f"no snapshot versions in {snapshot_dir}")
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.parquet(os.path.join(snapshot_dir, f"batch={max(eids)}"))

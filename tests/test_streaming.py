@@ -1780,3 +1780,161 @@ def test_ohlc_append_cutoff_is_tie_free_at_every_shipped_sf():
             "q_stream_ohlc_append tie-free cutoff argument needs "
             "re-verification"
         )
+
+
+def test_stream_apply_changes_folds_epochs_and_is_exactly_once(
+    spark, tmp_path
+):
+    """Streaming CDC apply (r12 verdict ask #4b): two sequence-ordered
+    change waves fold into the maintained snapshot one epoch at a
+    time; the final version equals the ONE-SHOT batch application of
+    the whole changelog, the intermediate version shows only wave 1,
+    and a re-drain from the same checkpoint is a no-op (no new
+    versions — exactly-once effective)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from asterlake.operators.cdc import apply_changes
+    from asterlake.streaming.pipeline import (
+        read_cdc_snapshot,
+        stream_apply_changes,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, val double"
+    )
+    wave1 = spark.createDataFrame(
+        [
+            (1, 11.0, "U", 1),  # update
+            (2, 0.0, "D", 1),  # delete
+            (4, 40.0, "I", 1),  # insert
+        ],
+        "id long, val double, op string, seq long",
+    )
+    wave2 = spark.createDataFrame(
+        [
+            (1, 12.0, "U", 2),  # latest-wins re-update
+            (2, 21.0, "I", 2),  # re-insert of the deleted key
+        ],
+        "id long, val double, op string, seq long",
+    )
+    src_dir = str(tmp_path / "changes")
+    os.makedirs(src_dir)
+    for i, wave in enumerate((wave1, wave2)):
+        stage = str(tmp_path / f"stage{i}")
+        wave.coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"wave{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    snap_dir = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(wave1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        stream_apply_changes(
+            stream, snap_dir, ["id"], "seq", ckpt, initial=base
+        )
+
+    drain()
+    versions = sorted(os.listdir(snap_dir))
+    assert versions == ["batch=0", "batch=1"]
+    # intermediate version: wave 1 only
+    v0 = {
+        (r.id, r.val)
+        for r in spark.read.parquet(
+            os.path.join(snap_dir, "batch=0")
+        ).collect()
+    }
+    assert v0 == {(1, 11.0), (3, 30.0), (4, 40.0)}
+    # final version == one-shot batch application of the full log
+    want = {
+        (r.id, r.val)
+        for r in apply_changes(
+            base, wave1.unionByName(wave2), ["id"], "seq"
+        ).collect()
+    }
+    got = {
+        (r.id, r.val) for r in read_cdc_snapshot(spark, snap_dir).collect()
+    }
+    assert got == want == {(1, 12.0), (2, 21.0), (3, 30.0), (4, 40.0)}
+    # re-drain from the same checkpoint: nothing new to process, no new
+    # versions, snapshot unchanged
+    drain()
+    assert sorted(os.listdir(snap_dir)) == ["batch=0", "batch=1"]
+    assert {
+        (r.id, r.val) for r in read_cdc_snapshot(spark, snap_dir).collect()
+    } == want
+
+
+def test_stream_apply_changes_epoch_replay_overwrites_partial(
+    spark, tmp_path
+):
+    """A foreachBatch retry overwrites its OWN batch=<eid> version: a
+    poisoned partial write under batch=1 disappears after the epoch is
+    re-applied (the idempotent-epoch-landing contract), and the base
+    read for epoch 1 excludes the in-flight epoch-1 junk."""
+    import glob
+    import os
+    import shutil
+
+    from asterlake.streaming.pipeline import (
+        read_cdc_snapshot,
+        stream_apply_changes,
+    )
+
+    base = spark.createDataFrame([(1, 1.0)], "id long, val double")
+    wave1 = spark.createDataFrame(
+        [(1, 2.0, "U", 1)], "id long, val double, op string, seq long"
+    )
+    wave2 = spark.createDataFrame(
+        [(1, 3.0, "U", 2)], "id long, val double, op string, seq long"
+    )
+    src_dir = str(tmp_path / "changes")
+    os.makedirs(src_dir)
+    for i, wave in enumerate((wave1, wave2)):
+        stage = str(tmp_path / f"stage{i}")
+        wave.coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dst = os.path.join(src_dir, f"wave{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    snap_dir = str(tmp_path / "snap")
+    # simulate a crashed epoch-1 attempt: partial junk under batch=1
+    # BEFORE the stream runs — the epoch-1 fold must both ignore it as
+    # a base (reads batch=0) and replace it
+    junk = os.path.join(snap_dir, "batch=1")
+    os.makedirs(junk)
+    spark.createDataFrame(
+        [(99, 99.0)], "id long, val double"
+    ).write.mode("overwrite").parquet(junk)
+    stream = (
+        spark.readStream.schema(wave1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    stream_apply_changes(
+        stream, snap_dir, ["id"], "seq", str(tmp_path / "ckpt"),
+        initial=base,
+    )
+    got = {
+        (r.id, r.val) for r in read_cdc_snapshot(spark, snap_dir).collect()
+    }
+    assert got == {(1, 3.0)}  # junk replaced, base chain intact
+
+
+def test_read_cdc_snapshot_missing_dir_raises(spark, tmp_path):
+    import pytest
+
+    from asterlake.streaming.pipeline import read_cdc_snapshot
+
+    with pytest.raises(FileNotFoundError, match="no CDC snapshot"):
+        read_cdc_snapshot(spark, str(tmp_path / "nope"))
