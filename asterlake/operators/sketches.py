@@ -250,6 +250,96 @@ def theta_set_estimates(
     )
 
 
+def theta_similarity_pairs(
+    sketches: DataFrame,
+    key_col: str,
+    sketch_col: str = "sketch",
+    min_jaccard_ppm: int = 0,
+    lg_union: int | None = None,
+) -> DataFrame:
+    """Sketch-based SET-SIMILARITY JOIN over a stored Theta relation:
+    for every key pair (key_a < key_b), the estimated set sizes,
+    intersection, union, and the similarity measures the dedup tiers
+    prune candidates with —
+
+      ``jaccard_ppm      = |A n B| * 10^6 div |A u B|``
+      ``containment_a_ppm = |A n B| * 10^6 div |A|``  (and _b)
+
+    — all answered from the SKETCHES alone, the planner-grade shape:
+    at 100 TB the question "which shard/source/bucket pairs overlap
+    enough to deserve the expensive pairwise dedup pass?" is decided
+    by this join over the GROUP-level sketch relation (one bounded row
+    per group — the fact is never rescanned), and only surviving pairs
+    proceed. ``min_jaccard_ppm`` applies that prune here.
+
+    The pair expansion is a broadcast non-equi self-join on the
+    bounds-sized sketch relation (groups^2 pairs of ~kB states — the
+    caller's contract is a group-level relation, NEVER per-document
+    sketches; for documents use the MinHash LSH tier, whose banding
+    avoids the quadratic). Estimates follow the theta_set_estimates
+    exactness contract: EXACT (and the ppm values exact integers,
+    hash-gateable) while both sketches retain every hash, sampled
+    beyond; pass ``lg_union`` = the build's lg_k so exact-regime
+    unions stay exact. ppm values round the estimates to BIGINT before
+    the integer division; a zero-size denominator yields NULL
+    (undefined, not 0)."""
+    a = sketches.select(
+        F.col(key_col).alias("key_a"), F.col(sketch_col).alias("_th_a")
+    )
+    b = sketches.select(
+        F.col(key_col).alias("key_b"), F.col(sketch_col).alias("_th_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    est = pairs.select(
+        "key_a",
+        "key_b",
+        F.round(F.theta_sketch_estimate("_th_a"))
+        .cast("bigint")
+        .alias("est_a"),
+        F.round(F.theta_sketch_estimate("_th_b"))
+        .cast("bigint")
+        .alias("est_b"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_intersection("_th_a", "_th_b")
+            )
+        )
+        .cast("bigint")
+        .alias("est_intersection"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_union("_th_a", "_th_b", lg_union)
+            )
+        )
+        .cast("bigint")
+        .alias("est_union"),
+    )
+
+    def _ppm(num: str, den: str) -> F.Column:
+        return F.when(
+            F.col(den) > 0,
+            F.expr(f"CAST(({num} * CAST(1000000 AS BIGINT)) div {den}"
+                   " AS BIGINT)"),
+        )
+
+    out = est.select(
+        "key_a",
+        "key_b",
+        "est_a",
+        "est_b",
+        "est_intersection",
+        "est_union",
+        _ppm("est_intersection", "est_union").alias("jaccard_ppm"),
+        _ppm("est_intersection", "est_a").alias("containment_a_ppm"),
+        _ppm("est_intersection", "est_b").alias("containment_b_ppm"),
+    )
+    if min_jaccard_ppm > 0:
+        out = out.filter(
+            F.col("jaccard_ppm") >= F.lit(min_jaccard_ppm)
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # KLL sketches: mergeable QUANTILES (the distinct-count story, for ranks)
 # ---------------------------------------------------------------------------

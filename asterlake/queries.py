@@ -12052,6 +12052,150 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+# ===========================================================================
+# Beyond-parity: sketch set-similarity join (operators/sketches.py,
+# r12 ask #4a)
+# ===========================================================================
+
+
+@query(
+    "q_theta_similarity_join",
+    f"""
+    WITH g AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
+               FROM orders WHERE year(o_orderdate) = {_SEG_YEAR_A}),
+    sizes AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY p),
+    inter AS (SELECT a.p AS ka, b.p AS kb, CAST(COUNT(*) AS BIGINT) AS i
+              FROM g a JOIN g b ON a.c = b.c AND a.p < b.p
+              GROUP BY a.p, b.p),
+    pairs AS (
+      SELECT sa.p AS key_a, sb.p AS key_b,
+             sa.n AS exact_a, sb.n AS exact_b,
+             COALESCE(it.i, 0) AS exact_intersection,
+             sa.n + sb.n - COALESCE(it.i, 0) AS exact_union
+      FROM sizes sa JOIN sizes sb ON sa.p < sb.p
+      LEFT JOIN inter it ON it.ka = sa.p AND it.kb = sb.p
+    )
+    SELECT key_a, key_b, exact_a, exact_b,
+           CAST(exact_intersection AS BIGINT) AS exact_intersection,
+           CAST(exact_union AS BIGINT) AS exact_union,
+           CASE WHEN exact_union > 0 THEN
+             CAST((exact_intersection * 1000000) // exact_union AS BIGINT)
+           END AS jaccard_ppm,
+           CASE WHEN exact_a > 0 THEN
+             CAST((exact_intersection * 1000000) // exact_a AS BIGINT)
+           END AS containment_a_ppm,
+           CASE WHEN exact_b > 0 THEN
+             CAST((exact_intersection * 1000000) // exact_b AS BIGINT)
+           END AS containment_b_ppm,
+           TRUE AS sim_est_exact
+    FROM pairs
+    """,
+)
+def q_theta_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET-SIMILARITY JOIN (r12 verdict ask #4a —
+    completing the stored-sketch family's use as an INDEX): the
+    per-priority customer audiences of one order year, sketched once,
+    then every priority PAIR's Jaccard and containment answered from
+    the sketches alone — the planner-grade candidate pruning the dedup
+    tiers run at 100 TB ("which shard pairs overlap enough to deserve
+    the pairwise pass?") without rescanning the fact. The similarity
+    ppms emitted ARE the sketch-derived values; in the exact Theta
+    regime (every audience far under the lg_k=14 retention at all
+    shipped SFs) they equal the exact-set values digit-for-digit,
+    which the oracle computes from the distinct (priority, custkey)
+    grid — plus a sim_est_exact boolean asserting all four estimate
+    columns equal the engine's own exact five-way counts (the
+    q_theta_set_ops escape discipline: beyond ~14000 retained entries
+    the assertion degrades to vacuous rather than claiming a sampled
+    regime is exact)."""
+    from asterlake.operators.sketches import (
+        theta_similarity_pairs,
+        theta_sketches,
+    )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == _SEG_YEAR_A)
+        .select("o_orderpriority", "o_custkey")
+    )
+    th = theta_sketches(o, ["o_orderpriority"], "o_custkey", lg_k=14)
+    sim = theta_similarity_pairs(
+        th, "o_orderpriority", lg_union=14
+    ).withColumnsRenamed(
+        {
+            "est_a": "_ea",
+            "est_b": "_eb",
+            "est_intersection": "_ei",
+            "est_union": "_eu",
+        }
+    )
+    g = o.distinct()
+    sizes = g.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    sa = sizes.select(
+        F.col("o_orderpriority").alias("key_a"), F.col("n").alias("exact_a")
+    )
+    sb = sizes.select(
+        F.col("o_orderpriority").alias("key_b"), F.col("n").alias("exact_b")
+    )
+    ga = g.select(F.col("o_orderpriority").alias("key_a"), "o_custkey")
+    gb = g.select(F.col("o_orderpriority").alias("key_b"), "o_custkey")
+    inter = (
+        ga.join(gb, "o_custkey")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").cast("bigint").alias("_i"))
+    )
+    exact = (
+        sa.join(F.broadcast(sb), F.col("key_a") < F.col("key_b"))
+        .join(F.broadcast(inter), ["key_a", "key_b"], "left")
+        .select(
+            "key_a",
+            "key_b",
+            "exact_a",
+            "exact_b",
+            F.coalesce(F.col("_i"), F.lit(0).cast("bigint")).alias(
+                "exact_intersection"
+            ),
+            (
+                F.col("exact_a")
+                + F.col("exact_b")
+                - F.coalesce(F.col("_i"), F.lit(0).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("exact_union"),
+        )
+    )
+    j = exact.join(F.broadcast(sim), ["key_a", "key_b"])
+    cap = F.lit(14000).cast("bigint")
+    escape = (
+        (F.col("exact_a") > cap)
+        | (F.col("exact_b") > cap)
+        | (F.col("exact_union") > cap)
+    )
+    return j.select(
+        "key_a",
+        "key_b",
+        "exact_a",
+        "exact_b",
+        "exact_intersection",
+        "exact_union",
+        "jaccard_ppm",
+        "containment_a_ppm",
+        "containment_b_ppm",
+        (
+            (
+                (F.col("_ea") == F.col("exact_a"))
+                & (F.col("_eb") == F.col("exact_b"))
+                & (F.col("_ei") == F.col("exact_intersection"))
+                & (F.col("_eu") == F.col("exact_union"))
+            )
+            | escape
+        ).alias("sim_est_exact"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
@@ -12086,16 +12230,17 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (CORRECTNESS_r12: 50/50 green). The r13 front below executes the
 # r12 verdict's plan: the 10 new r13 declarations (the eight
 # r12-built operators, each now with its drafted oracle landed, plus
-# batch multi-query ADC — ask #4c — and streaming CDC apply — ask
-# #4b) take the first slots by the never-scored rule, the two r8
-# spills lead the rotation, and 38 of the 49 r9-era rows follow
-# name-ascending; the 11 the budget cuts carry the spill notes below.
+# batch multi-query ADC — ask #4c — streaming CDC apply — ask #4b —
+# and the theta set-similarity join — ask #4a) take the first slots
+# by the never-scored rule, the two r8 spills lead the rotation, and
+# 37 of the 49 r9-era rows follow name-ascending; the 12 the budget
+# cuts carry the spill notes below.
 #
 # R14 FRONT PLAN: the 10 spilled r9 rows (q_stream_quarantine,
 #   q_table_checksum, q_text_repetition, q_tfidf_top_terms,
 #   q_trimmed_stats, q_twap_value, q_udtf_sentences,
 #   q_unpivot_measures, q_waiting_supplier_orders, q_weighted_median,
-#   q_sketch_distinct) lead, then the r10-era cohort name-ascending; plus whatever
+#   q_sketch_distinct, q_shipping_priority) lead, then the r10-era cohort name-ascending; plus whatever
 #   round 14 touches or declares (freeze AFTER the round's last
 #   operator commit, via rotation.suggest_front).
 
@@ -12143,10 +12288,10 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
 # operator commit and verified equal to the mechanical derivation
 # (rotation.suggest_front over the declared set with the
 # _AUTO_PROMOTE_EXEMPT exemptions — checked at freeze time:
-# suggested == this block, element for element): the 10 new r13
+# suggested == this block, element for element): the 11 new r13
 # declarations first (never-scored rule), then the two r8 spills the
-# r12 budget cut (the r12 verdict's ask #2 — they lead), then 38 of
-# the 49 r9-era rows name-ascending (the 11 the budget cuts carry the
+# r12 budget cut (the r12 verdict's ask #2 — they lead), then 37 of
+# the 49 r9-era rows name-ascending (the 12 the budget cuts carry the
 # spill notes below and lead the r14 front).
 _NEW_R13 = [
     # the eight r12-built operators, each now landed with its drafted
@@ -12162,13 +12307,15 @@ _NEW_R13 = [
     "q_rrf_fuse",
     # ... plus ask #4b: streaming CDC apply (the Delta-CDF ingest twin)
     "q_stream_cdc_apply",
+    # ... plus ask #4a: theta set-similarity join (the sketch index)
+    "q_theta_similarity_join",
 ]
 _STALE_R13 = [
     # the two r8 spills open the rotation (r12 verdict ask #2) ...
     "q_top3_orders_per_segment",
     "q_topk_orders",
-    # ... then 38 of the 49 r9-era rows, name-ascending (suggest_front
-    # order). SPILL NOTES for the eleven the budget cut (they lead r14;
+    # ... then 37 of the 49 r9-era rows, name-ascending (suggest_front
+    # order). SPILL NOTES for the twelve the budget cut (they lead r14;
     # all ten are UNTOUCHED since their r9 green rows — rotation.py
     # attributes no diff to them this round — so the note for each is
     # where its machinery gets fresh or standing coverage):
@@ -12207,6 +12354,11 @@ _STALE_R13 = [
     #   formulation; the window/semi-join machinery is covered by the
     #   r12-green q_join_semi / q_join_anti and r13-front
     #   q_correlated_subqueries (the same exists/not-exists family).
+    # - q_shipping_priority: TPC-H Q3 shape (join + agg + top-k); the
+    #   star join/agg machinery is r12-green via q_fact_star_join /
+    #   flagship_revenue_by_nation (r12 front) and the
+    #   TakeOrderedAndProject path via the r13-front q_topk_orders /
+    #   q_collocations_pmi; untouched since r9.
     # - q_sketch_distinct: HLL distinct-count with in-plan bound
     #   booleans; the DataSketches ObjectHashAggregate machinery is
     #   r12-green via q_theta_set_ops / q_sketch_overlap /
@@ -12253,7 +12405,6 @@ _STALE_R13 = [
     "q_sample_stratified",
     "q_sessionization",
     "q_set_ops_all",
-    "q_shipping_priority",
 ]
 _FRONT = _NEW_R13 + _STALE_R13
 

@@ -466,3 +466,74 @@ def test_quantile_name_collisions_fail_loudly(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         quantile_estimates(sk, [0.375, 0.379])
+
+
+def test_theta_similarity_pairs_exact_regime_matches_python_sets(spark):
+    """Set-similarity join over a stored Theta relation: in the exact
+    regime every pair's sizes/intersection/union and the integer-div
+    ppm measures equal the Python-set ground truth; the min_jaccard
+    prune keeps exactly the qualifying pairs."""
+    from asterlake.operators.sketches import (
+        theta_similarity_pairs,
+        theta_sketches,
+    )
+
+    groups = {
+        "a": set(range(0, 100)),
+        "b": set(range(50, 150)),   # jaccard 1/3 vs a
+        "c": set(range(0, 100)),    # identical to a
+        "d": set(range(500, 520)),  # disjoint from all
+    }
+    rows = [(k, v) for k, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    th = theta_sketches(df, ["grp"], "val", lg_k=14)
+    got = {
+        (r.key_a, r.key_b): r
+        for r in theta_similarity_pairs(
+            th, "grp", lg_union=14
+        ).collect()
+    }
+    keys = sorted(groups)
+    want_pairs = [
+        (x, y) for i, x in enumerate(keys) for y in keys[i + 1 :]
+    ]
+    assert sorted(got) == want_pairs
+    for ka, kb in want_pairs:
+        A, B = groups[ka], groups[kb]
+        r = got[(ka, kb)]
+        inter, union = len(A & B), len(A | B)
+        assert (r.est_a, r.est_b) == (len(A), len(B)), (ka, kb)
+        assert (r.est_intersection, r.est_union) == (inter, union)
+        assert r.jaccard_ppm == inter * 10**6 // union
+        assert r.containment_a_ppm == inter * 10**6 // len(A)
+        assert r.containment_b_ppm == inter * 10**6 // len(B)
+    # identical sets: full similarity; disjoint: zero
+    assert got[("a", "c")].jaccard_ppm == 1_000_000
+    assert got[("a", "d")].jaccard_ppm == 0
+    # the prune keeps exactly the pairs at/above the threshold
+    kept = {
+        (r.key_a, r.key_b)
+        for r in theta_similarity_pairs(
+            th, "grp", min_jaccard_ppm=300_000, lg_union=14
+        ).collect()
+    }
+    assert kept == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_theta_similarity_pairs_plan_is_broadcast_over_sketches(spark):
+    from asterlake.operators.sketches import (
+        theta_similarity_pairs,
+        theta_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i % 3), i) for i in range(60)], "grp string, val long"
+    )
+    sim = theta_similarity_pairs(
+        theta_sketches(df, ["grp"], "val", lg_k=14), "grp", lg_union=14
+    )
+    plan = plan_string(sim)
+    # non-equi pair expansion broadcasts the bounds-sized sketch side
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
