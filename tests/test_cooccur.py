@@ -86,6 +86,55 @@ def test_top_collocations_total_order_and_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pmi_n_pairs_closed_form_all_windows(spark):
+    """The closed-form per-doc pair mass equals the explicit pair sum
+    at every window size (both branches: docs shorter and longer than
+    window+1), and the plan runs ONE pair expansion — the pairs
+    explode plus the unigram explode, never a second pair expansion
+    for the denominator."""
+    texts = ["a", "", None, "a b", "a b c d e", "x " * 12]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for window in (1, 2, 4, 7):
+        want = sum(_ref_pairs([t for t in texts], window).values())
+        got = pmi_ratio(df, window=window, min_count=1)
+        rows = got.collect()
+        if rows:
+            r = rows[0]
+            # ratio_ppm = c_ab * N^2 * 1e6 // (n_pairs * c_a * c_b):
+            # recover n_pairs from any surviving row to pin the closed
+            # form against the explicit sum
+            toks = [tok for t in texts for tok in (t or "").split()]
+            n = len(toks)
+            from collections import Counter
+
+            uni = Counter(toks)
+            n_pairs = (r.c_ab * n * n * 1_000_000) // (
+                r.ratio_ppm * uni[r.tok_a] * uni[r.tok_b]
+            ) if r.ratio_ppm else None
+            # integer-div round trip: n_pairs is within 1 of the true
+            # value; assert via forward direction instead
+            want_ratio = (r.c_ab * n * n * 1_000_000) // (
+                want * uni[r.tok_a] * uni[r.tok_b]
+            )
+            assert r.ratio_ppm == want_ratio, window
+    plan = (
+        pmi_ratio(df, window=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly ONE pair expansion (the let-bound element_at(transform(
+    # array(...)) form — the token split evaluates once per row), ONE
+    # unigram token explode (the single build the melt-join-regroup
+    # exists to guarantee — two broadcast self-joins would build it
+    # twice), plus the row-local 2-struct melt explode
+    assert plan.count("Generate explode(element_at(transform(array(") == 1
+    assert plan.count("Generate explode(filter(split") == 1
+    assert plan.count("Generate explode") == 3
+
+
 def test_cooccurrence_partitioning_invariance(spark):
     base = _df(spark)
     one = {
