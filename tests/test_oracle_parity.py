@@ -11,8 +11,16 @@ import pytest
 from asterlake.queries import QUERIES
 from tests.oracle_utils import assert_matches_oracle, duck_connection
 
-# the all-declared-queries DuckDB parity sweep (~2.5 min) — excluded from the -m "not slow" inner loop (r9 verdict ask #3)
-pytestmark = pytest.mark.slow
+# the all-declared-queries DuckDB parity sweep — excluded from the
+# -m "not slow" inner loop (r9 verdict ask #3), and since r13 ALSO its
+# own `parity` tier (r12 verdict ask #5: the unfiltered run crossed
+# 45 min — 831 tests / 45:12 measured — so the end-of-round snapshot
+# gate runs as two sessions that together cover everything:
+#   python -m pytest tests/ -m "not parity"   (all unit/differential)
+#   python -m pytest tests/ -m parity         (the all-queries sweep)
+# each stays re-runnable twice per round; the combined result is cited
+# in the snapshot commit)
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 PARITY_SF_DIR = os.environ.get("ASTERLAKE_PARITY_SF_DIR", "/root/testdata/sf0.01")
 
