@@ -34,7 +34,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["auc_exact", "clustering_pair_metrics", "cohens_kappa"]
+__all__ = [
+    "auc_exact",
+    "clustering_pair_metrics",
+    "cohens_kappa",
+    "ngram_overlap",
+    "ngram_overlap_corpus",
+    "ngram_overlap_corpus_multi",
+    "ngram_overlap_multi",
+]
 
 
 def auc_exact(
@@ -269,4 +277,289 @@ def cohens_kappa(
                 " AS BIGINT)"
             ),
         ).alias("kappa_ppm"),
+    )
+
+
+def ngram_overlap(
+    pairs: DataFrame,
+    ref_col: str = "ref",
+    hyp_col: str = "hyp",
+    n: int = 2,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-pair clipped n-gram overlap counts — the shared statistic
+    under ROUGE-N (recall) and BLEU's modified n-gram precision
+    (Papineni et al., ACL 2002; Lin, ACL 2004): for each (reference,
+    hypothesis) text pair,
+
+      ``matched   = sum over distinct hyp n-grams g of
+                    min(count_hyp(g), count_ref(g))``  (the CLIP)
+      ``hyp_total / ref_total`` = total n-gram counts per side
+
+    as exact BIGINTs. Row-LOCAL by construction: whitespace
+    tokenization, n-gram build, and the clipped intersection all run
+    inside one projection (both gram arrays are LET-BOUND via the
+    single-element-transform idiom, so each side tokenizes once per
+    row) — no shuffle, the 100-TB shape of a corpus eval. Texts
+    shorter than ``n`` tokens contribute empty gram sets (guarded:
+    Spark's sequence() would otherwise count DOWN from 1 to 0). NULL
+    text is an empty stream (the ngramlm convention)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def toks(col: str) -> F.Column:
+        t = F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+")
+        return F.filter(t, lambda x: x != "")
+
+    def grams(t: F.Column) -> F.Column:
+        built = F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+        return F.when(F.size(t) >= n, built).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # TWO let-binding levels: the token arrays bind once (the gram
+    # build references its input O(L) times — an unbound reference
+    # would re-split per gram, the O(L^2) hazard), then the gram
+    # arrays bind once (the clip references each side O(U) times)
+    tok_struct = F.struct(
+        toks(ref_col).alias("rt"), toks(hyp_col).alias("ht")
+    )
+    clipped = F.element_at(
+        F.transform(
+            F.array(tok_struct),
+            lambda q: F.element_at(
+                F.transform(
+                    F.array(
+                        F.struct(
+                            grams(q["rt"]).alias("rg"),
+                            grams(q["ht"]).alias("hg"),
+                        )
+                    ),
+                    lambda p: F.struct(
+                        F.aggregate(
+                            F.transform(
+                                F.array_distinct(p["hg"]),
+                                lambda g: F.least(
+                                    F.size(
+                                        F.filter(p["hg"], lambda x: x == g)
+                                    ),
+                                    F.size(
+                                        F.filter(p["rg"], lambda x: x == g)
+                                    ),
+                                ).cast("bigint"),
+                            ),
+                            F.lit(0).cast("bigint"),
+                            lambda acc, v: acc + v,
+                        ).alias("matched"),
+                        F.size(p["hg"]).cast("bigint").alias("hyp_total"),
+                        F.size(p["rg"]).cast("bigint").alias("ref_total"),
+                    ),
+                ),
+                1,
+            ),
+        ),
+        1,
+    )
+    cols = [id_col] if id_col else []
+    # explode the single-element array so the struct evaluates ONCE as
+    # a generated attribute: three top-level field extractions would
+    # clone the whole tokenize+gram+clip tree per output column (plan
+    # shows 3 copies; lambda-bound subtrees sit outside codegen's
+    # subexpression elimination)
+    return pairs.select(
+        *cols, F.explode(F.array(clipped)).alias("_o")
+    ).select(
+        *cols,
+        F.col("_o.matched").alias("matched"),
+        F.col("_o.hyp_total").alias("hyp_total"),
+        F.col("_o.ref_total").alias("ref_total"),
+    )
+
+
+def ngram_overlap_corpus(
+    pairs: DataFrame,
+    ref_col: str = "ref",
+    hyp_col: str = "hyp",
+    n: int = 2,
+) -> DataFrame:
+    """Corpus-level (micro-averaged) clipped n-gram metrics — one row
+    ``(n, matched, hyp_total, ref_total, precision_ppm, recall_ppm,
+    f1_ppm)``: counts summed over all pairs FIRST, then one integer
+    division each (the standard corpus BLEU/ROUGE aggregation, which
+    weighs pairs by length instead of averaging per-pair ratios).
+    precision = matched/hyp_total (BLEU's modified n-gram precision
+    leg), recall = matched/ref_total (ROUGE-N), F1 the harmonic mean —
+    all integer-div ppm over exact BIGINTs, NULL on an empty
+    denominator (undefined, not 0). One map-side-combinable aggregate
+    over the row-local per-pair counts: no shuffle wider than three
+    longs."""
+    per = ngram_overlap(pairs, ref_col, hyp_col, n)
+    agg = per.agg(
+        F.coalesce(F.sum("matched"), F.lit(0))
+        .cast("bigint")
+        .alias("matched"),
+        F.coalesce(F.sum("hyp_total"), F.lit(0))
+        .cast("bigint")
+        .alias("hyp_total"),
+        F.coalesce(F.sum("ref_total"), F.lit(0))
+        .cast("bigint")
+        .alias("ref_total"),
+    )
+
+    def _ppm(num: str, den: str) -> F.Column:
+        return F.when(
+            F.col(den) > 0,
+            F.expr(
+                f"CAST(({num} * CAST(1000000 AS BIGINT)) div {den}"
+                " AS BIGINT)"
+            ),
+        )
+
+    return agg.select(
+        F.lit(n).cast("int").alias("n"),
+        "matched",
+        "hyp_total",
+        "ref_total",
+        _ppm("matched", "hyp_total").alias("precision_ppm"),
+        _ppm("matched", "ref_total").alias("recall_ppm"),
+        F.when(
+            (F.col("hyp_total") + F.col("ref_total")) > 0,
+            F.expr(
+                "CAST((2 * matched * CAST(1000000 AS BIGINT)) div "
+                "(hyp_total + ref_total) AS BIGINT)"
+            ),
+        ).alias("f1_ppm"),
+    )
+
+
+def ngram_overlap_multi(
+    pairs: DataFrame,
+    ref_col: str = "ref",
+    hyp_col: str = "hyp",
+    ns: "tuple[int, ...]" = (1, 2),
+    id_col: str | None = None,
+) -> DataFrame:
+    """All requested gram orders in ONE corpus pass: rows
+    ``(n, matched, hyp_total, ref_total)`` per pair per ``n`` — the
+    fused form of :func:`ngram_overlap` (a per-n union would rescan
+    the corpus once per order; BLEU wants four). Same let-binding
+    discipline: tokens bind once for every gram build, each order's
+    gram arrays bind once for its clip, and the per-n structs emerge
+    through one explode (row-local fan-out = len(ns))."""
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be non-empty, all >= 1, got {ns}")
+
+    def toks(col: str) -> F.Column:
+        t = F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+")
+        return F.filter(t, lambda x: x != "")
+
+    def grams(t: F.Column, n: int) -> F.Column:
+        built = F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+        return F.when(F.size(t) >= n, built).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def clip_struct(n: int, q: F.Column) -> F.Column:
+        return F.element_at(
+            F.transform(
+                F.array(
+                    F.struct(
+                        grams(q["rt"], n).alias("rg"),
+                        grams(q["ht"], n).alias("hg"),
+                    )
+                ),
+                lambda p: F.struct(
+                    F.lit(n).cast("int").alias("n"),
+                    F.aggregate(
+                        F.transform(
+                            F.array_distinct(p["hg"]),
+                            lambda g: F.least(
+                                F.size(F.filter(p["hg"], lambda x: x == g)),
+                                F.size(F.filter(p["rg"], lambda x: x == g)),
+                            ).cast("bigint"),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, v: acc + v,
+                    ).alias("matched"),
+                    F.size(p["hg"]).cast("bigint").alias("hyp_total"),
+                    F.size(p["rg"]).cast("bigint").alias("ref_total"),
+                ),
+            ),
+            1,
+        )
+
+    tok_struct = F.struct(
+        toks(ref_col).alias("rt"), toks(hyp_col).alias("ht")
+    )
+    per_n = F.element_at(
+        F.transform(
+            F.array(tok_struct),
+            lambda q: F.array(*[clip_struct(n, q) for n in ns]),
+        ),
+        1,
+    )
+    cols = [id_col] if id_col else []
+    return pairs.select(
+        *cols, F.explode(per_n).alias("_o")
+    ).select(
+        *cols,
+        F.col("_o.n").alias("n"),
+        F.col("_o.matched").alias("matched"),
+        F.col("_o.hyp_total").alias("hyp_total"),
+        F.col("_o.ref_total").alias("ref_total"),
+    )
+
+
+def ngram_overlap_corpus_multi(
+    pairs: DataFrame,
+    ref_col: str = "ref",
+    hyp_col: str = "hyp",
+    ns: "tuple[int, ...]" = (1, 2),
+) -> DataFrame:
+    """Corpus-level micro-averaged metrics for every order in ``ns``
+    from ONE corpus pass: per-n rows with the same columns and
+    integer-div ppm semantics as :func:`ngram_overlap_corpus`; the
+    only shuffle is the |ns|-key combinable groupBy."""
+    per = ngram_overlap_multi(pairs, ref_col, hyp_col, ns)
+    agg = per.groupBy("n").agg(
+        F.coalesce(F.sum("matched"), F.lit(0))
+        .cast("bigint")
+        .alias("matched"),
+        F.coalesce(F.sum("hyp_total"), F.lit(0))
+        .cast("bigint")
+        .alias("hyp_total"),
+        F.coalesce(F.sum("ref_total"), F.lit(0))
+        .cast("bigint")
+        .alias("ref_total"),
+    )
+
+    def _ppm(num: str, den: str) -> F.Column:
+        return F.when(
+            F.col(den) > 0,
+            F.expr(
+                f"CAST(({num} * CAST(1000000 AS BIGINT)) div {den}"
+                " AS BIGINT)"
+            ),
+        )
+
+    return agg.select(
+        "n",
+        "matched",
+        "hyp_total",
+        "ref_total",
+        _ppm("matched", "hyp_total").alias("precision_ppm"),
+        _ppm("matched", "ref_total").alias("recall_ppm"),
+        F.when(
+            (F.col("hyp_total") + F.col("ref_total")) > 0,
+            F.expr(
+                "CAST((2 * matched * CAST(1000000 AS BIGINT)) div "
+                "(hyp_total + ref_total) AS BIGINT)"
+            ),
+        ).alias("f1_ppm"),
     )

@@ -269,3 +269,184 @@ def test_kappa_partitioning_invariance(spark):
     a = tuple(cohens_kappa(df.coalesce(1)).collect()[0])
     b = tuple(cohens_kappa(df.repartition(8)).collect()[0])
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# ngram_overlap / ngram_overlap_corpus
+# ---------------------------------------------------------------------------
+
+
+def _ref_overlap(ref, hyp, n):
+    from collections import Counter
+
+    def grams(t):
+        toks = (t or "").split()
+        return Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    rg, hg = grams(ref), grams(hyp)
+    matched = sum(min(c, rg.get(g, 0)) for g, c in hg.items())
+    return matched, sum(hg.values()), sum(rg.values())
+
+
+PAIRS = [
+    ("the cat sat on the mat", "the cat sat on the mat"),  # identical
+    ("the cat sat on the mat", "the cat the cat"),  # clipped repeats
+    ("a b c d", "e f g h"),  # disjoint
+    ("one two", "one"),  # hyp shorter than n=2
+    (None, "x y z"),
+    ("x y z", None),
+    ("", "   "),
+]
+
+
+def test_ngram_overlap_matches_python_replay(spark):
+    from asterlake.operators.evalmetrics import ngram_overlap
+
+    df = spark.createDataFrame(
+        [(i, r, h) for i, (r, h) in enumerate(PAIRS)],
+        "pair_id long, ref string, hyp string",
+    )
+    for n in (1, 2, 3):
+        got = {
+            r.pair_id: (r.matched, r.hyp_total, r.ref_total)
+            for r in ngram_overlap(df, n=n, id_col="pair_id").collect()
+        }
+        want = {
+            i: _ref_overlap(r, h, n) for i, (r, h) in enumerate(PAIRS)
+        }
+        assert got == want, n
+    # the clip: 'the cat the cat' has bigram 'the cat' twice but the
+    # reference holds it once -> clipped to 1 (+ 0 for 'cat the')
+    assert got != {}  # n=3 ran
+    m2 = {
+        r.pair_id: r.matched
+        for r in ngram_overlap(df, n=2, id_col="pair_id").collect()
+    }
+    assert m2[1] == 1
+
+
+def test_ngram_overlap_corpus_micro_average_and_endpoints(spark):
+    from asterlake.operators.evalmetrics import ngram_overlap_corpus
+
+    df = spark.createDataFrame(PAIRS, "ref string, hyp string")
+    row = ngram_overlap_corpus(df, n=2).collect()[0]
+    want = [_ref_overlap(r, h, 2) for r, h in PAIRS]
+    m = sum(w[0] for w in want)
+    ht = sum(w[1] for w in want)
+    rt = sum(w[2] for w in want)
+    assert (row.n, row.matched, row.hyp_total, row.ref_total) == (
+        2, m, ht, rt,
+    )
+    assert row.precision_ppm == m * 10**6 // ht
+    assert row.recall_ppm == m * 10**6 // rt
+    assert row.f1_ppm == 2 * m * 10**6 // (ht + rt)
+    # identical corpus -> all 1e6; empty hyp side -> NULL precision
+    ident = spark.createDataFrame(
+        [("a b c", "a b c")], "ref string, hyp string"
+    )
+    r = ngram_overlap_corpus(ident, n=1).collect()[0]
+    assert (r.precision_ppm, r.recall_ppm, r.f1_ppm) == (
+        10**6, 10**6, 10**6,
+    )
+    empty_hyp = spark.createDataFrame(
+        [("a b c", "")], "ref string, hyp string"
+    )
+    r = ngram_overlap_corpus(empty_hyp, n=1).collect()[0]
+    assert r.precision_ppm is None and r.recall_ppm == 0
+    import pytest
+
+    from asterlake.operators.evalmetrics import ngram_overlap
+
+    with pytest.raises(ValueError, match="n must be"):
+        ngram_overlap(ident, n=0)
+
+
+def test_ngram_overlap_plan_is_shuffle_free_and_split_once(spark):
+    """The per-pair operator is one projection (no Exchange, no
+    Python), and each side's whitespace split appears exactly ONCE in
+    the plan — the two let-binding levels exist to stop the gram build
+    and the clip from re-splitting per reference."""
+    from asterlake.operators.evalmetrics import ngram_overlap
+
+    df = spark.createDataFrame(
+        [("a b", "a b")], "ref string, hyp string"
+    )
+    plan = (
+        ngram_overlap(df, n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("split(trim") == 2  # once per side
+
+
+def test_ngram_overlap_partitioning_invariance(spark):
+    import random
+
+    from asterlake.operators.evalmetrics import ngram_overlap_corpus
+
+    rng = random.Random(11)
+    words = "a b c d e".split()
+    rows = [
+        (
+            " ".join(rng.choices(words, k=rng.randrange(0, 12))),
+            " ".join(rng.choices(words, k=rng.randrange(0, 12))),
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ref string, hyp string")
+    a = tuple(ngram_overlap_corpus(df.coalesce(1), n=2).collect()[0])
+    b = tuple(ngram_overlap_corpus(df.repartition(7), n=2).collect()[0])
+    assert a == b
+
+
+def test_ngram_overlap_multi_fuses_orders_in_one_pass(spark):
+    """The multi-n form equals the per-n operator for every order AND
+    runs ONE corpus pass: each side's split appears once in the plan
+    regardless of len(ns), and exactly one scan feeds it."""
+    from asterlake.operators.evalmetrics import (
+        ngram_overlap,
+        ngram_overlap_corpus,
+        ngram_overlap_corpus_multi,
+        ngram_overlap_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(i, r, h) for i, (r, h) in enumerate(PAIRS)],
+        "pair_id long, ref string, hyp string",
+    )
+    multi = {
+        (r.pair_id, r.n): (r.matched, r.hyp_total, r.ref_total)
+        for r in ngram_overlap_multi(
+            df, ns=(1, 2, 3), id_col="pair_id"
+        ).collect()
+    }
+    for n in (1, 2, 3):
+        single = {
+            (r.pair_id, n): (r.matched, r.hyp_total, r.ref_total)
+            for r in ngram_overlap(df, n=n, id_col="pair_id").collect()
+        }
+        assert {k: v for k, v in multi.items() if k[1] == n} == single, n
+    corpus = {
+        r.n: tuple(r)[1:]
+        for r in ngram_overlap_corpus_multi(df, ns=(1, 2)).collect()
+    }
+    for n in (1, 2):
+        want = tuple(ngram_overlap_corpus(df, n=n).collect()[0])[1:]
+        assert corpus[n] == want, n
+    plan = (
+        ngram_overlap_multi(df, ns=(1, 2, 3, 4))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("split(trim") == 2  # once per side, not per n
+    assert "Exchange" not in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="ns must be"):
+        ngram_overlap_multi(df, ns=())
