@@ -12338,13 +12338,14 @@ def q_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows follow name-ascending; the 13 the budget cuts carry the spill
 # notes below.
 #
-# R14 FRONT PLAN: the 10 spilled r9 rows (q_stream_quarantine,
+# R14 FRONT PLAN: the 13 spilled r9 rows (q_stream_quarantine,
 #   q_table_checksum, q_text_repetition, q_tfidf_top_terms,
 #   q_trimmed_stats, q_twap_value, q_udtf_sentences,
 #   q_unpivot_measures, q_waiting_supplier_orders, q_weighted_median,
-#   q_sketch_distinct, q_shipping_priority, q_set_ops_all) lead, then the r10-era cohort name-ascending; plus whatever
-#   round 14 touches or declares (freeze AFTER the round's last
-#   operator commit, via rotation.suggest_front).
+#   q_sketch_distinct, q_shipping_priority, q_set_ops_all) lead, then
+#   the r10-era cohort name-ascending; plus whatever round 14 touches
+#   or declares (freeze AFTER the round's last operator commit, via
+#   rotation.suggest_front).
 
 _AUTO_PROMOTE_EXEMPT: dict[str, str] = {
     # the r8 codec work (4:2:0, progressive SOF2 + restart intervals)
