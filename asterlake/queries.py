@@ -12078,13 +12078,19 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT key_a, key_b, exact_a, exact_b,
            CAST(exact_intersection AS BIGINT) AS exact_intersection,
            CAST(exact_union AS BIGINT) AS exact_union,
-           CASE WHEN exact_union > 0 THEN
+           CASE WHEN exact_union > 0
+                 AND exact_a <= 14000 AND exact_b <= 14000
+                 AND exact_union <= 14000 THEN
              CAST((exact_intersection * 1000000) // exact_union AS BIGINT)
            END AS jaccard_ppm,
-           CASE WHEN exact_a > 0 THEN
+           CASE WHEN exact_a > 0
+                 AND exact_a <= 14000 AND exact_b <= 14000
+                 AND exact_union <= 14000 THEN
              CAST((exact_intersection * 1000000) // exact_a AS BIGINT)
            END AS containment_a_ppm,
-           CASE WHEN exact_b > 0 THEN
+           CASE WHEN exact_b > 0
+                 AND exact_a <= 14000 AND exact_b <= 14000
+                 AND exact_union <= 14000 THEN
              CAST((exact_intersection * 1000000) // exact_b AS BIGINT)
            END AS containment_b_ppm,
            TRUE AS sim_est_exact
@@ -12107,7 +12113,11 @@ def q_theta_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns equal the engine's own exact five-way counts (the
     q_theta_set_ops escape discipline: beyond ~14000 retained entries
     the assertion degrades to vacuous rather than claiming a sampled
-    regime is exact)."""
+    regime is exact). The escape covers EVERY estimate-bearing output
+    column (r13 ADVICE): past the cap the jaccard/containment ppms are
+    NULLed in both engine and oracle — the sketch values live only
+    inside sim_est_exact — so the hash gate never compares a sampled
+    sketch estimate against an exact-set recomputation."""
     from asterlake.operators.sketches import (
         theta_similarity_pairs,
         theta_sketches,
@@ -12181,9 +12191,17 @@ def q_theta_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_b",
         "exact_intersection",
         "exact_union",
-        "jaccard_ppm",
-        "containment_a_ppm",
-        "containment_b_ppm",
+        # the escape covers the ppm columns too (r13 ADVICE): the
+        # sketch-derived ppms equal the exact-set oracle values only
+        # inside the exact Theta regime, so past the cap they are
+        # NULLed rather than emitted as if still exact
+        F.when(~escape, F.col("jaccard_ppm")).alias("jaccard_ppm"),
+        F.when(~escape, F.col("containment_a_ppm")).alias(
+            "containment_a_ppm"
+        ),
+        F.when(~escape, F.col("containment_b_ppm")).alias(
+            "containment_b_ppm"
+        ),
         (
             (
                 (F.col("_ea") == F.col("exact_a"))
@@ -12329,7 +12347,7 @@ def q_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The r12 front executed verbatim in round 13's inputs
 # (CORRECTNESS_r12: 50/50 green). The r13 front below executes the
-# r12 verdict's plan: the 10 new r13 declarations (the eight
+# r12 verdict's plan: the 12 new r13 declarations (the eight
 # r12-built operators, each now with its drafted oracle landed, plus
 # batch multi-query ADC — ask #4c — streaming CDC apply — ask #4b —
 # the theta set-similarity join — ask #4a — and the generation-eval
@@ -12421,7 +12439,7 @@ _STALE_R13 = [
     "q_topk_orders",
     # ... then 36 of the 49 r9-era rows, name-ascending (suggest_front
     # order). SPILL NOTES for the thirteen the budget cut (they lead r14;
-    # all ten are UNTOUCHED since their r9 green rows — rotation.py
+    # all thirteen are UNTOUCHED since their r9 green rows — rotation.py
     # attributes no diff to them this round — so the note for each is
     # where its machinery gets fresh or standing coverage):
     # - q_stream_quarantine: foreachBatch quarantine split + file-sink

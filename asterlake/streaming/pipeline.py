@@ -1311,31 +1311,58 @@ def stream_apply_changes(
     updates that carry their own sequence numbers). ``initial`` seeds
     the first epoch's base (default: empty).
 
+    Version discovery is COMMIT-BY-MANIFEST (the sources/versioned.py
+    discipline, r13 verdict ask #3): each epoch lands its data files
+    first, then atomically commits an ``_manifest.json`` (epoch id +
+    observed row count, harvested from the write action itself — no
+    second scan). Only COMMITTED versions are ever read as a base or
+    served by :func:`read_cdc_snapshot`; a crashed epoch leaves a
+    manifest-less directory that every reader ignores and the retry
+    overwrites. Checkpoint/snapshot lifetimes are COUPLED and guarded
+    (r13 ADVICE): epoch ids come from the checkpoint, so a committed
+    version NEWER than the current epoch can only mean the checkpoint
+    was reset (or swapped) against a snapshot_dir that outlived it —
+    the fold FAILS LOUDLY instead of letting the stale higher version
+    silently shadow every new fold in read_cdc_snapshot. Start a fresh
+    pipeline with a fresh snapshot_dir, or resume the old checkpoint.
+
+    LOCAL-FILESYSTEM ONLY: discovery and the manifest commit go through
+    driver ``os.listdir``/``os.rename``, so both functions refuse
+    non-``file://`` URI schemes up front rather than misbehaving on an
+    object store. At scale the ``batch=<eid>`` landing maps onto a
+    Delta/Iceberg MERGE commit instead of a directory swap (the
+    merge_dimension gate, SURVEY §7.4) — the table format then owns
+    version discovery and this guard disappears with the directory
+    layout.
+
     Scale shape per epoch: ONE keyed window shuffle over
     base UNION changes (the batch operator, unchanged) — a 1%-churn
     epoch against a 100 TB base shuffles the base once, never joins it
-    twice; at that scale the ``batch=<eid>`` landing maps onto a
-    Delta/Iceberg MERGE commit instead of a directory swap (the
-    merge_dimension gate, SURVEY §7.4)."""
+    twice."""
+    import json
     import os
-    import re
+
+    from pyspark.sql import Observation
 
     from asterlake.operators.cdc import apply_changes
 
+    _require_local_path(snapshot_dir, "stream_apply_changes snapshot_dir")
     data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
     data_schema = changes.select(*data_cols).schema
 
     def fold(batch: DataFrame, eid: int) -> None:
         spark = batch.sparkSession
-        prev = [
-            int(m.group(1))
-            for d in (
-                os.listdir(snapshot_dir)
-                if os.path.isdir(snapshot_dir)
-                else []
+        committed = _cdc_committed_versions(snapshot_dir)
+        newer = [v for v in committed if v > eid]
+        if newer:
+            raise RuntimeError(
+                f"stale CDC snapshot versions {newer} in {snapshot_dir} "
+                f"are newer than the current epoch {eid}: the checkpoint "
+                "was reset against a snapshot_dir that outlived it, and "
+                "the stale versions would shadow every new fold. Use a "
+                "fresh snapshot_dir or resume the original checkpoint."
             )
-            if (m := re.match(r"batch=(\d+)$", d)) and int(m.group(1)) < eid
-        ]
+        prev = [v for v in committed if v < eid]
         if prev:
             base = spark.read.schema(data_schema).parquet(
                 os.path.join(snapshot_dir, f"batch={max(prev)}")
@@ -1344,11 +1371,18 @@ def stream_apply_changes(
             base = initial.select(*data_cols)
         else:
             base = spark.createDataFrame([], data_schema)
-        apply_changes(
-            base, batch, key_cols, seq_col, op_col
-        ).write.mode("overwrite").parquet(
-            os.path.join(snapshot_dir, f"batch={eid}")
-        )
+        obs = Observation(f"cdc-epoch-{eid}")
+        out_dir = os.path.join(snapshot_dir, f"batch={eid}")
+        # data first (overwrite clears any prior partial OR committed
+        # attempt of this same epoch), manifest commit second — the
+        # write-ahead-data discipline of sources/versioned.py
+        apply_changes(base, batch, key_cols, seq_col, op_col).observe(
+            obs, F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        ).write.mode("overwrite").parquet(out_dir)
+        tmp = os.path.join(out_dir, _CDC_MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"epoch": eid, "n_rows": obs.get["n_rows"]}, f)
+        os.rename(tmp, os.path.join(out_dir, _CDC_MANIFEST))  # commit
 
     (
         changes.writeStream.foreachBatch(fold)
@@ -1359,28 +1393,63 @@ def stream_apply_changes(
     )
 
 
-def read_cdc_snapshot(
-    spark: SparkSession, snapshot_dir: str, schema=None
-) -> DataFrame:
-    """The current CDC-maintained snapshot: the highest-numbered
-    ``batch=<eid>`` version under ``snapshot_dir`` (every older version
-    stays readable — the time-travel surface a vacuum would prune).
-    After a drained availableNow run every version directory is
-    committed; a reader racing a LIVE writer may see the in-flight
-    epoch's directory — the hardened answer at scale is the
-    manifest-commit pattern (sources/versioned.py), which this landing
-    deliberately mirrors in miniature."""
+_CDC_MANIFEST = "_manifest.json"
+
+
+def _require_local_path(path: str, what: str) -> None:
+    """Refuse non-local URI schemes for the driver-listdir CDC snapshot
+    layout (r13 verdict ask #3): an object-store path would silently
+    discover nothing. The leading underscore in ``_manifest.json`` keeps
+    the commit marker invisible to Spark's own file listing."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", path)
+    if m and m.group(1).lower() != "file":
+        raise NotImplementedError(
+            f"{what} supports only driver-local filesystem paths "
+            f"(got scheme {m.group(1)!r}): version discovery is driver "
+            "os.listdir + _manifest.json commits. At scale, land CDC "
+            "folds through a Delta/Iceberg MERGE commit instead."
+        )
+
+
+def _cdc_committed_versions(snapshot_dir: str) -> "list[int]":
+    """Committed ``batch=<eid>`` versions: data directory + committed
+    ``_manifest.json`` (manifest-less directories are crashed or
+    in-flight epochs — invisible to every reader)."""
     import os
     import re
 
     if not os.path.isdir(snapshot_dir):
-        raise FileNotFoundError(f"no CDC snapshot at {snapshot_dir}")
-    eids = [
+        return []
+    return sorted(
         int(m.group(1))
         for d in os.listdir(snapshot_dir)
         if (m := re.match(r"batch=(\d+)$", d))
-    ]
+        and os.path.isfile(os.path.join(snapshot_dir, d, _CDC_MANIFEST))
+    )
+
+
+def read_cdc_snapshot(
+    spark: SparkSession, snapshot_dir: str, schema=None
+) -> DataFrame:
+    """The current CDC-maintained snapshot: the highest-numbered
+    COMMITTED ``batch=<eid>`` version under ``snapshot_dir`` (every
+    older committed version stays readable — the time-travel surface a
+    vacuum would prune). Committed means the epoch's ``_manifest.json``
+    landed (the sources/versioned.py commit-by-manifest discipline), so
+    a reader racing a live writer can never see an in-flight epoch's
+    partial files. Local-filesystem only, same contract as
+    :func:`stream_apply_changes`."""
+    import os
+
+    _require_local_path(snapshot_dir, "read_cdc_snapshot snapshot_dir")
+    if not os.path.isdir(snapshot_dir):
+        raise FileNotFoundError(f"no CDC snapshot at {snapshot_dir}")
+    eids = _cdc_committed_versions(snapshot_dir)
     if not eids:
-        raise FileNotFoundError(f"no snapshot versions in {snapshot_dir}")
+        raise FileNotFoundError(
+            f"no committed snapshot versions in {snapshot_dir}"
+        )
     reader = spark.read.schema(schema) if schema else spark.read
     return reader.parquet(os.path.join(snapshot_dir, f"batch={max(eids)}"))
