@@ -3640,6 +3640,30 @@ def _flag_qty_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+def clear_query_memos() -> None:
+    """Release and forget the four explicit cross-query memo caches
+    (clusters closure, flag-price / global-price / flag-qty counts) so
+    the NEXT call re-executes the build. Exists for the bench harness
+    (r13 verdict ask #2): a retime or cold-rerun sample of a memoized
+    query must measure a real re-execution, not a memo hit — without
+    this, q_dedup_clusters "retimed" at 0.02s against a 3.9s cold and
+    the artifact attributed the honest one-time closure cost as a box
+    spike. Unpersist is best-effort (localCheckpoint RDDs are released
+    by the ContextCleaner once the reference drops)."""
+    for cache in (
+        _CLUSTERS_CACHE,
+        _FLAG_PRICE_COUNTS_CACHE,
+        _GLOBAL_PRICE_COUNTS_CACHE,
+        _FLAG_QTY_COUNTS_CACHE,
+    ):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        cache.clear()
+
+
 def _corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asterlake.operators.dedup import ngram_jaccard_pairs
     from asterlake.operators.graph import duplicate_clusters

@@ -454,6 +454,18 @@ def main() -> None:
         # ONE non-empty task regardless of maxPartitionBytes — the
         # CPU-heavy fold projections run single-core here while their
         # 100 TB shape is embarrassingly map-parallel.
+        # Memo-hit blind spot (r13 verdict ask #2): the explicit memo
+        # caches make any re-execution of a memoized query free, so a
+        # retime/cold-rerun sample taken with the memos warm measures
+        # the memo HIT (q_dedup_clusters "retimed" 0.02s vs 3.87s cold
+        # in r13), and the symmetric cold-outlier guard then
+        # "attributes" the honest one-time build cost as a box spike.
+        # Every retime and cold-rerun sample now clears the memos
+        # first, so the sample is a real re-execution of the build the
+        # cold number paid. (The recorded colds are long since taken by
+        # this point — clearing cannot disturb them.)
+        from asterlake.queries import clear_query_memos
+
         def retime(name: str) -> float:
             # One retry on a large outlier (r11 verdict ask #2): the
             # retime exists to be the trustworthy steady-state signal,
@@ -464,10 +476,12 @@ def main() -> None:
             # number, free cleaner-eligible blocks and re-run once,
             # keeping the min: two large samples in a row are then a
             # real slowdown, one is a hiccup.
+            clear_query_memos()
             t = run_one(name)
             cold = timings.get(name)
             if cold is not None and t >= 3.0 * max(cold, 0.5):
                 _release_blocks()
+                clear_query_memos()
                 t = min(t, run_one(name))
             return t
 
@@ -523,6 +537,7 @@ def main() -> None:
         if _stale_colds:
             _release_blocks()
             for name in sorted(_stale_colds):
+                clear_query_memos()  # real re-execution, not a memo hit
                 cold_rerun[name] = run_one(name)
 
         probe_end = probe()

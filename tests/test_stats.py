@@ -562,3 +562,28 @@ def test_exact_percentiles_nan_matches_builtin(spark):
 
     for g, want in builtin.items():
         assert all(eq(a, b) for a, b in zip(ours[g], want)), (g, ours[g], want)
+
+
+def test_clear_query_memos_forces_rebuild(spark):
+    """r13 verdict ask #2 (the bench memo-hit fix): clearing the
+    explicit memo caches empties them, and the next builder call
+    repopulates with a FRESH frame — so a bench retime taken after the
+    clear re-executes the build instead of recording a memo hit."""
+    from asterlake import queries as q
+
+    first = q._flag_price_counts(spark, "/root/testdata/sf0.001")
+    key = (spark.sparkContext.applicationId, "/root/testdata/sf0.001")
+    assert q._FLAG_PRICE_COUNTS_CACHE[key] is first
+    assert q._flag_price_counts(spark, "/root/testdata/sf0.001") is first
+
+    q.clear_query_memos()
+    for cache in (
+        q._CLUSTERS_CACHE,
+        q._FLAG_PRICE_COUNTS_CACHE,
+        q._GLOBAL_PRICE_COUNTS_CACHE,
+        q._FLAG_QTY_COUNTS_CACHE,
+    ):
+        assert cache == {}
+    rebuilt = q._flag_price_counts(spark, "/root/testdata/sf0.001")
+    assert rebuilt is not first
+    assert rebuilt.count() == first.count()
