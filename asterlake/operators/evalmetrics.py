@@ -303,7 +303,23 @@ def ngram_overlap(
     row) — no shuffle, the 100-TB shape of a corpus eval. Texts
     shorter than ``n`` tokens contribute empty gram sets (guarded:
     Spark's sequence() would otherwise count DOWN from 1 to 0). NULL
-    text is an empty stream (the ngramlm convention)."""
+    text is an empty stream (the ngramlm convention).
+
+    SHORT-TEXT CONTRACT (r13 verdict): the clip itself is
+    O(distinct_hyp_grams x (L_hyp + L_ref)) per pair — for each
+    distinct hypothesis gram, one membership scan over each gram
+    array — i.e. quadratic in text length in the worst case. That is
+    the right trade for its declared inputs, GENERATION-EVAL pairs
+    (reference summaries/translations vs model outputs: tens to
+    hundreds of tokens, where a hash-map detour through Python would
+    cost more than the scans), and it parallelizes embarrassingly
+    across pairs. It is NOT a document-similarity operator: feeding
+    full documents (10^4+ tokens) makes single rows arbitrarily
+    expensive — route document-scale overlap through the dedup family
+    (n-gram Jaccard / winnowing), which shuffles gram keys instead of
+    scanning row-locally. The same discipline as ``rrf_fuse``'s
+    top-k-list contract: the precondition is the caller's, documented
+    here because the plan cannot enforce it."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
 
@@ -448,7 +464,9 @@ def ngram_overlap_multi(
     the corpus once per order; BLEU wants four). Same let-binding
     discipline: tokens bind once for every gram build, each order's
     gram arrays bind once for its clip, and the per-n structs emerge
-    through one explode (row-local fan-out = len(ns))."""
+    through one explode (row-local fan-out = len(ns)). The
+    :func:`ngram_overlap` SHORT-TEXT CONTRACT applies to every
+    order."""
     if not ns or any(n < 1 for n in ns):
         raise ValueError(f"ns must be non-empty, all >= 1, got {ns}")
 

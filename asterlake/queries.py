@@ -7470,6 +7470,108 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Oracle unroll depth for q_kcore_exact: must be >= the engine's
+# convergence depth at every gated SF (measured rounds_run: 5 at
+# sf0.001, 8 at sf0.01, 10 at sf0.1 — the min-qty-45 graph), and extra
+# rounds past the fixpoint are stationary, so 14 covers all shipped
+# SFs with margin. The engine side FAILS LOUDLY if convergence ever
+# needs more (never a silent hash mismatch).
+_KCORE_EXACT_UNROLL = 14
+
+
+def _kcore_exact_oracle(rounds: int = _KCORE_EXACT_UNROLL) -> str:
+    # Same unrolled H-index recurrence as _kcore_oracle, at the
+    # sparser min-qty-45 graph, with every CTE MATERIALIZED: DuckDB
+    # inlines single-reference CTEs, and a 14-deep inlined chain
+    # re-evaluates the whole prefix per round (measured: 6 rounds
+    # 2.2s, 10 rounds 62s at sf0.01); materialization makes the
+    # evaluation linear in rounds (26 rounds 0.5s).
+    sql = """
+    WITH ppo AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_quantity >= 45),
+    pairs AS MATERIALIZED (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM ppo a JOIN ppo b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey),
+    e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT p1 AS src, p2 AS dst FROM pairs
+            UNION ALL SELECT p2, p1 FROM pairs)
+          WHERE src != dst),
+    h0 AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS h
+           FROM e GROUP BY src)"""
+    prev = "h0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    it{i} AS MATERIALIZED (
+        SELECT e.dst AS node, l.h, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e JOIN {prev} l ON e.src = l.node
+        GROUP BY e.dst, l.h),
+    h{i} AS MATERIALIZED (
+        SELECT node, CAST(MAX(LEAST(h, cum)) AS BIGINT) AS h
+        FROM (SELECT node, h,
+                     SUM(c) OVER (PARTITION BY node
+                                  ORDER BY h DESC) AS cum
+              FROM it{i}) GROUP BY node)"""
+        prev = f"h{i}"
+    sql += f"\n    SELECT node AS part_id, h AS coreness FROM {prev}"
+    return sql
+
+
+@query("q_kcore_exact", _kcore_exact_oracle())
+def q_kcore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERGENCE-exact k-core decomposition (r13 verdict stretch
+    #6 — closing the gap between the column name and the value):
+    graph.kcore_converged runs the same synchronous H-index recurrence
+    as q_kcore_decompose but stops at the first stationary round,
+    which — monotone decreasing integers — IS the fixpoint, and the
+    fixpoint IS the coreness (Lu et al. 2016; exactness vs the
+    Batagelj-Zaversnik peel pinned in tests/test_winnow_triangles.py).
+    The graph is the SPARSER bulk co-purchase graph (l_quantity >= 45,
+    same pair build as q_kcore_decompose) whose convergence depth at
+    the shipped SFs is 5-10 rounds; the oracle unrolls
+    _KCORE_EXACT_UNROLL(=14) MATERIALIZED rounds — rounds past the
+    fixpoint are stationary, so oracle-vs-engine equality is depth-
+    independent as long as unroll >= convergence, which the engine
+    ASSERTS (a deeper-than-14 convergence raises rather than silently
+    hash-mismatching). Per round: ONE shuffle join + ONE combinable
+    histogram + the JVM-side H-index fold, plus the node-sized
+    short-circuit change probe the convergence gate costs."""
+    from asterlake.operators.graph import kcore_converged
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+    )
+    grouped = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps"))
+        .filter(F.size("_ps") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ps"), i + F.lit(2), F.size("_ps")),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("_e")
+    ).select("_e.p1", "_e.p2")
+    out, rounds_run = kcore_converged(pairs, src="p1", dst="p2")
+    if rounds_run > _KCORE_EXACT_UNROLL:
+        raise RuntimeError(
+            f"kcore convergence took {rounds_run} rounds, beyond the "
+            f"{_KCORE_EXACT_UNROLL}-round oracle unroll: raise "
+            "_KCORE_EXACT_UNROLL (stationary extra rounds are free)"
+        )
+    return out.select(F.col("node").alias("part_id"), "coreness")
+
+
 @query(
     "q_stream_ewma",
     """

@@ -459,6 +459,82 @@ def test_kcore_converges_to_exact_peel_on_corpus_graph(spark, sf_dir):
     assert max(six[u] - exact[u] for u in exact) <= 1  # measured gap
 
 
+def test_kcore_converged_matches_exact_peel(spark):
+    """kcore_converged (r13 verdict stretch #6) stops at the H-index
+    fixpoint and the fixpoint equals the exact Batagelj-Zaversnik
+    peel — the 'exact' in the name is the convergence gate's claim,
+    not a rounds guess."""
+    from asterlake.operators.graph import kcore_converged
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    bridge = [(4, 5), (5, 6), (6, 7)]
+    tri = [(7, 8), (8, 9), (7, 9)]
+    pendant = [(9, 10)]
+    edges = clique + bridge + tri + pendant
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out, rounds_run = kcore_converged(df)
+    got = {r.node: r.coreness for r in out.collect()}
+    assert got == _exact_coreness(edges)
+    # the stationary round is counted; the handmade graph needs only a
+    # handful of rounds, nowhere near the 64 ceiling
+    assert 1 <= rounds_run < 12
+
+
+def test_kcore_converged_exact_on_corpus_graph(spark, sf_dir):
+    """On the sf0.001 co-purchase graph the convergence gate lands on
+    the exact peel without a caller-chosen depth (fixed-round needs 18
+    there; the gate finds it)."""
+    from asterlake.operators.graph import kcore_converged
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.distinct()
+        .alias("a")
+        .join(
+            li.distinct().alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    edges = [(r.src, r.dst) for r in pairs.collect()]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out, rounds_run = kcore_converged(df)
+    got = {r.node: r.coreness for r in out.collect()}
+    assert got == _exact_coreness(edges)
+    # measured fixpoint depth 17 at sf0.001 + the stationary round
+    assert rounds_run <= 20
+
+
+def test_kcore_converged_warns_on_max_rounds(spark):
+    """Hitting max_rounds without a stationary round warns (the
+    connected_components contract) and returns the bound-so-far."""
+    import warnings
+
+    from asterlake.operators.graph import kcore_converged
+
+    # a path graph long enough that 1 round cannot reach the fixpoint
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out, rounds_run = kcore_converged(df, max_rounds=1)
+    assert rounds_run == 1
+    assert any("h-index" in str(x.message) for x in w)
+    got = {r.node: r.coreness for r in out.collect()}
+    # still a valid monotone upper bound on the exact peel
+    exact = _exact_coreness(edges)
+    assert set(got) == set(exact)
+    assert all(got[u] >= exact[u] for u in exact)
+
+
 def test_kcore_partitioning_invariance(spark):
     """Same coreness under any input partitioning (the histogram fold
     and integer counts are partition-order independent)."""
