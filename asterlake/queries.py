@@ -12441,6 +12441,160 @@ def q_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_corpus_multi(pairs, ns=(1, 2))
 
 
+# ===========================================================================
+# Beyond-parity: structured-PII scan + redaction audit (operators/pii.py,
+# r13 verdict ask #4a)
+# ===========================================================================
+
+
+def _pii_oracle() -> str:
+    from asterlake.operators.pii import PII_PATTERNS
+
+    # deterministic PII affix, restated from the engine side's
+    # generator arithmetic (the q_normalize_text discipline): one
+    # email, one phone, one ip (valid for even ids, out-of-range first
+    # octet for odd), one 16-digit card whose Luhn check digit is
+    # correct except when doc_id % 3 = 0
+    dig = "((doc_id * 7 + i * 13) % 10)"
+    lsum = (
+        f"list_sum(list_transform(range(1, 16), i -> CASE "
+        f"WHEN i % 2 = 1 THEN CASE WHEN {dig} * 2 > 9 "
+        f"THEN {dig} * 2 - 9 ELSE {dig} * 2 END "
+        f"ELSE {dig} END))"
+    )
+    card15 = (
+        "array_to_string(list_transform(range(1, 16), "
+        f"i -> CAST({dig} AS VARCHAR)), '')"
+    )
+    check = f"CASE WHEN doc_id % 3 = 0 THEN ((10 - {lsum} % 10) % 10 + 1) % 10 ELSE (10 - {lsum} % 10) % 10 END"
+    ip = (
+        "CASE WHEN doc_id % 2 = 0 THEN "
+        "'10.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) "
+        "|| '.' || (doc_id % 254 + 1) "
+        "ELSE (300 + doc_id % 100) || '.1.2.3' END"
+    )
+    dirty = (
+        "coalesce(text, '') || ' u' || doc_id || '@ex' || (doc_id % 7) "
+        "|| '.com +1-' || (100 + doc_id % 900) || '-' "
+        "|| (100 + (doc_id * 3) % 900) || '-' || (1000 + doc_id % 9000) "
+        f"|| ' ' || ({ip}) || ' ' || {card15} || ({check})"
+    )
+    red = "d"
+    for name in ("email", "card", "phone", "ipv4"):
+        pat = PII_PATTERNS[name].replace("'", "''")
+        red = (
+            f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+        )
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(d, '{PII_PATTERNS[n]}')) AS INT)"
+        f" AS n_{n}"
+        for n in PII_PATTERNS
+    )
+    cardpat = PII_PATTERNS["card"]
+    luhn = (
+        "list_sum(list_transform(range(1, 17), i -> CASE WHEN i % 2 = 1 "
+        "THEN CASE WHEN (ascii(c[i:i]) - 48) * 2 > 9 "
+        "THEN (ascii(c[i:i]) - 48) * 2 - 9 ELSE (ascii(c[i:i]) - 48) * 2 END "
+        "ELSE ascii(c[i:i]) - 48 END)) % 10 = 0"
+    )
+    return f"""
+    WITH dirty AS (SELECT doc_id, {dirty} AS d FROM documents)
+    SELECT doc_id,
+           {counts},
+           CAST(len(list_filter(regexp_extract_all(d, '{cardpat}'),
+                c -> {luhn})) AS INT) AS n_card_valid,
+           TRUE AS any_pii,
+           {red} AS text_redacted
+    FROM dirty
+    """
+
+
+@query("q_pii_scan", _pii_oracle())
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-PII scan + redaction audit over the documents corpus
+    (r13 verdict ask #4a — the compliance pass the literal-term
+    denylist/Aho-Corasick tiers cannot run): every document gets a
+    deterministic PII affix built from doc_id arithmetic — an email, a
+    NANP-shaped phone, an IPv4 that is VALID for even ids and
+    out-of-range (first octet 300+) for odd ids, and a 16-digit card
+    number whose Luhn check digit is computed in-plan and then broken
+    for doc_id % 3 = 0 — so the scan's class counts, octet-range
+    validation, Luhn separation of card-SHAPED from card-VALID, and
+    the byte-exact redacted text all have known ground truth the
+    oracle restates from the same arithmetic. The whole scan is ONE
+    row-local projection of JVM-side regex + integer folds (no UDF,
+    no shuffle — operators/pii.py); the patterns restrict themselves
+    to the Java-regex/RE2 shared dialect, pinned engine-vs-DuckDB
+    match-for-match in tests/test_pii.py."""
+    from asterlake.operators.pii import pii_scan
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    dig = lambda idx: (i * 7 + idx * 13) % 10  # noqa: E731
+    digits = F.transform(
+        F.sequence(F.lit(1), F.lit(15)), lambda idx: dig(idx)
+    )
+    lsum = F.aggregate(
+        F.sequence(F.lit(1), F.lit(15)),
+        F.lit(0).cast("bigint"),
+        lambda acc, idx: acc
+        + F.when(
+            idx % 2 == 1,
+            F.when(dig(idx) * 2 > 9, dig(idx) * 2 - 9).otherwise(
+                dig(idx) * 2
+            ),
+        ).otherwise(dig(idx)),
+    )
+    check = (F.lit(10) - lsum % 10) % 10
+    check = F.when(i % 3 == 0, (check + 1) % 10).otherwise(check)
+    card = F.concat(
+        F.array_join(digits.cast("array<string>"), ""),
+        check.cast("string"),
+    )
+    ip = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit("10."),
+            (i % 256).cast("string"),
+            F.lit("."),
+            F.expr("(doc_id div 7) % 256").cast("string"),
+            F.lit("."),
+            (i % 254 + 1).cast("string"),
+        ),
+    ).otherwise(
+        F.concat((F.lit(300) + i % 100).cast("string"), F.lit(".1.2.3"))
+    )
+    dirty = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" u"),
+        i.cast("string"),
+        F.lit("@ex"),
+        (i % 7).cast("string"),
+        F.lit(".com +1-"),
+        (F.lit(100) + i % 900).cast("string"),
+        F.lit("-"),
+        (F.lit(100) + (i * 3) % 900).cast("string"),
+        F.lit("-"),
+        (F.lit(1000) + i % 9000).cast("string"),
+        F.lit(" "),
+        ip,
+        F.lit(" "),
+        card,
+    )
+    return pii_scan(
+        d.select("doc_id", dirty.alias("text")), "text"
+    ).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        "n_card",
+        "n_card_valid",
+        "any_pii",
+        "text_redacted",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
