@@ -12595,6 +12595,55 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Beyond-parity: perceptual-hash image near-dup (operators/phash.py,
+# r13 verdict ask #4b)
+# ===========================================================================
+
+_PHASH_PAIRS_N = 40
+
+
+@query(
+    "q_phash_near_dup",
+    f"""
+    SELECT CAST(2 * range AS BIGINT) AS media_id_a,
+           CAST(2 * range + 1 AS BIGINT) AS media_id_b,
+           CAST(0 AS INT) AS hamming
+    FROM range({_PHASH_PAIRS_N})
+    """,
+)
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (r13 verdict ask #4b — the dedup
+    family extended to the image modality): _PHASH_PAIRS_N(=40) pairs
+    of REAL 32x32 BMPs where (2k, 2k+1) share pixels up to a clamp-free
+    +4 brightness lift (every payload byte differs; every dHash
+    gradient sign is preserved exactly — the exact-integer
+    cross-multiplied comparison makes that an identity, not an
+    approximation) and cross-pair images are independent md5 streams.
+    dhash_media decodes and fingerprints (Arrow-batched, only the
+    8-byte hash leaves the task); dhash_candidate_pairs runs the
+    lossless 4-band/hamming<=3 simhash shape — so the result is
+    EXACTLY the {_PHASH_PAIRS_N} constructed twin pairs at hamming 0,
+    which the oracle restates from the generator arithmetic. Any slip
+    in BMP encode/decode, luma, box-pool boundaries, bit order,
+    banding or the xor-popcount filter breaks the row set (EXACTLY the
+    constructed twin pairs at hamming 0). A cross-pair collision would
+    need <= 3/64 differing fingerprint bits between independent md5
+    pixel fields — absent at this fixed, deterministic input (pinned
+    by the brute-force differential in tests/test_phash.py). sf_dir
+    unused: the media table is generated in-engine."""
+    from asterlake.operators.phash import (
+        bmp_pair_table,
+        dhash_candidate_pairs,
+        dhash_media,
+    )
+
+    media = bmp_pair_table(spark, n_pairs=_PHASH_PAIRS_N)
+    return dhash_candidate_pairs(
+        dhash_media(media), bands=4, max_hamming=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver scoring order
 # ---------------------------------------------------------------------------
