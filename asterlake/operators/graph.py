@@ -678,6 +678,8 @@ def kcore_converged(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 64,
+    min_rounds: int = 1,
+    ckpt_every: int = 3,
 ) -> "tuple[DataFrame, int]":
     """Convergence-EXACT twin of :func:`kcore_decomposition` (the
     :func:`pagerank_converged` discipline, r13 verdict stretch #6):
@@ -696,15 +698,26 @@ def kcore_converged(
     per round (both value tables come off ``groupBy(node)`` at the
     same shuffle partitioning; ``limit(1)`` lets the probe
     short-circuit at the first changed node). Unlike the fixed-round
-    variant, each round runs an ACTION, so every round's values are
+    variant, a probed round runs an ACTION, so its values are
     ``localCheckpoint``-landed (the connected_components shape) — the
     price of knowing when to stop; callers screening at a fixed budget
     keep :func:`kcore_decomposition`. A run that hits ``max_rounds``
     without converging warns, same contract as connected_components.
 
+    ``min_rounds``: rounds below it skip the probe and run in the
+    CHEAP fixed-round shape (no action, lineage truncated every
+    ``ckpt_every`` rounds) — the convergence-tax amortization for
+    callers that KNOW a lower bound on the depth (a graph family whose
+    measured depth never dips below k pays k-1 landings for nothing).
+    Values are identical either way — skipping a probe can only run
+    extra rounds, and extra rounds past the fixpoint are stationary;
+    if the graph does converge below ``min_rounds``, ``rounds_run``
+    reports the first PROBED stationary round (an upper bound on the
+    true depth), which the caller accepted by raising ``min_rounds``.
+
     Scale shape per round: identical to the fixed-round variant (ONE
     shuffle join + ONE combinable histogram + the JVM-side H-index
-    fold), plus the node-sized change probe."""
+    fold), plus the node-sized change probe on probed rounds."""
     und = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .unionByName(
@@ -734,10 +747,19 @@ def kcore_converged(
         hist = msgs.groupBy("node", "h").agg(
             F.count("*").cast("bigint").alias("c")
         )
-        new_vals = hist.groupBy("node").agg(
-            hindex.alias("h")
-        ).localCheckpoint()
+        new_vals = hist.groupBy("node").agg(hindex.alias("h"))
         rounds_run += 1
+        if rounds_run < min_rounds:
+            # probe-free prefix: fixed-round shape. The LAST skip round
+            # still lands so the first probe joins checkpointed inputs
+            # instead of re-deriving the prefix lineage.
+            if rounds_run == min_rounds - 1 or (
+                ckpt_every and rounds_run % ckpt_every == 0
+            ):
+                new_vals = new_vals.localCheckpoint()
+            vals = new_vals
+            continue
+        new_vals = new_vals.localCheckpoint()
         changed = (
             new_vals.withColumnRenamed("h", "_hn")
             .join(vals, "node")

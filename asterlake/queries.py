@@ -7562,7 +7562,13 @@ def q_kcore_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_e")
     ).select("_e.p1", "_e.p2")
-    out, rounds_run = kcore_converged(pairs, src="p1", dst="p2")
+    # min_rounds=5: the measured convergence depth never dips below 5
+    # on this graph family (5/8/10 at sf0.001/0.01/0.1), so the first
+    # four rounds run probe-free in the cheap fixed-round shape —
+    # values identical, 4 landings + 4 probes saved
+    out, rounds_run = kcore_converged(
+        pairs, src="p1", dst="p2", min_rounds=5
+    )
     if rounds_run > _KCORE_EXACT_UNROLL:
         raise RuntimeError(
             f"kcore convergence took {rounds_run} rounds, beyond the "

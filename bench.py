@@ -513,6 +513,11 @@ def main() -> None:
                     # symmetrized-edge localCheckpoint landing ride the
                     # cold; the retime records the steady join cost
                     "q_bfs_distances",
+                    # r14 convergence-exact k-core: ~10 probed rounds
+                    # at sf0.1, each landed — the cold carries the
+                    # whole landing chain's first-execution JIT, the
+                    # retime the steady convergence loop
+                    "q_kcore_exact",
                 }
             )
         }

@@ -513,6 +513,23 @@ def test_kcore_converged_exact_on_corpus_graph(spark, sf_dir):
     assert rounds_run <= 20
 
 
+def test_kcore_converged_min_rounds_same_values(spark):
+    """min_rounds only skips probes: the returned coreness is
+    identical, and a graph converging BELOW min_rounds reports the
+    first probed stationary round (the documented upper bound)."""
+    from asterlake.operators.graph import kcore_converged
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = clique + [(4, 5), (5, 6), (6, 7), (9, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base, r_base = kcore_converged(df)
+    skip, r_skip = kcore_converged(df, min_rounds=6)
+    assert {(r.node, r.coreness) for r in base.collect()} == {
+        (r.node, r.coreness) for r in skip.collect()
+    }
+    assert r_skip >= max(r_base, 6)
+
+
 def test_kcore_converged_warns_on_max_rounds(spark):
     """Hitting max_rounds without a stationary round warns (the
     connected_components contract) and returns the bound-so-far."""
