@@ -12681,194 +12681,154 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and lead the r13 rotation.
 #
 # The r12 front executed verbatim in round 13's inputs
-# (CORRECTNESS_r12: 50/50 green). The r13 front below executes the
-# r12 verdict's plan: the 12 new r13 declarations (the eight
-# r12-built operators, each now with its drafted oracle landed, plus
-# batch multi-query ADC — ask #4c — streaming CDC apply — ask #4b —
-# the theta set-similarity join — ask #4a — and the generation-eval
-# n-gram overlap family) take the first slots by the never-scored
-# rule, the two r8 spills lead the rotation, and 36 of the 49 r9-era
-# rows follow name-ascending; the 13 the budget cuts carry the spill
-# notes below.
+# (CORRECTNESS_r12: 50/50 green), and the r13 front executed verbatim
+# in round 14's inputs (CORRECTNESS_r13: 50/50 green — the 12 r13
+# declarations, the two r8 spills, and 36 r9-era rows all scored).
 #
-# R14 FRONT PLAN: the 13 spilled r9 rows (q_stream_quarantine,
-#   q_table_checksum, q_text_repetition, q_tfidf_top_terms,
-#   q_trimmed_stats, q_twap_value, q_udtf_sentences,
-#   q_unpivot_measures, q_waiting_supplier_orders, q_weighted_median,
-#   q_sketch_distinct, q_shipping_priority, q_set_ops_all) lead, then
-#   the r10-era cohort name-ascending; plus whatever round 14 touches
-#   or declares (freeze AFTER the round's last operator commit, via
-#   rotation.suggest_front).
+# R14 FRONT (executed below): the r13 verdict's plan, verbatim — the
+#   six queries round 14 touched or declared lead by the touched/never-
+#   scored rules (q_kcore_exact, q_phash_near_dup, q_pii_scan new;
+#   q_ngram_overlap_eval, q_stream_cdc_apply, q_theta_similarity_join
+#   touched by the r13-ADVICE/ask fixes), then the 13 spilled r9 rows
+#   (the rotation's last old tail — after this round scores, NO row is
+#   older than r10), then 31 of the 47 r10-era rows name-ascending.
+#   The 16 r10 rows the budget cuts carry the spill notes below and
+#   lead the r15 front.
+#
+# R15 FRONT PLAN: the 16 spilled r10 rows (q_media_decode_real,
+#   q_media_gif_anim, q_media_mp4_meta, q_mixture_apply,
+#   q_mixture_weights, q_pack_sequences, q_pagerank_copurchase,
+#   q_quality_ensemble, q_recursive_month_spine, q_snapshot_scan_bloom,
+#   q_unigram_seed_vocab, q_unigram_segment, q_window_event_gaps,
+#   q_window_frames, q_window_navigation, q_window_range_frames) lead,
+#   then the r11-era cohort name-ascending; plus whatever round 15
+#   touches or declares (freeze AFTER the round's last operator
+#   commit, via rotation.suggest_front).
 
-_AUTO_PROMOTE_EXEMPT: dict[str, str] = {
-    # the r8 codec work (4:2:0, progressive SOF2 + restart intervals)
-    # and the r9 gif codec live entirely behind decode_media's
-    # real=True dispatch; this query runs the real=False
-    # synthetic-stats branch, byte-identical to the r6-scored bytes —
-    # the real paths are scored by q_media_decode_real (r10 front) and
-    # q_media_gif_anim (r10 front)
-    "q_media_decode": "real=False branch unchanged; real=True scored "
-    "via q_media_decode_real, gif via q_media_gif_anim (both r10 "
-    "front)",
-    # r13 exemptions. queries_touched() flags four rows this round
-    # whose executed plans/values are bit-identical to their standing
-    # green rows: three by the r12-ADVICE tRNS fail-loud branch in
-    # _decode_png (an ADDITIVE raise on a chunk type none of the gated
-    # files contain — the generators never emit tRNS; the color-0/2
-    # path's values are pinned unchanged by the test_multimodal
-    # round-trip tests, and _decode_png's shared chunk walk is freshly
-    # driver-scored via q_media_decode_palette, r13 front), one by a
-    # docstring-only reword.
-    "q_media_decode_real": "touched via the tRNS raise branch in "
-    "_decode_png + the png_pal generator arm in real_media_table; "
-    "neither is reached by the gated 7-format data (no tRNS chunks, "
-    "no png_pal slot); color-0/2 values pinned unchanged by "
-    "test_multimodal round-trips; the chunk walk is freshly "
-    "driver-scored via q_media_decode_palette (r13 front); r10-green "
-    "and next in rotation",
-    "q_media_gif_anim": "GIF path — does not execute _decode_png; "
-    "flagged via the decode_media_real dispatcher + real_media_table "
-    "references; r10-green and next in rotation",
-    "q_media_mp4_meta": "mp4 box-walk path — does not execute "
-    "_decode_png; flagged via the decode_media_real dispatcher + "
-    "real_media_table references; r10-green and next in rotation",
-    "q_kcore_decompose": "touched by a DOCSTRING-ONLY reword of "
-    "kcore_decomposition (the r12 ADVICE upper-bound clarification); "
-    "the produced expressions are character-identical — the diff sits "
-    "entirely inside the string literal — and the fixpoint/gap "
-    "differentials in test_winnow_triangles pin the values; r12-green "
-    "(scored two rounds ago at the same code)",
-}
+# No exemptions this round: every query rotation.queries_touched()
+# flags sits inside the front below. (The r13 exemption entries were
+# scoped to diffs between the r12 and r13 driver commits — invisible
+# to the current freeze base — and are dropped rather than left to
+# mask a future real touch.)
+_AUTO_PROMOTE_EXEMPT: dict[str, str] = {}
 
-# Round-13 front (exactly 50), re-frozen AFTER the round's last
+# Round-14 front (exactly 50), re-frozen AFTER the round's last
 # operator commit and verified equal to the mechanical derivation
-# (rotation.suggest_front over the declared set with the
-# _AUTO_PROMOTE_EXEMPT exemptions — checked at freeze time:
-# suggested == this block, element for element): the 12 new r13
-# declarations first (never-scored rule), then the two r8 spills the
-# r12 budget cut (the r12 verdict's ask #2 — they lead), then 36 of
-# the 49 r9-era rows name-ascending (the 13 the budget cuts carry the
-# spill notes below and lead the r14 front).
-_NEW_R13 = [
-    # the eight r12-built operators, each now landed with its drafted
-    # oracle (r12 verdict ask #1) ...
-    "q_ann_adc_multi",  # ... plus ask #4c: batch multi-query ADC
-    "q_auc_exact",
-    "q_bfs_distances",
-    "q_clustering_pair_metrics",
-    "q_cohens_kappa",
-    "q_collocations_pmi",
-    "q_media_decode_palette",
-    # ... plus the generation-eval family joining AUC/kappa/pair-F1
+# (rotation.suggest_front over the declared set with the empty
+# exemption set — checked at freeze time: suggested == this block,
+# element for element).
+_NEW_R14 = [
+    # never-scored r14 declarations first ...
+    "q_kcore_exact",  # r13 verdict stretch #6 (convergence-exact)
+    "q_phash_near_dup",  # r13 verdict ask #4b (image dedup)
+    "q_pii_scan",  # r13 verdict ask #4a (compliance scan)
+    # ... then the three r13-green rows the r14 fixes touched:
+    # the ngram_overlap short-text-contract docstrings (ask #5),
+    # the CDC manifest/stale-guard hardening (ask #3 + ADVICE), and
+    # the theta-join ppm escape extension (ADVICE)
     "q_ngram_overlap_eval",
-    "q_normalize_text",
-    "q_rrf_fuse",
-    # ... plus ask #4b: streaming CDC apply (the Delta-CDF ingest twin)
     "q_stream_cdc_apply",
-    # ... plus ask #4a: theta set-similarity join (the sketch index)
     "q_theta_similarity_join",
 ]
-_STALE_R13 = [
-    # the two r8 spills open the rotation (r12 verdict ask #2) ...
-    "q_top3_orders_per_segment",
-    "q_topk_orders",
-    # ... then 36 of the 49 r9-era rows, name-ascending (suggest_front
-    # order). SPILL NOTES for the thirteen the budget cut (they lead r14;
-    # all thirteen are UNTOUCHED since their r9 green rows — rotation.py
-    # attributes no diff to them this round — so the note for each is
-    # where its machinery gets fresh or standing coverage):
-    # - q_stream_quarantine: foreachBatch quarantine split + file-sink
-    #   round trip; pinned end-to-end by test_streaming.py::
-    #   test_stream_quarantine_routes_and_keeps_violations, and the
-    #   shared readStream/foreachBatch/watermark machinery is
-    #   r12-green via q_stream_ohlc_append / q_stream_frequent.
-    # - q_table_checksum: order-independent xxhash64 content signature;
-    #   the key-hash discipline is freshly scored through
-    #   q_ann_adc_multi's xxhash64 shard key (r13 front) and pinned by
-    #   test_integrity's permutation-invariance differentials.
-    # - q_text_repetition: textstats row-local token folds; the module
-    #   is r12-green via q_text_quality / q_text_vocab_topk and
-    #   freshly exercised by the r13-front q_collocations_pmi
-    #   tokenization; pinned by test_textstats replays.
-    # - q_tfidf_top_terms: tf/df + rational idf + per-doc top-3 window;
-    #   the same tf/df machinery is r13-front-scored via q_bm25_search
-    #   (identical corpus-stats shape) and pinned by test_textstats.
-    # - q_trimmed_stats: two-pass percentile bands + broadcast-back;
-    #   the bucket-pruned two-level rank core is r13-front-scored via
-    #   q_percentiles_exact and q_weighted_median's twin is pinned by
-    #   test_stats bit-equality; retimed every round in bench.py.
-    # - q_twap_value: key-partitioned lead() + decimal x microsecond
-    #   sums; the window-navigation machinery is r10-green via
-    #   q_window_navigation and the decimal-sum discipline is scored
-    #   by every r13-front aggregate row; pinned by test_stats.
-    # - q_udtf_sentences: PySpark 4 @udtf lateral join; pinned by
-    #   test_udfs (exact rows + ordinality); the Python-eval plan
-    #   surface is otherwise fleet-guarded (no BatchEvalPython
-    #   anywhere else; the UDTF is the sanctioned exception).
-    # - q_unpivot_measures: native UNPIVOT of three decimal-exact
-    #   sums; the pivot inverse q_pivot_status is r12-green and the
-    #   melt is pinned by the sf0.01 parity suite.
-    # - q_waiting_supplier_orders: TPC-H Q21 single-pass window
-    #   formulation; the window/semi-join machinery is covered by the
-    #   r12-green q_join_semi / q_join_anti and r13-front
-    #   q_correlated_subqueries (the same exists/not-exists family).
-    # - q_set_ops_all: UNION/INTERSECT/EXCEPT ALL variants; the set-op
-    #   machinery is r12-green via q_set_ops and r13-front-scored via
-    #   q_full_outer_join's adjacent row (q_set_ops, r12) — the ALL
-    #   variants themselves are pinned by the sf0.01 parity suite;
-    #   untouched since r9.
-    # - q_shipping_priority: TPC-H Q3 shape (join + agg + top-k); the
-    #   star join/agg machinery is r12-green via q_fact_star_join /
-    #   flagship_revenue_by_nation (r12 front) and the
-    #   TakeOrderedAndProject path via the r13-front q_topk_orders /
-    #   q_collocations_pmi; untouched since r9.
-    # - q_sketch_distinct: HLL distinct-count with in-plan bound
-    #   booleans; the DataSketches ObjectHashAggregate machinery is
-    #   r12-green via q_theta_set_ops / q_sketch_overlap /
-    #   q_kll_quantile_rollup (the same stored-sketch family) and
-    #   pinned by test_sketches coupon-regime exactness.
-    # - q_weighted_median: frequency-weighted two-level rank; pinned
-    #   bit-equal to Spark's percentile(value, p, frequency) built-in
-    #   in test_stats, and the shared rank machinery is r13-front-
-    #   scored via q_percentiles_exact.
-    "q_ann_pq_search",
-    "q_asof_click_error",
-    "q_bm25_search",
-    "q_bpe_segment",
-    "q_cdc_apply",
-    "q_cms_frequencies",
-    "q_cohort_retention",
-    "q_corpus_survivors",
-    "q_correlated_subqueries",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash_pairs",
-    "q_embedding_srp_neighbors",
-    "q_ewma_value",
-    "q_funnel_conversion",
-    "q_fuzzy_name_pairs",
-    "q_gapfill_locf",
-    "q_grouped_map_deltas",
-    "q_histogram_prices",
-    "q_hybrid_search",
-    "q_incremental_agg_merge",
-    "q_json_extract",
-    "q_media_decode",
-    "q_media_features",
-    "q_media_frames",
-    "q_media_resize",
-    "q_min_cost_supplier",
-    "q_minhash_jaccard_estimate",
-    "q_percentiles_exact",
-    "q_quality_gate_text",
-    "q_quality_logistic",
-    "q_range_join_clicks_before_error",
-    "q_salted_join_top_customers",
-    "q_sample_stratified",
-    "q_sessionization",
+_STALE_R14 = [
+    # the 13 spilled r9 rows open the rotation (r13 verdict ask #1 —
+    # the last pre-r10 cohort; spill notes at the r13 freeze) ...
+    "q_set_ops_all",
+    "q_shipping_priority",
+    "q_sketch_distinct",
+    "q_stream_quarantine",
+    "q_table_checksum",
+    "q_text_repetition",
+    "q_tfidf_top_terms",
+    "q_trimmed_stats",
+    "q_twap_value",
+    "q_udtf_sentences",
+    "q_unpivot_measures",
+    "q_waiting_supplier_orders",
+    "q_weighted_median",
+    # ... then 31 of the 47 r10-era rows, name-ascending
+    # (suggest_front order). SPILL NOTES for the sixteen the budget
+    # cut (they lead r15; all sixteen are UNTOUCHED since their r10
+    # green rows — rotation.py attributes no diff to them this round —
+    # so the note for each is where its machinery gets fresh or
+    # standing coverage):
+    # - q_media_decode_real: the 7-format real-decode dispatch; the
+    #   shared chunk-walk/dispatcher machinery is r13-front-scored via
+    #   q_media_decode_palette and the per-format decoders are pinned
+    #   by test_multimodal round-trip differentials.
+    # - q_media_gif_anim: GIF89a LZW/interlace path; pinned by
+    #   test_multimodal's gif frame/palette round trips; the
+    #   decode_media_real dispatcher is scored via
+    #   q_media_decode_palette (r13).
+    # - q_media_mp4_meta: mp4 box-walk metadata; pinned by
+    #   test_multimodal's mp4 duration/track differentials; same
+    #   dispatcher coverage as above.
+    # - q_mixture_apply / q_mixture_weights: exact-rational mixture
+    #   reweighting; pinned by test_mixture's fraction-exact
+    #   differentials; the stratified-sampling twin q_sample_stratified
+    #   is r13-green.
+    # - q_pack_sequences: greedy sequence packing; pinned by
+    #   test_decontam_packing's exact bin differentials; the
+    #   fixed-budget row-local fold family is freshly scored via
+    #   q_chunk_documents (r14 front).
+    # - q_pagerank_copurchase: the pagerank fixed-point loop; retimed
+    #   EVERY round in bench.py (builder_retime_sec), python-replay
+    #   differentials in test_graph_sampling_timeseries, and the
+    #   iterative-graph family gets fresh driver coverage via
+    #   q_kcore_exact (r14 front) and q_bfs_distances (r13).
+    # - q_quality_ensemble: the DSIR x classifier x heuristic ensemble
+    #   gate; its three inputs are individually scored (q_dsir_select
+    #   r14 front; q_quality_logistic, q_quality_gate_text r13) and
+    #   the combination is pinned by test_dsir/test_classifier.
+    # - q_recursive_month_spine: date-spine generation; the date
+    #   machinery is r12-green via q_dim_date / q_date_arithmetic and
+    #   the spine is pinned by the sf0.01 parity suite.
+    # - q_snapshot_scan_bloom: versioned.py bloom-pruned scan; pinned
+    #   by test_versioned's scan==read.filter twin equality (every
+    #   predicate class); the manifest-commit machinery it shares is
+    #   freshly exercised by the r14 CDC commit-by-manifest tests.
+    # - q_unigram_seed_vocab / q_unigram_segment: unigram-LM trainer/
+    #   apply; pinned by test_unigram's EM-fold differentials; the
+    #   tokenizer family is r13-front-scored via q_bpe_segment and
+    #   r11-green via q_wordpiece_segment.
+    # - q_window_event_gaps / q_window_frames / q_window_navigation /
+    #   q_window_range_frames: the window-function family; each pinned
+    #   by the sf0.01 parity suite, and the window machinery is
+    #   r13-front-scored via q_top3_orders_per_segment /
+    #   q_sessionization (same frame/navigation plan shapes).
+    "q_ann_int8_topk",
+    "q_ann_ivfpq_search",
+    "q_ann_topk_bruteforce",
+    "q_anomaly_outliers",
+    "q_bigram_greedy_decode",
+    "q_bigram_loglik",
+    "q_cdc_shared_chunks",
+    "q_chunk_documents",
+    "q_cms_join_size",
+    "q_collocations_lift",
+    "q_compression_signal",
+    "q_contamination_scores",
+    "q_curation_pipeline",
+    "q_decayed_engagement",
+    "q_dedup_containment",
+    "q_dedup_incremental",
+    "q_dedup_ngram_prefix",
+    "q_dedup_normalized",
+    "q_dedup_spans",
+    "q_dedup_substrings",
+    "q_dedup_survivors",
+    "q_denylist_scan",
+    "q_doc_rarity",
+    "q_domain_caps",
+    "q_dsir_select",
+    "q_embedding_centroids",
+    "q_embedding_dup_clusters",
+    "q_embedding_normalize",
+    "q_frequent_tokens",
+    "q_histogram_equidepth",
+    "q_kmeans_step",
 ]
-_FRONT = _NEW_R13 + _STALE_R13
+_FRONT = _NEW_R14 + _STALE_R14
 
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 assert len(set(_FRONT)) == len(_FRONT), "duplicate in ordering front block"
