@@ -17,7 +17,7 @@ from asterlake.operators.bpe import (
 
 
 # BPE trainer differential — excluded from the -m "not slow" inner loop (r9 verdict ask #3)
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.deep]
 
 
 def ref_train(wc: dict[str, int], n_merges: int) -> list[tuple[str, str]]:

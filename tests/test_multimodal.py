@@ -23,7 +23,7 @@ from asterlake.operators.multimodal import (
 
 
 # codec round-trip differentials — excluded from the -m "not slow" inner loop (r9 verdict ask #3)
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.deep]
 
 
 @pytest.fixture(scope="module")

@@ -19,7 +19,7 @@ from asterlake.operators.unigram import (
 )
 
 # unigram-LM trainer differential — excluded from the -m "not slow" inner loop (r9 verdict ask #3)
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.deep]
 
 
 WORDS = [

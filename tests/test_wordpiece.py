@@ -2,7 +2,11 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.deep
 
 from asterlake.operators.bpe import bpe_train
 from asterlake.operators.wordpiece import (
