@@ -197,10 +197,20 @@ def dhash_candidate_pairs(
     collide in several bands. With ``max_hamming <= bands - 1`` the
     banding is LOSSLESS (pigeonhole: fewer flips than bands cannot
     dirty every band), so the result equals brute force. Returns
-    ``({id}_a, {id}_b, hamming)`` with ``a < b``."""
+    ``({id}_a, {id}_b, hamming)`` with ``a < b``.
+
+    The fingerprint relation is ``localCheckpoint``-materialized before
+    the self-join: unlike the simhash table (whose identical exchanges
+    ReuseExchange collapses), a ``mapInPandas`` subtree does NOT
+    canonicalize across the two join sides — without the landing every
+    image is generated/decoded TWICE (measured 4 MapInPandas nodes,
+    zero reuse). At scale this is the only sane shape anyway: the
+    fingerprint index (16 bytes/image) is computed once off the media
+    scan and pixels never travel or repeat."""
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     blen = 64 // bands
+    fps = fps.select(id_col, hash_col).localCheckpoint()
     banded = fps.select(
         F.col(id_col),
         F.col(hash_col).alias("_fp"),
@@ -272,7 +282,12 @@ def bmp_pair_table(
             )
 
     schema = "media_id long, payload binary"
-    return spark.range(2 * n_pairs).mapInPandas(batches, schema)
+    # bounded partition count: the default local[32] split puts 2-3
+    # images per Python worker — fork overhead, not parallelism
+    parts = max(2, min(8, n_pairs // 4))
+    return spark.range(0, 2 * n_pairs, 1, parts).mapInPandas(
+        batches, schema
+    )
 
 
 def _det_stream(seed: str, n: int) -> bytes:
