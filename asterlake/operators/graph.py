@@ -557,35 +557,74 @@ def label_propagation(
 
     Returns ``(node, community)`` for every node with at least one edge.
 
-    Scale: each round is ONE shuffle join (labels x edges on the source
-    id) + ONE map-side-combinable (node, label) count + ONE
-    map-side-combinable argmax (max over struct(count, -label) — never
-    a per-node window), with ``localCheckpoint`` truncating lineage
-    between rounds (the connected_components discipline). Labels are
-    node ids (longs); no text, no payloads in any shuffle.
+    Scale / r14 round shape (guide §2.4/§3.1, same as
+    kcore_decomposition): the per-round join is a hinted SHUFFLED-HASH
+    join — AQE otherwise broadcast-converts the node-sized label table
+    every round (a per-round driver collect + broadcast build) at
+    bench scale, and at 100 TB the label table cannot broadcast, so
+    the hinted shape is both the faster local one and the only
+    scale-honest one (and never sorts the edge side). The (node,
+    label) count and the argmax (max over struct(count, -label) —
+    never a per-node window) STACK on ONE explicit node-keyed
+    REPARTITION_BY_NUM exchange (hash(node) satisfies the (node, lab)
+    clustering) — was one (node, lab) exchange plus one (node)
+    exchange. ``localCheckpoint`` truncates lineage between rounds
+    (the connected_components discipline); the loop pins
+    ``spark.sql.shuffle.partitions`` to the parallelism-derived
+    ``parts``. Labels are node ids (longs); no text, no payloads in
+    any shuffle. A/B at sf0.1 (alternating in-session, results
+    bit-identical): 4.51 -> 3.39s / 5.01 -> 4.40s / 3.96 -> 2.89s
+    across three sessions; dropping a speculative edge-side
+    pre-repartition (localCheckpoint loses partitioning under AQE)
+    measured a further 6.57 -> 3.96s at the session median.
     """
-    und = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).unionByName(
-        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
-    ).filter(F.col("_s") != F.col("_d")).distinct().localCheckpoint()
-    labels = und.select(F.col("_s").alias("node")).distinct().select(
-        "node", F.col("node").alias("lab")
-    ).localCheckpoint()
-    for _ in range(iters):
-        msgs = und.join(
-            labels.withColumnRenamed("node", "_s"), "_s"
-        ).select(F.col("_d").alias("node"), "lab")
-        counts = msgs.groupBy("node", "lab").agg(
-            F.count("*").cast("bigint").alias("c")
-        )
-        # argmax (count DESC, label ASC) as a combinable max over
-        # struct(count, -label): ids are non-negative longs, so the
-        # negation order is exactly label-ascending on count ties
-        labels = (
-            counts.groupBy("node")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("_nl"))).alias("_m"))
-            .select("node", (-F.col("_m._nl")).alias("lab"))
+    spark = edges.sparkSession
+    parts = max(4, min(256, spark.sparkContext.defaultParallelism))
+    sp_key = "spark.sql.shuffle.partitions"
+    prev_sp = spark.conf.get(sp_key)
+    spark.conf.set(sp_key, str(parts))
+    try:
+        und = (
+            edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+            .unionByName(
+                edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+            )
+            .filter(F.col("_s") != F.col("_d"))
+            .distinct()
             .localCheckpoint()
         )
+        labels = (
+            und.select(F.col("_s").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lab"))
+            .localCheckpoint()
+        )
+        for _ in range(iters):
+            msgs = und.join(
+                labels.withColumnRenamed("node", "_s").hint("shuffle_hash"),
+                "_s",
+            ).select(F.col("_d").alias("node"), "lab")
+            # one node-keyed exchange serves BOTH aggregates below it
+            counts = (
+                msgs.repartition(parts, "node")
+                .groupBy("node", "lab")
+                .agg(F.count("*").cast("bigint").alias("c"))
+            )
+            # argmax (count DESC, label ASC) as a combinable max over
+            # struct(count, -label): ids are non-negative longs, so the
+            # negation order is exactly label-ascending on count ties
+            labels = (
+                counts.groupBy("node")
+                .agg(
+                    F.max(
+                        F.struct(F.col("c"), (-F.col("lab")).alias("_nl"))
+                    ).alias("_m")
+                )
+                .select("node", (-F.col("_m._nl")).alias("lab"))
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set(sp_key, prev_sp)
     return labels.select("node", F.col("lab").alias("community"))
 
 
@@ -640,36 +679,72 @@ def kcore_decomposition(
     bounded while the whole recurrence executes as ~rounds/ckpt_every
     jobs (measured at sf0.1: cold 16.3s with per-round landings vs
     7-9.5s at every-3 in the same session positions; checkpointing is
-    semantics-free, values identical)."""
-    und = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .unionByName(
-            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+    semantics-free, values identical).
+
+    r14 round shape (guide §2.4/§3.1): (a) the per-round join carries a
+    ``shuffle_hash`` hint — without it AQE broadcast-converts the
+    node-sized value table every round at bench scale (a per-round
+    driver collect + broadcast build), and at 100 TB the value table
+    cannot broadcast at all, so the hinted shuffled-hash is both the
+    faster local shape and the only scale-honest one (and it never
+    sorts the edge side the way sort-merge would); (b) the message
+    aggregate is keyed to ``node`` ONLY via an explicit
+    REPARTITION_BY_NUM exchange — hash(node) satisfies the (node, h)
+    clustering, so histogram + H-index fold STACK on that single
+    exchange (was: one (node, h) exchange + one (node) exchange);
+    (c) the loop pins ``spark.sql.shuffle.partitions`` to the
+    parallelism-derived ``parts`` so low-core runs don't pay 32-way
+    task overhead per round. NOTE an explicit pre-partitioning of the
+    edge landing is NOT kept: ``localCheckpoint`` does not preserve
+    outputPartitioning under AQE (measured: the join re-exchanges a
+    repartition(parts, _s).localCheckpoint() edge side anyway), and
+    the persist()-pinned alternative that does preserve it measured
+    slower (deserialized cache reads; 5.0 -> 9.0s on the convergence
+    twin). A/B at sf0.1 (alternating in-session, results
+    bit-identical): 5.30 -> 4.80 / 6.26 -> 6.22 (this fixed-round
+    variant), 4.51 -> 3.39 / 3.96 -> 2.89 (label_propagation, same
+    round shape, where the shared exchange repeats 3x)."""
+    spark = edges.sparkSession
+    parts = max(4, min(256, spark.sparkContext.defaultParallelism))
+    sp_key = "spark.sql.shuffle.partitions"
+    prev_sp = spark.conf.get(sp_key)
+    spark.conf.set(sp_key, str(parts))
+    try:
+        und = (
+            edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+            .unionByName(
+                edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+            )
+            .filter(F.col("_s") != F.col("_d"))
+            .distinct()
+            .localCheckpoint()
         )
-        .filter(F.col("_s") != F.col("_d"))
-        .distinct()
-        .localCheckpoint()
-    )
-    vals = und.groupBy(F.col("_s").alias("node")).agg(
-        F.count("*").cast("bigint").alias("h")
-    )
-    hindex = F.expr(
-        "aggregate(sort_array(collect_list(struct(h, c)), false), "
-        "struct(CAST(0 AS BIGINT) AS cum, CAST(0 AS BIGINT) AS best), "
-        "(acc, x) -> struct(acc.cum + x.c, "
-        "greatest(acc.best, least(x.h, acc.cum + x.c))), "
-        "acc -> acc.best)"
-    )
-    for r in range(rounds):
-        msgs = und.join(
-            vals.withColumnRenamed("node", "_s"), "_s"
-        ).select(F.col("_d").alias("node"), "h")
-        hist = msgs.groupBy("node", "h").agg(
-            F.count("*").cast("bigint").alias("c")
+        vals = und.groupBy(F.col("_s").alias("node")).agg(
+            F.count("*").cast("bigint").alias("h")
         )
-        vals = hist.groupBy("node").agg(hindex.alias("h"))
-        if ckpt_every and (r + 1) % ckpt_every == 0 and r + 1 < rounds:
-            vals = vals.localCheckpoint()
+        hindex = F.expr(
+            "aggregate(sort_array(collect_list(struct(h, c)), false), "
+            "struct(CAST(0 AS BIGINT) AS cum, CAST(0 AS BIGINT) AS best), "
+            "(acc, x) -> struct(acc.cum + x.c, "
+            "greatest(acc.best, least(x.h, acc.cum + x.c))), "
+            "acc -> acc.best)"
+        )
+        for r in range(rounds):
+            msgs = und.join(
+                vals.withColumnRenamed("node", "_s").hint("shuffle_hash"),
+                "_s",
+            ).select(F.col("_d").alias("node"), "h")
+            # one node-keyed exchange serves BOTH aggregates below it
+            hist = (
+                msgs.repartition(parts, "node")
+                .groupBy("node", "h")
+                .agg(F.count("*").cast("bigint").alias("c"))
+            )
+            vals = hist.groupBy("node").agg(hindex.alias("h"))
+            if ckpt_every and (r + 1) % ckpt_every == 0 and r + 1 < rounds:
+                vals = vals.localCheckpoint()
+    finally:
+        spark.conf.set(sp_key, prev_sp)
     return vals.select("node", F.col("h").alias("coreness"))
 
 

@@ -530,6 +530,43 @@ def test_kcore_converged_min_rounds_same_values(spark):
     assert r_skip >= max(r_base, 6)
 
 
+def test_graph_loop_conf_restored_and_values_conf_independent(spark):
+    """r14 round shape: kcore_decomposition and label_propagation pin
+    spark.sql.shuffle.partitions to a parallelism-derived count for the
+    loop (so low-core bench runs don't pay 32-way task overhead per
+    round) — the pin must RESTORE the session conf afterwards, and the
+    returned values must be identical under any ambient conf (the
+    repartition/shuffle-hash round shape is semantics-free)."""
+    from asterlake.operators.graph import (
+        kcore_decomposition,
+        label_propagation,
+    )
+
+    edges = [(i % 17, (i * 5 + 2) % 17) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        kc7 = {(r.node, r.coreness) for r in kcore_decomposition(df).collect()}
+        lp7 = {
+            (r.node, r.community) for r in label_propagation(df).collect()
+        }
+        assert spark.conf.get(key) == "7", "loop must restore the conf"
+        spark.conf.set(key, "32")
+        kc32 = {
+            (r.node, r.coreness) for r in kcore_decomposition(df).collect()
+        }
+        lp32 = {
+            (r.node, r.community) for r in label_propagation(df).collect()
+        }
+        assert spark.conf.get(key) == "32"
+        assert kc7 == kc32
+        assert lp7 == lp32
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_kcore_converged_warns_on_max_rounds(spark):
     """Hitting max_rounds without a stationary round warns (the
     connected_components contract) and returns the bound-so-far."""
