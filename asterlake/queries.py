@@ -90,6 +90,22 @@ def _sum_fixed(cents: F.Column, scale: float) -> F.Column:
     """Exact sum of a long fixed-point column, as double in original units."""
     return F.sum(cents.cast("decimal(18,0)")).cast("double") / F.lit(scale)
 
+# Streaming drains: availableNow appends a trailing NO-DATA micro-batch
+# whenever the query is watermarked, solely to advance the watermark and
+# flush/evict state (measured at sf0.1: 0.7-2.7 s per drain for zero
+# input rows - a full incremental re-plan + per-partition state-store
+# load/commit). For sinks whose FINAL table cannot depend on that flush
+# - complete-mode sinks (every trigger re-emits full state), update-mode
+# custom state with GroupStateTimeout.NoTimeout (no data -> no changed
+# keys -> nothing emitted), and stateless/inner-join append sinks (no
+# new input -> no new rows) - the drain disables it via this conf and
+# restores the session value after. q_stream_ohlc_append KEEPS the flush
+# batch: append-mode window aggregation emits finalized windows only
+# when the watermark passes them, so its final batch IS load-bearing
+# (verified: skipping it drops rows there, and ONLY there; every other
+# drain was verified row-identical at sf0.1 on top of the oracle gate).
+_NDB_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+
 
 # ---------------------------------------------------------------------------
 # Flagship: star-join revenue rollup (joins J1/J2 + aggregation + sort)
@@ -1626,6 +1642,9 @@ def q_stream_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        prev_ndb = spark.conf.get(_NDB_KEY, "true")
+        # stateless append join: no state to flush (see _NDB_KEY note)
+        spark.conf.set(_NDB_KEY, "false")
         try:
             (
                 out.writeStream.format("memory")
@@ -1640,6 +1659,7 @@ def q_stream_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.conf.set(_NDB_KEY, prev_ndb)
         return spark.table("stream_linkage")
 
 
@@ -2969,6 +2989,9 @@ def q_stream_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        prev_ndb = spark.conf.get(_NDB_KEY, "true")
+        # update + NoTimeout MG state: flush emits no changed keys (see _NDB_KEY note)
+        spark.conf.set(_NDB_KEY, "false")
         try:
             (
                 cands.writeStream.format("memory")
@@ -2981,6 +3004,7 @@ def q_stream_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.conf.set(_NDB_KEY, prev_ndb)
     w_shard = Window.partitionBy("shard")
     final_cands = (
         spark.table("stream_frequent_sink")
@@ -3307,6 +3331,9 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (measured 3.0s -> 1.0s at sf0.1).
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        prev_ndb = spark.conf.get(_NDB_KEY, "true")
+        # complete mode re-emits full state every trigger (see _NDB_KEY note)
+        spark.conf.set(_NDB_KEY, "false")
         try:
             (
                 counts.writeStream.format("memory")
@@ -3319,6 +3346,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.conf.set(_NDB_KEY, prev_ndb)
         return spark.table("stream_windowed_counts")
 
 
@@ -4074,6 +4102,9 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        prev_ndb = spark.conf.get(_NDB_KEY, "true")
+        # append inner join: no new input, no new matches (see _NDB_KEY note)
+        spark.conf.set(_NDB_KEY, "false")
         try:
             (
                 joined.writeStream.format("memory")
@@ -4086,6 +4117,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.conf.set(_NDB_KEY, prev_ndb)
         return spark.table("stream_interval_join")
 
 
@@ -5408,6 +5440,9 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = running_user_counts(stream)
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        prev_ndb = spark.conf.get(_NDB_KEY, "true")
+        # update + NoTimeout custom state (see _NDB_KEY note)
+        spark.conf.set(_NDB_KEY, "false")
         try:
             (
                 counts.writeStream.format("memory")
@@ -5420,6 +5455,7 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.conf.set(_NDB_KEY, prev_ndb)
         return (
             spark.table("stream_stateful_counts")
             .groupBy("user_id")
@@ -5567,6 +5603,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        prev_ndb = spark.conf.get(_NDB_KEY, "true")
+        # append dropDuplicates emits rows only on arrival (see _NDB_KEY note)
+        spark.conf.set(_NDB_KEY, "false")
         try:
             (
                 deduped.writeStream.format("memory")
@@ -5579,6 +5618,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.conf.set(_NDB_KEY, prev_ndb)
         return spark.table("stream_dedup")
 
 
@@ -5817,6 +5857,9 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        prev_ndb = spark.conf.get(_NDB_KEY, "true")
+        # complete-mode agg over a stateless stream-static join (see _NDB_KEY note)
+        spark.conf.set(_NDB_KEY, "false")
         try:
             (
                 joined.writeStream.format("memory")
@@ -5829,6 +5872,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.conf.set(_NDB_KEY, prev_ndb)
         return spark.table("stream_static_join")
 
 
@@ -5915,6 +5959,9 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("user_id", "session_start", "session_end", "n_events")
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        prev_ndb = spark.conf.get(_NDB_KEY, "true")
+        # complete-mode session agg: emission is full state (see _NDB_KEY note)
+        spark.conf.set(_NDB_KEY, "false")
         try:
             (
                 sessions.writeStream.format("memory")
@@ -5927,6 +5974,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.conf.set(_NDB_KEY, prev_ndb)
         return spark.table("stream_session_window")
 
 
@@ -7627,6 +7675,9 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ew = running_ewma(stream, alpha=0.1)
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        prev_ndb = spark.conf.get(_NDB_KEY, "true")
+        # update + NoTimeout custom state (see _NDB_KEY note)
+        spark.conf.set(_NDB_KEY, "false")
         try:
             (
                 ew.writeStream.format("memory")
@@ -7639,6 +7690,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.conf.set(_NDB_KEY, prev_ndb)
         return (
             spark.table("stream_ewma")
             .groupBy("user_id")
@@ -8022,6 +8074,9 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         bars = ohlc_bars(stream)
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        prev_ndb = spark.conf.get(_NDB_KEY, "true")
+        # complete mode re-emits full state every trigger (see _NDB_KEY note)
+        spark.conf.set(_NDB_KEY, "false")
         try:
             (
                 bars.writeStream.format("memory")
@@ -8036,6 +8091,7 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            spark.conf.set(_NDB_KEY, prev_ndb)
         return spark.table("stream_ohlc")
 
 
