@@ -69,7 +69,18 @@ def blocked_candidates(
 ) -> DataFrame:
     """Candidate pairs sharing every block key — one equi-join, never a
     cartesian. Non-block columns are suffixed; block columns keep their
-    names (they are equal on both sides by construction)."""
+    names (they are equal on both sides by construction).
+
+    The left side is hash-repartitioned on the block keys before the
+    join (r14, guide §2.5 input skew): the bench tables are
+    single-row-group parquet, so without it the scan is ONE task and the
+    entire pair expansion + downstream comparator scoring runs on one
+    core while the rest idle (measured: 4.5 s single-task scoring at
+    sf0.1 vs ~1 s spread). At scale the exchange is exactly the
+    distribution a non-broadcast block join requires anyway — when the
+    right side broadcasts it is the one exchange that parallelizes a
+    skew-prone scoring stage; it never changes results (blocking is an
+    equi-join; scoring is row-local)."""
     lcols = [
         F.col(c).alias(c if c in block_cols else c + suffixes[0])
         for c in left.columns
@@ -78,7 +89,11 @@ def blocked_candidates(
         F.col(c).alias(c if c in block_cols else c + suffixes[1])
         for c in right.columns
     ]
-    return left.select(*lcols).join(right.select(*rcols), block_cols)
+    return (
+        left.select(*lcols)
+        .repartition(*[F.col(c) for c in block_cols])
+        .join(right.select(*rcols), block_cols)
+    )
 
 
 def fs_score(rules: list[FieldRule]) -> Column:

@@ -1438,7 +1438,12 @@ def _linkage_rules():
     return [
         FieldRule(
             "name",
-            F.levenshtein(F.col("name_l"), F.col("name_r")) <= 2,
+            # banded DP: levenshtein(l, r, k) early-exits past k and
+            # returns -1 there, so >= 0 IS distance <= 2 (r14, guide
+            # §1.2 per-task work: the full O(len^2) DP over ~1M pairs
+            # was the scoring stage's dominant cost) — the oracle keeps
+            # the unbounded form; the predicate is equivalent
+            F.levenshtein(F.col("name_l"), F.col("name_r"), 2) >= 0,
             2400000,
             -1700000,
         ),
