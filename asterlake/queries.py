@@ -44,7 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from asterlake.tables import load_table
+from asterlake.tables import fan_out_small_scan, load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -4731,7 +4731,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_similarity.py."""
     from asterlake.operators.similarity import semantic_dedup
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # codebook argmax + norms + within-cell cosine folds are CPU-heavy
+    # row-local work over a 1-row-group scan: spread it
+    # (fan_out_small_scan docstring; no-op at scale)
+    e = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     return semantic_dedup(e, _ivf_codebook(), 0.4)
 
 
@@ -9722,7 +9725,9 @@ def q_quality_gate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asterlake.operators.classifier import feature_vector, logit_margin
     from asterlake.operators.textstats import quality_features
 
-    d = load_table(spark, sf_dir, "documents")
+    # CPU-heavy row-local projection over a 1-row-group scan:
+    # spread it (fan_out_small_scan docstring; no-op at scale)
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     feats = quality_features(d)
     fv = feature_vector(feats, _QGT_FCOLS, out_col="features")
     scored = logit_margin(fv, _QGT_WEIGHTS, vec_col="features")
@@ -10293,7 +10298,9 @@ def q_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pairs`` — integer arithmetic both engines replay exactly."""
     from asterlake.operators.ngramlm import bigram_score
 
-    d = load_table(spark, sf_dir, "documents")
+    # CPU-heavy row-local projection over a 1-row-group scan:
+    # spread it (fan_out_small_scan docstring; no-op at scale)
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return bigram_score(d, _BIGRAM_VOCAB, _BIGRAM_MODEL, _BIGRAM_UNK).select(
         "doc_id",
         "n_pairs",
@@ -10411,7 +10418,9 @@ def q_segment_quality_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure-Python trained-model differential in tests/test_ngramlm.py."""
     from asterlake.operators.ngramlm import segment_quality_scrub
 
-    d = load_table(spark, sf_dir, "documents")
+    # CPU-heavy row-local projection over a 1-row-group scan:
+    # spread it (fan_out_small_scan docstring; no-op at scale)
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return segment_quality_scrub(
         d, _BIGRAM_VOCAB, _BIGRAM_MODEL, _BIGRAM_UNK, _BIGRAM_GATE,
         _SEG_SCRUB_TOKENS,
@@ -11462,7 +11471,9 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asterlake.operators.dsir import dsir_weight_cols
     from asterlake.operators.ngramlm import bigram_score_cols
 
-    d = load_table(spark, sf_dir, "documents")
+    # CPU-heavy row-local projection over a 1-row-group scan:
+    # spread it (fan_out_small_scan docstring; no-op at scale)
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     n_pairs, ll = bigram_score_cols(_BIGRAM_VOCAB, _BIGRAM_MODEL, _BIGRAM_UNK)
     n_grams, dw = dsir_weight_cols(_DSIR_RATIOS, _DSIR_BUCKETS)
     toks = F.filter(
@@ -12482,7 +12493,9 @@ def q_ngram_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_overlap_corpus_multi,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    # CPU-heavy row-local projection over a 1-row-group scan:
+    # spread it (fan_out_small_scan docstring; no-op at scale)
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = F.filter(
         F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
         lambda t: t != "",
@@ -12595,7 +12608,9 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     match-for-match in tests/test_pii.py."""
     from asterlake.operators.pii import pii_scan
 
-    d = load_table(spark, sf_dir, "documents")
+    # CPU-heavy row-local projection over a 1-row-group scan:
+    # spread it (fan_out_small_scan docstring; no-op at scale)
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     i = F.col("doc_id")
     dig = lambda idx: (i * 7 + idx * 13) % 10  # noqa: E731
     digits = F.transform(

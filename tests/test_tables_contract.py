@@ -113,3 +113,23 @@ def test_normalize_roundtrip_through_parquet(spark, tmp_path):
     assert back.schema["ts"].dataType == T.TimestampType()
     got = sorted((r["event_id"], r["ts"]) for r in back.collect())
     assert got == rows
+
+
+def test_fan_out_small_scan_spreads_and_noops(spark, tmp_path):
+    """fan_out_small_scan (r14): a single-row-group scan is spread to the
+    session parallelism for CPU-heavy row-local work; an input already at
+    or above that parallelism is returned UNCHANGED (the no-op that makes
+    the helper scale-honest); values are identical either way."""
+    from asterlake.tables import fan_out_small_scan
+
+    cores = spark.sparkContext.defaultParallelism
+    path = os.path.join(str(tmp_path), "small.parquet")
+    spark.range(100).coalesce(1).write.parquet(path)
+    small = spark.read.parquet(path)
+    assert small.rdd.getNumPartitions() < cores
+    spread = fan_out_small_scan(small)
+    assert spread.rdd.getNumPartitions() == cores
+    assert sorted(r.id for r in spread.collect()) == list(range(100))
+
+    wide = spark.range(1000).repartition(cores)
+    assert fan_out_small_scan(wide) is wide
