@@ -90,21 +90,24 @@ def connected_components(
     if method != "propagation":
         raise ValueError(f"unknown method {method!r}")
 
-    # Pin BOTH iteration inputs to one explicit hash partitioning sized to
-    # the edge count, independent of the session's shuffle-partition conf:
-    # the dup-candidate graph is tiny relative to the corpus, and without
-    # this each round pays (conf partitions x 3 stages) of task overhead
-    # in sessions tuned for the full-corpus scans. With edges partitioned
-    # on the probe key (_d) and labels on the vertex id at the SAME count,
-    # the per-round join and the write-back join are both exchange-free —
-    # each round's only shuffle is the groupBy(_s) min.
+    # Pin both iteration inputs (landing zones) and size the loop's
+    # shuffle-partition conf to the edge count, independent of the
+    # session conf: the dup-candidate graph is tiny relative to the
+    # corpus, and without the loop-scoped `parts` each round pays
+    # (conf partitions x stages) of task overhead in sessions tuned for
+    # the full-corpus scans. r14: the former repartition(parts, key) +
+    # SECOND localCheckpoint on each input is gone — localCheckpoint
+    # does not preserve outputPartitioning under AQE (the checkpointed
+    # scan reports UnknownPartitioning and every per-round join
+    # re-exchanges its inputs regardless, measured in the r14 plan
+    # capture), so those repartitions bought nothing and cost one full
+    # extra landing job + exchange per input. Values are partitioning-
+    # independent either way.
     und = und.localCheckpoint()
     n_edges = und.count()
     parts = max(4, min(256, n_edges // 50_000 + 4))
-    und = und.repartition(parts, "_d").localCheckpoint()
     labels = (
         vertices.select(F.col(id_col), F.col(id_col).alias("component"))
-        .repartition(parts, id_col)
         .localCheckpoint()
     )
 
