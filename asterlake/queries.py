@@ -1038,7 +1038,11 @@ def q_embedding_block_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench.py now retries at >=1.3x for queries with a >=1.5s prior."""
     from asterlake.operators.similarity import blocked_neighbor_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # CPU-heavy row-local work over a 1-row-group scan: spread it
+    # (fan_out_small_scan docstring; no-op at scale)
+    e = fan_out_small_scan(
+        load_table(spark, sf_dir, "embeddings")
+    )
     return blocked_neighbor_pairs(e, "label", 0.4)
 
 
@@ -5447,7 +5451,15 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         counts = running_user_counts(stream)
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # applyInPandasWithState parallelism: each partition is one
+        # Python-worker state fold, so unlike the JVM-stateful drains
+        # (fixed at 4) this one scales with cores — measured at sf0.1:
+        # 4 parts 4.17s / 8 parts 2.59s / 32 parts regresses (results
+        # identical; state-store count still bounded)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4, min(16, spark.sparkContext.defaultParallelism // 4))),
+        )
         prev_ndb = spark.conf.get(_NDB_KEY, "true")
         # update + NoTimeout custom state (see _NDB_KEY note)
         spark.conf.set(_NDB_KEY, "false")
@@ -7682,7 +7694,15 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ew = running_ewma(stream, alpha=0.1)
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # applyInPandasWithState parallelism: each partition is one
+        # Python-worker state fold, so unlike the JVM-stateful drains
+        # (fixed at 4) this one scales with cores — measured at sf0.1:
+        # 4 parts 4.17s / 8 parts 2.59s / 32 parts regresses (results
+        # identical; state-store count still bounded)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4, min(16, spark.sparkContext.defaultParallelism // 4))),
+        )
         prev_ndb = spark.conf.get(_NDB_KEY, "true")
         # update + NoTimeout custom state (see _NDB_KEY note)
         spark.conf.set(_NDB_KEY, "false")
@@ -11036,7 +11056,11 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_substrings.py."""
     from asterlake.operators.substrings import repeated_substring_spans
 
-    d = load_table(spark, sf_dir, "documents")
+    # CPU-heavy row-local work over a 1-row-group scan: spread it
+    # (fan_out_small_scan docstring; no-op at scale)
+    d = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents")
+    )
     return repeated_substring_spans(d, _SUBSTR_K)
 
 
@@ -11079,7 +11103,11 @@ def q_scrub_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential in tests/test_substrings.py."""
     from asterlake.operators.substrings import scrub_repeated_substrings
 
-    d = load_table(spark, sf_dir, "documents")
+    # CPU-heavy row-local work over a 1-row-group scan: spread it
+    # (fan_out_small_scan docstring; no-op at scale)
+    d = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents")
+    )
     return scrub_repeated_substrings(d, _SUBSTR_K)
 
 
@@ -11381,7 +11409,11 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB — no shuffle, no UDF (plan-pinned)."""
     from asterlake.operators.dsir import dsir_weights
 
-    d = load_table(spark, sf_dir, "documents")
+    # CPU-heavy row-local work over a 1-row-group scan: spread it
+    # (fan_out_small_scan docstring; no-op at scale)
+    d = fan_out_small_scan(
+        load_table(spark, sf_dir, "documents")
+    )
     w = dsir_weights(d, _DSIR_RATIOS, buckets=_DSIR_BUCKETS)
     return w.select(
         "doc_id",
