@@ -295,6 +295,7 @@ def pagerank_fixed_point(
     damping_num: int = 17,
     damping_den: int = 20,
     scale: int = 1_000_000_000_000,
+    ckpt_every: int = 3,
 ) -> DataFrame:
     """PageRank with a FIXED iteration count in pure BIGINT fixed-point —
     deterministic across engines and partition orders, so the result is
@@ -306,14 +307,19 @@ def pagerank_fixed_point(
     every engine. Precision loss from the floor divisions is identical
     everywhere, bounded by iters * (deg truncation) — fine for ranking.
 
-    Scale shape: the edge list (with its per-source degree attached) and
-    each round's rank table are localCheckpoint-materialized — the
-    iteration-input pinning connected_components uses. Without it every
+    Scale shape: the edge list (with its per-source degree attached) is
+    localCheckpoint-materialized, and the rank table lands every
+    ``ckpt_every`` rounds (plus the final round) — the kcore_decomposition
+    lineage-truncation cadence (guide §2.4). Without any landing every
     round's LAZY plan re-derives the whole edge-generation subtree and
     the join tree deepens exponentially (measured 14s -> 3.4s at sf0.1
-    for the co-purchase gate). Per round: one join of ranks to the
-    pinned edges on the source key and one sum keyed on the destination
-    — 2 exchanges over (node, long) pairs. ``iters`` is fixed (the
+    for the co-purchase gate); landing EVERY round pays one eager
+    materialization job per round the fixed-count loop doesn't need
+    (r15: ckpt_every=3 measured 6.8 -> 5.2 s same-session min at sf0.1,
+    values bit-identical — un-landed rounds dedup through
+    ReusedExchange). Per round: one join of ranks to the pinned edges on
+    the source key and one sum keyed on the destination — 2 exchanges
+    over (node, long) pairs. ``iters`` is fixed (the
     standard production choice: ~O(log n) rounds approximate the
     stationary point well before convergence detection pays for
     itself); for convergence-gated variants reuse the
@@ -325,7 +331,7 @@ def pagerank_fixed_point(
     """
     pr, _ = _pagerank_loop(
         edges, src, dst, iters, damping_num, damping_den, scale,
-        tol_fp=None,
+        tol_fp=None, ckpt_every=ckpt_every,
     )
     return pr
 
@@ -339,6 +345,7 @@ def _pagerank_loop(
     damping_den: int,
     scale: int,
     tol_fp: int | None,
+    ckpt_every: int = 1,
 ) -> tuple[DataFrame, int]:
     # Materialize the edge set ONCE (deg and the joined working set both
     # derive from these blocks, not from a re-run of the caller's edge-
@@ -389,7 +396,7 @@ def _pagerank_loop(
     spark.conf.set(sp_key, str(parts))
     rounds = 0
     try:
-        for _ in range(iters):
+        for _i in range(iters):
             # shuffle-hash hint: build a hash map of the node-sized rank
             # table per partition instead of sort-merge — co-partitioned
             # inputs make it exchange-free AND skip re-sorting the edge
@@ -419,9 +426,28 @@ def _pagerank_loop(
                     .cast("bigint")
                     .alias("pr"),
                 )
-                .localCheckpoint()  # keep round N+1's plan shallow
             )
             rounds += 1
+            # Landing cadence (guide §2.4 lineage truncation, the kcore
+            # ckpt_every discipline): the fixed-point variant runs NO
+            # mid-loop action, so a per-round localCheckpoint pays one
+            # eager materialization job per round for nothing — land
+            # every ``ckpt_every`` rounds instead. The un-landed round's
+            # duplicated pr subtree dedups through ReusedExchange (pure
+            # SQL subplans canonicalize); checkpointing is semantics-
+            # free, values identical. The FINAL round always lands so
+            # the returned frame is materialized while the loop's
+            # shuffle-partition pin is still in force (the conf is
+            # restored in ``finally`` — an un-landed tail would execute
+            # later at the ambient conf). The convergence-gated variant
+            # (tol_fp set) keeps per-round landings: its delta probe is
+            # an action over BOTH pr and prev_pr every round.
+            if (
+                tol_fp is not None
+                or rounds % max(ckpt_every, 1) == 0
+                or rounds == iters
+            ):
+                pr = pr.localCheckpoint()
             if tol_fp is not None:
                 # exact integer max-|delta| over co-partitioned ranks:
                 # exchange-free shuffle-hash join + scalar aggregate

@@ -74,6 +74,26 @@ def test_exemptions_carry_justifications():
         assert isinstance(why, str) and len(why) >= 10, name
 
 
+def test_exemptions_are_round_scoped():
+    """Exemptions justify diffs against ONE freeze base (r14 ADVICE):
+    once the driver's next CORRECTNESS commit advances the base, a
+    leftover exemption would silently excuse a FUTURE semantic edit to
+    that query from front promotion — so a non-empty exemption dict must
+    pin the exact base it was justified against, and goes red (drop or
+    re-justify) the round after."""
+    if not _git_available():
+        pytest.skip("no git history / round baseline in this environment")
+    from asterlake.queries import _AUTO_PROMOTE_EXEMPT, _EXEMPT_FREEZE_BASE
+
+    if _AUTO_PROMOTE_EXEMPT:
+        assert _EXEMPT_FREEZE_BASE == scoring_freeze_base(), (
+            "the scoring freeze base advanced past the recorded exemption "
+            "base: these exemptions justify a PREVIOUS round's diffs and "
+            "must be dropped (or re-justified against the new base): "
+            f"{sorted(_AUTO_PROMOTE_EXEMPT)}"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Machinery unit tests (git-independent)
 # ---------------------------------------------------------------------------
