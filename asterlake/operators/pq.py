@@ -834,7 +834,17 @@ def opq_search(
     cosine, so reranking in the original space is both exact and skips
     re-rotating the fetched floats. Same plan shape and code bytes as
     :func:`pq_search`; the rotation buys subspace balance, not cost."""
-    codes = opq_encode(vectors, rotation, codebooks, id_col, vec_col)
+    # r15: the rotate+encode projection is the query's dominant cost
+    # (d^2 fold per row) and the corpus scan is single-row-group at
+    # bench scale — spread ONLY the encode input (guide §2.5; the
+    # rerank side stays on the raw scan: it fetches ~shortlist rows
+    # through a broadcast semi-join and must not pay an exchange of
+    # the full float column). No-op when the scan is already wide.
+    from asterlake.tables import fan_out_small_scan
+
+    codes = opq_encode(
+        fan_out_small_scan(vectors), rotation, codebooks, id_col, vec_col
+    )
     rq = rotate_query(rotation, query_vec)
     cand = adc_topk(
         codes, rq, codebooks, k=shortlist, id_col=id_col

@@ -8362,7 +8362,9 @@ def q_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cb, qv = _pq_model()
     e = load_table(spark, sf_dir, "embeddings")
-    codes = pq_encode(e, cb)
+    # r15: spread the encode projection only — the rerank side inside
+    # pq_search keeps the raw scan (broadcast semi-join fetch)
+    codes = pq_encode(fan_out_small_scan(e), cb)
     return pq_search(e, codes, qv, cb, k=10, shortlist=50)
 
 
@@ -10071,7 +10073,8 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb, qv = _pq_model()
     cents = _ivfpq_centroids()
     e = load_table(spark, sf_dir, "embeddings")
-    idx = ivfpq_index(e, cents, cb)
+    # r15: the assign+residual-encode projection dominates — spread it
+    idx = ivfpq_index(fan_out_small_scan(e), cents, cb)
     return ivfpq_search(spark, idx, qv, cents, cb, k=10, nprobe=2)
 
 
@@ -10726,9 +10729,35 @@ def q_bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape anyway: the per-context best is computed once, the walk is
     12 one-row joins); the cumulative score is an exact BIGINT sum of
     quantized micro-nats. Data-independent driver work — the query
-    demonstrates the iterative-SQL surface the engine now has."""
+    demonstrates the iterative-SQL surface the engine has (the DuckDB
+    oracle keeps the WITH RECURSIVE form verbatim).
+
+    r15 (guide §2.4): the recursion depth is a FIXED constant (12), so
+    the Spark side unrolls the walk into 12 chained one-row CTE joins
+    executed as ONE query — the recursive-CTE executor launched one
+    data-independent job per level (~0.2-0.4 s each, 12 levels, the
+    whole cost of the query at any SF). Level semantics are identical:
+    an empty continuation at level k leaves s_k..s_12 empty exactly as
+    the recursion would stop, ties cannot diverge (rk = 1 under the
+    same (lp DESC, w2 ASC) total order), and step/cum_micros carry the
+    same INT/BIGINT casts at the same points."""
+    steps = [
+        "s1 AS (SELECT CAST(1 AS INT) AS step, w2 AS token, "
+        "CAST(0 AS BIGINT) + CAST(lp AS BIGINT) AS cum_micros "
+        "FROM best WHERE w1 = '<s>')"
+    ]
+    for i in range(2, 13):
+        steps.append(
+            f"s{i} AS (SELECT CAST({i} AS INT) AS step, b.w2 AS token, "
+            f"s{i - 1}.cum_micros + CAST(b.lp AS BIGINT) AS cum_micros "
+            f"FROM s{i - 1} JOIN best b ON b.w1 = s{i - 1}.token)"
+        )
+    union = "\n          UNION ALL ".join(
+        f"SELECT step, token, cum_micros FROM s{i}" for i in range(1, 13)
+    )
+    ctes = ",\n        ".join(steps)
     return spark.sql(f"""
-        WITH RECURSIVE best AS (
+        WITH best AS (
           SELECT w1, w2, lp FROM (
             SELECT w1, w2, lp,
                    ROW_NUMBER() OVER (PARTITION BY w1
@@ -10736,14 +10765,8 @@ def q_bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM {_bigram_values("spark")}
           ) WHERE rk = 1
         ),
-        walk(step, token, cum_micros) AS (
-          SELECT CAST(0 AS INT), '<s>', CAST(0 AS BIGINT)
-          UNION ALL
-          SELECT w.step + 1, b.w2, w.cum_micros + CAST(b.lp AS BIGINT)
-          FROM walk w JOIN best b ON b.w1 = w.token
-          WHERE w.step < 12
-        )
-        SELECT step, token, cum_micros FROM walk WHERE step > 0
+        {ctes}
+        {union}
     """)
 
 
@@ -12183,7 +12206,8 @@ def q_ann_adc_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cb, _qv = _pq_model()
     e = load_table(spark, sf_dir, "embeddings")
-    codes = pq_encode(e, cb)
+    # r15: spread the encode projection (the 4-row query side stays raw)
+    codes = pq_encode(fan_out_small_scan(e), cb)
     return adc_topk_multi(
         codes, e.filter("vec_id < 4"), cb, k=10, n_shards=16
     )
