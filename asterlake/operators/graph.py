@@ -723,7 +723,11 @@ def kcore_decomposition(
     exchange (was: one (node, h) exchange + one (node) exchange);
     (c) the loop pins ``spark.sql.shuffle.partitions`` to the
     parallelism-derived ``parts`` so low-core runs don't pay 32-way
-    task overhead per round. NOTE an explicit pre-partitioning of the
+    task overhead per round — the pin is a SESSION-global conf
+    mutation (restored in ``finally``), so the loop assumes no other
+    query plans on the same session concurrently, and every round
+    (including the last — the final round always lands, r15) executes
+    under the pin. NOTE an explicit pre-partitioning of the
     edge landing is NOT kept: ``localCheckpoint`` does not preserve
     outputPartitioning under AQE (measured: the join re-exchanges a
     repartition(parts, _s).localCheckpoint() edge side anyway), and
@@ -770,7 +774,15 @@ def kcore_decomposition(
                 .agg(F.count("*").cast("bigint").alias("c"))
             )
             vals = hist.groupBy("node").agg(hindex.alias("h"))
-            if ckpt_every and (r + 1) % ckpt_every == 0 and r + 1 < rounds:
+            # The FINAL round lands too (r15, r14 ADVICE): the returned
+            # frame must materialize while the loop's shuffle-partition
+            # pin is still in force — an un-landed tail would execute
+            # after ``finally`` restores the conf, running the last
+            # rounds at the ambient partition count the pin exists to
+            # avoid (the pagerank_fixed_point discipline).
+            if ckpt_every and (
+                (r + 1) % ckpt_every == 0 or r + 1 == rounds
+            ):
                 vals = vals.localCheckpoint()
     finally:
         spark.conf.set(sp_key, prev_sp)

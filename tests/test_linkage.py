@@ -33,6 +33,43 @@ def test_blocked_candidates_only_within_blocks(spark):
     assert set(cand.columns) == {"blk", "id_l", "city_l", "rid_r", "city_r"}
 
 
+def test_blocked_candidates_repartition_is_gated(spark):
+    """The left-side block-key repartition is a NARROW-input rescue only
+    (r15, r14 verdict "What's wrong" #2): a left side that is already at
+    session parallelism, or one carrying a broadcast hint, must NOT pay
+    an extra value-keyed exchange (at scale that is a full probe-table
+    shuffle and a hot-block skew funnel)."""
+    left, right = _frames(spark)
+
+    def block_exchanges(df):
+        # the gated rescue is the one REPARTITION_BY_COL exchange; join
+        # ENSURE_REQUIREMENTS exchanges (planner-owned) don't count
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("REPARTITION_BY_COL")
+
+    # narrow left (single partition, like a single-row-group parquet
+    # scan): the rescue applies
+    narrow = blocked_candidates(left.coalesce(1), right, ["blk"])
+    assert block_exchanges(narrow) >= 1
+
+    # wide left (>= session parallelism): no block-key exchange
+    cores = spark.sparkContext.defaultParallelism
+    wide = blocked_candidates(left.repartition(cores), right, ["blk"])
+    assert block_exchanges(wide) == 0
+
+    # broadcast-hinted left: about to be collected, never pre-shuffled
+    hinted = blocked_candidates(
+        F.broadcast(left.coalesce(1)), right, ["blk"]
+    )
+    assert block_exchanges(hinted) == 0
+
+    # and the gate never changes results
+    rows = {(r.id_l, r.rid_r) for r in wide.collect()}
+    assert rows == {(1, 10), (2, 10), (3, 11)}
+    rows_h = {(r.id_l, r.rid_r) for r in hinted.collect()}
+    assert rows_h == {(1, 10), (2, 10), (3, 11)}
+
+
 def test_fs_score_exact_integer_sum(spark):
     left, right = _frames(spark)
     cand = blocked_candidates(left, right, ["blk"])

@@ -133,3 +133,13 @@ def test_fan_out_small_scan_spreads_and_noops(spark, tmp_path):
 
     wide = spark.range(1000).repartition(cores)
     assert fan_out_small_scan(wide) is wide
+
+    # the determinism argument depends on sortBeforeRepartition (r15,
+    # r14 ADVICE): with it disabled the helper declines to spread
+    key = "spark.sql.execution.sortBeforeRepartition"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        assert fan_out_small_scan(small) is small
+    finally:
+        spark.conf.set(key, prev)
