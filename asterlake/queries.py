@@ -3716,6 +3716,35 @@ def _corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+# The four explicit cross-query memo builds, named (r15, r14 verdict ask
+# #7): the bench harness times each build as its OWN row placed right
+# before the family's first member, so the one-time build cost stops
+# landing on whichever family member happens to run first (r14:
+# q_dedup_clusters 7.64 s driver cold vs 2.2 s steady, whipsawing with
+# execution order). Values: name -> (build_fn, rider query names). The
+# build is still paid ONCE PER PROCESS-RUN from the parquet inputs —
+# nothing persists across bench invocations; this is attribution, not
+# caching.
+MEMO_BUILDERS: dict = {
+    "memo_build_corpus_clusters": (
+        _corpus_clusters,
+        ("q_dedup_clusters", "q_dedup_survivors", "q_split_leakage_safe"),
+    ),
+    "memo_build_flag_price_counts": (
+        _flag_price_counts,
+        ("q_trimmed_stats", "q_sketch_distinct"),
+    ),
+    "memo_build_global_price_counts": (
+        _global_price_counts,
+        ("q_histogram_equidepth", "q_range_layout_stats"),
+    ),
+    "memo_build_flag_qty_counts": (
+        _flag_qty_counts,
+        ("q_percentiles_exact", "q_weighted_median"),
+    ),
+}
+
+
 # Oracle for the leakage-safe split: reuse the registered recursive-CTE
 # clusters oracle verbatim as a nested CTE (DuckDB allows WITH RECURSIVE
 # inside a CTE body), then assign splits by the same md5 hash-bucket twin
@@ -12855,7 +12884,157 @@ _R15_OPT_EXEMPT_NOTE = (
 # (The 153 r14 entries were dropped at r15 round-start for exactly that
 # reason: their justifying diffs are invisible to the current base.)
 _EXEMPT_FREEZE_BASE = "7f9ef5e9ab11eeb02eca9e35ae3f62174c69249c"
-_AUTO_PROMOTE_EXEMPT: dict[str, str] = {}
+_AUTO_PROMOTE_EXEMPT: dict[str, str] = dict.fromkeys(
+    [
+    "flagship_revenue_by_nation",
+    "q_ann_adc_multi",
+    "q_ann_ivf_assign",
+    "q_ann_ivf_search",
+    "q_ann_opq_search",
+    "q_ann_pq_search",
+    "q_ann_srp_buckets",
+    "q_ann_srp_multiprobe",
+    "q_array_agg_sorted",
+    "q_array_functions",
+    "q_asof_click_error",
+    "q_auc_exact",
+    "q_bfs_distances",
+    "q_bloom_semi_join",
+    "q_bm25_search",
+    "q_bpe_segment",
+    "q_cdc_apply",
+    "q_clustering_pair_metrics",
+    "q_cms_frequencies",
+    "q_cohens_kappa",
+    "q_cohort_retention",
+    "q_collocations_pmi",
+    "q_conditional_agg",
+    "q_corpus_survivors",
+    "q_correlated_subqueries",
+    "q_count_distinct",
+    "q_cube_revenue",
+    "q_date_arithmetic",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_latest_order",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_semantic",
+    "q_dedup_semantic_incremental",
+    "q_dedup_simhash_pairs",
+    "q_dedup_substrings_incremental",
+    "q_dedup_winnow",
+    "q_dedup_winnow_incremental",
+    "q_dim_date",
+    "q_dim_segment",
+    "q_drift_numeric",
+    "q_drift_tvd",
+    "q_embedding_block_neighbors",
+    "q_embedding_pca",
+    "q_embedding_srp_neighbors",
+    "q_ewma_value",
+    "q_fact_star_join",
+    "q_filter_predicates",
+    "q_forget_cascade",
+    "q_full_outer_join",
+    "q_funnel_conversion",
+    "q_fuzzy_name_pairs",
+    "q_gapfill_locf",
+    "q_golden_record",
+    "q_graph_triangles",
+    "q_grouped_map_deltas",
+    "q_grouping_sets",
+    "q_histogram_prices",
+    "q_hybrid_search",
+    "q_incremental_agg_merge",
+    "q_join_anti",
+    "q_join_semi",
+    "q_json_extract",
+    "q_k_anonymity",
+    "q_k_anonymous_release",
+    "q_kcore_decompose",
+    "q_kll_quantile_rollup",
+    "q_l_diversity",
+    "q_label_propagation",
+    "q_linkage_eval",
+    "q_min_cost_supplier",
+    "q_minhash_jaccard_estimate",
+    "q_mixture_apply",
+    "q_mixture_temperature",
+    "q_mixture_weights",
+    "q_monthly_revenue",
+    "q_normalize_text",
+    "q_ohlc_bars",
+    "q_pack_manifest",
+    "q_pack_sequences",
+    "q_pagerank_copurchase",
+    "q_percentiles_exact",
+    "q_pivot_status",
+    "q_posexplode_tokens",
+    "q_pricing_summary",
+    "q_projection_arithmetic",
+    "q_quality_ensemble",
+    "q_quality_gate_text",
+    "q_quality_logistic",
+    "q_quarantine_expectations",
+    "q_quota_sample",
+    "q_range_join_clicks_before_error",
+    "q_range_layout_stats",
+    "q_record_linkage",
+    "q_recursive_month_spine",
+    "q_rollup_pricing",
+    "q_rrf_fuse",
+    "q_salted_join_top_customers",
+    "q_sample_stratified",
+    "q_scalar_functions",
+    "q_scd2_intervals",
+    "q_schema_drift_union",
+    "q_scrub_substrings",
+    "q_segment_quality_scrub",
+    "q_session_window",
+    "q_sessionization",
+    "q_set_ops",
+    "q_simhash_fingerprint",
+    "q_sketch_overlap",
+    "q_sketch_rollup_merge",
+    "q_skew_report",
+    "q_small_quantity_revenue",
+    "q_snapshot_diff",
+    "q_snapshot_scan_bloom",
+    "q_snapshot_scan_pruned",
+    "q_split_assign",
+    "q_split_leakage_safe",
+    "q_stream_frequent",
+    "q_stream_linkage",
+    "q_stream_static_join",
+    "q_string_functions",
+    "q_table_profile",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_redact",
+    "q_text_vocab_topk",
+    "q_theta_set_ops",
+    "q_top3_orders_per_segment",
+    "q_topk_orders",
+    "q_training_mix",
+    "q_udaf_iqr",
+    "q_udf_vector_norm",
+    "q_unigram_seed_vocab",
+    "q_unigram_segment",
+    "q_variant_extract",
+    "q_weighted_sample",
+    "q_window_event_gaps",
+    "q_window_frames",
+    "q_window_navigation",
+    "q_window_range_frames",
+    "q_winnow_fingerprints",
+    "q_wordpiece_segment",
+    "q_zorder_stats",
+    ],
+    _R15_OPT_EXEMPT_NOTE,
+)
 
 # Round-14 front (exactly 50), re-frozen AFTER the round's last
 # operator commit and verified equal to the mechanical derivation

@@ -307,13 +307,32 @@ def main() -> None:
             if bi > ri:
                 order.insert(ri, order.pop(bi))
 
+        # Named memo-builder rows (r15, r14 verdict ask #7): the four
+        # explicit cross-query memo builds used to land on whichever
+        # family member ran first, so builders' COLD numbers whipsawed
+        # with execution order (r14: q_dedup_clusters 7.64s driver cold
+        # vs 2.2s steady). Each build now runs as its OWN timed row,
+        # inserted immediately before the family's first member — the
+        # cost is still paid once per invocation from the parquet
+        # inputs (nothing persists across runs); it is just attributed
+        # to a named row. ADDITIVE only: no query row is removed or
+        # renamed, and the declared queries compute what they did.
+        from asterlake.queries import MEMO_BUILDERS
+
+        for _mname, (_fn, _riders) in MEMO_BUILDERS.items():
+            _idxs = [order.index(r) for r in _riders if r in order]
+            order.insert(min(_idxs) if _idxs else len(order), _mname)
+
         trace = os.environ.get("SPARK_GRAFT_BENCH_TRACE") == "1"
 
         def run_one(name: str) -> float:
             t0 = time.perf_counter()
-            QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            df = (
+                MEMO_BUILDERS[name][0](spark, sf_dir)
+                if name in MEMO_BUILDERS
+                else QUERIES[name].spark(spark, sf_dir)
+            )
+            df.write.format("noop").mode("overwrite").save()
             sec = round(time.perf_counter() - t0, 4)
             if trace:
                 # live per-query timing on stderr (diagnosis aid: which
@@ -356,7 +375,9 @@ def main() -> None:
         timings: dict[str, float] = {}
         for i, name in enumerate(order):
             timings[name] = run_one(name)
-            if timings[name] < rerun_below_sec:
+            # memo rows are excluded from the sub-second double-run: a
+            # second sample would record the memo HIT, not the build
+            if timings[name] < rerun_below_sec and name not in MEMO_BUILDERS:
                 timings[name] = min(timings[name], run_one(name))
             if (i + 1) % 20 == 0:
                 # release ContextCleaner-eligible cache/checkpoint blocks
@@ -392,6 +413,9 @@ def main() -> None:
             "q_dedup_clusters",
             "q_histogram_equidepth",
             "q_percentiles_exact",
+            # the named memo-build rows (r15): a retry would record the
+            # rider-side memo hit, exactly like the declared builders
+            *MEMO_BUILDERS,
         }
         suspects = [
             n
