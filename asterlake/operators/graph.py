@@ -42,6 +42,27 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
+def _symmetrized(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both directions of every edge in ONE pass over the input (r15).
+
+    The former ``select(s,d) unionByName select(d,s)`` executed the
+    caller's edge-GENERATION subtree once per union branch —
+    ReuseExchange dedups only up to the last exchange, so everything
+    above it (the co-purchase pair expansion, the n-gram Jaccard join
+    + filter of the dedup closure, ...) ran twice.
+    ``explode(array(struct(s,d), struct(d,s)))`` emits exactly the same
+    multiset from a single pass (guide §2.4: don't recompute what one
+    scan can emit)."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("_s"), F.col(dst).alias("_d")),
+                F.struct(F.col(dst).alias("_s"), F.col(src).alias("_d")),
+            )
+        ).alias("_e")
+    ).select("_e._s", "_e._d")
+
+
 def _warn_not_converged(method: str, max_iter: int) -> None:
     """Round-3 advice: exhausting max_iter without reaching the fixpoint
     means labels can silently span a component not fully merged (e.g. a
@@ -80,9 +101,7 @@ def connected_components(
     component. Deterministic for any input partitioning; both methods
     produce identical output.
     """
-    und = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).unionByName(
-        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
-    )
+    und = _symmetrized(edges, src, dst)
     if vertices is None:
         vertices = und.select(F.col("_s").alias(id_col)).distinct()
     if method == "star":
@@ -614,10 +633,7 @@ def label_propagation(
     spark.conf.set(sp_key, str(parts))
     try:
         und = (
-            edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-            .unionByName(
-                edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
-            )
+            _symmetrized(edges, src, dst)
             .filter(F.col("_s") != F.col("_d"))
             .distinct()
             .localCheckpoint()
@@ -744,10 +760,7 @@ def kcore_decomposition(
     spark.conf.set(sp_key, str(parts))
     try:
         und = (
-            edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-            .unionByName(
-                edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
-            )
+            _symmetrized(edges, src, dst)
             .filter(F.col("_s") != F.col("_d"))
             .distinct()
             .localCheckpoint()
@@ -835,10 +848,7 @@ def kcore_converged(
     shuffle join + ONE combinable histogram + the JVM-side H-index
     fold), plus the node-sized change probe on probed rounds."""
     und = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .unionByName(
-            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
-        )
+        _symmetrized(edges, src, dst)
         .filter(F.col("_s") != F.col("_d"))
         .distinct()
         .localCheckpoint()
@@ -928,10 +938,7 @@ def bfs_distances(
     ``ckpt_every`` rounds (no mid-loop action — the kcore rationale).
     """
     und = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .unionByName(
-            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
-        )
+        _symmetrized(edges, src, dst)
         .filter(F.col("_s") != F.col("_d"))
         .distinct()
         .localCheckpoint()

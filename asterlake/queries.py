@@ -7327,24 +7327,31 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps"))
         .filter(F.size("_ps") >= 2)
     )
-    pairs = grouped.select(
+    # BOTH edge directions from ONE expansion pass (r15): the former
+    # pairs-union-swap(pairs) shape re-ran the explode expansion once
+    # per union branch (ReuseExchange dedups only up to the groupBy
+    # exchange below it). Same multiset, one pass; full-query A/B
+    # 5.87 -> 5.01 s min at sf0.1, pagerank rows bit-identical.
+    edges = grouped.select(
         F.explode(
             F.flatten(
                 F.transform(
                     F.col("_ps"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("_ps"), i + F.lit(2), F.size("_ps")),
-                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    lambda x, i: F.flatten(
+                        F.transform(
+                            F.slice(
+                                F.col("_ps"), i + F.lit(2), F.size("_ps")
+                            ),
+                            lambda y: F.array(
+                                F.struct(x.alias("src"), y.alias("dst")),
+                                F.struct(y.alias("src"), x.alias("dst")),
+                            ),
+                        )
                     ),
                 )
             )
         ).alias("_e")
-    ).select("_e.p1", "_e.p2")
-    edges = pairs.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
-    )
+    ).select("_e.src", "_e.dst")
     return pagerank_fixed_point(edges, iters=5)
 
 
