@@ -13055,90 +13055,18 @@ _AUTO_PROMOTE_EXEMPT: dict[str, str] = dict.fromkeys(
     _R15_OPT_EXEMPT_NOTE,
 )
 
-# Round-14 front (exactly 50), re-frozen AFTER the round's last
+# Round-15 front (exactly 50), re-frozen AFTER the round's last
 # operator commit and verified equal to the mechanical derivation
-# (rotation.suggest_front over the declared set with the empty
-# exemption set — checked at freeze time: suggested == this block,
-# element for element).
-_NEW_R14 = [
-    # never-scored r14 declarations first ...
-    "q_kcore_exact",  # r13 verdict stretch #6 (convergence-exact)
-    "q_phash_near_dup",  # r13 verdict ask #4b (image dedup)
-    "q_pii_scan",  # r13 verdict ask #4a (compliance scan)
-    # ... then the three r13-green rows the r14 fixes touched:
-    # the ngram_overlap short-text-contract docstrings (ask #5),
-    # the CDC manifest/stale-guard hardening (ask #3 + ADVICE), and
-    # the theta-join ppm escape extension (ADVICE)
-    "q_ngram_overlap_eval",
-    "q_stream_cdc_apply",
-    "q_theta_similarity_join",
-]
-_STALE_R14 = [
-    # the 13 spilled r9 rows open the rotation (r13 verdict ask #1 —
-    # the last pre-r10 cohort; spill notes at the r13 freeze) ...
-    "q_set_ops_all",
-    "q_shipping_priority",
-    "q_sketch_distinct",
-    "q_stream_quarantine",
-    "q_table_checksum",
-    "q_text_repetition",
-    "q_tfidf_top_terms",
-    "q_trimmed_stats",
-    "q_twap_value",
-    "q_udtf_sentences",
-    "q_unpivot_measures",
-    "q_waiting_supplier_orders",
-    "q_weighted_median",
-    # ... then 31 of the 47 r10-era rows, name-ascending
-    # (suggest_front order). SPILL NOTES for the sixteen the budget
-    # cut (they lead r15; all sixteen are UNTOUCHED since their r10
-    # green rows — rotation.py attributes no diff to them this round —
-    # so the note for each is where its machinery gets fresh or
-    # standing coverage):
-    # - q_media_decode_real: the 7-format real-decode dispatch; the
-    #   shared chunk-walk/dispatcher machinery is r13-front-scored via
-    #   q_media_decode_palette and the per-format decoders are pinned
-    #   by test_multimodal round-trip differentials.
-    # - q_media_gif_anim: GIF89a LZW/interlace path; pinned by
-    #   test_multimodal's gif frame/palette round trips; the
-    #   decode_media_real dispatcher is scored via
-    #   q_media_decode_palette (r13).
-    # - q_media_mp4_meta: mp4 box-walk metadata; pinned by
-    #   test_multimodal's mp4 duration/track differentials; same
-    #   dispatcher coverage as above.
-    # - q_mixture_apply / q_mixture_weights: exact-rational mixture
-    #   reweighting; pinned by test_mixture's fraction-exact
-    #   differentials; the stratified-sampling twin q_sample_stratified
-    #   is r13-green.
-    # - q_pack_sequences: greedy sequence packing; pinned by
-    #   test_decontam_packing's exact bin differentials; the
-    #   fixed-budget row-local fold family is freshly scored via
-    #   q_chunk_documents (r14 front).
-    # - q_pagerank_copurchase: the pagerank fixed-point loop; retimed
-    #   EVERY round in bench.py (builder_retime_sec), python-replay
-    #   differentials in test_graph_sampling_timeseries, and the
-    #   iterative-graph family gets fresh driver coverage via
-    #   q_kcore_exact (r14 front) and q_bfs_distances (r13).
-    # - q_quality_ensemble: the DSIR x classifier x heuristic ensemble
-    #   gate; its three inputs are individually scored (q_dsir_select
-    #   r14 front; q_quality_logistic, q_quality_gate_text r13) and
-    #   the combination is pinned by test_dsir/test_classifier.
-    # - q_recursive_month_spine: date-spine generation; the date
-    #   machinery is r12-green via q_dim_date / q_date_arithmetic and
-    #   the spine is pinned by the sf0.01 parity suite.
-    # - q_snapshot_scan_bloom: versioned.py bloom-pruned scan; pinned
-    #   by test_versioned's scan==read.filter twin equality (every
-    #   predicate class); the manifest-commit machinery it shares is
-    #   freshly exercised by the r14 CDC commit-by-manifest tests.
-    # - q_unigram_seed_vocab / q_unigram_segment: unigram-LM trainer/
-    #   apply; pinned by test_unigram's EM-fold differentials; the
-    #   tokenizer family is r13-front-scored via q_bpe_segment and
-    #   r11-green via q_wordpiece_segment.
-    # - q_window_event_gaps / q_window_frames / q_window_navigation /
-    #   q_window_range_frames: the window-function family; each pinned
-    #   by the sf0.01 parity suite, and the window machinery is
-    #   r13-front-scored via q_top3_orders_per_segment /
-    #   q_sessionization (same frame/navigation plan shapes).
+# (rotation.suggest_front over the declared set with THIS round's
+# justified exemption set — checked at freeze time: suggested == this
+# block, element for element). No new queries this round; the 48
+# touched-but-front rows stay (the driver re-verifies that many of the
+# round's bit-identical optimization touches directly), and the two
+# untouched r14-green rows the budget frees (q_phash_near_dup,
+# q_stream_quarantine — both scored green in CORRECTNESS_r14) hand
+# their slots to the two OLDEST rows in rotation, the last r10-scored
+# media decoders (q_media_decode_real, q_media_gif_anim).
+_R15_FRONT = [
     "q_ann_int8_topk",
     "q_ann_ivfpq_search",
     "q_ann_topk_bruteforce",
@@ -13169,9 +13097,30 @@ _STALE_R14 = [
     "q_embedding_normalize",
     "q_frequent_tokens",
     "q_histogram_equidepth",
+    "q_kcore_exact",
     "q_kmeans_step",
+    "q_ngram_overlap_eval",
+    "q_pii_scan",
+    "q_set_ops_all",
+    "q_shipping_priority",
+    "q_sketch_distinct",
+    "q_stream_cdc_apply",
+    "q_table_checksum",
+    "q_text_repetition",
+    "q_tfidf_top_terms",
+    "q_theta_similarity_join",
+    "q_trimmed_stats",
+    "q_twap_value",
+    "q_udtf_sentences",
+    "q_unpivot_measures",
+    "q_waiting_supplier_orders",
+    "q_weighted_median",
+    "q_media_decode_real",
+    "q_media_gif_anim",
 ]
-_FRONT = _NEW_R14 + _STALE_R14
+_FRONT = _R15_FRONT
+
+
 
 assert set(_FRONT) <= set(QUERIES), sorted(set(_FRONT) - set(QUERIES))
 assert len(set(_FRONT)) == len(_FRONT), "duplicate in ordering front block"
